@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local driver-mimic correctness check (dev loop only; NOT shipped code).
+
+Usage: python3 scripts/check.py [outdir] [sfdir]
+Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` has already run.
+Registers each testdata parquet as a DuckDB view named after the
+table, runs every oracle_sql.json entry, and compares with the Spark
+parquet dump: columns sorted by name, rows sorted, exact value match
+(floats compared exactly after both sides' own round()s — mirrors a
+hash compare).
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = p.split("/")[-1].replace(".parquet", "")
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+n_pass = n_fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        got = pd.read_parquet(glob.glob(f"{outdir}/{name}/*.parquet")[0])
+    except Exception as e:
+        print(f"FAIL {name}: no spark output ({e})"); n_fail += 1; continue
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+    g, x = norm(got.copy()), norm(exp.copy())
+    if list(g.columns) != list(x.columns):
+        print(f"FAIL {name}: columns {list(g.columns)} vs {list(x.columns)}"); n_fail += 1; continue
+    if len(g) != len(x):
+        print(f"FAIL {name}: rows {len(g)} vs {len(x)}"); n_fail += 1; continue
+    bad = None
+    for c in g.columns:
+        a, b = g[c], x[c]
+        try:
+            if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
+                eq = ((a == b) | (a.isna() & b.isna())).all()
+            else:
+                eq = a.astype(object).where(pd.notna(a), None).equals(
+                     b.astype(object).where(pd.notna(b), None))
+        except Exception:
+            eq = False
+        if not eq:
+            bad = c
+            break
+    if bad:
+        diff = (g[bad] != x[bad])
+        print(f"FAIL {name}: col {bad} mismatch ({int(diff.sum())} rows); e.g.")
+        idx = diff[diff].index[:3]
+        for i in idx:
+            print(f"   row {i}: spark={g[bad][i]!r} oracle={x[bad][i]!r}")
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(g)} rows)")
+        n_pass += 1
+
+# rows-only queries (no oracle): just report row counts
+for d in sorted(glob.glob(f"{outdir}/*/")):
+    name = d.rstrip("/").split("/")[-1]
+    if name not in oracle:
+        try:
+            n = len(pd.read_parquet(glob.glob(f"{d}/*.parquet")[0]))
+            print(f"ROWS {name}: {n}")
+        except Exception as e:
+            print(f"ROWS {name}: unreadable ({e})")
+
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)

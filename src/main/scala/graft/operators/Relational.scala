@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational / analytics core: aggregation, multi-join with broadcast
+  * dims, window functions, sessionization, as-of join, tumbling-window
+  * event aggregation.
+  *
+  * Scale notes (100 TB):
+  *  - `q1_agg` is a single hash aggregate with map-side partial
+  *    aggregation; the shuffle carries only (group keys × partial
+  *    state), never rows.
+  *  - `q_join_topn` broadcasts every dimension table (nation,
+  *    customer); only the lineitem⋈orders join shuffles, on the join
+  *    key both sides already agree on.
+  *  - Window queries partition by a high-cardinality key (suppkey /
+  *    user_id) so the sort stays per-partition and parallel.
+  *
+  * Float policy: all double aggregates are `round(x, 4)` in both the
+  * Spark query and the DuckDB oracle so cross-engine summation-order
+  * noise (≪1e-4) can't flip the comparison.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary (filter pushdown + hash agg). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 4).as("sum_qty"),
+        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 4) AS sum_qty,
+      | round(sum(l_extendedprice), 4) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | round(avg(l_discount), 4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Revenue by nation over one order-year; dims broadcast. */
+  def joinTopN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1997-01-01").cast("timestamp"))
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+      .limit(10)
+  }
+
+  val joinTopNSql: String =
+    """SELECT n_name,
+      | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name
+      |LIMIT 10""".stripMargin
+
+  /** Per-supplier running revenue + row rank (deterministic ordering
+    * key: shipdate, orderkey, linenumber). */
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_rev",
+        round(sum($"l_extendedprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+      .filter($"rn" <= 5)
+      .select($"l_suppkey", $"rn", $"l_orderkey", $"l_linenumber", $"running_rev")
+      .orderBy($"l_suppkey", $"rn")
+  }
+
+  val windowFuncsSql: String =
+    """WITH t AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    row_number() OVER w AS rn,
+      |    round(sum(l_extendedprice) OVER (
+      |      PARTITION BY l_suppkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_rev
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |)
+      |SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_rev
+      |FROM t WHERE rn <= 5
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  /** Sessionization: 30-minute inactivity gap splits a user's event
+    * stream into sessions (lag + cumulative-sum of session starts). */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .withColumn("prev_us", lag($"ts_us", 1).over(wOrd))
+      .withColumn("is_new",
+        when($"prev_us".isNull || $"ts_us" - $"prev_us" > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum($"is_new").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (min($"ts_us") / 1000000L).cast("long").as("start_s"),
+        (max($"ts_us") / 1000000L).cast("long").as("end_s"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |), sflag AS (
+      |  SELECT user_id, ts_us,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM m
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  CAST(floor(min(ts_us) / 1000000) AS BIGINT) AS start_s,
+      |  CAST(floor(max(ts_us) / 1000000) AS BIGINT) AS end_s
+      |FROM sflag GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** As-of join: each purchase event matched to the latest strictly
+    * earlier click of the same user.
+    *
+    * Implemented Spark-first as the sort-based union trick (tag both
+    * sides, one window pass) instead of a join + per-key blow-up:
+    * shuffle = one partition-by-user sort, no O(clicks×purchases)
+    * intermediate. Clicks are deduped to max event_id per (user, ts)
+    * so the tie rule is engine-independent.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros($"ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts_us")
+      .agg(max($"event_id").as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us", $"event_id".as("purchase_id"))
+    // kind 0 = purchase, 1 = click: at equal ts the click sorts AFTER
+    // the purchase, so "rows preceding current" = strictly-earlier clicks.
+    val tagged = purchases
+      .select($"user_id", $"ts_us", lit(0).as("kind"), lit(null).cast("long").as("click_id"),
+        $"purchase_id")
+      .unionByName(clicks
+        .select($"user_id", $"ts_us", lit(1).as("kind"), $"click_id",
+          lit(null).cast("long").as("purchase_id")))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click", last($"click_id", ignoreNulls = true).over(w))
+      .filter($"purchase_id".isNotNull)
+      .select($"user_id", $"purchase_id", $"last_click".as("click_id"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)
+      |), p AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS purchase_id
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.user_id AS user_id, p.purchase_id AS purchase_id, c.click_id AS click_id
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us > c.ts_us
+      |ORDER BY user_id, purchase_id""".stripMargin
+
+  /** Tumbling 1-hour windows per event type — the batch-equivalent of
+    * the Structured Streaming pipeline in [[graft.streaming.StreamOps]]. */
+  def streamWindowBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("total_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  val streamWindowBatchSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      | count(*) AS n, round(sum(value), 4) AS total_value
+      |FROM events
+      |GROUP BY date_trunc('hour', ts), event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg(_, _)),
+    "q_join_topn" -> (joinTopN(_, _)),
+    "q_window" -> (windowFuncs(_, _)),
+    "q_sessionize" -> (sessionize(_, _)),
+    "q_asof_join" -> (asofJoin(_, _)),
+    "q_stream_window" -> (streamWindowBatch(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q_join_topn" -> joinTopNSql,
+    "q_window" -> windowFuncsSql,
+    "q_sessionize" -> sessionizeSql,
+    "q_asof_join" -> asofJoinSql,
+    "q_stream_window" -> streamWindowBatchSql)
+}
