@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst vector-distance expressions over `array<float>`.
+  *
+  * These are the Spark-side analog of the reference's
+  * `anndists::Distance<T>` strategy objects (reference lib.rs:7-8,38):
+  * L2, cosine, and dot product, each with `doGenCode` so the distance
+  * kernel runs inside whole-stage codegen — no UDF boxing, no
+  * per-element Scala closure. Elements are widened float→double before
+  * accumulating (sequential, left-to-right) so results match the
+  * DuckDB oracle's double-precision list kernels.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<float>, array<float>), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  /** Java loop body: given array vars `a`, `b` and length `n`, assign the
+    * result to `result` (a declared double). */
+  protected def loopCode(a: String, b: String, n: String, result: String): String
+
+  protected def evalVectors(x: ArrayData, y: ArrayData): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    evalVectors(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val res = ctx.freshName("res")
+      s"""
+         |final int $n = $a.numElements();
+         |double $res = 0.0;
+         |${loopCode(a, b, n, res)}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+}
+
+/** Euclidean distance: sqrt(Σ (x−y)²). Reference: anndists DistL2. */
+case class L2Distance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "graft_l2_distance"
+
+  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+    s"""
+       |double acc = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
+       |  acc += d * d;
+       |}
+       |$res = Math.sqrt(acc);
+     """.stripMargin
+
+  override protected def evalVectors(x: ArrayData, y: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Cosine distance: 1 − dot/(‖x‖·‖y‖). Reference: anndists DistCosine. */
+case class CosineDistance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "graft_cosine_distance"
+
+  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+    s"""
+       |double dot = 0.0, nx = 0.0, ny = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  double xi = (double) $a.getFloat(i);
+       |  double yi = (double) $b.getFloat(i);
+       |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+       |}
+       |$res = 1.0 - dot / (Math.sqrt(nx) * Math.sqrt(ny));
+     """.stripMargin
+
+  override protected def evalVectors(x: ArrayData, y: ArrayData): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    1.0 - dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Inner product: Σ x·y. Reference: anndists DistDot (ranking by −dot). */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "graft_dot_product"
+
+  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+    s"""
+       |double dot = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |}
+       |$res = dot;
+     """.stripMargin
+
+  override protected def evalVectors(x: ArrayData, y: ArrayData): Double = {
+    var dot = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-API entry points (and SQL registration for `expr(...)` use). */
+object VectorExprs {
+  private def col2(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
+    bridge.column(f(bridge.expression(a), bridge.expression(b)))
+
+  def l2Dist(a: Column, b: Column): Column = col2(L2Distance)(a, b)
+  def cosineDist(a: Column, b: Column): Column = col2(CosineDistance)(a, b)
+  def dotProduct(a: Column, b: Column): Column = col2(DotProduct)(a, b)
+
+  /** Register as SQL functions on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_l2_distance", es => L2Distance(es.head, es(1)), "builtin")
+    reg.createOrReplaceTempFunction("graft_cosine_distance", es => CosineDistance(es.head, es(1)), "builtin")
+    reg.createOrReplaceTempFunction("graft_dot_product", es => DotProduct(es.head, es(1)), "builtin")
+  }
+}

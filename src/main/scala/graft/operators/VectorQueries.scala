@@ -1,0 +1,345 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorExprs._
+
+/** Vector distance + exact-search + scale-path (IVF / LSH) operators
+  * over the `embeddings` table (vec_id, embedding: array<float> dim 64,
+  * label).
+  *
+  * Everything here is deterministic and oracle-checkable: stochastic
+  * reference knobs (pivot sampling, random hyperplanes) are replaced
+  * with pure functions of ids (SURVEY.md §5), so DuckDB can replay the
+  * exact pipeline.
+  *
+  * Scale notes:
+  *  - query sets are broadcast; the corpus is never collected or
+  *    broadcast.
+  *  - every top-k goes through [[TopKAgg]] (map-side partial top-k) so
+  *    the shuffle is k rows per partition per query, not the candidate
+  *    set.
+  *  - IVF probing is the partition-pruning path: candidates are
+  *    restricted to nprobe cells before any distance math.
+  */
+object VectorQueries {
+
+  private val K = 10
+  private val NCELLS = 16
+  private val NPROBE = 4
+
+  /** Deterministic query subset: every 50th vector. */
+  private def queriesDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+  }
+
+  // ---------------------------------------------------------------- distances
+
+  /** Adjacent-id pairs with a given distance expression. */
+  private def distPairs(s: SparkSession, dir: String, dist: (Column, Column) => Column): DataFrame = {
+    import s.implicits._
+    val a = Tables.embeddings(s, dir).select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = Tables.embeddings(s, dir).select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    a.join(b, $"id_b" === $"id_a" + 1)
+      .select($"id_a", $"id_b", round(dist($"va", $"vb"), 4).as("dist"))
+      .orderBy($"id_a")
+  }
+
+  private def distPairsSql(fn: String): String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       | round($fn, 4) AS dist
+       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       |ORDER BY id_a""".stripMargin
+
+  def qDistL2(s: SparkSession, dir: String): DataFrame = distPairs(s, dir, l2Dist)
+  val qDistL2Sql: String =
+    distPairsSql("list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")
+
+  def qDistCosine(s: SparkSession, dir: String): DataFrame = distPairs(s, dir, cosineDist)
+  val qDistCosineSql: String =
+    distPairsSql("1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")
+
+  def qDistDot(s: SparkSession, dir: String): DataFrame = distPairs(s, dir, dotProduct)
+  val qDistDotSql: String =
+    distPairsSql("list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")
+
+  /** Sign-bit binarization (62 bits — bits 62/63 unused so the packed
+    * code stays positive in both engines) + Hamming distance, the
+    * analog of the reference's `DistHamming` over packed u64
+    * (reference lib.rs:23-29). */
+  private val sparkBitCode =
+    """aggregate(
+      |  transform(sequence(0, 61),
+      |    i -> IF(element_at(embedding, i + 1) > 0, shiftleft(1L, i), 0L)),
+      |  0L, (acc, x) -> acc + x)""".stripMargin
+
+  def qDistHamming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val coded = Tables.embeddings(s, dir)
+      .select($"vec_id", expr(sparkBitCode).as("code"))
+    val a = coded.select($"vec_id".as("id_a"), $"code".as("code_a"))
+    val b = coded.select($"vec_id".as("id_b"), $"code".as("code_b"))
+    a.join(b, $"id_b" === $"id_a" + 1)
+      .select($"id_a", $"id_b",
+        bit_count($"code_a".bitwiseXOR($"code_b")).cast("int").as("hamming"))
+      .orderBy($"id_a")
+  }
+
+  val qDistHammingSql: String =
+    """WITH coded AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(0, 62),
+      |      i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS code
+      |  FROM embeddings
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  CAST(bit_count(xor(a.code, b.code)) AS INTEGER) AS hamming
+      |FROM coded a JOIN coded b ON b.vec_id = a.vec_id + 1
+      |ORDER BY id_a""".stripMargin
+
+  // ---------------------------------------------------------------- medoid
+
+  /** Exact medoid: argmin over Σ_j L2(i, j) — the deterministic,
+    * all-pairs form of the reference's sampled-pivot medoid
+    * (reference lib.rs:736-756). The sampled variant for scale is
+    * `medoidSampled` below (rows-only, used by the Vamana build). */
+  def qMedoid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.embeddings(s, dir).select($"vec_id".as("i"), $"embedding".as("va"))
+    val b = Tables.embeddings(s, dir).select($"vec_id".as("j"), $"embedding".as("vb"))
+    a.join(broadcast(b))
+      .groupBy($"i")
+      .agg(sum(l2Dist($"va", $"vb")).as("s"))
+      .orderBy($"s", $"i")
+      .limit(1)
+      .select($"i".as("medoid_id"), round($"s", 4).as("total_dist"))
+  }
+
+  val qMedoidSql: String =
+    """WITH d AS (
+      |  SELECT a.vec_id AS i,
+      |    sum(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) AS s
+      |  FROM embeddings a CROSS JOIN embeddings b
+      |  GROUP BY a.vec_id
+      |)
+      |SELECT i AS medoid_id, round(s, 4) AS total_dist
+      |FROM d ORDER BY s, i LIMIT 1""".stripMargin
+
+  /** Sampled-pivot medoid à la the reference (pivots = ids ≡ 0 mod 97,
+    * deterministic stand-in for its 8 random pivots). Used as the
+    * Vamana entry point; scales as O(n · |pivots|). */
+  def medoidSampled(s: SparkSession, dir: String): Long = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val pivots = emb.filter($"vec_id" % 97 === 0)
+      .select($"vec_id".as("j"), $"embedding".as("vb"))
+    Tables.embeddings(s, dir).select($"vec_id".as("i"), $"embedding".as("va"))
+      .join(broadcast(pivots))
+      .groupBy($"i").agg(sum(l2Dist($"va", $"vb")).as("s"))
+      .orderBy($"s", $"i").limit(1)
+      .select($"i").as[Long].head()
+  }
+
+  // ---------------------------------------------------------------- exact kNN
+
+  /** Brute-force exact top-k cosine kNN — the ground-truth oracle the
+    * reference's examples compare against (examples/diskann_sift.rs:58-98).
+    * Broadcast queries × corpus scan → TopK partial aggregate. */
+  def qKnnExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cand = Tables.embeddings(s, dir).select($"vec_id".as("nid"), $"embedding".as("v"))
+    val d = cand.join(broadcast(queriesDf(s, dir)))
+      .filter($"nid" =!= $"q_id")
+      .select($"q_id", $"nid", cosineDist($"qv", $"v").as("dist"))
+    topkExplode(d, K)
+  }
+
+  /** Shared tail: (q_id, nid, dist) → (q_id, rank, neighbor_id, dist). */
+  private[operators] def topkExplode(d: DataFrame, k: Int): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val tk = TopK.topk(k)
+    d.groupBy($"q_id").agg(tk($"nid", $"dist").as("tk"))
+      .select($"q_id", posexplode(arrays_zip($"tk.ids", $"tk.dists")))
+      .select($"q_id", ($"pos" + 1).cast("int").as("rank"),
+        $"col.ids".as("neighbor_id"), round($"col.dists", 4).as("dist"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val qKnnExactSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 50 = 0
+       |), d AS (
+       |  SELECT q_id, e.vec_id AS nid,
+       |    1 - list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS dist
+       |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q_id
+       |), r AS (
+       |  SELECT q_id, nid, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nid) AS rn
+       |  FROM d
+       |)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
+       |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- IVF
+
+  /** IVF cell assignment: nearest of NCELLS deterministic seed
+    * centroids (vectors with vec_id < NCELLS). At scale the centroids
+    * come from sampled k-means; the assignment join is the same. */
+  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = Tables.embeddings(s, dir).filter($"vec_id" < NCELLS)
+      .select($"vec_id".as("cell"), $"embedding".as("cv"))
+    Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      .join(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cell", l2Dist($"embedding", $"cv").as("dist"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"dist", $"cell")).as("m"))
+      .select($"vec_id", $"m.cell".as("cell"))
+  }
+
+  def qIvfAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ivfAssign(s, dir).orderBy($"vec_id")
+  }
+
+  val qIvfAssignSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < $NCELLS
+       |), d AS (
+       |  SELECT e.vec_id, cell,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), cv) AS dist
+       |  FROM embeddings e CROSS JOIN cents
+       |), r AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |  FROM d
+       |)
+       |SELECT vec_id, cell FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** IVF-probed kNN: each query probes its NPROBE nearest cells; exact
+    * cosine top-k within the probed cells only. This is the 100 TB
+    * serving path — candidate generation touches nprobe/ncells of the
+    * corpus (partition pruning), not all of it. Fully deterministic →
+    * fully oracle-checked, unlike typical ANN. */
+  def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = Tables.embeddings(s, dir).filter($"vec_id" < NCELLS)
+      .select($"vec_id".as("cell"), $"embedding".as("cv"))
+    val probeW = Window.partitionBy($"q_id").orderBy($"cdist", $"cell")
+    val probes = queriesDf(s, dir).join(broadcast(cents))
+      .select($"q_id", $"qv", $"cell", l2Dist($"qv", $"cv").as("cdist"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter($"rn" <= NPROBE)
+      .select($"q_id", $"qv", $"cell")
+    val assigned = ivfAssign(s, dir)
+      .join(Tables.embeddings(s, dir), "vec_id")
+      .select($"vec_id".as("nid"), $"embedding".as("v"), $"cell")
+    val d = assigned.join(broadcast(probes), "cell")
+      .filter($"nid" =!= $"q_id")
+      .select($"q_id", $"nid", cosineDist($"qv", $"v").as("dist"))
+    topkExplode(d, K)
+  }
+
+  val qKnnIvfSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < $NCELLS
+       |), assign_d AS (
+       |  SELECT e.vec_id, cell,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), cv) AS dist
+       |  FROM embeddings e CROSS JOIN cents
+       |), assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM assign_d) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 50 = 0
+       |), probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY list_distance(qv, cv), cell) AS rn
+       |    FROM q CROSS JOIN cents) WHERE rn <= $NPROBE
+       |), d AS (
+       |  SELECT q.q_id, a.vec_id AS nid,
+       |    1 - list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS dist
+       |  FROM probes p
+       |  JOIN assign a ON a.cell = p.cell
+       |  JOIN q ON q.q_id = p.q_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE a.vec_id <> q.q_id
+       |), r AS (
+       |  SELECT q_id, nid, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nid) AS rn
+       |  FROM d
+       |)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
+       |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- LSH
+
+  /** Random-hyperplane LSH bucketing with hash-derived (LCG) planes —
+    * deterministic, so both engines compute identical buckets. 16
+    * planes → 16-bit bucket. The scale path for cosine near-dup
+    * blocking: co-bucket join instead of all-pairs. */
+  private val sparkLshBucket =
+    """aggregate(
+      |  transform(sequence(0, 15), p -> IF(
+      |    aggregate(
+      |      transform(sequence(0, 63),
+      |        d -> element_at(embedding, d + 1) *
+      |             (((1103515245L * (p * 64 + d) + 12345L) % 2147483648L) / 2147483648.0D - 0.5D)),
+      |      0.0D, (acc, x) -> acc + x) > 0.0D,
+      |    shiftleft(1L, p), 0L)),
+      |  0L, (acc, x) -> acc + x)""".stripMargin
+
+  def qLshBucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", expr(sparkLshBucket).as("bucket"))
+      .orderBy($"vec_id")
+  }
+
+  val qLshBucketSql: String =
+    """SELECT vec_id,
+      |  CAST(list_sum(list_transform(range(0, 16), p -> CASE WHEN
+      |    list_reduce(list_transform(range(0, 64),
+      |      d -> embedding[d + 1] *
+      |           (((1103515245 * (p * 64 + d) + 12345) % 2147483648) / 2147483648.0 - 0.5)),
+      |      (acc, x) -> acc + x) > 0.0
+      |    THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dist_l2" -> (qDistL2(_, _)),
+    "q_dist_cosine" -> (qDistCosine(_, _)),
+    "q_dist_dot" -> (qDistDot(_, _)),
+    "q_dist_hamming" -> (qDistHamming(_, _)),
+    "q_medoid" -> (qMedoid(_, _)),
+    "q_knn_exact" -> (qKnnExact(_, _)),
+    "q_ivf_assign" -> (qIvfAssign(_, _)),
+    "q_knn_ivf" -> (qKnnIvf(_, _)),
+    "q_lsh_bucket" -> (qLshBucket(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q_dist_l2" -> qDistL2Sql,
+    "q_dist_cosine" -> qDistCosineSql,
+    "q_dist_dot" -> qDistDotSql,
+    "q_dist_hamming" -> qDistHammingSql,
+    "q_medoid" -> qMedoidSql,
+    "q_knn_exact" -> qKnnExactSql,
+    "q_ivf_assign" -> qIvfAssignSql,
+    "q_knn_ivf" -> qKnnIvfSql,
+    "q_lsh_bucket" -> qLshBucketSql)
+}

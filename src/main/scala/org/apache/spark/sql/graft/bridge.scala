@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. `classic.ExpressionUtils` is
+  * `private[sql]` in Spark 4, so this one-file shim lives in the
+  * `org.apache.spark.sql` package tree to re-export the two
+  * conversions graft's custom Catalyst expressions need. */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
