@@ -17,8 +17,10 @@ object SparkEntry {
     operators.Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.VectorQueries.queries
+    operators.Relational.queries ++ operators.VectorQueries.queries ++
+      index.VamanaIndex.queries
 
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.VectorQueries.oracles
+    operators.Relational.oracles ++ operators.VectorQueries.oracles ++
+      index.VamanaIndex.oracles
 }

@@ -146,8 +146,8 @@ object VectorExprs {
   /** Register as SQL functions on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_l2_distance", es => L2Distance(es.head, es(1)), "builtin")
-    reg.createOrReplaceTempFunction("graft_cosine_distance", es => CosineDistance(es.head, es(1)), "builtin")
-    reg.createOrReplaceTempFunction("graft_dot_product", es => DotProduct(es.head, es(1)), "builtin")
+    reg.createOrReplaceTempFunction("graft_l2_distance", es => L2Distance(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine_distance", es => CosineDistance(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
   }
 }

@@ -159,7 +159,7 @@ object VectorQueries {
   }
 
   /** Shared tail: (q_id, nid, dist) → (q_id, rank, neighbor_id, dist). */
-  private[operators] def topkExplode(d: DataFrame, k: Int): DataFrame = {
+  private[graft] def topkExplode(d: DataFrame, k: Int): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
     val tk = TopK.topk(k)

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs._
+
+class VectorExprsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+    (2L, Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+    (3L, Array(1f, 1f, 1f), Array(1f, 1f, 1f))
+  ).toDF("id", "a", "b")
+
+  test("l2 distance") {
+    val r = df.select($"id", l2Dist($"a", $"b").as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r(1L) - math.sqrt(2.0)) < 1e-12)
+    assert(math.abs(r(2L) - math.sqrt(27.0)) < 1e-12)
+    assert(r(3L) == 0.0)
+  }
+
+  test("cosine distance") {
+    val r = df.select($"id", cosineDist($"a", $"b").as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 1.0) < 1e-12) // orthogonal
+    assert(math.abs(r(3L)) < 1e-12) // identical direction
+  }
+
+  test("dot product") {
+    val r = df.select($"id", dotProduct($"a", $"b").as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r(1L) == 0.0 && r(2L) == 32.0 && r(3L) == 3.0)
+  }
+
+  test("interpreted eval matches codegen") {
+    // force interpreted path via filter on the expression vs projected value
+    val proj = df.select(l2Dist($"a", $"b").as("d")).as[Double].collect().sorted
+    val expected = Array(0.0, math.sqrt(2.0), math.sqrt(27.0))
+    proj.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
+  test("SQL registration works") {
+    register(spark)
+    df.createOrReplaceTempView("vex")
+    val n = spark.sql("SELECT graft_cosine_distance(a, b) AS d FROM vex").count()
+    assert(n == 3)
+  }
+}
