@@ -1,0 +1,117 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing: opaque `binary` payloads with typed,
+  * deterministic metadata extraction and a frame-sampling planner.
+  *
+  * The real decode (image/audio codec) is STUBBED — this container has
+  * no media libraries — behind `fakeDecodeHex`: a deterministic
+  * pseudo-decoder that reads "header fields" out of the payload's md5
+  * hex. Everything around the stub is the real Spark plumbing you'd
+  * ship: binary column synthesis, typed metadata schema, explode-based
+  * frame batch planning, partition-friendly single-pass scans. To go
+  * live you swap `fakeDecodeHex` for a real codec inside the same
+  * `mapPartitions`/expression slot (batched per partition, one codec
+  * instance per task — the Scala analog of a pandas-UDF batch).
+  *
+  * Hex→int parsing is done with a char-fold (`instr` on a hex
+  * alphabet) that both Spark and DuckDB evaluate identically, so even
+  * the stub decode is oracle-checked.
+  */
+object Multimodal {
+
+  /** Fold hex-string expression `e` to a BIGINT (both dialects). */
+  private def sparkHexToInt(e: String): String =
+    s"aggregate(transform(sequence(1, length($e)), ci -> " +
+      s"cast(instr('0123456789abcdef', substring($e, ci, 1)) - 1 as bigint)), " +
+      s"0L, (acc, c) -> acc * 16 + c)"
+
+  private def duckHexToInt(e: String): String =
+    s"CAST(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length($e) + 1), " +
+      s"ci -> (instr('0123456789abcdef', substring($e, ci, 1)) - 1)::BIGINT)), " +
+      s"(acc, c) -> acc * 16 + c) AS BIGINT)"
+
+  /** Deterministic fake payload: 16 md5 bytes of the text — stands in
+    * for real image/audio/video bytes. */
+  private val payloadCol = "unhex(md5(text))"
+
+  // ---------------------------------------------------------------- metadata
+
+  /** Binary payload + typed metadata decode (STUB decode, real schema):
+    * media_type from source id, width/height/fps/frames from "header"
+    * bytes. */
+  def qMmMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("payload", expr(payloadCol))
+      .withColumn("hex", md5($"text"))
+      .withColumn("media_type",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (expr(sparkHexToInt("substring(hex, 1, 2)")) % 3 + 1).cast("int")))
+      .withColumn("width", (expr(sparkHexToInt("substring(hex, 3, 2)")) % 64 + 16).cast("int"))
+      .withColumn("height", (expr(sparkHexToInt("substring(hex, 5, 2)")) % 64 + 16).cast("int"))
+      .withColumn("n_frames",
+        when($"media_type" === "video", (expr(sparkHexToInt("substring(hex, 7, 2)")) % 120 + 8).cast("int"))
+          .otherwise(lit(1)))
+      .select($"doc_id", $"media_type", $"width", $"height", $"n_frames",
+        length($"payload").cast("int").as("payload_bytes"))
+      .orderBy($"doc_id")
+  }
+
+  val qMmMetaSql: String =
+    s"""WITH h AS (SELECT doc_id, md5(text) AS hex FROM documents),
+       |m AS (
+       |  SELECT doc_id, hex,
+       |    ['image', 'audio', 'video'][(${duckHexToInt("substring(hex, 1, 2)")} % 3 + 1)::INTEGER] AS media_type,
+       |    (${duckHexToInt("substring(hex, 3, 2)")} % 64 + 16)::INTEGER AS width,
+       |    (${duckHexToInt("substring(hex, 5, 2)")} % 64 + 16)::INTEGER AS height
+       |  FROM h
+       |)
+       |SELECT doc_id, media_type, width, height,
+       |  CASE WHEN media_type = 'video'
+       |       THEN (${duckHexToInt("substring(hex, 7, 2)")} % 120 + 8)::INTEGER
+       |       ELSE 1 END AS n_frames,
+       |  16 AS payload_bytes
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- frames
+
+  /** Frame-sampling plan for video payloads: every 8th frame, with the
+    * byte offset a decoder would seek to — the explode gives the
+    * (doc, frame) work-list a downstream batched decoder consumes. */
+  def qMmFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    qMmMeta(s, dir)
+      .filter($"media_type" === "video")
+      .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1, 8)")))
+      .select($"doc_id", $"frame_idx".cast("int").as("frame_idx"),
+        ($"frame_idx".cast("long") * $"width" * $"height" * 3L).as("byte_offset"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val qMmFramesSql: String =
+    s"""WITH h AS (SELECT doc_id, md5(text) AS hex FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    ['image', 'audio', 'video'][(${duckHexToInt("substring(hex, 1, 2)")} % 3 + 1)::INTEGER] AS media_type,
+       |    (${duckHexToInt("substring(hex, 3, 2)")} % 64 + 16)::INTEGER AS width,
+       |    (${duckHexToInt("substring(hex, 5, 2)")} % 64 + 16)::INTEGER AS height,
+       |    (${duckHexToInt("substring(hex, 7, 2)")} % 120 + 8)::INTEGER AS n_frames
+       |  FROM h
+       |), v AS (SELECT * FROM m WHERE media_type = 'video')
+       |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       |  f::BIGINT * width * height * 3 AS byte_offset
+       |FROM v, unnest(range(0, n_frames, 8)) AS t(f)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_meta" -> (qMmMeta(_, _)),
+    "q_mm_frames" -> (qMmFrames(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q_mm_meta" -> qMmMetaSql,
+    "q_mm_frames" -> qMmFramesSql)
+}

@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.SharedHash
+import graft.functions.VectorExprs._
+
+/** Deduplication suite over the `documents` (and `embeddings`) tables:
+  * exact, MinHash+LSH, SimHash, exact n-gram Jaccard with blocking,
+  * and embedding-cosine near-dup.
+  *
+  * Scale design: no operator here ever forms the all-pairs cross
+  * product. Every near-dup detector generates candidates through a
+  * *blocking key* equi-join — MinHash band values, SimHash bands
+  * (pigeonhole: hamming ≤ 3 over 4 disjoint bands ⟹ one band equal),
+  * (lang, length-bucket) blocks, label blocks — so the shuffle is a
+  * hash join on uniform keys and the quadratic work is confined to
+  * within-bucket verification. That is the standard 100 TB dedup
+  * shape (the verify step only sees candidate pairs).
+  *
+  * Determinism: all hashing via [[SharedHash]] (engine-portable
+  * rolling hash), thresholds calibrated so outputs are non-trivial on
+  * the synthetic corpus.
+  */
+object Dedup {
+  import SharedHash._
+
+  private val MinhashPerms = perms(4)
+  private val MinhashTau = 0.01
+  private val SimhashMaxHamming = 3
+  private val JaccardTau = 0.6
+  private val CosineTau = 0.35
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: md5(text) groups; keeper = lowest doc_id. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(md5($"text"))
+    Tables.documents(s, dir)
+      .withColumn("keeper_id", min($"doc_id").over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select($"doc_id", $"keeper_id", $"n_copies")
+      .orderBy($"doc_id")
+  }
+
+  val qDedupExactSql: String =
+    """SELECT doc_id,
+      |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+      |  count(*) OVER (PARTITION BY md5(text)) AS n_copies
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- minhash
+
+  /** word-3-shingle hash sets per doc (Spark side). */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .filter(size($"words") >= 3)
+      .withColumn("sh_set", expr(
+        s"""array_distinct(transform(
+           |  transform(sequence(0, size(words) - 3),
+           |    i -> concat(element_at(words, i+1), ' ', element_at(words, i+2), ' ', element_at(words, i+3))),
+           |  s -> ${sparkRoll("s")}))""".stripMargin))
+      .select($"doc_id", $"sh_set")
+  }
+
+  private val duckShingleSets: String =
+    s"""sets AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_transform(range(0, len(words) - 2),
+       |        i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]),
+       |      s -> ${duckRoll("s")})) AS sh_set
+       |  FROM (
+       |    SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS words
+       |    FROM documents) WHERE len(words) >= 3
+       |)""".stripMargin
+
+  /** MinHash + LSH near-dup: 4 permutations as 4 single-row bands →
+    * band-equality candidate join → exact shingle-Jaccard verify. */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = shingleSets(s, dir).cache()
+    val sigCols = MinhashPerms.zipWithIndex.map { case (p, j) =>
+      expr(sparkMinhash("sh_set", p)).as(s"sig_$j")
+    }
+    val sigs = sets.select(($"doc_id" +: sigCols): _*)
+    val stackArgs = MinhashPerms.indices.map(j => s"$j, sig_$j").mkString(", ")
+    val bands = sigs.selectExpr("doc_id",
+      s"stack(${MinhashPerms.size}, $stackArgs) AS (j, sig)")
+    val a = bands.select($"doc_id".as("doc_a"), $"j", $"sig")
+    val b = bands.select($"doc_id".as("doc_b"), $"j", $"sig")
+    val cand = a.join(b, Seq("j", "sig")).filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val sa = sets.select($"doc_id".as("doc_a"), $"sh_set".as("set_a"))
+    val sb = sets.select($"doc_id".as("doc_b"), $"sh_set".as("set_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect($"set_a", $"set_b")).cast("double"))
+      .withColumn("jac", $"inter" / (size($"set_a") + size($"set_b") - $"inter"))
+      .filter($"jac" >= MinhashTau)
+      .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val qDedupMinhashSql: String = {
+    val sigSelects = MinhashPerms.zipWithIndex
+      .map { case (p, j) => s"${duckMinhash("sh_set", p)} AS sig_$j" }.mkString(", ")
+    val bandUnion = MinhashPerms.indices
+      .map(j => s"SELECT doc_id, $j AS j, sig_$j AS sig FROM sigs").mkString(" UNION ALL ")
+    s"""WITH $duckShingleSets,
+       |sigs AS (SELECT doc_id, $sigSelects FROM sets),
+       |bands AS ($bandUnion),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.j = b.j AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.sh_set, sb.sh_set))::DOUBLE /
+       |      (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set)))::DOUBLE AS jac
+       |  FROM cand
+       |  JOIN sets sa ON sa.doc_id = doc_a
+       |  JOIN sets sb ON sb.doc_id = doc_b
+       |)
+       |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+       |FROM verified WHERE jac >= $MinhashTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 62-bit SimHash; candidates via 4 16-bit bands (pigeonhole-complete
+    * for hamming ≤ 3); verify by popcount of xor. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val coded = Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .filter(size($"words") >= 1)
+      .withColumn("th", expr(s"transform(words, w -> ${sparkRoll("w")})"))
+      .withColumn("code", expr(sparkSimhash("th")))
+      .select($"doc_id", $"code")
+      .cache()
+    val bandExprs = (0 until 4).map(b => s"$b, shiftright(code, ${16 * b}) & 65535").mkString(", ")
+    val bands = coded.selectExpr("doc_id", "code", s"stack(4, $bandExprs) AS (b, band)")
+    val a = bands.select($"doc_id".as("doc_a"), $"code".as("code_a"), $"b", $"band")
+    val bb = bands.select($"doc_id".as("doc_b"), $"code".as("code_b"), $"b", $"band")
+    a.join(bb, Seq("b", "band")).filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        bit_count($"code_a".bitwiseXOR($"code_b")).cast("int").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= SimhashMaxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val qDedupSimhashSql: String = {
+    val bandUnion = (0 until 4)
+      .map(b => s"SELECT doc_id, code, $b AS b, (code >> ${16 * b}) & 65535 AS band FROM coded")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS words
+       |  FROM documents
+       |), th AS (
+       |  SELECT doc_id, list_transform(words, w -> ${duckRoll("w")}) AS th
+       |  FROM toks WHERE len(words) >= 1
+       |), coded AS (
+       |  SELECT doc_id, ${duckSimhash("th")} AS code FROM th
+       |), bands AS ($bandUnion),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.code, b.code)) AS INTEGER) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= $SimhashMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- n-gram jaccard
+
+  /** Exact char-3-gram Jaccard within (lang, length-bucket) blocks. */
+  def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .filter(length($"text") >= 3)
+      .withColumn("bucket", floor($"n_chars" / 100).cast("long"))
+      .withColumn("g3", expr(
+        "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"))
+      .select($"doc_id", $"lang", $"bucket", $"g3")
+    val a = grams.select($"doc_id".as("doc_a"), $"lang", $"bucket", $"g3".as("ga"))
+    val b = grams.select($"doc_id".as("doc_b"), $"lang", $"bucket", $"g3".as("gb"))
+    a.join(b, Seq("lang", "bucket")).filter($"doc_a" < $"doc_b")
+      .withColumn("inter", size(array_intersect($"ga", $"gb")).cast("double"))
+      .withColumn("jac", $"inter" / (size($"ga") + size($"gb") - $"inter"))
+      .filter($"jac" >= JaccardTau)
+      .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val qDedupJaccardSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+       |    list_distinct(list_transform(range(1, length(text) - 1),
+       |      i -> substring(text, i, 3))) AS g3
+       |  FROM documents WHERE length(text) >= 3
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.g3, b.g3))::DOUBLE /
+       |      (len(a.g3) + len(b.g3) - len(list_intersect(a.g3, b.g3)))::DOUBLE AS jac
+       |  FROM grams a JOIN grams b
+       |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+       |FROM pairs WHERE jac >= $JaccardTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- embedding
+
+  /** Embedding-cosine near-dup within label blocks (at scale the block
+    * key would be an LSH bucket — see q_lsh_bucket — same join shape). */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("va"))
+    val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("vb"))
+    a.join(b, "label").filter($"id_a" < $"id_b")
+      .withColumn("cos_sim", lit(1.0) - cosineDist($"va", $"vb"))
+      .filter($"cos_sim" >= CosineTau)
+      .select($"id_a", $"id_b", round($"cos_sim", 4).as("cos_sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val qDedupEmbedSql: String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                             CAST(b.embedding AS DOUBLE[])) >= $CosineTau
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact(_, _)),
+    "q_dedup_minhash" -> (qDedupMinhash(_, _)),
+    "q_dedup_simhash" -> (qDedupSimhash(_, _)),
+    "q_dedup_jaccard" -> (qDedupJaccard(_, _)),
+    "q_dedup_embed" -> (qDedupEmbed(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_simhash" -> qDedupSimhashSql,
+    "q_dedup_jaccard" -> qDedupJaccardSql,
+    "q_dedup_embed" -> qDedupEmbedSql)
+}

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.SharedHash._
+
+/** Text-analysis suite over `documents`: token counting, quality
+  * scoring, language ID, and document fingerprinting.
+  *
+  * All four are embarrassingly parallel single-pass scans (no shuffle
+  * except the final presentation sort): exactly the shape you want for
+  * a 100 TB corpus — the plan is Scan → Project → (optional Sort),
+  * filters and column pruning reach the parquet reader.
+  */
+object TextAnalysis {
+
+  /** Language stopword marker lists (tiny, deterministic heuristic). */
+  private val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "nicht", "mit"))
+
+  private def inList(wordVar: String, ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(s"$wordVar IN (", ", ", ")")
+
+  // ---------------------------------------------------------------- tokens
+
+  /** Whitespace tokens, regex word/digit/punct counts, and a BPE-ish
+    * subword estimate: Σ_words ceil(len/4) (4-char merges). */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .select(
+        $"doc_id",
+        size($"words").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha_tokens"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_num_tokens"),
+        size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).as("n_punct"),
+        expr("aggregate(transform(words, w -> cast(ceil(length(w) / 4.0) as bigint)), 0L, (a, x) -> a + x)")
+          .as("n_bpe_est"))
+      .orderBy($"doc_id")
+  }
+
+  val qTextTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(words) AS INTEGER) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha_tokens,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_num_tokens,
+      |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS INTEGER) AS n_punct,
+      |  CAST(list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(words, w -> ceil(length(w) / 4.0)::BIGINT)),
+      |    (a, x) -> a + x) AS BIGINT) AS n_bpe_est
+      |FROM (SELECT doc_id, text,
+      |        list_filter(string_split(text, ' '), w -> w != '') AS words
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- quality
+
+  /** Quality scoring: length, word stats, stopword/punct ratios and a
+    * composite score — the usual pre-training corpus filters. */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val en = langWords.head._2
+    Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .filter(size($"words") >= 1)
+      .withColumn("n_words", size($"words").cast("double"))
+      .withColumn("avg_word_len",
+        expr("aggregate(transform(words, w -> cast(length(w) as bigint)), 0L, (a, x) -> a + x)") / $"n_words")
+      .withColumn("stop_hits",
+        expr(s"size(filter(words, w -> ${inList("w", en)}))").cast("double"))
+      .withColumn("punct_ratio",
+        size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double") / length($"text"))
+      .withColumn("stop_ratio", $"stop_hits" / $"n_words")
+      .withColumn("len_score",
+        least($"n_words" / lit(100.0), lit(1.0)))
+      .withColumn("quality_score",
+        round(($"len_score" * 0.5 + $"stop_ratio" * 0.3 + (lit(1.0) - $"punct_ratio") * 0.2), 4))
+      .select($"doc_id", $"n_words".cast("int").as("n_words"),
+        round($"avg_word_len", 4).as("avg_word_len"),
+        round($"stop_ratio", 4).as("stop_ratio"),
+        round($"punct_ratio", 4).as("punct_ratio"),
+        $"quality_score")
+      .orderBy($"doc_id")
+  }
+
+  val qTextQualitySql: String = {
+    val en = langWords.head._2
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), w -> w != '') AS words
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    len(words)::DOUBLE AS n_words,
+       |    CAST(list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(words, w -> length(w)::BIGINT)), (a, x) -> a + x) AS BIGINT)
+       |      / len(words)::DOUBLE AS avg_word_len,
+       |    len(list_filter(words, w -> ${inList("w", en)}))::DOUBLE / len(words)::DOUBLE AS stop_ratio,
+       |    len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text)::DOUBLE AS punct_ratio,
+       |    least(len(words)::DOUBLE / 100.0, 1.0) AS len_score
+       |  FROM base WHERE len(words) >= 1
+       |)
+       |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       |  round(avg_word_len, 4) AS avg_word_len,
+       |  round(stop_ratio, 4) AS stop_ratio,
+       |  round(punct_ratio, 4) AS punct_ratio,
+       |  round(len_score * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 4) AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- lang id
+
+  /** Stopword-list language ID: hits per language, argmax with
+    * deterministic tie-break (hit count desc, then language asc;
+    * 'und' when nothing matches). */
+  def qTextLang(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var df = Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+    for ((lang, ws) <- langWords)
+      df = df.withColumn(s"hits_$lang",
+        expr(s"size(filter(words, w -> ${inList("w", ws)}))"))
+    val hitCols = langWords.map { case (l, _) => col(s"hits_$l") }
+    val structs = langWords.map { case (l, _) =>
+      struct((-col(s"hits_$l")).as("neg"), lit(l).as("lang"))
+    }
+    df.withColumn("best", least(structs: _*))
+      .withColumn("pred_lang",
+        when(greatest(hitCols: _*) === 0, lit("und")).otherwise($"best.lang"))
+      .select(($"doc_id" +: langWords.map { case (l, _) => col(s"hits_$l") } :+ $"pred_lang"): _*)
+      .orderBy($"doc_id")
+  }
+
+  val qTextLangSql: String = {
+    val hitSelects = langWords.map { case (l, ws) =>
+      s"len(list_filter(words, w -> ${inList("w", ws)})) AS hits_$l"
+    }.mkString(",\n    ")
+    val structList = langWords.map { case (l, _) => s"{'neg': -hits_$l, 'lang': '$l'}" }.mkString(", ")
+    val greatestHits = langWords.map { case (l, _) => s"hits_$l" }.mkString(", ")
+    val hitCast = langWords.map { case (l, _) => s"CAST(hits_$l AS INTEGER) AS hits_$l" }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS words
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |    $hitSelects
+       |  FROM base
+       |)
+       |SELECT doc_id, $hitCast,
+       |  CASE WHEN greatest($greatestHits) = 0 THEN 'und'
+       |       ELSE list_sort([$structList])[1].lang END AS pred_lang
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- fingerprint
+
+  /** Document fingerprints: raw rolling hash + order-insensitive
+    * normalized fingerprint (hash of sorted distinct words). */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .withColumn("norm", array_join(array_sort(array_distinct($"words")), " "))
+      .select(
+        $"doc_id",
+        expr(sparkRoll("text")).as("fp_raw"),
+        expr(sparkRoll("norm")).as("fp_norm"))
+      .orderBy($"doc_id")
+  }
+
+  val qTextFingerprintSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    array_to_string(list_sort(list_distinct(
+       |      list_filter(string_split(text, ' '), w -> w != ''))), ' ') AS norm
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  ${duckRoll("text")} AS fp_raw,
+       |  ${duckRoll("norm")} AS fp_norm
+       |FROM base ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> (qTextTokens(_, _)),
+    "q_text_quality" -> (qTextQuality(_, _)),
+    "q_text_lang" -> (qTextLang(_, _)),
+    "q_text_fingerprint" -> (qTextFingerprint(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tokens" -> qTextTokensSql,
+    "q_text_quality" -> qTextQualitySql,
+    "q_text_lang" -> qTextLangSql,
+    "q_text_fingerprint" -> qTextFingerprintSql)
+}

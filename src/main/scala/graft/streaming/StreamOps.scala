@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Event record for typed stateful processing (µs epoch, matching the
+  * batch-side `unix_micros` convention). */
+case class Ev(user_id: Long, ts_us: Long, event_type: String, value: Double)
+
+/** A closed user session emitted by the stateful sessionizer. */
+case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+/** In-flight session state. */
+case class SessionState(start_us: Long, last_us: Long, n: Long)
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The same transformations the batch queries run
+  * ([[graft.operators.Relational.streamWindowBatch]] /
+  * [[graft.operators.Relational.sessionize]]), expressed on an
+  * unbounded stream: watermarked tumbling-window aggregation and a
+  * `flatMapGroupsWithState` sessionizer with a 30-minute gap, emitting
+  * sessions as they close. State is partitioned by user_id, so at
+  * scale the state store shards across executors and each micro-batch
+  * shuffles only new events — the streaming analog of the batch
+  * window-partition design.
+  */
+object StreamOps {
+
+  val GapUs: Long = 30L * 60 * 1000000
+
+  /** File-based stream of the events table (ns timestamps read as long
+    * then normalized to a µs TimestampType column, as in
+    * [[graft.Tables.events]]). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file source needs a directory; glob-filter to the events file
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * form of `q_stream_window`. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Stateful sessionizer: 30-minute inactivity gap, emits each session
+    * when the next event of the user arrives past the gap (processing-
+    * order within a user is guaranteed by the groupByKey shuffle +
+    * per-batch sort below). */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            st = st match {
+              case null => SessionState(e.ts_us, e.ts_us, 1)
+              case s if e.ts_us - s.last_us > GapUs =>
+                out += SessionOut(user, s.start_us, s.last_us, s.n)
+                SessionState(e.ts_us, e.ts_us, 1)
+              case s => SessionState(s.start_us, e.ts_us, s.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{Ev, StreamOps}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  test("file-source windowed counts match the batch equivalent") {
+    val stream = StreamOps.eventsStream(spark, SparkSpecBase.sf001)
+    // complete mode: append would hold back windows newer than the
+    // watermark (still open), undercounting vs batch
+    val q = StreamOps.windowedCounts(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("winout").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("winout")
+      .agg(sum($"n")).as[Long].head()
+    val expected = operators.Relational
+      .streamWindowBatch(spark, SparkSpecBase.sf001)
+      .agg(sum($"n")).as[Long].head()
+    assert(got == expected)
+  }
+
+  test("stateful sessionizer closes sessions on 30-min gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessout").start()
+    val m = 60L * 1000000
+    // user 1: two sessions (gap 40 min); user 2: one open session
+    mem.addData(
+      Ev(1, 0 * m, "click", 1.0), Ev(1, 10 * m, "view", 1.0),
+      Ev(1, 50 * m, "click", 1.0), // 40-min gap → closes session 1
+      Ev(2, 0 * m, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(1, 120 * m, "view", 1.0)) // 70-min gap → closes session 2
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sessout").as[(Long, Long, Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((1L, 0L, 10 * m, 2L), (1L, 50 * m, 50 * m, 1L)))
+  }
+}
