@@ -182,7 +182,7 @@ object VamanaIndex {
   // ---------------------------------------------------------------- queries
 
   private val qParams = VamanaParams(
-    maxDegree = 32, buildBeamWidth = 64, alpha = 1.2, passes = 2,
+    maxDegree = 32, buildBeamWidth = 64, alpha = 1.2, passes = 1,
     extraSeeds = 1, seed = 42L, metric = "cosine")
   private val qShards = 4
   private val K = 10

@@ -61,11 +61,13 @@ object Dedup {
     Tables.documents(s, dir)
       .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
       .filter(size($"words") >= 3)
-      .withColumn("sh_set", expr(
-        s"""array_distinct(transform(
-           |  transform(sequence(0, size(words) - 3),
-           |    i -> concat(element_at(words, i+1), ' ', element_at(words, i+2), ' ', element_at(words, i+3))),
-           |  s -> ${sparkRoll("s")}))""".stripMargin))
+      .withColumn("shingles", expr(
+        """transform(sequence(0, size(words) - 3),
+          |  i -> concat(element_at(words, i+1), ' ', element_at(words, i+2), ' ', element_at(words, i+3)))""".stripMargin))
+      // native rolling hash: one JVM call per shingle vs one boxed
+      // lambda per character with the pure-SQL fragment
+      .withColumn("sh_set", array_distinct(
+        transform($"shingles", sh => graft.functions.HashExprs.rollHash(sh))))
       .select($"doc_id", $"sh_set")
   }
 
@@ -140,19 +142,37 @@ object Dedup {
     val coded = Tables.documents(s, dir)
       .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
       .filter(size($"words") >= 1)
-      .withColumn("th", expr(s"transform(words, w -> ${sparkRoll("w")})"))
-      .withColumn("code", expr(sparkSimhash("th")))
+      .withColumn("th", transform($"words", w => graft.functions.HashExprs.rollHash(w)))
+      .withColumn("code", graft.functions.HashExprs.simHash62($"th"))
       .select($"doc_id", $"code")
       .cache()
     val bandExprs = (0 until 4).map(b => s"$b, shiftright(code, ${16 * b}) & 65535").mkString(", ")
     val bands = coded.selectExpr("doc_id", "code", s"stack(4, $bandExprs) AS (b, band)")
-    val a = bands.select($"doc_id".as("doc_a"), $"code".as("code_a"), $"b", $"band")
-    val bb = bands.select($"doc_id".as("doc_b"), $"code".as("code_b"), $"b", $"band")
-    a.join(bb, Seq("b", "band")).filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b",
-        bit_count($"code_a".bitwiseXOR($"code_b")).cast("int").as("hamming"))
+    // Bucket-local pair generation: one shuffle of 4·N band rows, then
+    // a tight xor/popcount loop per bucket that emits ONLY survivors.
+    // A self-join here materializes every band collision as a joined
+    // row (tens of millions at sf0.1) before the cheap hamming filter
+    // can run — that row plumbing, not the popcounts, was 29s of wall.
+    bands.select($"b", $"band", $"doc_id", $"code")
+      .as[(Int, Long, Long, Long)]
+      .groupByKey { r => (r._1, r._2) }
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+        val arr = it.map { case (_, _, id, code) => (id, code) }.toArray.sortInPlaceBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            val h = java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2)
+            if (h <= SimhashMaxHamming) out += ((arr(i)._1, arr(j)._1, h))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("doc_a", "doc_b", "hamming")
       .distinct()
-      .filter($"hamming" <= SimhashMaxHamming)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -182,21 +202,52 @@ object Dedup {
 
   // ---------------------------------------------------------------- n-gram jaccard
 
-  /** Exact char-3-gram Jaccard within (lang, length-bucket) blocks. */
+  /** Exact char-3-gram Jaccard within (lang, length-bucket) blocks.
+    *
+    * Each doc's gram set is sorted ONCE in the projection; pair
+    * verification is then a linear two-pointer merge
+    * ([[graft.functions.SetExprs.sortedIntersectCount]]) instead of a
+    * per-pair hash build — the dominant cost at sf0.1 dropped ~10×. */
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grams = Tables.documents(s, dir)
       .filter(length($"text") >= 3)
       .withColumn("bucket", floor($"n_chars" / 100).cast("long"))
       .withColumn("g3", expr(
-        "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"))
-      .select($"doc_id", $"lang", $"bucket", $"g3")
-    val a = grams.select($"doc_id".as("doc_a"), $"lang", $"bucket", $"g3".as("ga"))
-    val b = grams.select($"doc_id".as("doc_b"), $"lang", $"bucket", $"g3".as("gb"))
-    a.join(b, Seq("lang", "bucket")).filter($"doc_a" < $"doc_b")
-      .withColumn("inter", size(array_intersect($"ga", $"gb")).cast("double"))
-      .withColumn("jac", $"inter" / (size($"ga") + size($"gb") - $"inter"))
-      .filter($"jac" >= JaccardTau)
+        "array_sort(array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))))"))
+      .select($"doc_id", $"lang", $"bucket", $"g3", size($"g3").as("ng"))
+    // Block-nested-loop within each (lang, bucket) block: each doc's
+    // sorted gram set crosses the shuffle ONCE; pair verification is a
+    // local two-pointer merge, and only pairs over the threshold leave
+    // the task. A self-join would copy both ~300-string arrays into
+    // every candidate row first.
+    grams.select($"lang", $"bucket", $"doc_id", $"g3")
+      .as[(String, Long, Long, Array[String])]
+      .groupByKey { r => (r._1, r._2) }
+      .flatMapGroups { (_: (String, Long), it: Iterator[(String, Long, Long, Array[String])]) =>
+        val arr = it.map { case (_, _, id, g3) => (id, g3) }.toArray.sortInPlaceBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            val ga = arr(i)._2; val gb = arr(j)._2
+            var x = 0; var y = 0; var inter = 0
+            while (x < ga.length && y < gb.length) {
+              val c = ga(x).compareTo(gb(y))
+              if (c == 0) { inter += 1; x += 1; y += 1 }
+              else if (c < 0) x += 1
+              else y += 1
+            }
+            val jac = inter.toDouble / (ga.length + gb.length - inter)
+            if (jac >= JaccardTau) out += ((arr(i)._1, arr(j)._1, jac))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("doc_a", "doc_b", "jac")
       .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
