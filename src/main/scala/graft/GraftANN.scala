@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.index.{IndexRow, VamanaIndex, VamanaParams}
+
+/** User-facing facade mirroring the reference's API surface
+  * (reference lib.rs: `build_index` / `open_index_with` / `search` /
+  * `search_with_dists` / `get_vector`), so a `rust-diskann` user maps
+  * 1:1 onto the Spark-native engine:
+  *
+  * {{{
+  * val h  = GraftANN.buildIndex(vectors, VamanaParams(), numShards = 64, "s3://…/idx")
+  * val h2 = GraftANN.openIndex(spark, "s3://…/idx", VamanaParams())
+  * val nn = h2.search(queriesDf, k = 10, beamWidth = 64)       // DataFrame
+  * val one = h2.searchVector(qVec, k = 10, beamWidth = 64)     // Array[(id, dist)]
+  * val v  = h2.getVector(123L)
+  * }}}
+  *
+  * `vectors` is any DataFrame with (`vec_id: long`, `embedding:
+  * array<float>`) — the Dataset-native analog of the reference's
+  * `&[Vec<T>]` input.
+  */
+object GraftANN {
+
+  final class Handle private[GraftANN] (
+      val spark: SparkSession,
+      val path: String,
+      val params: VamanaParams) extends Serializable {
+
+    lazy val index: Dataset[IndexRow] = VamanaIndex.load(spark, path)
+
+    lazy val metadataJson: String = VamanaIndex.loadMeta(path)
+
+    def numVectors: Long = index.count()
+
+    def dim: Int = index.head().embedding.length
+
+    /** Batch search for a DataFrame of (q_id: long, qv: array<float>).
+      * Returns (q_id, rank, neighbor_id, dist). */
+    def search(queries: DataFrame, k: Int, beamWidth: Int): DataFrame = {
+      import spark.implicits._
+      val qArr = queries.select(col("q_id"), col("qv"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      VamanaIndex.search(index, qArr, k, beamWidth, params)
+    }
+
+    /** Single-vector search, reference `search_with_dists` analog. */
+    def searchVector(q: Array[Float], k: Int, beamWidth: Int): Array[(Long, Double)] = {
+      import spark.implicits._
+      VamanaIndex.search(index, Array((0L, q)), k, beamWidth, params)
+        .orderBy(col("rank"))
+        .select(col("neighbor_id"), col("dist"))
+        .as[(Long, Double)].collect()
+    }
+
+    /** Reference `get_vector` analog (a pruned point-lookup scan). */
+    def getVector(vecId: Long): Array[Float] = {
+      import spark.implicits._
+      index.filter(col("vec_id") === vecId)
+        .select(col("embedding")).as[Array[Float]].head()
+    }
+  }
+
+  /** Build + persist + open (reference `build_index`: writes the index
+    * file and returns a ready handle). */
+  def buildIndex(
+      vectors: DataFrame,
+      params: VamanaParams,
+      numShards: Int,
+      path: String): Handle = {
+    val idx = VamanaIndex.build(vectors, params, numShards)
+    VamanaIndex.save(idx, params, path)
+    new Handle(vectors.sparkSession, path, params)
+  }
+
+  /** Open an existing index (reference `open_index_with`: the caller
+    * supplies the metric/params, validated against stored metadata). */
+  def openIndex(spark: SparkSession, path: String, params: VamanaParams): Handle = {
+    val meta = VamanaIndex.loadMeta(path)
+    require(meta.contains("\"format\":\"graft-vamana-v1\""), s"not a graft index: $path")
+    require(meta.contains(s""""metric":"${params.metric}""""),
+      s"index at $path was built with a different metric than ${params.metric}")
+    new Handle(spark, path, params)
+  }
+}

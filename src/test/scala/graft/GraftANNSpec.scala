@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.VamanaParams
+
+class GraftANNSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private val params = VamanaParams(maxDegree = 16, buildBeamWidth = 32, metric = "cosine")
+  private lazy val path = {
+    val p = "/tmp/graft_ann_spec_idx"
+    val vecs = Tables.embeddings(spark, SparkSpecBase.sf001)
+    GraftANN.buildIndex(vecs, params, numShards = 2, p)
+    p
+  }
+
+  test("build → open → metadata round-trips") {
+    val h = GraftANN.openIndex(spark, path, params)
+    assert(h.numVectors == Tables.embeddings(spark, SparkSpecBase.sf001).count())
+    assert(h.dim == 64)
+    assert(h.metadataJson.contains("graft-vamana-v1"))
+  }
+
+  test("openIndex rejects a metric mismatch (reference open_index_with check)") {
+    intercept[IllegalArgumentException] {
+      GraftANN.openIndex(spark, path, params.copy(metric = "l2"))
+    }
+  }
+
+  test("searchVector returns its own nearest neighbor first") {
+    val h = GraftANN.openIndex(spark, path, params)
+    val q = h.getVector(5L)
+    val nn = h.searchVector(q, k = 3, beamWidth = 32)
+    assert(nn.head._1 == 5L, nn.toSeq.toString)
+    assert(nn.head._2 < 1e-9)
+    assert(nn.map(_._2).sameElements(nn.map(_._2).sorted))
+  }
+
+  test("batch search matches single-vector search") {
+    val h = GraftANN.openIndex(spark, path, params)
+    val q = h.getVector(7L)
+    val batch = h.search(Seq((7L, q)).toDF("q_id", "qv"), k = 5, beamWidth = 32)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect()
+    val single = h.searchVector(q, k = 5, beamWidth = 32).map(_._1)
+    assert(batch.sameElements(single))
+  }
+}

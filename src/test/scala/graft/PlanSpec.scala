@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape audits: these assertions pin the *physical plans* the
+  * engine must produce at 100 TB — filter pushdown into the parquet
+  * scan, column pruning, broadcast joins for small sides, and map-side
+  * partial aggregation. A regression here is a scale bug even when the
+  * row-level results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  private val sf = SparkSpecBase.sf001
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q1_agg: shipdate filter is pushed into the parquet scan") {
+    val p = planOf(operators.Relational.q1Agg(spark, sf))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1_agg: aggregation is partial (map-side) before the exchange") {
+    val p = planOf(operators.Relational.q1Agg(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("Functions [partial"), p)
+  }
+
+  test("q_join_topn: dimension tables join via broadcast, not shuffle") {
+    val p = planOf(operators.Relational.joinTopN(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_dist_l2: scan prunes to the two referenced columns") {
+    val p = planOf(operators.VectorQueries.qDistL2(spark, sf))
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("label"), s"label column should be pruned:\n$p")
+  }
+
+  test("q_knn_exact: queries broadcast; top-k is a partial object aggregate") {
+    val p = planOf(operators.VectorQueries.qKnnExact(spark, sf))
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    // partial aggregation: two ObjectHashAggregate nodes (partial + final)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_dedup_exact: single scan, no join") {
+    val p = planOf(operators.Dedup.qDedupExact(spark, sf))
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_text_tokens: single pruned scan, no join/agg shuffle") {
+    // HOF lambdas are CodegenFallback in Spark, so no WholeStageCodegen
+    // span here; the scale property is the plan shape — a pruned
+    // Scan→Project with only the presentation sort's exchange.
+    val p = planOf(operators.TextAnalysis.qTextTokens(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(!p.contains("Join"), p)
+    // formatted mode lists each node once in the tree and once in the
+    // detail section; count detail headers only
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1, p)
+  }
+}
