@@ -202,6 +202,16 @@ object VectorQueries {
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
        |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
 
+  /** Same exact-kNN semantics as [[qKnnExact]], but through the custom
+    * Catalyst operator ([[graft.plans.KnnJoin]]: logical node →
+    * strategy → physical exec) — checked against the SAME oracle SQL,
+    * so the whole custom-plan path is hash-verified. */
+  def qKnnCustom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    graft.plans.KnnJoin(corpus, queriesDf(s, dir), K, "cosine", excludeSelf = true)
+  }
+
   // ---------------------------------------------------------------- IVF
 
   /** IVF cell assignment: nearest of NCELLS deterministic seed
@@ -344,6 +354,7 @@ object VectorQueries {
     "q_dist_hamming" -> (qDistHamming(_, _)),
     "q_medoid" -> (qMedoid(_, _)),
     "q_knn_exact" -> (qKnnExact(_, _)),
+    "q_knn_custom" -> (qKnnCustom(_, _)),
     "q_ivf_assign" -> (qIvfAssign(_, _)),
     "q_knn_ivf" -> (qKnnIvf(_, _)),
     "q_lsh_bucket" -> (qLshBucket(_, _)))
@@ -355,6 +366,7 @@ object VectorQueries {
     "q_dist_hamming" -> qDistHammingSql,
     "q_medoid" -> qMedoidSql,
     "q_knn_exact" -> qKnnExactSql,
+    "q_knn_custom" -> qKnnExactSql,
     "q_ivf_assign" -> qIvfAssignSql,
     "q_knn_ivf" -> qKnnIvfSql,
     "q_lsh_bucket" -> qLshBucketSql)
