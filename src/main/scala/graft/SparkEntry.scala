@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.VectorQueries.queries ++
       index.VamanaIndex.queries ++ operators.Dedup.queries ++
-      operators.TextAnalysis.queries ++ multimodal.Multimodal.queries
+      operators.TextAnalysis.queries ++ multimodal.Multimodal.queries ++
+      operators.KMeans.queries ++ operators.SourceQueries.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.VectorQueries.oracles ++
       index.VamanaIndex.oracles ++ operators.Dedup.oracles ++
-      operators.TextAnalysis.oracles ++ multimodal.Multimodal.oracles
+      operators.TextAnalysis.oracles ++ multimodal.Multimodal.oracles ++
+      operators.KMeans.oracles ++ operators.SourceQueries.oracles
 }

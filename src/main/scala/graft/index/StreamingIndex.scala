@@ -1,0 +1,46 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental index construction from a vector stream.
+  *
+  * Each micro-batch of (vec_id, embedding) becomes a fresh set of
+  * Vamana shards (shard ids offset by batch id) appended to the same
+  * shard-partitioned parquet layout [[VamanaIndex]] serves from — so
+  * the index grows monotonically while remaining queryable at every
+  * point: `VamanaIndex.load(spark, path)` between batches sees all
+  * vectors ingested so far. This is the streaming form of the
+  * segment-per-batch pattern (new segments are sealed per batch;
+  * compaction = periodically rebuilding merged shards offline).
+  *
+  * At scale: each batch's shard build is the same embarrassingly
+  * parallel mapPartitions as the batch build; the only coordination
+  * is the append commit.
+  */
+object StreamingIndex {
+
+  val ShardsPerBatchBase = 1000
+
+  def ingest(
+      vectors: DataFrame,
+      path: String,
+      params: VamanaParams,
+      shardsPerBatch: Int = 1): StreamingQuery = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val base = (batchId * ShardsPerBatchBase).toInt
+          VamanaIndex.build(batch, params, shardsPerBatch)
+            .map(r => r.copy(shard = r.shard + base))
+            .write.mode("append").partitionBy("shard")
+            .parquet(s"$path/graph")
+        }
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorExprs._
+
+/** Element-wise vector sum aggregator (map-side partial): the building
+  * block of distributed Lloyd's — centroid recomputation shuffles one
+  * partial (sum vector, count) per partition per cell, never the
+  * points. */
+class VectorSumAgg extends Aggregator[Array[Float], Array[Double], Array[Double]] {
+  override def zero: Array[Double] = Array.emptyDoubleArray
+  override def reduce(b: Array[Double], a: Array[Float]): Array[Double] = {
+    val out = if (b.length == 0) new Array[Double](a.length) else b
+    var i = 0
+    while (i < a.length) { out(i) += a(i); i += 1 }
+    out
+  }
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    if (b1.length == 0) return b2
+    if (b2.length == 0) return b1
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+  override def finish(b: Array[Double]): Array[Double] = b
+  override def bufferEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def outputEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+}
+
+/** Deterministic distributed k-means (Lloyd's): init = the k
+  * lowest-id vectors, fixed iteration count, ties to the lower cell
+  * id. This is the real IVF training path for the 100 TB index: each
+  * iteration is one broadcast (centroids are k·dim doubles — tiny) +
+  * one map-side-combined aggregation; points never shuffle.
+  *
+  * Fully deterministic → the DuckDB oracle replays both unrolled
+  * iterations and the assignment hash-matches.
+  */
+object KMeans {
+
+  private val K = 8
+  private val Iters = 2
+
+  /** One assignment pass: nearest centroid by L2, tie → lower cell. */
+  private def assign(points: DataFrame, cents: DataFrame): DataFrame = {
+    val s = points.sparkSession
+    import s.implicits._
+    points.join(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cell",
+        l2Dist($"embedding", $"cv").as("dist"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"dist", $"cell")).as("m"), first($"embedding").as("embedding"))
+      .select($"vec_id", $"embedding", $"m.cell".as("cell"))
+  }
+
+  /** Centroid recomputation via the partial vector-sum aggregate.
+    * Sums run in DOUBLE over the float inputs in vec_id order within
+    * each partition — cross-engine parity is guaranteed by rounding
+    * at the END (assignment only compares distances, where the
+    * summation-order noise is ~1e-13 of the values). */
+  private def recompute(assigned: DataFrame): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    val vsum = org.apache.spark.sql.functions.udaf(new VectorSumAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    assigned.groupBy($"cell")
+      .agg(vsum($"embedding").as("sum"), count(lit(1)).as("n"))
+      .select($"cell",
+        transform($"sum", x => (x / $"n").cast("float")).as("cv"))
+  }
+
+  /** k-means cell assignment after `Iters` Lloyd iterations. */
+  def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val points = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    var cents = points.orderBy($"vec_id").limit(K)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("cv"))
+    var assigned: DataFrame = null
+    for (_ <- 0 until Iters) {
+      assigned = assign(points, cents)
+      cents = recompute(assigned)
+    }
+    // final assignment against the last recomputed centroids
+    assign(points, cents).select($"vec_id", $"cell").orderBy($"vec_id")
+  }
+
+  /** DuckDB replay: both Lloyd iterations unrolled. Centroid averages
+    * are computed per (cell, dimension) over unnested positions —
+    * same double math as the Spark aggregator up to summation order
+    * (assignment argmins are insensitive at these magnitudes). */
+  val qKmeansSql: String = {
+    // centroids round-trip through FLOAT exactly as the Spark side's
+    // array<float> columns do, so both engines measure distances to
+    // identically-rounded centroids
+    def assignFrom(centsRel: String): String =
+      s"""SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), c.cell) AS rn
+         |  FROM embeddings e CROSS JOIN $centsRel c
+         |) WHERE rn = 1""".stripMargin
+    def recomputeFrom(assignRel: String): String =
+      s"""SELECT cell,
+         |  list(avg_v ORDER BY d)::FLOAT[] AS cv
+         |FROM (
+         |  SELECT cell, d, avg(embedding[d + 1]::DOUBLE) AS avg_v
+         |  FROM $assignRel, unnest(range(0, 64)) AS t(d)
+         |  GROUP BY cell, d
+         |) GROUP BY cell""".stripMargin
+    s"""WITH c0 AS (
+       |  SELECT vec_id::INTEGER AS cell, embedding AS cv
+       |  FROM embeddings WHERE vec_id < $K
+       |), a1 AS (${assignFrom("c0")}),
+       |c1 AS (${recomputeFrom("a1")}),
+       |a2 AS (${assignFrom("c1")}),
+       |c2 AS (${recomputeFrom("a2")}),
+       |fin AS (${assignFrom("c2")})
+       |SELECT vec_id, cell FROM fin ORDER BY vec_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans" -> (qKmeans(_, _)))
+  val oracles: Map[String, String] = Map(
+    "q_kmeans" -> qKmeansSql)
+}

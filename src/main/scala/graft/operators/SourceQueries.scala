@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorExprs._
+import graft.sources.VecsFormats
+
+/** Source round-trip queries: prove the reference's benchmark file
+  * formats move losslessly through the engine. */
+object SourceQueries {
+
+  /** embeddings → .fvecs on disk → distributed read-back → per-vector
+    * L2 norm. Byte-lossless, so the oracle computes the same norms
+    * straight from the parquet table. */
+  def qVecsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sf = dir.replaceAll(".*/", "")
+    val path = s"/tmp/graft_vecs_$sf.fvecs"
+    VecsFormats.writeFvecs(Tables.embeddings(s, dir), path)
+    VecsFormats.readFvecs(s, path)
+      .select($"vec_id",
+        round(sqrt(dotProduct($"embedding", $"embedding")), 4).as("l2_norm"))
+      .orderBy($"vec_id")
+  }
+
+  val qVecsRoundtripSql: String =
+    """SELECT vec_id,
+      |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                              CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vecs_roundtrip" -> (qVecsRoundtrip(_, _)))
+  val oracles: Map[String, String] = Map(
+    "q_vecs_roundtrip" -> qVecsRoundtripSql)
+}

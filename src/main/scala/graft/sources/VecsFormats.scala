@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, DataInputStream, FileInputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers/writers for the classic ANN benchmark vector formats the
+  * reference's examples consume (examples/bigann.rs, diskann_sift.rs:
+  * SIFT/BigANN distributions): `.fvecs` (float32), `.bvecs` (uint8),
+  * `.ivecs` (int32 — ground-truth neighbor lists). Record layout:
+  * little-endian `dim:int32` then `dim` values; uniform dim per file.
+  *
+  * Reads are distributed: the fixed record length lets
+  * `binaryRecords` split the file across executors, and
+  * `zipWithIndex` assigns the file-order row ids the formats imply.
+  * Writers stream through `toLocalIterator` (export utility — the
+  * at-scale interchange format is parquet; these exist for reference
+  * interop).
+  */
+object VecsFormats {
+
+  private def headerDim(path: String): Int = {
+    val in = new DataInputStream(new FileInputStream(path))
+    try {
+      val b = new Array[Byte](4)
+      in.readFully(b)
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
+    } finally in.close()
+  }
+
+  /** `.fvecs` → (vec_id: long, embedding: array<float>). */
+  def readFvecs(spark: SparkSession, path: String): DataFrame = {
+    val dim = headerDim(path)
+    val recLen = 4 + 4 * dim
+    import spark.implicits._
+    spark.sparkContext.binaryRecords(path, recLen)
+      .zipWithIndex()
+      .map { case (bytes, idx) =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val d = bb.getInt
+        require(d == dim, s"non-uniform dim: $d vs $dim at record $idx")
+        val arr = new Array[Float](dim)
+        var i = 0
+        while (i < dim) { arr(i) = bb.getFloat; i += 1 }
+        (idx, arr)
+      }.toDF("vec_id", "embedding")
+  }
+
+  /** `.bvecs` (uint8 vectors, e.g. BigANN) → embedding as floats. */
+  def readBvecs(spark: SparkSession, path: String): DataFrame = {
+    val dim = headerDim(path)
+    val recLen = 4 + dim
+    import spark.implicits._
+    spark.sparkContext.binaryRecords(path, recLen)
+      .zipWithIndex()
+      .map { case (bytes, idx) =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val d = bb.getInt
+        require(d == dim, s"non-uniform dim: $d vs $dim at record $idx")
+        val arr = new Array[Float](dim)
+        var i = 0
+        while (i < dim) { arr(i) = (bb.get() & 0xff).toFloat; i += 1 }
+        (idx, arr)
+      }.toDF("vec_id", "embedding")
+  }
+
+  /** `.ivecs` (int lists — ground-truth neighbors) →
+    * (query_id: long, neighbors: array<int>). */
+  def readIvecs(spark: SparkSession, path: String): DataFrame = {
+    val dim = headerDim(path)
+    val recLen = 4 + 4 * dim
+    import spark.implicits._
+    spark.sparkContext.binaryRecords(path, recLen)
+      .zipWithIndex()
+      .map { case (bytes, idx) =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        bb.getInt
+        val arr = new Array[Int](dim)
+        var i = 0
+        while (i < dim) { arr(i) = bb.getInt; i += 1 }
+        (idx, arr)
+      }.toDF("query_id", "neighbors")
+  }
+
+  /** Export (vec_id, embedding) as `.fvecs` in vec_id order. */
+  def writeFvecs(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    try {
+      df.select("vec_id", "embedding").orderBy("vec_id")
+        .as[(Long, Array[Float])].toLocalIterator().forEachRemaining { case (_, v) =>
+          val bb = ByteBuffer.allocate(4 + 4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+          bb.putInt(v.length)
+          v.foreach(bb.putFloat)
+          out.write(bb.array())
+        }
+    } finally out.close()
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.index.{StreamingIndex, VamanaIndex, VamanaParams}
+import graft.sources.VecsFormats
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  test("fvecs round-trip is byte-lossless and preserves order") {
+    val src = Tables.embeddings(spark, SparkSpecBase.sf001)
+    val path = "/tmp/graft_spec.fvecs"
+    VecsFormats.writeFvecs(src, path)
+    val back = VecsFormats.readFvecs(spark, path)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val orig = src.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(back.length == orig.length)
+    back.zip(orig).foreach { case ((ri, rv), (oi, ov)) =>
+      assert(ri == oi && rv.sameElements(ov))
+    }
+  }
+
+  test("bvecs and ivecs read fixed-record files") {
+    // hand-write a 2-record bvecs (dim 3) and ivecs (dim 2) file
+    val b = java.nio.ByteBuffer.allocate(2 * 7).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(3).put(1.toByte).put(200.toByte).put(255.toByte)
+    b.putInt(3).put(0.toByte).put(5.toByte).put(9.toByte)
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_spec.bvecs"), b.array())
+    val bv = VecsFormats.readBvecs(spark, "/tmp/graft_spec.bvecs")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(bv(0)._2.sameElements(Array(1f, 200f, 255f)) && bv(1)._2.sameElements(Array(0f, 5f, 9f)))
+
+    val iv = java.nio.ByteBuffer.allocate(2 * 12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    iv.putInt(2).putInt(7).putInt(42).putInt(2).putInt(-1).putInt(0)
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_spec.ivecs"), iv.array())
+    val ivr = VecsFormats.readIvecs(spark, "/tmp/graft_spec.ivecs")
+      .as[(Long, Array[Int])].collect().sortBy(_._1)
+    assert(ivr(0)._2.sameElements(Array(7, 42)) && ivr(1)._2.sameElements(Array(-1, 0)))
+  }
+
+  test("streaming ingest: index grows per batch and stays queryable") {
+    val dir = "/tmp/graft_stream_idx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    implicit val sqlCtx = spark.sqlContext
+    val params = VamanaParams(maxDegree = 8, buildBeamWidth = 16, metric = "l2")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingIndex.ingest(mem.toDS().toDF("vec_id", "embedding"), dir, params)
+    mem.addData((1L, Array(0f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f)))
+    q.processAllAvailable()
+    val n1 = VamanaIndex.load(spark, dir).count()
+    mem.addData((4L, Array(5f, 5f)), (5L, Array(6f, 5f)))
+    q.processAllAvailable()
+    q.stop()
+    val idx = VamanaIndex.load(spark, dir)
+    assert(n1 == 3 && idx.count() == 5)
+    val nn = VamanaIndex.search(idx, Array((99L, Array(5.1f, 5f))), 2, 8, params)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect()
+    assert(nn.sameElements(Array(4L, 5L)), nn.toSeq.toString)
+  }
+}
