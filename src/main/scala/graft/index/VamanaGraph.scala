@@ -38,8 +38,21 @@ object Metric {
       -dot
     }
   }
+  /** Hamming over binarized vectors (element ≠ element count) — the
+    * unpacked form of the reference's `DistHamming` over packed u64
+    * words (reference lib.rs:22-29): identical distances, bit-per-slot
+    * layout instead of 64-bits-per-word. */
+  case object Hamming extends Metric {
+    val name = "hamming"
+    def eval(a: Array[Float], ao: Int, b: Array[Float], bo: Int, dim: Int): Double = {
+      var c = 0; var i = 0
+      while (i < dim) { if (a(ao + i) != b(bo + i)) c += 1; i += 1 }
+      c.toDouble
+    }
+  }
   def byName(n: String): Metric = n match {
     case "l2" => L2; case "cosine" => Cosine; case "dot" => Dot
+    case "hamming" => Hamming
     case other => throw new IllegalArgumentException(s"unknown metric $other")
   }
 }

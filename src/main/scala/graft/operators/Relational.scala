@@ -221,7 +221,30 @@ object Relational {
       |GROUP BY date_trunc('hour', ts), event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Semi-structured props: JSON payload per event → typed extraction
+    * + aggregate (the props column is schemaless by design; extraction
+    * happens at scan time and stays in the projection). */
+  def eventsJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        round(avg($"k"), 4).as("avg_k"))
+      .orderBy($"event_type")
+  }
+
+  val eventsJsonSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+      |  round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_json" -> (eventsJson(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
     "q_join_topn" -> (joinTopN(_, _)),
     "q_window" -> (windowFuncs(_, _)),
@@ -230,6 +253,7 @@ object Relational {
     "q_stream_window" -> (streamWindowBatch(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_events_json" -> eventsJsonSql,
     "q1_agg" -> q1AggSql,
     "q_join_topn" -> joinTopNSql,
     "q_window" -> windowFuncsSql,

@@ -67,6 +67,22 @@ class VamanaGraphSpec extends AnyFunSuite {
     assert(g.graph.forall(_.length <= 12))
   }
 
+  test("hamming metric index over binary vectors (reference DistHamming analog)") {
+    val rnd = new java.util.Random(21)
+    val vs = Array.fill(200)(Array.fill(32)(if (rnd.nextBoolean()) 1f else 0f))
+    val p = VamanaParams(maxDegree = 12, buildBeamWidth = 32, metric = "hamming")
+    val g = new VamanaGraph(flat(vs), 32, vs.length, p).build()
+    val recalls = (0 until 10).map { qi =>
+      val q = vs(qi * 19 % vs.length)
+      val exact = bruteKnn(vs, q, 5, Metric.Hamming).toSet
+      val approx = g.search(q, 5, 32).map(_._1).toSet
+      (exact & approx).size / 5.0
+    }
+    assert(recalls.sum / recalls.length >= 0.8)
+    // self-query distance is 0
+    assert(g.search(vs(0), 1, 16).head._2 == 0.0)
+  }
+
   test("single-node and tiny shards don't crash") {
     val p = VamanaParams(maxDegree = 4, buildBeamWidth = 8, metric = "l2")
     val g1 = new VamanaGraph(Array(1f, 2f), 2, 1, p).build()
