@@ -1,7 +1,6 @@
 package graft.index
 
 import java.util.{Arrays => JArrays}
-import scala.collection.mutable.ArrayBuffer
 
 /** Distance metric over flat float vectors, computed in double —
   * mirrors [[graft.functions.VectorExprs]] so graph-build distances and
@@ -96,7 +95,11 @@ case class VamanaParams(
   *     (ref lib.rs:784-914)
   *
   * All randomness is splitmix64 streams keyed by (seed, node) so two
-  * builds of the same shard are identical.
+  * builds of the same shard are identical. The kernel is allocation-
+  * free on the hot path: primitive parallel arrays (no boxed
+  * collections), epoch-marked visited/dedup sets, and — for cosine —
+  * per-vector norms cached once so each pair distance is a single dot
+  * pass.
   */
 final class VamanaGraph(
     val vecs: Array[Float], // n × dim, row-major
@@ -105,10 +108,42 @@ final class VamanaGraph(
     val params: VamanaParams) extends Serializable {
 
   private val metric: Metric = Metric.byName(params.metric)
+  private val isCosine = metric eq Metric.Cosine
+
+  /** cached sqrt(Σx²) per vector (cosine only): distance becomes one
+    * fused dot-product pass instead of three accumulations. */
+  private val norms: Array[Double] =
+    if (!isCosine) null
+    else {
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var s = 0.0; var d = 0
+        val off = i * dim
+        while (d < dim) { val x = vecs(off + d).toDouble; s += x * x; d += 1 }
+        out(i) = math.sqrt(s)
+        i += 1
+      }
+      out
+    }
+
+  @inline private def dotAt(ao: Int, bo: Int): Double = {
+    var dot = 0.0; var i = 0
+    while (i < dim) { dot += vecs(ao + i).toDouble * vecs(bo + i).toDouble; i += 1 }
+    dot
+  }
+
   @inline private def dist(i: Int, j: Int): Double =
-    metric.eval(vecs, i * dim, vecs, j * dim, dim)
-  @inline private def distQ(q: Array[Float], j: Int): Double =
-    metric.eval(q, 0, vecs, j * dim, dim)
+    if (isCosine) 1.0 - dotAt(i * dim, j * dim) / (norms(i) * norms(j))
+    else metric.eval(vecs, i * dim, vecs, j * dim, dim)
+
+  @inline private def distQ(q: Array[Float], qNorm: Double, j: Int): Double =
+    if (isCosine) {
+      var dot = 0.0; var i = 0
+      val off = j * dim
+      while (i < dim) { dot += q(i).toDouble * vecs(off + i).toDouble; i += 1 }
+      1.0 - dot / (qNorm * norms(j))
+    } else metric.eval(q, 0, vecs, j * dim, dim)
 
   /** splitmix64 — tiny, public-domain PRNG recurrence. */
   private def mix(z0: Long): Long = {
@@ -118,7 +153,7 @@ final class VamanaGraph(
     z ^ (z >>> 31)
   }
   private def rngInt(state: Long, bound: Int): Int =
-    (Math.floorMod(mix(state), bound.toLong)).toInt
+    Math.floorMod(mix(state), bound.toLong).toInt
 
   /** adjacency: var-degree lists, bounded by slackLimit during build. */
   val graph: Array[Array[Int]] = new Array[Array[Int]](n)
@@ -143,89 +178,126 @@ final class VamanaGraph(
     }
   }
 
-  // ---------------------------------------------------------------- search
+  // ------------------------------------------------------------- scratch
 
-  /** Greedy best-first beam search; returns visited (ids, dists) for
-    * build, and the final working set for serving. */
-  private final class SearchScratch {
+  /** Grow-only primitive scratch reused across searches/nodes. */
+  private final class Scratch {
     val mark = new Array[Int](n)
     var epoch = 0
-    // frontier + working set as insertion-sorted arrays (descending
-    // dist at index 0), cheap for beam ≤ a few hundred.
-    var workIds = new Array[Int](0)
-    var workDists = new Array[Double](0)
-    val visitedIds = new ArrayBuffer[Int]()
-    val visitedDists = new ArrayBuffer[Double]()
+    val dedupMark = new Array[Int](n)
+    var dedupEpoch = 0
+
+    // visited log
+    var visIds = new Array[Int](256)
+    var visDists = new Array[Double](256)
+    var visLen = 0
+
+    // frontier: sorted DESCENDING by (dist, id) — best candidate at end
+    var fIds = new Array[Int](256)
+    var fDists = new Array[Double](256)
+    var fLen = 0
+
+    // candidate pool for prune
+    var candIds = new Array[Int](512)
+    var candDists = new Array[Double](512)
+    var candLen = 0
+
+    def visPush(id: Int, d: Double): Unit = {
+      if (visLen == visIds.length) {
+        visIds = JArrays.copyOf(visIds, visLen * 2)
+        visDists = JArrays.copyOf(visDists, visLen * 2)
+      }
+      visIds(visLen) = id; visDists(visLen) = d; visLen += 1
+    }
+
+    def candPush(id: Int, d: Double): Unit = {
+      if (candLen == candIds.length) {
+        candIds = JArrays.copyOf(candIds, candLen * 2)
+        candDists = JArrays.copyOf(candDists, candLen * 2)
+      }
+      candIds(candLen) = id; candDists(candLen) = d; candLen += 1
+    }
+
+    def fPush(id: Int, d: Double): Unit = {
+      if (fLen == fIds.length) {
+        fIds = JArrays.copyOf(fIds, fLen * 2)
+        fDists = JArrays.copyOf(fDists, fLen * 2)
+      }
+      // binary search in descending order: position where d fits
+      var lo = 0; var hi = fLen
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (fDists(mid) > d || (fDists(mid) == d && fIds(mid) > id)) lo = mid + 1 else hi = mid
+      }
+      System.arraycopy(fIds, lo, fIds, lo + 1, fLen - lo)
+      System.arraycopy(fDists, lo, fDists, lo + 1, fLen - lo)
+      fIds(lo) = id; fDists(lo) = d; fLen += 1
+    }
   }
 
-  private def beamSearchInternal(
-      q: Array[Float], qIdx: Int, entry: Int, beamWidth: Int,
-      scratch: SearchScratch, collectVisited: Boolean): (Array[Int], Array[Double]) = {
-    import scratch._
-    epoch += 1
-    visitedIds.clear(); visitedDists.clear()
+  // ------------------------------------------------------------- search
 
-    // working set: parallel arrays sorted ascending by (dist, id), capped
-    val wIds = new Array[Int](beamWidth)
-    val wDists = new Array[Double](beamWidth)
+  /** Greedy best-first beam search. Visited (id, dist) pairs are logged
+    * into the scratch when `collect` is set (build path). The final
+    * working set is returned through `wIds/wDists` (serving path);
+    * returns the working-set length. */
+  private def beamSearch(
+      qIdx: Int, q: Array[Float], qNorm: Double, entry: Int, beamWidth: Int,
+      s: Scratch, collect: Boolean,
+      wIds: Array[Int], wDists: Array[Double]): Int = {
+    s.epoch += 1
+    if (s.epoch == Int.MaxValue) { JArrays.fill(s.mark, 0); s.epoch = 1 }
+    s.visLen = 0
+    s.fLen = 0
     var wLen = 0
-    // frontier: ascending sorted stack of unexpanded candidates
-    val fIds = new ArrayBuffer[Int]()
-    val fDists = new ArrayBuffer[Double]()
 
-    @inline def worst: Double = if (wLen == 0) Double.MaxValue else wDists(wLen - 1)
+    @inline def worstD: Double = if (wLen == 0) Double.MaxValue else wDists(wLen - 1)
 
-    def wInsert(id: Int, d: Double): Boolean = {
-      if (wLen == beamWidth && (d > worst || (d == worst && id > wIds(wLen - 1)))) return false
+    @inline def wInsert(id: Int, d: Double): Unit = {
       var lo = 0; var hi = wLen
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
         if (wDists(mid) < d || (wDists(mid) == d && wIds(mid) < id)) lo = mid + 1 else hi = mid
       }
+      if (lo >= beamWidth) return
       val newLen = math.min(wLen + 1, beamWidth)
-      var i = newLen - 1
-      while (i > lo) { wIds(i) = wIds(i - 1); wDists(i) = wDists(i - 1); i -= 1 }
-      if (lo < beamWidth) { wIds(lo) = id; wDists(lo) = d }
-      wLen = newLen
-      true
-    }
-
-    def fPush(id: Int, d: Double): Unit = {
-      // keep ascending; pop from end is best? store descending so best at end
-      var lo = 0; var hi = fIds.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (fDists(mid) > d) lo = mid + 1 else hi = mid
+      val tail = newLen - lo - 1
+      if (tail > 0) {
+        System.arraycopy(wIds, lo, wIds, lo + 1, tail)
+        System.arraycopy(wDists, lo, wDists, lo + 1, tail)
       }
-      fIds.insert(lo, id); fDists.insert(lo, d)
+      wIds(lo) = id; wDists(lo) = d
+      wLen = newLen
     }
 
-    def visit(id: Int, d: Double): Unit = {
-      mark(id) = epoch
-      if (collectVisited) { visitedIds += id; visitedDists += d }
+    @inline def visit(id: Int, d: Double): Unit = {
+      s.mark(id) = s.epoch
+      if (collect) s.visPush(id, d)
     }
 
-    val d0 = if (qIdx >= 0) dist(qIdx, entry) else distQ(q, entry)
-    visit(entry, d0); wInsert(entry, d0); fPush(entry, d0)
+    @inline def qd(j: Int): Double =
+      if (qIdx >= 0) dist(qIdx, j) else distQ(q, qNorm, j)
 
-    while (fIds.nonEmpty) {
-      val last = fIds.length - 1
-      val bestD = fDists(last)
-      if (wLen >= beamWidth && bestD >= worst) {
-        fIds.clear(); fDists.clear()
+    val d0 = qd(entry)
+    visit(entry, d0); wInsert(entry, d0); s.fPush(entry, d0)
+
+    while (s.fLen > 0) {
+      val bestD = s.fDists(s.fLen - 1)
+      if (wLen >= beamWidth && bestD >= worstD) {
+        s.fLen = 0
       } else {
-        val cur = fIds(last)
-        fIds.remove(last); fDists.remove(last)
+        val cur = s.fIds(s.fLen - 1)
+        s.fLen -= 1
         val nbrs = graph(cur)
         if (nbrs != null) {
           var t = 0
           while (t < nbrs.length) {
             val nb = nbrs(t)
-            if (mark(nb) != epoch) {
-              val d = if (qIdx >= 0) dist(qIdx, nb) else distQ(q, nb)
+            if (s.mark(nb) != s.epoch) {
+              val d = qd(nb)
               visit(nb, d)
-              if (wLen < beamWidth || d < worst || (d == worst && nb < wIds(wLen - 1))) {
-                wInsert(nb, d); fPush(nb, d)
+              if (wLen < beamWidth || d < worstD || (d == worstD && nb < wIds(wLen - 1))) {
+                wInsert(nb, d); s.fPush(nb, d)
               }
             }
             t += 1
@@ -233,64 +305,125 @@ final class VamanaGraph(
         }
       }
     }
-    (JArrays.copyOf(wIds, wLen), JArrays.copyOf(wDists, wLen))
+    wLen
   }
 
   /** Serving-path search: top-k (local idx, dist) for an external query
     * vector (reference lib.rs:635-701). */
   def search(q: Array[Float], k: Int, beamWidth: Int): Array[(Int, Double)] = {
-    val scratch = new SearchScratch
-    val (ids, dists) = beamSearchInternal(q, -1, medoid, math.max(beamWidth, k), scratch, collectVisited = false)
-    ids.zip(dists).take(k)
+    val s = new Scratch
+    val bw = math.max(beamWidth, k)
+    val wIds = new Array[Int](bw)
+    val wDists = new Array[Double](bw)
+    val qNorm = if (isCosine) {
+      var acc = 0.0; var i = 0
+      while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    } else 0.0
+    val wLen = beamSearch(-1, q, qNorm, medoid, bw, s, collect = false, wIds, wDists)
+    val out = new Array[(Int, Double)](math.min(k, wLen))
+    var i = 0
+    while (i < out.length) { out(i) = (wIds(i), wDists(i)); i += 1 }
+    out
   }
 
-  // ---------------------------------------------------------------- build
+  // ------------------------------------------------------------- sorting
 
-  /** Robust α-prune with nearest backfill (ref lib.rs:1201-1279).
-    * `candIds/candDists` must be sorted ascending by (dist, id) and
-    * deduped, self excluded. */
-  private def pruneWith(u: Int, candIds: Array[Int], candDists: Array[Double], alpha: Double): Array[Int] = {
-    val maxDeg = params.maxDegree
-    val out = new ArrayBuffer[Int](maxDeg)
-    var i = 0
-    while (i < candIds.length && out.length < maxDeg) {
-      val c = candIds(i); val dc = candDists(i)
-      var occluded = false
-      var s = 0
-      while (s < out.length && !occluded) {
-        if (alpha * dist(c, out(s)) <= dc) occluded = true
-        s += 1
+  /** quicksort of parallel (dists, ids) by ascending (dist, id). */
+  private def sortPairs(ids: Array[Int], ds: Array[Double], lo0: Int, hi0: Int): Unit = {
+    @inline def less(i: Int, j: Int): Boolean =
+      ds(i) < ds(j) || (ds(i) == ds(j) && ids(i) < ids(j))
+    @inline def swap(i: Int, j: Int): Unit = {
+      val td = ds(i); ds(i) = ds(j); ds(j) = td
+      val ti = ids(i); ids(i) = ids(j); ids(j) = ti
+    }
+    def qs(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 12) {
+        var i = lo + 1
+        while (i <= hi) {
+          var j = i
+          while (j > lo && less(j, j - 1)) { swap(j, j - 1); j -= 1 }
+          i += 1
+        }
+        return
       }
-      if (!occluded) out += c
+      val mid = (lo + hi) >>> 1
+      if (less(mid, lo)) swap(mid, lo)
+      if (less(hi, lo)) swap(hi, lo)
+      if (less(hi, mid)) swap(hi, mid)
+      swap(mid, hi - 1) // pivot at hi-1
+      val p = hi - 1
+      var i = lo; var j = p
+      while (true) {
+        i += 1
+        while (less(i, p)) i += 1
+        j -= 1
+        while (less(p, j)) j -= 1
+        if (i >= j) {
+          swap(i, p)
+          qs(lo, i - 1); qs(i + 1, hi)
+          return
+        }
+        swap(i, j)
+      }
+    }
+    if (hi0 > lo0) qs(lo0, hi0)
+  }
+
+  // ------------------------------------------------------------- prune
+
+  /** Robust α-prune with nearest backfill (ref lib.rs:1201-1279) over
+    * the scratch candidate pool: sorts by (dist, id), dedups keeping
+    * the nearest occurrence per id (epoch marks), excludes self. */
+  private def pruneCandidates(u: Int, s: Scratch, maxDeg: Int, alpha: Double): Array[Int] = {
+    sortPairs(s.candIds, s.candDists, 0, s.candLen - 1)
+    s.dedupEpoch += 1
+    if (s.dedupEpoch == Int.MaxValue) { JArrays.fill(s.dedupMark, 0); s.dedupEpoch = 1 }
+    // compact unique, self-free prefix in place
+    var w = 0
+    var r = 0
+    while (r < s.candLen) {
+      val id = s.candIds(r)
+      if (id != u && s.dedupMark(id) != s.dedupEpoch) {
+        s.dedupMark(id) = s.dedupEpoch
+        s.candIds(w) = id; s.candDists(w) = s.candDists(r); w += 1
+      }
+      r += 1
+    }
+    val m = w
+    if (m == 0) return Array.empty
+
+    val out = new Array[Int](math.min(maxDeg, m))
+    var outLen = 0
+    // phase 1: α-occlusion
+    var i = 0
+    while (i < m && outLen < maxDeg) {
+      val c = s.candIds(i); val dc = s.candDists(i)
+      var occluded = false
+      var t = 0
+      while (t < outLen && !occluded) {
+        if (alpha * dist(c, out(t)) <= dc) occluded = true
+        t += 1
+      }
+      if (!occluded) { out(outLen) = c; outLen += 1 }
       i += 1
     }
-    if (out.length < maxDeg) {
+    // phase 2: nearest backfill
+    if (outLen < math.min(maxDeg, m)) {
       i = 0
-      while (i < candIds.length && out.length < maxDeg) {
-        val c = candIds(i)
-        if (!out.contains(c)) out += c
+      while (i < m && outLen < maxDeg) {
+        val c = s.candIds(i)
+        var present = false
+        var t = 0
+        while (t < outLen && !present) { if (out(t) == c) present = true; t += 1 }
+        if (!present) { out(outLen) = c; outLen += 1 }
         i += 1
       }
     }
-    out.toArray
+    if (outLen == out.length) out else JArrays.copyOf(out, outLen)
   }
 
-  private def sortDedupCandidates(u: Int, ids: ArrayBuffer[Int], dists: ArrayBuffer[Double]): (Array[Int], Array[Double]) = {
-    val m = ids.length
-    val idx = (0 until m).toArray.filter(t => ids(t) != u)
-    val sorted = idx.sortBy(t => (dists(t), ids(t)))
-    val outI = new ArrayBuffer[Int](sorted.length)
-    val outD = new ArrayBuffer[Double](sorted.length)
-    var last = -1
-    val seen = new java.util.HashSet[Integer]()
-    var t = 0
-    while (t < sorted.length) {
-      val id = ids(sorted(t))
-      if (!seen.contains(id)) { seen.add(id); outI += id; outD += dists(sorted(t)) }
-      t += 1
-    }
-    (outI.toArray, outD.toArray)
-  }
+  // ------------------------------------------------------------- build
 
   def build(): VamanaGraph = {
     if (n == 1) { graph(0) = Array.empty; return this }
@@ -300,7 +433,7 @@ final class VamanaGraph(
     // 1. seeded random bootstrap (ref lib.rs:989-1004)
     var u = 0
     while (u < n) {
-      val s = new java.util.HashSet[Integer]()
+      val s = new java.util.TreeSet[Integer]()
       var tries = 0L
       while (s.size < maxDeg && tries < maxDeg * 8L) {
         val nb = rngInt(params.seed ^ (u.toLong << 20) ^ tries, n)
@@ -310,12 +443,13 @@ final class VamanaGraph(
       val arr = new Array[Int](s.size)
       val it = s.iterator(); var i = 0
       while (it.hasNext) { arr(i) = it.next(); i += 1 }
-      JArrays.sort(arr)
       graph(u) = arr
       u += 1
     }
 
-    val scratch = new SearchScratch
+    val scratch = new Scratch
+    val wIds = new Array[Int](params.buildBeamWidth)
+    val wDists = new Array[Double](params.buildBeamWidth)
     val chunkSize = 256
     val passes = math.max(1, params.passes)
 
@@ -340,26 +474,27 @@ final class VamanaGraph(
         var ci = cs
         while (ci < ce) {
           val node = order(ci)
-          val candIds = new ArrayBuffer[Int]()
-          val candDists = new ArrayBuffer[Double]()
+          scratch.candLen = 0
           val cur = graph(node)
           var t = 0
-          while (t < cur.length) { candIds += cur(t); candDists += dist(node, cur(t)); t += 1 }
+          while (t < cur.length) {
+            scratch.candPush(cur(t), dist(node, cur(t))); t += 1
+          }
           // greedy from medoid + deterministic extra seeds
           var si = 0
           while (si <= params.extraSeeds) {
             val entry =
               if (si == 0) medoid
               else rngInt(params.seed ^ 0xabcdL ^ (node.toLong << 8) ^ (pass.toLong << 40) ^ si.toLong, n)
-            val (_, _) = beamSearchInternal(null, node, entry, params.buildBeamWidth, scratch, collectVisited = true)
+            beamSearch(node, null, 0.0, entry, params.buildBeamWidth, scratch,
+              collect = true, wIds, wDists)
             var v = 0
-            while (v < scratch.visitedIds.length) {
-              candIds += scratch.visitedIds(v); candDists += scratch.visitedDists(v); v += 1
+            while (v < scratch.visLen) {
+              scratch.candPush(scratch.visIds(v), scratch.visDists(v)); v += 1
             }
             si += 1
           }
-          val (sIds, sDists) = sortDedupCandidates(node, candIds, candDists)
-          newLists(ci - cs) = pruneWith(node, sIds, sDists, passAlpha)
+          newLists(ci - cs) = pruneCandidates(node, scratch, maxDeg, passAlpha)
           ci += 1
         }
         // merge chunk: commit outgoing, add reverse edges, slack re-prune
@@ -374,19 +509,21 @@ final class VamanaGraph(
           while (t < outs.length) {
             val dst = outs(t)
             val cur = graph(dst)
-            if (!cur.contains(src)) {
-              val merged = JArrays.copyOf(cur, cur.length + 1)
-              merged(cur.length) = src
-              graph(dst) =
-                if (merged.length <= slack) merged
-                else {
-                  val ids = new ArrayBuffer[Int](merged.length)
-                  val ds = new ArrayBuffer[Double](merged.length)
-                  var x = 0
-                  while (x < merged.length) { ids += merged(x); ds += dist(dst, merged(x)); x += 1 }
-                  val (si2, sd2) = sortDedupCandidates(dst, ids, ds)
-                  pruneWith(dst, si2, sd2, passAlpha)
-                }
+            var present = false
+            var x = 0
+            while (x < cur.length && !present) { if (cur(x) == src) present = true; x += 1 }
+            if (!present) {
+              if (cur.length + 1 <= slack) {
+                val merged = JArrays.copyOf(cur, cur.length + 1)
+                merged(cur.length) = src
+                graph(dst) = merged
+              } else {
+                scratch.candLen = 0
+                var y = 0
+                while (y < cur.length) { scratch.candPush(cur(y), dist(dst, cur(y))); y += 1 }
+                scratch.candPush(src, dist(dst, src))
+                graph(dst) = pruneCandidates(dst, scratch, maxDeg, passAlpha)
+              }
             }
             t += 1
           }
@@ -397,16 +534,16 @@ final class VamanaGraph(
       pass += 1
     }
 
-    // final cleanup: enforce max degree (ref lib.rs:1111-1132)
+    // final cleanup: enforce bounded degree (ref lib.rs:1111-1132)
     u = 0
     while (u < n) {
       if (graph(u).length > maxDeg) {
-        val ids = new ArrayBuffer[Int](graph(u).length)
-        val ds = new ArrayBuffer[Double](graph(u).length)
+        scratch.candLen = 0
         var t = 0
-        while (t < graph(u).length) { ids += graph(u)(t); ds += dist(u, graph(u)(t)); t += 1 }
-        val (si2, sd2) = sortDedupCandidates(u, ids, ds)
-        graph(u) = pruneWith(u, si2, sd2, params.alpha)
+        while (t < graph(u).length) {
+          scratch.candPush(graph(u)(t), dist(u, graph(u)(t))); t += 1
+        }
+        graph(u) = pruneCandidates(u, scratch, maxDeg, params.alpha)
       }
       u += 1
     }
