@@ -243,8 +243,31 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Two-stage salted aggregation — the skew pattern: a hot group key
+    * is split across 8 salt buckets for the first (heavy) aggregation,
+    * then the tiny per-salt partials are combined. At 100 TB a skewed
+    * event_type would otherwise pin one reducer; with the salt the
+    * wide shuffle is uniform and the second stage moves 8 rows per
+    * group. Results are identical to the direct aggregate — which is
+    * exactly what the oracle checks. */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("salt", pmod($"user_id", lit(8)))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pn"), sum($"value").as("pv"))
+      .groupBy($"event_type")
+      .agg(sum($"pn").as("n"), round(sum($"pv"), 4).as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  val saltedAggSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_json" -> (eventsJson(_, _)),
+    "q_salted_agg" -> (saltedAgg(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
     "q_join_topn" -> (joinTopN(_, _)),
     "q_window" -> (windowFuncs(_, _)),
@@ -254,6 +277,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_events_json" -> eventsJsonSql,
+    "q_salted_agg" -> saltedAggSql,
     "q1_agg" -> q1AggSql,
     "q_join_topn" -> joinTopNSql,
     "q_window" -> windowFuncsSql,

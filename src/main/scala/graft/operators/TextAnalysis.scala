@@ -187,13 +187,37 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- registry
 
+  /** Corpus overview per source: the summary a pipeline run reports.
+    * Single hash aggregate; countDistinct(lang) expands to the usual
+    * two-phase distinct aggregation. */
+  def qDocStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(expr("filter(split(text, ' '), w -> w != '')")))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        round(avg($"n_chars"), 4).as("avg_chars"),
+        sum($"n_tokens").cast("long").as("total_tokens"))
+      .orderBy($"source")
+  }
+
+  val qDocStatsSql: String =
+    """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  CAST(sum(len(list_filter(string_split(text, ' '), w -> w != ''))) AS BIGINT) AS total_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_stats" -> (qDocStats(_, _)),
     "q_text_tokens" -> (qTextTokens(_, _)),
     "q_text_quality" -> (qTextQuality(_, _)),
     "q_text_lang" -> (qTextLang(_, _)),
     "q_text_fingerprint" -> (qTextFingerprint(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_doc_stats" -> qDocStatsSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_quality" -> qTextQualitySql,
     "q_text_lang" -> qTextLangSql,
