@@ -22,6 +22,27 @@ object StreamingIndex {
 
   val ShardsPerBatchBase = 1000
 
+  /** Offline compaction: rebuild the accumulated segments into
+    * `numShards` fresh, well-clustered shards (the periodic merge step
+    * of the segment-per-batch design — run it when small streaming
+    * segments accumulate). */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      params: VamanaParams,
+      numShards: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val vectors = VamanaIndex.load(spark, path)
+      .select(col("vec_id"), col("embedding"))
+    val rebuilt = VamanaIndex.build(vectors, params, numShards)
+    // write to a temp location first: build reads lazily from `path`
+    val tmp = s"$path-compacting"
+    VamanaIndex.save(rebuilt, params, tmp)
+    val fs = new java.io.File(path)
+    org.apache.commons.io.FileUtils.deleteDirectory(fs)
+    new java.io.File(tmp).renameTo(fs)
+  }
+
   def ingest(
       vectors: DataFrame,
       path: String,

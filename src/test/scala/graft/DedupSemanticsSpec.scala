@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The oracle gate proves Spark==DuckDB; this spec proves the
+  * detectors actually CATCH near-duplicates: a corpus with one planted
+  * near-dup pair (one word changed out of 60) and one unrelated doc
+  * must yield exactly the planted pair from every detector. */
+class DedupSemanticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = "/tmp/graft_dedup_sem"
+    val words = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = words.replace("word30", "changed")
+    val other = (1 to 60).map(i => s"zz$i").mkString(" ")
+    val docs = Seq(
+      (1L, words, "en", "srcA", words.length.toLong),
+      (2L, nearDup, "en", "srcA", nearDup.length.toLong),
+      (3L, other, "en", "srcA", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("minhash finds the planted near-dup pair with high jaccard") {
+    val rows = operators.Dedup.qDedupMinhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.8 },
+      rows.toSeq.toString)
+    assert(!rows.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("simhash flags the planted pair within hamming 3 and not the unrelated doc") {
+    val rows = operators.Dedup.qDedupSimhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.exists { case (a, b, h) => a == 1L && b == 2L && h <= 3 },
+      rows.toSeq.toString)
+    assert(!rows.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("char-3-gram jaccard blocks and verifies the planted pair") {
+    val rows = operators.Dedup.qDedupJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.exists { case (a, b, j) => a == 1L && b == 2L && j >= 0.6 },
+      rows.toSeq.toString)
+  }
+
+  test("exact dedup keeps the lower id of identical texts") {
+    val d2 = "/tmp/graft_dedup_exact"
+    Seq((5L, "same text", "en", "s", 9L), (9L, "same text", "en", "s", 9L),
+      (7L, "unique", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val rows = operators.Dedup.qDedupExact(spark, d2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((5L, 5L, 2L), (9L, 5L, 2L), (7L, 7L, 1L)))
+  }
+}

@@ -59,5 +59,15 @@ class SourcesSpec extends AnyFunSuite {
     val nn = VamanaIndex.search(idx, Array((99L, Array(5.1f, 5f))), 2, 8, params)
       .orderBy($"rank").select($"neighbor_id").as[Long].collect()
     assert(nn.sameElements(Array(4L, 5L)), nn.toSeq.toString)
+
+    // compaction: merge the two streaming segments into one shard and
+    // verify the index still answers identically
+    StreamingIndex.compact(spark, dir, params, numShards = 1)
+    val compacted = VamanaIndex.load(spark, dir)
+    assert(compacted.count() == 5)
+    assert(compacted.select($"shard").distinct().count() == 1)
+    val nn2 = VamanaIndex.search(compacted, Array((99L, Array(5.1f, 5f))), 2, 8, params)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect()
+    assert(nn2.sameElements(Array(4L, 5L)), nn2.toSeq.toString)
   }
 }
