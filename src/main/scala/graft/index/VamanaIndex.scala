@@ -42,18 +42,32 @@ object VamanaIndex {
 
   /** Assign each vector to its nearest of `numShards` seed centroids
     * (deterministic: the vectors with the lowest ids — at real scale,
-    * sampled k-means centroids; the join shape is identical). */
+    * sampled k-means centroids). The centroid set is tiny (shards ×
+    * dim floats), so it's collected once and broadcast; assignment is
+    * then a zero-shuffle argmin pass over the scan — the only shuffle
+    * in the whole build is the repartition by shard. */
   def shardAssign(emb: DataFrame, numShards: Int): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val cents = emb.orderBy($"vec_id").limit(numShards)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
-    val withCell = emb.join(broadcast(cents))
-      .select($"vec_id", $"embedding", $"cent_id", l2Dist($"embedding", $"cv").as("cdist"))
-      .groupBy($"vec_id")
-      .agg(min(struct($"cdist", $"cent_id")).as("m"), first($"embedding").as("embedding"))
-      .select($"vec_id", $"embedding", $"m.cent_id".cast("int").as("shard"))
-    withCell
+    val cents: Array[Array[Float]] = emb.orderBy($"vec_id").limit(numShards)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).map(_._2)
+    val bc = s.sparkContext.broadcast(cents)
+    emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cv = bc.value
+        it.map { case (id, v) =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cv.length) {
+            val d = Metric.L2.eval(v, 0, cv(c), 0, v.length)
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          (id, v, best)
+        }
+      }
+      .toDF("vec_id", "embedding", "shard")
   }
 
   def build(emb: DataFrame, params: VamanaParams, numShards: Int): Dataset[IndexRow] = {
