@@ -44,6 +44,13 @@ for name, sql in sorted(oracle.items()):
     g, x = norm(got.copy()), norm(exp.copy())
     if list(g.columns) != list(x.columns):
         print(f"FAIL {name}: columns {list(g.columns)} vs {list(x.columns)}"); n_fail += 1; continue
+    # dtype-family audit: a DuckDB HUGEINT→float64 against a Spark int64
+    # may hash differently in the real driver even when values compare equal
+    fam = lambda d: ("int" if "int" in str(d) else "float" if "float" in str(d) else str(d))
+    bad_dt = [c for c in g.columns if fam(g[c].dtype) != fam(x[c].dtype)]
+    if bad_dt:
+        print(f"FAIL {name}: dtype mismatch {[(c, str(g[c].dtype), str(x[c].dtype)) for c in bad_dt]}")
+        n_fail += 1; continue
     if len(g) != len(x):
         print(f"FAIL {name}: rows {len(g)} vs {len(x)}"); n_fail += 1; continue
     bad = None

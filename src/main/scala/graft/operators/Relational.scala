@@ -147,8 +147,8 @@ object Relational {
       |  FROM e
       |), sflag AS (
       |  SELECT user_id, ts_us,
-      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM m
       |)
       |SELECT user_id, session_id, count(*) AS n_events,
@@ -237,7 +237,7 @@ object Relational {
 
   val eventsJsonSql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
       |  round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k
       |FROM events
       |GROUP BY event_type
