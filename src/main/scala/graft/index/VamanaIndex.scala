@@ -193,6 +193,82 @@ object VamanaIndex {
     VectorQueries.topkExplode(perShard, k)
   }
 
+  /** Routed (probed) search — the 100 TB serving path: each query is
+    * routed to its `nprobe` nearest shards (routing table = the shard
+    * seed vectors, tiny and collected once) and ONLY those shards run
+    * beam search for it. With shard-partitioned storage the unprobed
+    * shards' files are never read for that query, and each shard task
+    * searches only the queries routed to it. */
+  def searchProbed(
+      index: Dataset[IndexRow],
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      beamWidth: Int,
+      params: VamanaParams,
+      nprobe: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val s = index.sparkSession
+    import s.implicits._
+    // routing table: seed = lowest-id vector per shard (the same seeds
+    // that defined the shard assignment at build time)
+    val seeds: Array[(Int, Array[Float])] = index
+      .groupByKey(_.shard)
+      .reduceGroups((a: IndexRow, b: IndexRow) => if (a.vec_id < b.vec_id) a else b)
+      .map { case (shard, row) => (shard, row.embedding) }
+      .collect().sortBy(_._1)
+    val routed: Map[Int, Array[(Long, Array[Float])]] = queries.flatMap { case (qid, qv) =>
+      seeds.map { case (shard, sv) =>
+        (shard, Metric.L2.eval(qv, 0, sv, 0, qv.length), qid, qv)
+      }.sortBy { case (shard, d, _, _) => (d, shard) }
+        .take(nprobe)
+        .map { case (shard, _, qid2, qv2) => (shard, (qid2, qv2)) }
+    }.groupBy(_._1).map { case (shard, rows) => shard -> rows.map(_._2) }
+    val bc = s.sparkContext.broadcast(routed)
+    val probedShards = routed.keySet
+    val perShard = index.filter(col("shard").isin(probedShards.toSeq: _*))
+      .mapPartitions { it =>
+        val rows = it.toArray
+        rows.groupBy(_.shard).iterator.flatMap { case (shard, group) =>
+          bc.value.get(shard) match {
+            case None => Iterator.empty
+            case Some(myQueries) =>
+              val sorted = group.sortBy(_.vec_id)
+              val n = sorted.length
+              val dim = if (n == 0) 0 else sorted(0).embedding.length
+              val flat = new Array[Float](n * dim)
+              val g2l = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+              var i = 0
+              while (i < n) {
+                System.arraycopy(sorted(i).embedding, 0, flat, i * dim, dim)
+                g2l.put(sorted(i).vec_id, i)
+                i += 1
+              }
+              val g = new VamanaGraph(flat, dim, n, params)
+              i = 0
+              while (i < n) {
+                val nbrs = sorted(i).neighbors
+                val local = new scala.collection.mutable.ArrayBuffer[Int](nbrs.length)
+                var t = 0
+                while (t < nbrs.length) {
+                  val lo = g2l.get(nbrs(t))
+                  if (lo != null) local += lo.intValue()
+                  t += 1
+                }
+                g.graph(i) = local.toArray
+                i += 1
+              }
+              val kLocal = if (excludeSelf) k + 1 else k
+              myQueries.iterator.flatMap { case (qid, qv) =>
+                g.search(qv, kLocal, beamWidth).iterator
+                  .map { case (li, d) => (qid, sorted(li).vec_id, d) }
+                  .filter { case (q, nid, _) => !(excludeSelf && q == nid) }
+              }
+          }
+        }
+      }.toDF("q_id", "nid", "dist")
+    VectorQueries.topkExplode(perShard, k)
+  }
+
   // ---------------------------------------------------------------- queries
 
   private val qParams = VamanaParams(
@@ -237,6 +313,13 @@ object VamanaIndex {
     search(cachedIndex(s, dir), queriesArr(s, dir), K, searchBeam, qParams,
       excludeSelf = true)
 
+  /** Routed search at nprobe=4 of 8 shards — the partition-pruned
+    * serving path (rows-only; recall bounds pinned in
+    * ProbedSearchSpec). */
+  def qVamanaProbed(s: SparkSession, dir: String): DataFrame =
+    searchProbed(cachedIndex(s, dir), queriesArr(s, dir), K, searchBeam, qParams,
+      nprobe = 4, excludeSelf = true)
+
   /** recall@10 vs the exact brute-force ground truth — the evaluation
     * loop every reference example runs (examples/diskann_sift.rs:58-98). */
   def qVamanaRecall(s: SparkSession, dir: String): DataFrame = {
@@ -271,6 +354,7 @@ object VamanaIndex {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vamana_degree" -> (qVamanaDegree(_, _)),
     "q_vamana_search" -> (qVamanaSearch(_, _)),
+    "q_vamana_probed" -> (qVamanaProbed(_, _)),
     "q_vamana_recall" -> (qVamanaRecall(_, _)),
     "q_index_meta" -> (qIndexMeta(_, _)))
 
