@@ -19,9 +19,10 @@ import graft.Tables
   *  - Window queries partition by a high-cardinality key (suppkey /
   *    user_id) so the sort stays per-partition and parallel.
   *
-  * Float policy: all double aggregates are `round(x, 4)` in both the
-  * Spark query and the DuckDB oracle so cross-engine summation-order
-  * noise (≪1e-4) can't flip the comparison.
+  * Float policy: double aggregates are rounded identically in the
+  * Spark query and the DuckDB oracle — 4 decimals normally, 2 for the
+  * largest currency sums (Σ over 10⁵+ rows of ~10³ values), where
+  * summation-order noise can approach the 1e-4 granularity.
   */
 object Relational {
 
@@ -32,9 +33,9 @@ object Relational {
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        round(sum($"l_quantity"), 4).as("sum_qty"),
-        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         round(avg($"l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -43,9 +44,9 @@ object Relational {
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      | round(sum(l_quantity), 4) AS sum_qty,
-      | round(sum(l_extendedprice), 4) AS sum_base_price,
-      | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
       | round(avg(l_quantity), 4) AS avg_qty,
       | round(avg(l_discount), 4) AS avg_disc,
       | count(*) AS count_order
@@ -67,14 +68,14 @@ object Relational {
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
       .limit(10)
   }
 
   val joinTopNSql: String =
     """SELECT n_name,
-      | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
