@@ -45,6 +45,15 @@ object GraftANN {
       VamanaIndex.search(index, qArr, k, beamWidth, params)
     }
 
+    /** Routed batch search: each query probes only its `nprobe`
+      * nearest shards (the partition-pruned serving path). */
+    def searchProbed(queries: DataFrame, k: Int, beamWidth: Int, nprobe: Int): DataFrame = {
+      import spark.implicits._
+      val qArr = queries.select(col("q_id"), col("qv"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      VamanaIndex.searchProbed(index, qArr, k, beamWidth, params, nprobe)
+    }
+
     /** Single-vector search, reference `search_with_dists` analog. */
     def searchVector(q: Array[Float], k: Int, beamWidth: Int): Array[(Long, Double)] = {
       import spark.implicits._

@@ -334,6 +334,41 @@ object VamanaIndex {
       .agg(round(avg($"recall"), 4).as("mean_recall"), count(lit(1)).as("n_queries"))
   }
 
+  /** Graph-quality diagnostic: fraction of each shard reachable by BFS
+    * from its entry point — the navigability property Vamana's
+    * bootstrap + reverse-edge merge must maintain (a disconnected
+    * shard silently caps recall). */
+  def qVamanaReach(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cachedIndex(s, dir).mapPartitions { it =>
+      val rows = it.toArray
+      rows.groupBy(_.shard).iterator.map { case (shard, group) =>
+        val sorted = group.sortBy(_.vec_id)
+        val n = sorted.length
+        val g2l = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+        var i = 0
+        while (i < n) { g2l.put(sorted(i).vec_id, i); i += 1 }
+        val seen = new Array[Boolean](n)
+        var frontier = List(0)
+        seen(0) = true
+        var reached = 1
+        while (frontier.nonEmpty) {
+          val next = scala.collection.mutable.ListBuffer.empty[Int]
+          frontier.foreach { u =>
+            sorted(u).neighbors.foreach { nb =>
+              val lo = g2l.get(nb)
+              if (lo != null && !seen(lo.intValue())) {
+                seen(lo.intValue()) = true; reached += 1; next += lo.intValue()
+              }
+            }
+          }
+          frontier = next.toList
+        }
+        (shard, n.toLong, math.round(reached.toDouble / n * 10000) / 10000.0)
+      }
+    }.toDF("shard", "n_nodes", "reachable_frac").orderBy($"shard")
+  }
+
   /** Persistence round-trip: save → load → metadata + integrity row. */
   def qIndexMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -355,6 +390,7 @@ object VamanaIndex {
     "q_vamana_degree" -> (qVamanaDegree(_, _)),
     "q_vamana_search" -> (qVamanaSearch(_, _)),
     "q_vamana_probed" -> (qVamanaProbed(_, _)),
+    "q_vamana_reach" -> (qVamanaReach(_, _)),
     "q_vamana_recall" -> (qVamanaRecall(_, _)),
     "q_index_meta" -> (qIndexMeta(_, _)))
 
