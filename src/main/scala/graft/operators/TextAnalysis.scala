@@ -157,6 +157,52 @@ object TextAnalysis {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- bigram LM
+
+  /** Perplexity-style fluency score: corpus-level bigram model
+    * P(w2|w1) = c(w1,w2)/c(w1,·), each doc scored by its mean bigram
+    * log-likelihood. Two aggregation passes over the exploded bigram
+    * stream + a re-join on the bigram key — at 100 TB the model tables
+    * shuffle on (w1[,w2]) like any aggregate, and the scoring join is
+    * a plain equi-join (broadcastable when the vocabulary is small). */
+  def qTextBigramLL(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .filter(size($"words") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(words) - 2),
+          |  i -> struct(element_at(words, i+1) AS w1, element_at(words, i+2) AS w2))""".stripMargin))
+        .as("bg"))
+      .select($"doc_id", $"bg.w1", $"bg.w2")
+    val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("lp", log($"c12".cast("double") / $"c1".cast("double")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg($"lp"), 4).as("avg_logp"))
+      .orderBy($"doc_id")
+  }
+
+  val qTextBigramLLSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS words
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, words[i + 1] AS w1, words[i + 2] AS w2
+      |  FROM base, unnest(range(0, len(words) - 1)) AS t(i)
+      |  WHERE len(words) >= 2
+      |), c1 AS (
+      |  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+      |), c12 AS (
+      |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+      |), scored AS (
+      |  SELECT doc_id, ln(c12.c12::DOUBLE / c1.c1::DOUBLE) AS lp
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logp
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- fingerprint
 
   /** Document fingerprints: raw rolling hash + order-insensitive
@@ -214,12 +260,14 @@ object TextAnalysis {
     "q_text_tokens" -> (qTextTokens(_, _)),
     "q_text_quality" -> (qTextQuality(_, _)),
     "q_text_lang" -> (qTextLang(_, _)),
-    "q_text_fingerprint" -> (qTextFingerprint(_, _)))
+    "q_text_fingerprint" -> (qTextFingerprint(_, _)),
+    "q_text_bigram_ll" -> (qTextBigramLL(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_doc_stats" -> qDocStatsSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_quality" -> qTextQualitySql,
     "q_text_lang" -> qTextLangSql,
-    "q_text_fingerprint" -> qTextFingerprintSql)
+    "q_text_fingerprint" -> qTextFingerprintSql,
+    "q_text_bigram_ll" -> qTextBigramLLSql)
 }
