@@ -143,11 +143,16 @@ object VectorExprs {
   def cosineDist(a: Column, b: Column): Column = col2(CosineDistance)(a, b)
   def dotProduct(a: Column, b: Column): Column = col2(DotProduct)(a, b)
 
-  /** Register as SQL functions on a session (idempotent). */
+  /** Register every graft expression as a SQL function (idempotent) —
+    * makes the full surface usable from `spark.sql(...)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_l2_distance", es => L2Distance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine_distance", es => CosineDistance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_roll_hash", es => RollingHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash62", es => SimHash62(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
+      es => SortedIntersectCount(es.head, es(1)), "scala_udf")
   }
 }

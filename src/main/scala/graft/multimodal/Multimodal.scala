@@ -107,11 +107,57 @@ object Multimodal {
        |FROM v, unnest(range(0, n_frames, 8)) AS t(f)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- features
+
+  /** Batched feature extraction — the Scala analog of a pandas-UDF
+    * `mapInPandas` decoder: payloads stream through `mapPartitions`
+    * in fixed-size batches, one "codec" invocation per batch (real
+    * codecs amortize model/handle setup per batch, which is the whole
+    * point of the shape). The decode itself is the deterministic STUB
+    * (mean byte brightness) so even this path is oracle-checked. */
+  def extractFeatures(payloads: DataFrame, batchSize: Int): DataFrame = {
+    val s = payloads.sparkSession
+    import s.implicits._
+    payloads.select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one codec call per batch (stub: per-payload mean byte)
+          batch.map { case (id, bytes) =>
+            var sum = 0L
+            bytes.foreach(b => sum += (b & 0xff))
+            (id, math.round(sum.toDouble / bytes.length / 255.0 * 10000) / 10000.0)
+          }
+        }
+      }
+      .toDF("doc_id", "brightness")
+  }
+
+  def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = graft.Tables.documents(s, dir)
+      .select($"doc_id", expr(payloadCol).as("payload"))
+    extractFeatures(payloads, batchSize = 64).orderBy($"doc_id")
+  }
+
+  val qMmFeaturesSql: String =
+    s"""WITH h AS (SELECT doc_id, md5(text) AS hex FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 16),
+       |      i -> ${duckHexToInt("substring(hex, 2*i + 1, 2)")}) AS bytes
+       |  FROM h
+       |)
+       |SELECT doc_id,
+       |  round(CAST(list_sum(bytes) AS DOUBLE) / 16.0 / 255.0, 4) AS brightness
+       |FROM b ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta" -> (qMmMeta(_, _)),
-    "q_mm_frames" -> (qMmFrames(_, _)))
+    "q_mm_frames" -> (qMmFrames(_, _)),
+    "q_mm_features" -> (qMmFeatures(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_mm_meta" -> qMmMetaSql,
-    "q_mm_frames" -> qMmFramesSql)
+    "q_mm_frames" -> qMmFramesSql,
+    "q_mm_features" -> qMmFeaturesSql)
 }
