@@ -316,9 +316,9 @@ object VectorQueries {
     * deterministic, so both engines compute identical buckets. 16
     * planes → 16-bit bucket. The scale path for cosine near-dup
     * blocking: co-bucket join instead of all-pairs. */
-  private val sparkLshBucket =
-    """aggregate(
-      |  transform(sequence(0, 15), p -> IF(
+  private def sparkLshBucketN(planes: Int) =
+    s"""aggregate(
+      |  transform(sequence(0, ${planes - 1}), p -> IF(
       |    aggregate(
       |      transform(sequence(0, 63),
       |        d -> element_at(embedding, d + 1) *
@@ -327,12 +327,60 @@ object VectorQueries {
       |    shiftleft(1L, p), 0L)),
       |  0L, (acc, x) -> acc + x)""".stripMargin
 
+  private val sparkLshBucket = sparkLshBucketN(16)
+
   def qLshBucket(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .select($"vec_id", expr(sparkLshBucket).as("bucket"))
       .orderBy($"vec_id")
   }
+
+  /** LSH-bucketed kNN: candidates are corpus vectors in the SAME
+    * 16-bit hyperplane bucket as the query, exactly reranked by cosine
+    * — the other blocking-based similarity-search scale path (vs the
+    * IVF probe). Candidate generation is a plain equi-join on the
+    * bucket key; recall depends on bucket collision, so rows per query
+    * vary — which is exactly what the oracle replays. */
+  def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucketed = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", expr(sparkLshBucketN(6)).as("bucket"))
+    val q = bucketed.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket")
+    val d = bucketed.join(broadcast(q), "bucket")
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("nid"), cosineDist($"qv", $"embedding").as("dist"))
+    topkExplode(d, K)
+  }
+
+  val qKnnLshSql: String = {
+    val bucketExpr = duckLshBucketN(6)
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $bucketExpr AS bucket
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id % 50 = 0
+       |), d AS (
+       |  SELECT q_id, b.vec_id AS nid, 1 - list_cosine_similarity(qv, b.v) AS dist
+       |  FROM bucketed b JOIN q USING (bucket)
+       |  WHERE b.vec_id <> q.q_id
+       |), r AS (
+       |  SELECT q_id, nid, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nid) AS rn
+       |  FROM d
+       |)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
+       |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
+  private def duckLshBucketN(planes: Int) =
+    s"""CAST(list_sum(list_transform(range(0, $planes), p -> CASE WHEN
+       |    list_reduce(list_transform(range(0, 64),
+       |      d -> embedding[d + 1] *
+       |           (((1103515245 * (p * 64 + d) + 12345) % 2147483648) / 2147483648.0 - 0.5)),
+       |      (acc, x) -> acc + x) > 0.0
+       |    THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin
 
   val qLshBucketSql: String =
     """SELECT vec_id,
@@ -357,7 +405,8 @@ object VectorQueries {
     "q_knn_custom" -> (qKnnCustom(_, _)),
     "q_ivf_assign" -> (qIvfAssign(_, _)),
     "q_knn_ivf" -> (qKnnIvf(_, _)),
-    "q_lsh_bucket" -> (qLshBucket(_, _)))
+    "q_lsh_bucket" -> (qLshBucket(_, _)),
+    "q_knn_lsh" -> (qKnnLsh(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_dist_l2" -> qDistL2Sql,
@@ -369,5 +418,6 @@ object VectorQueries {
     "q_knn_custom" -> qKnnExactSql,
     "q_ivf_assign" -> qIvfAssignSql,
     "q_knn_ivf" -> qKnnIvfSql,
-    "q_lsh_bucket" -> qLshBucketSql)
+    "q_lsh_bucket" -> qLshBucketSql,
+    "q_knn_lsh" -> qKnnLshSql)
 }
