@@ -86,7 +86,136 @@ case class SimHash62(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Tokenize-and-hash in one pass: equivalent to
+  * `transform(filter(split(text, ' '), w -> w != ''), w -> roll(w))`
+  * (multiplicity and order preserved) without one boxed lambda call
+  * per token and per character. */
+case class TokenHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_token_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      if (i < n) {
+        var acc = 0L
+        while (i < n && s.charAt(i) != ' ') {
+          val cp = s.codePointAt(i)
+          acc = (acc * 31 + cp) % SharedHash.P
+          i += Character.charCount(cp)
+        }
+        out += acc
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct hashes of word n-gram shingles, one pass over the text:
+  * equivalent to `array_distinct(transform(<n-word shingles joined by
+  * ' '>, s -> roll(s)))` — the shingle hash is computed incrementally
+  * from the token stream (a shingle's string is tok_i ‖ ' ' ‖ … ‖
+  * tok_{i+n-1}, so its rolling hash is a fold over those chars), no
+  * shingle strings are materialized. Output sorted ascending. */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_word_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    // tokenize
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && s.charAt(i) != ' ') i += 1
+      if (i > start) toks += s.substring(start, i)
+    }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var t = 0
+    while (t + n <= toks.length) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) acc = (acc * 31 + ' '.toInt) % SharedHash.P
+        val w = toks(t + j)
+        var c = 0
+        while (c < w.length) {
+          val cp = w.codePointAt(c)
+          acc = (acc * 31 + cp) % SharedHash.P
+          c += Character.charCount(cp)
+        }
+        j += 1
+      }
+      set.add(acc)
+      t += 1
+    }
+    val arr = new Array[Long](set.size)
+    val it = set.iterator(); var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct character n-grams, sorted (UTF8 binary order — identical
+  * to `array_sort(array_distinct(transform(sequence(1, length(text)
+  * - n + 1), i -> substring(text, i, n))))` for ASCII text), one pass. */
+case class CharNGramsSorted(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_char_ngrams_sorted"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    val total = u.numChars()
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i + n <= total) {
+      set.add(u.substringSQL(i + 1, n))
+      i += 1
+    }
+    val arr = new Array[AnyRef](set.size)
+    val it = set.iterator(); var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashExprs {
   def rollHash(c: Column): Column = bridge.column(RollingHash(bridge.expression(c)))
   def simHash62(c: Column): Column = bridge.column(SimHash62(bridge.expression(c)))
+  def tokenHashes(c: Column): Column = bridge.column(TokenHashes(bridge.expression(c)))
+  def wordShingleHashes(c: Column, n: Int): Column =
+    bridge.column(WordShingleHashes(bridge.expression(c), n))
+  def charNGramsSorted(c: Column, n: Int): Column =
+    bridge.column(CharNGramsSorted(bridge.expression(c), n))
 }

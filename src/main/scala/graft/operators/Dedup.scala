@@ -58,16 +58,13 @@ object Dedup {
   /** word-3-shingle hash sets per doc (Spark side). */
   private def shingleSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // one native pass per doc (tokenize → incremental shingle hash →
+    // distinct); equivalence to the SQL fragments pinned in
+    // HashExprsSpec. Empty set ⇔ fewer than 3 words, matching the
+    // oracle's len(words) >= 3 filter.
     Tables.documents(s, dir)
-      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
-      .filter(size($"words") >= 3)
-      .withColumn("shingles", expr(
-        """transform(sequence(0, size(words) - 3),
-          |  i -> concat(element_at(words, i+1), ' ', element_at(words, i+2), ' ', element_at(words, i+3)))""".stripMargin))
-      // native rolling hash: one JVM call per shingle vs one boxed
-      // lambda per character with the pure-SQL fragment
-      .withColumn("sh_set", array_distinct(
-        transform($"shingles", sh => graft.functions.HashExprs.rollHash(sh))))
+      .withColumn("sh_set", graft.functions.HashExprs.wordShingleHashes($"text", 3))
+      .filter(size($"sh_set") >= 1)
       .select($"doc_id", $"sh_set")
   }
 
@@ -140,9 +137,8 @@ object Dedup {
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val coded = Tables.documents(s, dir)
-      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
-      .filter(size($"words") >= 1)
-      .withColumn("th", transform($"words", w => graft.functions.HashExprs.rollHash(w)))
+      .withColumn("th", graft.functions.HashExprs.tokenHashes($"text"))
+      .filter(size($"th") >= 1)
       .withColumn("code", graft.functions.HashExprs.simHash62($"th"))
       .select($"doc_id", $"code")
       .cache()
@@ -213,8 +209,7 @@ object Dedup {
     val grams = Tables.documents(s, dir)
       .filter(length($"text") >= 3)
       .withColumn("bucket", floor($"n_chars" / 100).cast("long"))
-      .withColumn("g3", expr(
-        "array_sort(array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))))"))
+      .withColumn("g3", graft.functions.HashExprs.charNGramsSorted($"text", 3))
       .select($"doc_id", $"lang", $"bucket", $"g3", size($"g3").as("ng"))
     // Block-nested-loop within each (lang, bucket) block: each doc's
     // sorted gram set crosses the shuffle ONCE; pair verification is a

@@ -19,6 +19,28 @@ class HashExprsSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("native tokenize/shingle/ngram extractors == SQL forms on real documents") {
+    val docs = Tables.documents(spark, SparkSpecBase.sf001)
+    val cmp = docs.select(
+      HashExprs.tokenHashes($"text").as("th_native"),
+      expr(s"transform(filter(split(text, ' '), w -> w != ''), w -> ${SharedHash.sparkRoll("w")})").as("th_sql"),
+      sort_array(HashExprs.wordShingleHashes($"text", 3)).as("sh_native"),
+      // testdata docs all have ≥3 words, so the unguarded sequence is safe
+      expr(
+        s"""sort_array(array_distinct(transform(
+           |  transform(sequence(0, size(filter(split(text, ' '), w -> w != '')) - 3),
+           |    i -> concat_ws(' ', slice(filter(split(text, ' '), w -> w != ''), i + 1, 3))),
+           |  s -> ${SharedHash.sparkRoll("s")})))""".stripMargin).as("sh_sql"),
+      HashExprs.charNGramsSorted($"text", 3).as("g3_native"),
+      expr("array_sort(array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))))").as("g3_sql")
+    ).collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "token hashes differ")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "shingle hashes differ")
+      assert(r.getSeq[String](4) == r.getSeq[String](5), "ngrams differ")
+    }
+  }
+
   test("native SimHash62 == SQL fragment on token hashes") {
     val df = Seq("the quick brown fox", "spark spark spark streams", "one")
       .toDF("text")
