@@ -43,6 +43,35 @@ object StreamingIndex {
     new java.io.File(tmp).renameTo(fs)
   }
 
+  /** Online serving of a QUERY stream: each micro-batch of
+    * (q_id, qv) is answered against the current on-disk index and
+    * appended to `outPath` — the streaming side of the serving story
+    * (index updates between batches are picked up because the index
+    * is re-loaded per batch). */
+  def serveQueries(
+      queries: DataFrame,
+      indexPath: String,
+      outPath: String,
+      params: VamanaParams,
+      k: Int,
+      beamWidth: Int): StreamingQuery = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val qArr = batch.select("q_id", "qv").as[(Long, Array[Float])]
+            .collect().sortBy(_._1)
+          val idx = VamanaIndex.load(spark, indexPath)
+          VamanaIndex.search(idx, qArr, k, beamWidth, params)
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .start()
+  }
+
   def ingest(
       vectors: DataFrame,
       path: String,

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{KnnCand, TopKAgg, TopKBuf}
+
+/** Property-based checks of the kernel data structures: the TopK
+  * aggregator must agree with a global sort under ANY reduce/merge
+  * split (Spark chooses partitioning arbitrarily, so associativity is
+  * a correctness requirement, not a nicety). Uses seeded ScalaCheck
+  * generators directly — deterministic across runs. */
+class PropertySpec extends AnyFunSuite {
+
+  private val cand = for {
+    id <- Gen.chooseNum(0L, 50L)
+    dist <- Gen.chooseNum(0, 20).map(_.toDouble) // deliberate ties
+  } yield KnnCand(id, dist)
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private def viaSort(xs: Seq[KnnCand], k: Int): Seq[(Double, Long)] =
+    xs.map(c => (c.dist, c.id)).sorted.take(k)
+
+  private def bufToSeq(b: TopKBuf): Seq[(Double, Long)] =
+    b.dists.zip(b.ids).toSeq
+
+  test("reduce-only TopK == sort-take-k over 300 seeded cases") {
+    for (s <- 1 to 300) {
+      val xs = sample(Gen.listOf(cand), s)
+      val k = 1 + s % 12
+      val agg = new TopKAgg(k)
+      val got = bufToSeq(xs.foldLeft(agg.zero)(agg.reduce))
+      assert(got == viaSort(xs, k), s"seed $s k $k xs $xs")
+    }
+  }
+
+  test("arbitrary merge splits give the same top-k as the global sort") {
+    for (s <- 1 to 300) {
+      val xs = sample(Gen.listOf(cand), 1000L + s)
+      val k = 1 + s % 8
+      val parts = 2 + s % 4
+      val agg = new TopKAgg(k)
+      val chunks = xs.grouped(math.max(1, (xs.size + parts - 1) / parts)).toSeq
+      val merged = chunks
+        .map(c => c.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(bufToSeq(merged) == viaSort(xs, k), s"seed $s k $k parts $parts")
+    }
+  }
+
+  test("two-pointer intersect count == set intersection size") {
+    val strs = Gen.listOf(Gen.oneOf("aa", "ab", "ba", "bb", "ca", "cb", "cc"))
+    for (s <- 1 to 300) {
+      val a = sample(strs, 2000L + s).distinct.sorted
+      val b = sample(strs, 3000L + s).distinct.sorted
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        val cmp = a(i).compareTo(b(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1 else j += 1
+      }
+      assert(c == (a.toSet & b.toSet).size, s"seed $s")
+    }
+  }
+}

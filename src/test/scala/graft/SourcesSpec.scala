@@ -70,4 +70,28 @@ class SourcesSpec extends AnyFunSuite {
       .orderBy($"rank").select($"neighbor_id").as[Long].collect()
     assert(nn2.sameElements(Array(4L, 5L)), nn2.toSeq.toString)
   }
+
+  test("streaming query serving answers against the on-disk index per batch") {
+    val idxDir = "/tmp/graft_serve_idx"
+    val outDir = "/tmp/graft_serve_out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    implicit val sqlCtx = spark.sqlContext
+    val params = VamanaParams(maxDegree = 8, buildBeamWidth = 16, metric = "l2")
+    val vecs = Seq((1L, Array(0f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f)),
+      (4L, Array(5f, 5f))).toDF("vec_id", "embedding")
+    VamanaIndex.save(VamanaIndex.build(vecs, params, 1), params, idxDir)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingIndex.serveQueries(mem.toDS().toDF("q_id", "qv"),
+      idxDir, outDir, params, k = 2, beamWidth = 8)
+    mem.addData((100L, Array(0.1f, 0f)))
+    q.processAllAvailable()
+    mem.addData((200L, Array(4.9f, 5f)))
+    q.processAllAvailable(); q.stop()
+    val res = spark.read.parquet(outDir)
+      .select($"q_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().sorted
+    assert(res.toSeq == Seq((100L, 1, 1L), (100L, 2, 2L), (200L, 1, 4L), (200L, 2, 3L)),
+      res.toSeq.toString)
+  }
 }
