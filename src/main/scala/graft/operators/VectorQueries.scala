@@ -212,6 +212,66 @@ object VectorQueries {
     graft.plans.KnnJoin(corpus, queriesDf(s, dir), K, "cosine", excludeSelf = true)
   }
 
+  /** Filtered kNN: nearest neighbors restricted by a metadata
+    * predicate (here: same label as the query) — the filter lands in
+    * the scan BEFORE any distance math, so selective predicates prune
+    * candidate generation, not just results. */
+  def qKnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"label".as("q_label"))
+    val cand = Tables.embeddings(s, dir)
+      .select($"vec_id".as("nid"), $"embedding".as("v"), $"label")
+    val d = cand.join(broadcast(q), $"label" === $"q_label")
+      .filter($"nid" =!= $"q_id")
+      .select($"q_id", $"nid", cosineDist($"qv", $"v").as("dist"))
+    topkExplode(d, 5)
+  }
+
+  val qKnnFilteredSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS q_label
+      |  FROM embeddings WHERE vec_id % 50 = 0
+      |), d AS (
+      |  SELECT q_id, e.vec_id AS nid,
+      |    1 - list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS dist
+      |  FROM q JOIN embeddings e ON e.label = q.q_label
+      |  WHERE e.vec_id <> q.q_id
+      |), r AS (
+      |  SELECT q_id, nid, dist,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nid) AS rn
+      |  FROM d
+      |)
+      |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
+      |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Range search: every corpus vector within cosine distance τ of a
+    * query (result size data-dependent, unlike top-k) — the radius
+    * form of similarity search. */
+  def qRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tau = 0.7
+    val cand = Tables.embeddings(s, dir).select($"vec_id".as("nid"), $"embedding".as("v"))
+    cand.join(broadcast(queriesDf(s, dir)))
+      .filter($"nid" =!= $"q_id")
+      .withColumn("dist", cosineDist($"qv", $"v"))
+      .filter($"dist" <= tau)
+      .select($"q_id", $"nid".as("neighbor_id"), round($"dist", 4).as("dist"))
+      .orderBy($"q_id", $"neighbor_id")
+  }
+
+  val qRangeSearchSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0
+      |)
+      |SELECT q_id, e.vec_id AS neighbor_id,
+      |  round(1 - list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 4) AS dist
+      |FROM q CROSS JOIN embeddings e
+      |WHERE e.vec_id <> q.q_id
+      |  AND 1 - list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) <= 0.7
+      |ORDER BY q_id, neighbor_id""".stripMargin
+
   // ---------------------------------------------------------------- IVF
 
   /** IVF cell assignment: nearest of NCELLS deterministic seed
@@ -403,6 +463,8 @@ object VectorQueries {
     "q_medoid" -> (qMedoid(_, _)),
     "q_knn_exact" -> (qKnnExact(_, _)),
     "q_knn_custom" -> (qKnnCustom(_, _)),
+    "q_knn_filtered" -> (qKnnFiltered(_, _)),
+    "q_range_search" -> (qRangeSearch(_, _)),
     "q_ivf_assign" -> (qIvfAssign(_, _)),
     "q_knn_ivf" -> (qKnnIvf(_, _)),
     "q_lsh_bucket" -> (qLshBucket(_, _)),
@@ -416,6 +478,8 @@ object VectorQueries {
     "q_medoid" -> qMedoidSql,
     "q_knn_exact" -> qKnnExactSql,
     "q_knn_custom" -> qKnnExactSql,
+    "q_knn_filtered" -> qKnnFilteredSql,
+    "q_range_search" -> qRangeSearchSql,
     "q_ivf_assign" -> qIvfAssignSql,
     "q_knn_ivf" -> qKnnIvfSql,
     "q_lsh_bucket" -> qLshBucketSql,
