@@ -123,8 +123,44 @@ object KMeans {
        |SELECT vec_id, cell FROM fin ORDER BY vec_id""".stripMargin
   }
 
+  /** Embedding outlier scoring: distance of each vector to its own
+    * label's centroid, worst 20 reported — the embedding-QA pass a
+    * training pipeline runs to catch mislabeled/corrupt vectors. Same
+    * partial vector-sum aggregation as Lloyd's; one extra broadcast
+    * join to score. */
+  def qEmbedOutlier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val vsum = org.apache.spark.sql.functions.udaf(new VectorSumAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    val cents = emb.groupBy($"label")
+      .agg(vsum($"embedding").as("sum"), count(lit(1)).as("n"))
+      .select($"label", transform($"sum", x => (x / $"n").cast("float")).as("cv"))
+    emb.join(broadcast(cents), "label")
+      .select($"vec_id", $"label", round(l2Dist($"embedding", $"cv"), 4).as("centroid_dist"))
+      .orderBy($"centroid_dist".desc, $"vec_id")
+      .limit(20)
+  }
+
+  val qEmbedOutlierSql: String =
+    """WITH cents AS (
+      |  SELECT label, list(avg_v ORDER BY d)::FLOAT[] AS cv
+      |  FROM (
+      |    SELECT label, d, avg(embedding[d + 1]::DOUBLE) AS avg_v
+      |    FROM embeddings, unnest(range(0, 64)) AS t(d)
+      |    GROUP BY label, d
+      |  ) GROUP BY label
+      |)
+      |SELECT vec_id, e.label AS label,
+      |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 4) AS centroid_dist
+      |FROM embeddings e JOIN cents c ON c.label = e.label
+      |ORDER BY centroid_dist DESC, vec_id
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_kmeans" -> (qKmeans(_, _)))
+    "q_kmeans" -> (qKmeans(_, _)),
+    "q_embed_outlier" -> (qEmbedOutlier(_, _)))
   val oracles: Map[String, String] = Map(
-    "q_kmeans" -> qKmeansSql)
+    "q_kmeans" -> qKmeansSql,
+    "q_embed_outlier" -> qEmbedOutlierSql)
 }
