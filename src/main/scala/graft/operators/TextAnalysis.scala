@@ -231,6 +231,34 @@ object TextAnalysis {
        |  ${duckRoll("norm")} AS fp_norm
        |FROM base ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- sampling
+
+  /** Deterministic stratified (systematic) sampling: within each
+    * source, every 5th doc in doc_id order — the reproducible
+    * train-mixture draw (a seeded-hash Bernoulli draw has the same
+    * plan shape; systematic keeps the oracle exact). One window pass
+    * per stratum; at scale the strata sort is per-partition parallel. */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(($"rn" - 1) % 5 === 0)
+      .select($"doc_id", $"source", $"rn".cast("int").as("stratum_rank"))
+      .orderBy($"doc_id")
+  }
+
+  val qSampleStratifiedSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, CAST(rn AS INTEGER) AS stratum_rank
+      |FROM r WHERE (rn - 1) % 5 = 0
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   /** Corpus overview per source: the summary a pipeline run reports.
@@ -261,7 +289,8 @@ object TextAnalysis {
     "q_text_quality" -> (qTextQuality(_, _)),
     "q_text_lang" -> (qTextLang(_, _)),
     "q_text_fingerprint" -> (qTextFingerprint(_, _)),
-    "q_text_bigram_ll" -> (qTextBigramLL(_, _)))
+    "q_text_bigram_ll" -> (qTextBigramLL(_, _)),
+    "q_sample_stratified" -> (qSampleStratified(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_doc_stats" -> qDocStatsSql,
@@ -269,5 +298,6 @@ object TextAnalysis {
     "q_text_quality" -> qTextQualitySql,
     "q_text_lang" -> qTextLangSql,
     "q_text_fingerprint" -> qTextFingerprintSql,
-    "q_text_bigram_ll" -> qTextBigramLLSql)
+    "q_text_bigram_ll" -> qTextBigramLLSql,
+    "q_sample_stratified" -> qSampleStratifiedSql)
 }
