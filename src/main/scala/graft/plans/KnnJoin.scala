@@ -68,7 +68,7 @@ case class KnnJoinExec(
     val excl = excludeSelf
     // query batch: bounded by contract (a serving batch), broadcast once
     val queries: Array[(Long, Array[Float])] = right.executeCollect().map { r =>
-      (r.getLong(0), r.getArray(1).toFloatArray)
+      (r.getLong(0), r.getArray(1).toFloatArray())
     }
     val bc = sparkContext.broadcast(queries)
     left.execute().mapPartitions { it =>
@@ -85,7 +85,7 @@ case class KnnJoinExec(
       while (it.hasNext) {
         val row = it.next()
         val id = row.getLong(0)
-        val vec = row.getArray(1).toFloatArray
+        val vec = row.getArray(1).toFloatArray()
         var qi = 0
         while (qi < nq) {
           if (excl && qs(qi)._1 == id) { qi += 1 }
