@@ -370,6 +370,51 @@ object VectorQueries {
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
        |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
 
+  /** int8 scalar quantization (per-vector symmetric scale): codes =
+    * round(x/scale) with scale = max|x|/127, plus the reconstruction
+    * L2 error — the 4× disk/membandwidth compression step a
+    * disk-resident index applies to its vector region. Deterministic
+    * arithmetic end to end, so the oracle replays codes and error
+    * exactly. */
+  def qQuantizeSq8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .withColumn("scale",
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"))
+      .withColumn("codes",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT))"))
+      .withColumn("recon_err", expr(
+        """sqrt(aggregate(
+          |  zip_with(embedding, codes, (x, c) -> pow(CAST(x AS DOUBLE) - c * scale, 2)),
+          |  CAST(0.0 AS DOUBLE), (acc, e) -> acc + e))""".stripMargin))
+      .select($"vec_id",
+        round($"scale", 6).as("scale"),
+        expr("aggregate(codes, 0, (acc, c) -> acc + abs(c))").as("code_l1"),
+        round($"recon_err", 4).as("recon_err"))
+      .orderBy($"vec_id")
+  }
+
+  val qQuantizeSq8Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(embedding, x -> abs(x::DOUBLE))),
+      |      (m, x) -> greatest(m, x)) / 127.0 AS scale
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id, embedding, scale,
+      |    list_transform(embedding, x -> round(x::DOUBLE / scale, 0)::INTEGER) AS codes
+      |  FROM q
+      |)
+      |SELECT vec_id, round(scale, 6) AS scale,
+      |  CAST(list_reduce(list_prepend(0, list_transform(codes, cc -> abs(cc))),
+      |       (acc, cc) -> acc + cc) AS INTEGER) AS code_l1,
+      |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(range(1, len(embedding) + 1),
+      |      i -> pow(embedding[i]::DOUBLE - codes[i] * scale, 2))),
+      |    (acc, e) -> acc + e)), 4) AS recon_err
+      |FROM c ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- LSH
 
   /** Random-hyperplane LSH bucketing with hash-derived (LCG) planes —
@@ -468,7 +513,8 @@ object VectorQueries {
     "q_ivf_assign" -> (qIvfAssign(_, _)),
     "q_knn_ivf" -> (qKnnIvf(_, _)),
     "q_lsh_bucket" -> (qLshBucket(_, _)),
-    "q_knn_lsh" -> (qKnnLsh(_, _)))
+    "q_knn_lsh" -> (qKnnLsh(_, _)),
+    "q_quantize_sq8" -> (qQuantizeSq8(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_dist_l2" -> qDistL2Sql,
@@ -483,5 +529,6 @@ object VectorQueries {
     "q_ivf_assign" -> qIvfAssignSql,
     "q_knn_ivf" -> qKnnIvfSql,
     "q_lsh_bucket" -> qLshBucketSql,
-    "q_knn_lsh" -> qKnnLshSql)
+    "q_knn_lsh" -> qKnnLshSql,
+    "q_quantize_sq8" -> qQuantizeSq8Sql)
 }
