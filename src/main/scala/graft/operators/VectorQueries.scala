@@ -379,8 +379,10 @@ object VectorQueries {
   def qQuantizeSq8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
+      // floor at 1e-30 so an all-zero vector quantizes to all-zero
+      // codes instead of NaN/NULL divergence between engines
       .withColumn("scale",
-        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"))
+        expr("greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30d)"))
       .withColumn("codes",
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT))"))
       .withColumn("recon_err", expr(
@@ -397,9 +399,8 @@ object VectorQueries {
   val qQuantizeSq8Sql: String =
     """WITH q AS (
       |  SELECT vec_id, embedding,
-      |    list_reduce(list_prepend(0.0::DOUBLE,
-      |      list_transform(embedding, x -> abs(x::DOUBLE))),
-      |      (m, x) -> greatest(m, x)) / 127.0 AS scale
+      |    greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0,
+      |             1e-30) AS scale
       |  FROM embeddings
       |), c AS (
       |  SELECT vec_id, embedding, scale,
@@ -407,8 +408,7 @@ object VectorQueries {
       |  FROM q
       |)
       |SELECT vec_id, round(scale, 6) AS scale,
-      |  CAST(list_reduce(list_prepend(0, list_transform(codes, cc -> abs(cc))),
-      |       (acc, cc) -> acc + cc) AS INTEGER) AS code_l1,
+      |  CAST(list_sum(list_transform(codes, cc -> abs(cc))) AS INTEGER) AS code_l1,
       |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
       |    list_transform(range(1, len(embedding) + 1),
       |      i -> pow(embedding[i]::DOUBLE - codes[i] * scale, 2))),
