@@ -5,6 +5,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.size
 
 /** Byte-level interop with the reference's single-file index layout
   * (reference lib.rs:32-36):
@@ -28,12 +29,16 @@ object SingleFileIndex {
     val spark = index.sparkSession
     import spark.implicits._
     val sorted = index.orderBy($"vec_id")
-    val n = sorted.count()
-    val head = sorted.head()
-    val dim = head.embedding.length
-    val maxDeg = params.maxDegree
-    // vec_id → position (ids may be sparse); positions follow vec_id order
-    val ids = sorted.select($"vec_id").as[Long].collect()
+    // one job gathers ids + dim + observed max degree (count/head/agg
+    // would each re-run the sort)
+    val idDegree = sorted.select($"vec_id", size($"neighbors"), size($"embedding"))
+      .as[(Long, Int, Int)].collect()
+    require(idDegree.nonEmpty, "cannot export an empty index")
+    val n = idDegree.length.toLong
+    val dim = idDegree(0)._3
+    // never truncate adjacency: fixed degree = max(params, observed)
+    val maxDeg = math.max(params.maxDegree, idDegree.map(_._2).max)
+    val ids = idDegree.map(_._1)
     val idToPos = new java.util.HashMap[java.lang.Long, Integer](ids.length * 2)
     ids.zipWithIndex.foreach { case (id, p) => idToPos.put(id, p) }
 
@@ -59,12 +64,16 @@ object SingleFileIndex {
       sorted.select($"vec_id", $"neighbors").as[(Long, Array[Long])]
         .toLocalIterator().forEachRemaining { case (_, nbrs) =>
           val bb = ByteBuffer.allocate(4 * maxDeg).order(ByteOrder.LITTLE_ENDIAN)
+          var written = 0
           var i = 0
-          while (i < maxDeg) {
-            if (i < nbrs.length) bb.putInt(idToPos.get(nbrs(i)).intValue())
-            else bb.putInt(Pad)
+          while (i < nbrs.length) {
+            // neighbors outside the exported row set (a filtered subset
+            // export) become padding instead of an NPE mid-file
+            val pos = idToPos.get(nbrs(i))
+            if (pos != null && written < maxDeg) { bb.putInt(pos.intValue()); written += 1 }
             i += 1
           }
+          while (written < maxDeg) { bb.putInt(Pad); written += 1 }
           out.write(bb.array())
         }
       // ids region (u64 LE) — the one extension over the reference

@@ -36,11 +36,21 @@ object StreamingIndex {
       .select(col("vec_id"), col("embedding"))
     val rebuilt = VamanaIndex.build(vectors, params, numShards)
     // write to a temp location first: build reads lazily from `path`
-    val tmp = s"$path-compacting"
-    VamanaIndex.save(rebuilt, params, tmp)
-    val fs = new java.io.File(path)
-    org.apache.commons.io.FileUtils.deleteDirectory(fs)
-    new java.io.File(tmp).renameTo(fs)
+    val tmp = new java.io.File(s"$path-compacting")
+    VamanaIndex.save(rebuilt, params, tmp.getPath)
+    // two-step swap, each rename checked: the old index survives at
+    // `-old` until the new one is in place, so no failure mode loses
+    // the data silently
+    val live = new java.io.File(path)
+    val old = new java.io.File(s"$path-old")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    if (!live.renameTo(old))
+      throw new java.io.IOException(s"compact: could not move $path aside; new index left at $tmp")
+    if (!tmp.renameTo(live)) {
+      old.renameTo(live) // roll back
+      throw new java.io.IOException(s"compact: could not activate $tmp; original restored at $path")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
   }
 
   /** Online serving of a QUERY stream: each micro-batch of
@@ -77,6 +87,9 @@ object StreamingIndex {
       path: String,
       params: VamanaParams,
       shardsPerBatch: Int = 1): StreamingQuery = {
+    require(shardsPerBatch > 0 && shardsPerBatch <= ShardsPerBatchBase,
+      s"shardsPerBatch must be in [1, $ShardsPerBatchBase] — larger values collide " +
+        "shard ids across batches and silently merge unrelated segments")
     val spark = vectors.sparkSession
     import spark.implicits._
     vectors.writeStream

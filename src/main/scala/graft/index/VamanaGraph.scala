@@ -26,7 +26,11 @@ object Metric {
         val x = a(ao + i).toDouble; val y = b(bo + i).toDouble
         dot += x * y; nx += x * x; ny += y * y; i += 1
       }
-      1.0 - dot / (math.sqrt(nx) * math.sqrt(ny))
+      // zero-norm guard: cosine to a zero vector is defined as 1.0
+      // (neutral), never NaN — NaN comparisons silently corrupt the
+      // beam ordering
+      if (nx == 0.0 || ny == 0.0) 1.0
+      else 1.0 - dot / (math.sqrt(nx) * math.sqrt(ny))
     }
   }
   case object Dot extends Metric {
@@ -121,7 +125,9 @@ final class VamanaGraph(
         var s = 0.0; var d = 0
         val off = i * dim
         while (d < dim) { val x = vecs(off + d).toDouble; s += x * x; d += 1 }
-        out(i) = math.sqrt(s)
+        // zero-norm floor keeps the cached-norm fast path NaN-free and
+        // consistent with Metric.Cosine.eval's guard (dist becomes 1.0)
+        out(i) = math.max(math.sqrt(s), java.lang.Double.MIN_NORMAL)
         i += 1
       }
       out
@@ -308,17 +314,22 @@ final class VamanaGraph(
     wLen
   }
 
+  /** Per-instance serving scratch, reused across queries (a graph
+    * instance serves one task thread; the epoch marks make reuse
+    * allocation-free). */
+  private lazy val servingScratch = new Scratch
+
   /** Serving-path search: top-k (local idx, dist) for an external query
     * vector (reference lib.rs:635-701). */
   def search(q: Array[Float], k: Int, beamWidth: Int): Array[(Int, Double)] = {
-    val s = new Scratch
+    val s = servingScratch
     val bw = math.max(beamWidth, k)
     val wIds = new Array[Int](bw)
     val wDists = new Array[Double](bw)
     val qNorm = if (isCosine) {
       var acc = 0.0; var i = 0
       while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
-      math.sqrt(acc)
+      math.max(math.sqrt(acc), java.lang.Double.MIN_NORMAL)
     } else 0.0
     val wLen = beamSearch(-1, q, qNorm, medoid, bw, s, collect = false, wIds, wDists)
     val out = new Array[(Int, Double)](math.min(k, wLen))

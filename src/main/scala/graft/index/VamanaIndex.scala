@@ -98,6 +98,10 @@ object VamanaIndex {
 
   def save(index: Dataset[IndexRow], params: VamanaParams, path: String): Unit = {
     val s = index.sparkSession
+    // save runs three actions (write, stats, head) — persist so an
+    // unpersisted lazily-built index isn't rebuilt three times
+    val wasPersisted = index.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!wasPersisted) index.persist()
     index.write.mode("overwrite").partitionBy("shard").parquet(s"$path/graph")
     val stats = index.agg(
       count(lit(1)), max(size(col("neighbors"))), countDistinct(col("shard"))).head()
@@ -111,6 +115,7 @@ object VamanaIndex {
         .stripMargin.replace("\n", "")
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(s"$path/metadata.json"), meta)
+    if (!wasPersisted) index.unpersist()
   }
 
   def load(spark: SparkSession, path: String): Dataset[IndexRow] = {
@@ -125,6 +130,40 @@ object VamanaIndex {
 
   def loadMeta(path: String): String =
     Files.readString(Paths.get(s"$path/metadata.json"))
+
+  /** Rebuild one shard's in-memory graph from its IndexRows: sorts by
+    * vec_id, flattens vectors, remaps global neighbor ids to local
+    * indices. Shared by every serving/diagnostic path so fixes can't
+    * drift between them. */
+  private def rebuildShardGraph(
+      group: Array[IndexRow], params: VamanaParams): (VamanaGraph, Array[IndexRow]) = {
+    val sorted = group.sortBy(_.vec_id)
+    val n = sorted.length
+    val dim = if (n == 0) 0 else sorted(0).embedding.length
+    val flat = new Array[Float](n * dim)
+    val g2l = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      System.arraycopy(sorted(i).embedding, 0, flat, i * dim, dim)
+      g2l.put(sorted(i).vec_id, i)
+      i += 1
+    }
+    val g = new VamanaGraph(flat, dim, n, params)
+    i = 0
+    while (i < n) {
+      val nbrs = sorted(i).neighbors
+      val local = new ArrayBuffer[Int](nbrs.length)
+      var t = 0
+      while (t < nbrs.length) {
+        val lo = g2l.get(nbrs(t))
+        if (lo != null) local += lo.intValue()
+        t += 1
+      }
+      g.graph(i) = local.toArray
+      i += 1
+    }
+    (g, sorted)
+  }
 
   // ---------------------------------------------------------------- search
 
@@ -156,31 +195,7 @@ object VamanaIndex {
     val perShard = pruned.mapPartitions { it =>
       val rows = it.toArray
       rows.groupBy(_.shard).iterator.flatMap { case (_, group) =>
-        val sorted = group.sortBy(_.vec_id)
-        val n = sorted.length
-        val dim = if (n == 0) 0 else sorted(0).embedding.length
-        val flat = new Array[Float](n * dim)
-        val globalToLocal = new java.util.HashMap[java.lang.Long, Integer](n * 2)
-        var i = 0
-        while (i < n) {
-          System.arraycopy(sorted(i).embedding, 0, flat, i * dim, dim)
-          globalToLocal.put(sorted(i).vec_id, i)
-          i += 1
-        }
-        val g = new VamanaGraph(flat, dim, n, params)
-        i = 0
-        while (i < n) {
-          val nbrs = sorted(i).neighbors
-          val local = new ArrayBuffer[Int](nbrs.length)
-          var t = 0
-          while (t < nbrs.length) {
-            val lo = globalToLocal.get(nbrs(t))
-            if (lo != null) local += lo.intValue()
-            t += 1
-          }
-          g.graph(i) = local.toArray
-          i += 1
-        }
+        val (g, sorted) = rebuildShardGraph(group, params)
         // search beyond k when dropping self so k true neighbors remain
         val kLocal = if (excludeSelf) k + 1 else k
         qB.value.iterator.flatMap { case (qid, qv) =>
@@ -210,11 +225,16 @@ object VamanaIndex {
     val s = index.sparkSession
     import s.implicits._
     // routing table: seed = lowest-id vector per shard (the same seeds
-    // that defined the shard assignment at build time)
+    // that defined the shard assignment at build time). Narrow to
+    // (shard, vec_id, embedding) BEFORE the shuffle — neighbor arrays
+    // never leave the scan.
     val seeds: Array[(Int, Array[Float])] = index
-      .groupByKey(_.shard)
-      .reduceGroups((a: IndexRow, b: IndexRow) => if (a.vec_id < b.vec_id) a else b)
-      .map { case (shard, row) => (shard, row.embedding) }
+      .select(col("shard"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .reduceGroups((a: (Int, Long, Array[Float]), b: (Int, Long, Array[Float])) =>
+        if (a._2 < b._2) a else b)
+      .map { case (shard, row) => (shard, row._3) }
       .collect().sortBy(_._1)
     val routed: Map[Int, Array[(Long, Array[Float])]] = queries.flatMap { case (qid, qv) =>
       seeds.map { case (shard, sv) =>
@@ -232,31 +252,7 @@ object VamanaIndex {
           bc.value.get(shard) match {
             case None => Iterator.empty
             case Some(myQueries) =>
-              val sorted = group.sortBy(_.vec_id)
-              val n = sorted.length
-              val dim = if (n == 0) 0 else sorted(0).embedding.length
-              val flat = new Array[Float](n * dim)
-              val g2l = new java.util.HashMap[java.lang.Long, Integer](n * 2)
-              var i = 0
-              while (i < n) {
-                System.arraycopy(sorted(i).embedding, 0, flat, i * dim, dim)
-                g2l.put(sorted(i).vec_id, i)
-                i += 1
-              }
-              val g = new VamanaGraph(flat, dim, n, params)
-              i = 0
-              while (i < n) {
-                val nbrs = sorted(i).neighbors
-                val local = new scala.collection.mutable.ArrayBuffer[Int](nbrs.length)
-                var t = 0
-                while (t < nbrs.length) {
-                  val lo = g2l.get(nbrs(t))
-                  if (lo != null) local += lo.intValue()
-                  t += 1
-                }
-                g.graph(i) = local.toArray
-                i += 1
-              }
+              val (g, sorted) = rebuildShardGraph(group, params)
               val kLocal = if (excludeSelf) k + 1 else k
               myQueries.iterator.flatMap { case (qid, qv) =>
                 g.search(qv, kLocal, beamWidth).iterator
@@ -340,26 +336,23 @@ object VamanaIndex {
     * shard silently caps recall). */
   def qVamanaReach(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val p = qParams
     cachedIndex(s, dir).mapPartitions { it =>
       val rows = it.toArray
       rows.groupBy(_.shard).iterator.map { case (shard, group) =>
-        val sorted = group.sortBy(_.vec_id)
-        val n = sorted.length
-        val g2l = new java.util.HashMap[java.lang.Long, Integer](n * 2)
-        var i = 0
-        while (i < n) { g2l.put(sorted(i).vec_id, i); i += 1 }
+        // BFS from the shard's MEDOID — the entry point beam search
+        // actually uses — not from an arbitrary node
+        val (g, _) = rebuildShardGraph(group, p)
+        val n = g.n
         val seen = new Array[Boolean](n)
-        var frontier = List(0)
-        seen(0) = true
+        var frontier = List(g.medoid)
+        seen(g.medoid) = true
         var reached = 1
         while (frontier.nonEmpty) {
           val next = scala.collection.mutable.ListBuffer.empty[Int]
           frontier.foreach { u =>
-            sorted(u).neighbors.foreach { nb =>
-              val lo = g2l.get(nb)
-              if (lo != null && !seen(lo.intValue())) {
-                seen(lo.intValue()) = true; reached += 1; next += lo.intValue()
-              }
+            g.graph(u).foreach { nb =>
+              if (!seen(nb)) { seen(nb) = true; reached += 1; next += nb }
             }
           }
           frontier = next.toList
