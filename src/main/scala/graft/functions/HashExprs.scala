@@ -102,7 +102,9 @@ case class TokenHashes(child: Expression)
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString
-    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    // growable primitive buffer — no per-token boxing
+    var out = new Array[Long](64)
+    var len = 0
     var i = 0
     val n = s.length
     while (i < n) {
@@ -114,10 +116,12 @@ case class TokenHashes(child: Expression)
           acc = (acc * 31 + cp) % SharedHash.P
           i += Character.charCount(cp)
         }
-        out += acc
+        if (len == out.length) out = java.util.Arrays.copyOf(out, len * 2)
+        out(len) = acc; len += 1
       }
     }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(out, len))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -179,9 +183,10 @@ case class WordShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Distinct character n-grams, sorted (UTF8 binary order — identical
-  * to `array_sort(array_distinct(transform(sequence(1, length(text)
-  * - n + 1), i -> substring(text, i, n))))` for ASCII text), one pass. */
+/** Distinct character n-grams, sorted by JVM String order — the same
+  * comparator the pair-merge kernel in Dedup uses, so sortedness is
+  * consistent for ALL inputs (for ASCII this equals UTF8 binary order
+  * and the SQL `array_sort(array_distinct(...))` form). */
 case class CharNGramsSorted(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "graft_char_ngrams_sorted"
@@ -193,17 +198,16 @@ case class CharNGramsSorted(child: Expression, n: Int)
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val u = v.asInstanceOf[UTF8String]
-    val total = u.numChars()
-    val set = new java.util.TreeSet[UTF8String]()
+    val s = v.asInstanceOf[UTF8String].toString
+    val set = new java.util.TreeSet[String]()
     var i = 0
-    while (i + n <= total) {
-      set.add(u.substringSQL(i + 1, n))
+    while (i + n <= s.length) {
+      set.add(s.substring(i, i + n))
       i += 1
     }
     val arr = new Array[AnyRef](set.size)
     val it = set.iterator(); var k = 0
-    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 

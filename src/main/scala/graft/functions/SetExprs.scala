@@ -49,10 +49,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       s"""
          |int $i = 0, $j = 0, $c = 0;
-         |final int na = $a.numElements(), nb = $b.numElements();
-         |while ($i < na && $j < nb) {
+         |final int $na = $a.numElements(), $nb = $b.numElements();
+         |while ($i < $na && $j < $nb) {
          |  final int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) $i++;

@@ -37,8 +37,13 @@ abstract class VectorBinaryExpression extends BinaryExpression {
 
   protected def evalVectors(x: ArrayData, y: ArrayData): Double
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    evalVectors(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch ${a.numElements()} vs ${b.numElements()}")
+    evalVectors(a, b)
+  }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -46,6 +51,9 @@ abstract class VectorBinaryExpression extends BinaryExpression {
       val res = ctx.freshName("res")
       s"""
          |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("$prettyName: dimension mismatch");
+         |}
          |double $res = 0.0;
          |${loopCode(a, b, n, res)}
          |${ev.value} = $res;
@@ -94,7 +102,7 @@ case class CosineDistance(left: Expression, right: Expression)
        |  double yi = (double) $b.getFloat(i);
        |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
        |}
-       |$res = 1.0 - dot / (Math.sqrt(nx) * Math.sqrt(ny));
+       |$res = (nx == 0.0 || ny == 0.0) ? 1.0 : 1.0 - dot / (Math.sqrt(nx) * Math.sqrt(ny));
      """.stripMargin
 
   override protected def evalVectors(x: ArrayData, y: ArrayData): Double = {
@@ -103,7 +111,9 @@ case class CosineDistance(left: Expression, right: Expression)
       val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
-    1.0 - dot / (math.sqrt(nx) * math.sqrt(ny))
+    // zero-norm → 1.0 (consistent with graft.index.Metric.Cosine)
+    if (nx == 0.0 || ny == 0.0) 1.0
+    else 1.0 - dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -154,5 +164,12 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("graft_simhash62", es => SimHash62(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
       es => SortedIntersectCount(es.head, es(1)), "scala_udf")
+    def litInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
+    reg.createOrReplaceTempFunction("graft_token_hashes",
+      es => TokenHashes(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_word_shingle_hashes",
+      es => WordShingleHashes(es.head, litInt(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_char_ngrams_sorted",
+      es => CharNGramsSorted(es.head, litInt(es(1))), "scala_udf")
   }
 }

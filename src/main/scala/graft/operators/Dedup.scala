@@ -84,6 +84,8 @@ object Dedup {
     * band-equality candidate join → exact shingle-Jaccard verify. */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cache is keyed by the (identical) plan, so repeated invocations
+    // reuse one bounded entry per sf dir rather than leaking
     val sets = shingleSets(s, dir).cache()
     val sigCols = MinhashPerms.zipWithIndex.map { case (p, j) =>
       expr(sparkMinhash("sh_set", p)).as(s"sig_$j")

@@ -78,7 +78,9 @@ object KMeans {
   def qKmeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val points = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-    var cents = points.orderBy($"vec_id").limit(K)
+    // same spelling as the oracle (WHERE vec_id < K): a pushed-down
+    // scan filter, not a global sort+limit
+    var cents = points.filter($"vec_id" < K)
       .select($"vec_id".cast("int").as("cell"), $"embedding".as("cv"))
     var assigned: DataFrame = null
     for (_ <- 0 until Iters) {

@@ -16,7 +16,9 @@ object SourceQueries {
   def qVecsRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sf = dir.replaceAll(".*/", "")
-    val path = s"/tmp/graft_vecs_$sf.fvecs"
+    // app-unique path: concurrent runs on the same sf must not clobber
+    // each other's file mid-read
+    val path = s"/tmp/graft_vecs_${sf}_${s.sparkContext.applicationId}.fvecs"
     VecsFormats.writeFvecs(Tables.embeddings(s, dir), path)
     VecsFormats.readFvecs(s, path)
       .select($"vec_id",

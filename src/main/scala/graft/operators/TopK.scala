@@ -29,8 +29,13 @@ class TopKAgg(k: Int) extends Aggregator[KnnCand, TopKBuf, TopKBuf] {
 
   override def zero: TopKBuf = TopKBuf(Array.emptyLongArray, Array.emptyDoubleArray)
 
-  private def better(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
-    d1 < d2 || (d1 == d2 && i1 < i2)
+  // NaN-total ordering (Double.compare sorts NaN last, like the SQL
+  // ORDER BY both engines use) — raw < / == would let a NaN candidate
+  // slip to rank 1 because every NaN comparison is false
+  private def better(d1: Double, i1: Long, d2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(d1, d2)
+    c < 0 || (c == 0 && i1 < i2)
+  }
 
   override def reduce(b: TopKBuf, a: KnnCand): TopKBuf = {
     val n = b.ids.length

@@ -93,11 +93,14 @@ case class KnnJoinExec(
           val d = m.eval(qs(qi)._2, 0, vec, 0, vec.length)
           val sz = sizes(qi)
           val di = dists(qi); val ii = ids(qi)
-          if (sz < kLoc || d < di(kLoc - 1) || (d == di(kLoc - 1) && id < ii(kLoc - 1))) {
+          // Double.compare keeps the order NaN-total (NaN sorts last)
+          val cLast = java.lang.Double.compare(d, di(kLoc - 1))
+          if (sz < kLoc || cLast < 0 || (cLast == 0 && id < ii(kLoc - 1))) {
             var lo = 0; var hi = math.min(sz, kLoc)
             while (lo < hi) {
               val mid = (lo + hi) >>> 1
-              if (di(mid) < d || (di(mid) == d && ii(mid) < id)) lo = mid + 1 else hi = mid
+              val cm = java.lang.Double.compare(di(mid), d)
+              if (cm < 0 || (cm == 0 && ii(mid) < id)) lo = mid + 1 else hi = mid
             }
             val newSz = math.min(sz + 1, kLoc)
             var x = newSz - 1
