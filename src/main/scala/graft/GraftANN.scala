@@ -36,23 +36,20 @@ object GraftANN {
 
     def dim: Int = index.head().embedding.length
 
+    private def collectQueries(queries: DataFrame): Array[(Long, Array[Float])] = {
+      import spark.implicits._
+      queries.select(col("q_id"), col("qv")).as[(Long, Array[Float])].collect()
+    }
+
     /** Batch search for a DataFrame of (q_id: long, qv: array<float>).
       * Returns (q_id, rank, neighbor_id, dist). */
-    def search(queries: DataFrame, k: Int, beamWidth: Int): DataFrame = {
-      import spark.implicits._
-      val qArr = queries.select(col("q_id"), col("qv"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-      VamanaIndex.search(index, qArr, k, beamWidth, params)
-    }
+    def search(queries: DataFrame, k: Int, beamWidth: Int): DataFrame =
+      VamanaIndex.search(index, collectQueries(queries), k, beamWidth, params)
 
     /** Routed batch search: each query probes only its `nprobe`
       * nearest shards (the partition-pruned serving path). */
-    def searchProbed(queries: DataFrame, k: Int, beamWidth: Int, nprobe: Int): DataFrame = {
-      import spark.implicits._
-      val qArr = queries.select(col("q_id"), col("qv"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-      VamanaIndex.searchProbed(index, qArr, k, beamWidth, params, nprobe)
-    }
+    def searchProbed(queries: DataFrame, k: Int, beamWidth: Int, nprobe: Int): DataFrame =
+      VamanaIndex.searchProbed(index, collectQueries(queries), k, beamWidth, params, nprobe)
 
     /** Single-vector search, reference `search_with_dists` analog. */
     def searchVector(q: Array[Float], k: Int, beamWidth: Int): Array[(Long, Double)] = {

@@ -23,15 +23,18 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
     * map to TimestampType. Read nanos as long (legacy conf, runtime
     * settable) and rebuild a microsecond TimestampType column so every
-    * downstream operator sees a normal timestamp. The testdata is
-    * µs-precision (ns % 1000 == 0), so this truncation is lossless.
-    */
+    * downstream operator sees a normal timestamp.
+    *
+    * The ns→µs conversion MUST be integer division (`div`): `/` on a
+    * Column is double division, and epoch-ns values (~1.7e18) exceed
+    * 2^53, so the double path is off by 1 µs for a large fraction of
+    * rows — silently diverging from the oracle's exact `epoch_us`.
+    * (Some scale factors carry full-ns precision; truncation direction
+    * matches DuckDB for positive epochs.) */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -125,7 +125,10 @@ object Multimodal {
           batch.map { case (id, bytes) =>
             var sum = 0L
             bytes.foreach(b => sum += (b & 0xff))
-            (id, math.round(sum.toDouble / bytes.length / 255.0 * 10000) / 10000.0)
+            val brightness =
+              if (bytes.isEmpty) 0.0 // empty payload: defined, not NaN
+              else math.round(sum.toDouble / bytes.length / 255.0 * 10000) / 10000.0
+            (id, brightness)
           }
         }
       }

@@ -20,18 +20,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VecsFormats {
 
-  private def headerDim(path: String): Int = {
-    val in = new DataInputStream(new FileInputStream(path))
+  /** Read the 4-byte dim header through the Hadoop FileSystem API so
+    * non-local URIs (hdfs://, s3a://) work the same as the distributed
+    * binaryRecords read that follows. */
+  private def headerDim(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
     try {
       val b = new Array[Byte](4)
-      in.readFully(b)
+      in.readFully(0L, b)
       ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
     } finally in.close()
   }
 
   /** `.fvecs` → (vec_id: long, embedding: array<float>). */
   def readFvecs(spark: SparkSession, path: String): DataFrame = {
-    val dim = headerDim(path)
+    val dim = headerDim(spark, path)
     val recLen = 4 + 4 * dim
     import spark.implicits._
     spark.sparkContext.binaryRecords(path, recLen)
@@ -49,7 +54,7 @@ object VecsFormats {
 
   /** `.bvecs` (uint8 vectors, e.g. BigANN) → embedding as floats. */
   def readBvecs(spark: SparkSession, path: String): DataFrame = {
-    val dim = headerDim(path)
+    val dim = headerDim(spark, path)
     val recLen = 4 + dim
     import spark.implicits._
     spark.sparkContext.binaryRecords(path, recLen)
@@ -68,14 +73,15 @@ object VecsFormats {
   /** `.ivecs` (int lists — ground-truth neighbors) →
     * (query_id: long, neighbors: array<int>). */
   def readIvecs(spark: SparkSession, path: String): DataFrame = {
-    val dim = headerDim(path)
+    val dim = headerDim(spark, path)
     val recLen = 4 + 4 * dim
     import spark.implicits._
     spark.sparkContext.binaryRecords(path, recLen)
       .zipWithIndex()
       .map { case (bytes, idx) =>
         val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        bb.getInt
+        val d = bb.getInt
+        require(d == dim, s"non-uniform dim: $d vs $dim at record $idx")
         val arr = new Array[Int](dim)
         var i = 0
         while (i < dim) { arr(i) = bb.getInt; i += 1 }

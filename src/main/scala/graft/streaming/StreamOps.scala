@@ -44,7 +44,8 @@ object StreamOps {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer ns→µs division — see Tables.nsToMicros for why `/` is wrong
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** Watermarked tumbling-window counts per event type — the streaming
@@ -56,10 +57,18 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
-  /** Stateful sessionizer: 30-minute inactivity gap, emits each session
-    * when the next event of the user arrives past the gap (processing-
-    * order within a user is guaranteed by the groupByKey shuffle +
-    * per-batch sort below). */
+  /** Stateful sessionizer: 30-minute inactivity gap. A session is
+    * emitted when a newer event of the same user arrives past the gap;
+    * late events inside the current session extend it monotonically
+    * (min start, max last), so state never moves backwards.
+    *
+    * Known contract: the LAST session of a user who never returns is
+    * held open in state (no timeout flush). A processing-time-timeout
+    * flush was tried and reverted — with ProcessingTimeTimeout,
+    * `processAllAvailable` never quiesces under Spark 4.1's
+    * micro-batch engine, which breaks synchronous drains. At-scale
+    * deployments should either watermark with an event-time-timeout
+    * variant or close residual sessions in a final batch pass. */
   def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -67,7 +76,7 @@ object StreamOps {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts_us))
+          val sorted = evs.toSeq.sortBy(e => e.ts_us)
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           var st = state.getOption.orNull
           for (e <- sorted) {
@@ -76,7 +85,8 @@ object StreamOps {
               case s if e.ts_us - s.last_us > GapUs =>
                 out += SessionOut(user, s.start_us, s.last_us, s.n)
                 SessionState(e.ts_us, e.ts_us, 1)
-              case s => SessionState(s.start_us, e.ts_us, s.n + 1)
+              case s => SessionState(math.min(s.start_us, e.ts_us),
+                math.max(s.last_us, e.ts_us), s.n + 1)
             }
           }
           if (st != null) state.update(st)
