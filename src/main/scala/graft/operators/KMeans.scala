@@ -46,16 +46,35 @@ object KMeans {
   private val K = 8
   private val Iters = 2
 
-  /** One assignment pass: nearest centroid by L2, tie → lower cell. */
-  private def assign(points: DataFrame, cents: DataFrame): DataFrame = {
+  /** One assignment pass: nearest centroid by L2, tie → lower cell.
+    *
+    * Centroids are k×dim floats — broadcast once; the argmin runs as a
+    * zero-shuffle mapPartitions kernel over the scan (same shape as
+    * [[graft.index.VamanaIndex.shardAssign]]), so points NEVER enter
+    * an Exchange during assignment. `Metric.L2.eval` accumulates
+    * left-to-right in double exactly like the codegen'd
+    * [[graft.functions.L2Distance]], so the argmin (ties → first =
+    * lowest cell, input sorted by cell) is bit-identical to the old
+    * `min(struct(dist, cell))` plan and the DuckDB oracle replay. */
+  private[graft] def assign(points: DataFrame, cents: Array[(Int, Array[Float])]): DataFrame = {
     val s = points.sparkSession
     import s.implicits._
-    points.join(broadcast(cents))
-      .select($"vec_id", $"embedding", $"cell",
-        l2Dist($"embedding", $"cv").as("dist"))
-      .groupBy($"vec_id")
-      .agg(min(struct($"dist", $"cell")).as("m"), first($"embedding").as("embedding"))
-      .select($"vec_id", $"embedding", $"m.cell".as("cell"))
+    val bc = s.sparkContext.broadcast(cents.sortBy(_._1))
+    points.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cv = bc.value
+        it.map { case (id, v) =>
+          var best = -1; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cv.length) {
+            val d = graft.index.Metric.L2.eval(v, 0, cv(c)._2, 0, v.length)
+            if (d < bestD) { bestD = d; best = cv(c)._1 }
+            c += 1
+          }
+          (id, v, best)
+        }
+      }
+      .toDF("vec_id", "embedding", "cell")
   }
 
   /** Centroid recomputation via the partial vector-sum aggregate.
@@ -74,18 +93,24 @@ object KMeans {
         transform($"sum", x => (x / $"n").cast("float")).as("cv"))
   }
 
-  /** k-means cell assignment after `Iters` Lloyd iterations. */
+  /** k-means cell assignment after `Iters` Lloyd iterations.
+    *
+    * Per iteration: one zero-shuffle assignment pass + one map-side-
+    * combined partial-sum aggregation whose shuffle carries k rows per
+    * partition (never the points); the k×dim centroid table lives on
+    * the driver between iterations — the canonical distributed
+    * Lloyd's. */
   def qKmeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val points = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
     // same spelling as the oracle (WHERE vec_id < K): a pushed-down
     // scan filter, not a global sort+limit
-    var cents = points.filter($"vec_id" < K)
-      .select($"vec_id".cast("int").as("cell"), $"embedding".as("cv"))
-    var assigned: DataFrame = null
+    var cents: Array[(Int, Array[Float])] = points.filter($"vec_id" < K)
+      .select($"vec_id".cast("int"), $"embedding")
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
     for (_ <- 0 until Iters) {
-      assigned = assign(points, cents)
-      cents = recompute(assigned)
+      val assigned = assign(points, cents)
+      cents = recompute(assigned).as[(Int, Array[Float])].collect().sortBy(_._1)
     }
     // final assignment against the last recomputed centroids
     assign(points, cents).select($"vec_id", $"cell").orderBy($"vec_id")

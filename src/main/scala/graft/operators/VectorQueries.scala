@@ -110,26 +110,17 @@ object VectorQueries {
   def qMedoid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Exact medoid is O(n²) by definition, so n is small by contract
-    // (the 100 TB path is `medoidSampled`). Broadcast the corpus once
-    // and fold per-row distance sums in a tight kernel instead of
-    // materializing the n×n join (4M array-pair rows at sf0.1).
-    val corpus = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val bc = s.sparkContext.broadcast(corpus)
-    Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val arr = bc.value
-        it.map { case (id, v) =>
-          var sum = 0.0; var i = 0
-          while (i < arr.length) {
-            sum += graft.index.Metric.L2.eval(v, 0, arr(i)._2, 0, v.length)
-            i += 1
-          }
-          (id, sum)
-        }
-      }
-      .toDF("i", "s")
+    // (the 100 TB path is `medoidSampled`). The n² pairs stream
+    // through a Spark-managed broadcast nested-loop join straight
+    // into a map-side partial sum — the only shuffle carries one
+    // partial row per (id, partition), and nothing is collected to
+    // the driver (the broadcast side is the framework's torrent
+    // broadcast with its size guardrails, not an unbounded
+    // driver-heap Array).
+    val a = Tables.embeddings(s, dir).select($"vec_id".as("i"), $"embedding".as("va"))
+    val b = Tables.embeddings(s, dir).select($"embedding".as("vb"))
+    a.join(broadcast(b))
+      .groupBy($"i").agg(sum(l2Dist($"va", $"vb")).as("s"))
       .orderBy($"s", $"i")
       .limit(1)
       .select($"i".as("medoid_id"), round($"s", 4).as("total_dist"))

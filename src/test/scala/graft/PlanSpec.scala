@@ -51,6 +51,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_kmeans assignment stage: zero-shuffle (no Exchange at all)") {
+    import org.apache.spark.sql.functions.col
+    val points = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cents = Array(0 -> Array(0f, 1f), 1 -> Array(1f, 0f))
+    val p = planOf(operators.KMeans.assign(points, cents))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).isEmpty,
+      s"assignment must not shuffle the points:\n$p")
+  }
+
   test("q_text_tokens: single pruned scan, no join/agg shuffle") {
     // HOF lambdas are CodegenFallback in Spark, so no WholeStageCodegen
     // span here; the scale property is the plan shape — a pruned
