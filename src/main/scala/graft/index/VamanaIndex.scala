@@ -96,26 +96,66 @@ object VamanaIndex {
 
   // ---------------------------------------------------------------- persist
 
+  /** shard → routing seed (the lowest-id vector per shard — the same
+    * deterministic representative the shard assignment used). Computed
+    * ONCE per built index and persisted in metadata.json; serving must
+    * never recompute it per call (at 100 TB that would be a full index
+    * scan in front of every query batch). */
+  def routingTable(index: Dataset[IndexRow]): Array[(Int, Array[Float])] = {
+    val s = index.sparkSession
+    import s.implicits._
+    // narrow to (shard, vec_id, embedding) BEFORE the shuffle —
+    // neighbor arrays never leave the scan
+    index
+      .select(col("shard"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .reduceGroups((a: (Int, Long, Array[Float]), b: (Int, Long, Array[Float])) =>
+        if (a._2 < b._2) a else b)
+      .map { case (shard, row) => (shard, row._3) }
+      .collect().sortBy(_._1)
+  }
+
   def save(index: Dataset[IndexRow], params: VamanaParams, path: String): Unit = {
     val s = index.sparkSession
-    // save runs three actions (write, stats, head) — persist so an
-    // unpersisted lazily-built index isn't rebuilt three times
+    // save runs four actions (write, stats, head, routing) — persist so
+    // an unpersisted lazily-built index isn't rebuilt each time
     val wasPersisted = index.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     if (!wasPersisted) index.persist()
     index.write.mode("overwrite").partitionBy("shard").parquet(s"$path/graph")
     val stats = index.agg(
       count(lit(1)), max(size(col("neighbors"))), countDistinct(col("shard"))).head()
     val dim = index.head().embedding.length
+    val routingJson = routingTable(index).map { case (shard, seed) =>
+      s"""{"shard":$shard,"seed":[${seed.mkString(",")}]}"""
+    }.mkString("[", ",", "]")
     val meta =
       s"""{"format":"graft-vamana-v1","dim":$dim,"num_vectors":${stats.getLong(0)},
          |"max_degree_observed":${stats.getInt(1)},"num_shards":${stats.getLong(2)},
          |"metric":"${params.metric}","max_degree":${params.maxDegree},
          |"build_beam_width":${params.buildBeamWidth},"alpha":${params.alpha},
-         |"passes":${params.passes},"extra_seeds":${params.extraSeeds},"seed":${params.seed}}"""
+         |"passes":${params.passes},"extra_seeds":${params.extraSeeds},"seed":${params.seed},
+         |"routing":$routingJson}"""
         .stripMargin.replace("\n", "")
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(s"$path/metadata.json"), meta)
     if (!wasPersisted) index.unpersist()
+  }
+
+  /** Parse the persisted routing table back out of metadata.json (via
+    * Spark's JSON reader — no extra dependency). Float seeds
+    * round-trip exactly: Float.toString is shortest-round-trip, and
+    * double-parse → float restores the bit pattern. */
+  def loadRouting(spark: SparkSession, path: String): Array[(Int, Array[Float])] = {
+    import spark.implicits._
+    val meta = loadMeta(path)
+    spark.read.json(spark.createDataset(Seq(meta)))
+      .selectExpr("explode(routing) AS r")
+      .selectExpr("r.shard", "r.seed")
+      .as[(Long, Array[Double])]
+      .collect()
+      .map { case (shard, seed) => (shard.toInt, seed.map(_.toFloat)) }
+      .sortBy(_._1)
   }
 
   def load(spark: SparkSession, path: String): Dataset[IndexRow] = {
@@ -210,10 +250,14 @@ object VamanaIndex {
 
   /** Routed (probed) search — the 100 TB serving path: each query is
     * routed to its `nprobe` nearest shards (routing table = the shard
-    * seed vectors, tiny and collected once) and ONLY those shards run
-    * beam search for it. With shard-partitioned storage the unprobed
-    * shards' files are never read for that query, and each shard task
-    * searches only the queries routed to it. */
+    * seed vectors, persisted at build time in metadata.json) and ONLY
+    * those shards run beam search for it. With shard-partitioned
+    * storage the unprobed shards' files are never read for that query,
+    * and each shard task searches only the queries routed to it.
+    *
+    * `routing`: pass the build-time table (from [[cachedRouting]] or
+    * [[loadRouting]]). The `None` fallback recomputes it with a full
+    * index pass — acceptable only for ad-hoc exploration. */
   def searchProbed(
       index: Dataset[IndexRow],
       queries: Array[(Long, Array[Float])],
@@ -221,21 +265,11 @@ object VamanaIndex {
       beamWidth: Int,
       params: VamanaParams,
       nprobe: Int,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      routing: Option[Array[(Int, Array[Float])]] = None): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
-    // routing table: seed = lowest-id vector per shard (the same seeds
-    // that defined the shard assignment at build time). Narrow to
-    // (shard, vec_id, embedding) BEFORE the shuffle — neighbor arrays
-    // never leave the scan.
-    val seeds: Array[(Int, Array[Float])] = index
-      .select(col("shard"), col("vec_id"), col("embedding"))
-      .as[(Int, Long, Array[Float])]
-      .groupByKey(_._1)
-      .reduceGroups((a: (Int, Long, Array[Float]), b: (Int, Long, Array[Float])) =>
-        if (a._2 < b._2) a else b)
-      .map { case (shard, row) => (shard, row._3) }
-      .collect().sortBy(_._1)
+    val seeds: Array[(Int, Array[Float])] = routing.getOrElse(routingTable(index))
     val routed: Map[Int, Array[(Long, Array[Float])]] = queries.flatMap { case (qid, qv) =>
       seeds.map { case (shard, sv) =>
         (shard, Metric.L2.eval(qv, 0, sv, 0, qv.length), qid, qv)
@@ -286,6 +320,13 @@ object VamanaIndex {
       idx
     })
 
+  /** Build-time routing table, computed once per cached index — the
+    * in-JVM analog of reading it back from metadata.json. */
+  private val routingCache = TrieMap.empty[String, Array[(Int, Array[Float])]]
+
+  def cachedRouting(s: SparkSession, dir: String): Array[(Int, Array[Float])] =
+    routingCache.getOrElseUpdate(dir, routingTable(cachedIndex(s, dir)))
+
   private def queriesArr(s: SparkSession, dir: String): Array[(Long, Array[Float])] = {
     import s.implicits._
     Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
@@ -314,7 +355,7 @@ object VamanaIndex {
     * ProbedSearchSpec). */
   def qVamanaProbed(s: SparkSession, dir: String): DataFrame =
     searchProbed(cachedIndex(s, dir), queriesArr(s, dir), K, searchBeam, qParams,
-      nprobe = 4, excludeSelf = true)
+      nprobe = 4, excludeSelf = true, routing = Some(cachedRouting(s, dir)))
 
   /** recall@10 vs the exact brute-force ground truth — the evaluation
     * loop every reference example runs (examples/diskann_sift.rs:58-98). */
@@ -365,8 +406,10 @@ object VamanaIndex {
   /** Persistence round-trip: save → load → metadata + integrity row. */
   def qIndexMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // applicationId-scoped path: concurrent same-sf runs must not
+    // clobber each other's round-trip directory
     val sf = dir.replaceAll(".*/", "")
-    val path = s"/tmp/graft_index_$sf"
+    val path = s"/tmp/graft_index_${sf}_${s.sparkContext.applicationId}"
     save(cachedIndex(s, dir), qParams, path)
     val re = load(s, path)
     val meta = loadMeta(path)

@@ -36,4 +36,24 @@ class ProbedSearchSpec extends AnyFunSuite {
     assert(r4 >= 0.7, s"nprobe=4 recall $r4")
     assert(r8 == 1.0, s"nprobe=all recall $r8")
   }
+
+  test("routing table persists in metadata.json and serves identically") {
+    val dir = SparkSpecBase.sf001
+    val idx = VamanaIndex.cachedIndex(spark, dir)
+    val computed = VamanaIndex.routingTable(idx)
+    val path = s"/tmp/graft_routing_spec_${spark.sparkContext.applicationId}"
+    VamanaIndex.save(idx, params, path)
+    val loaded = VamanaIndex.loadRouting(spark, path)
+    assert(loaded.length == computed.length)
+    computed.zip(loaded).foreach { case ((s1, v1), (s2, v2)) =>
+      assert(s1 == s2 && v1.sameElements(v2), s"shard $s1 seed drifted in round-trip")
+    }
+    val qs = Tables.embeddings(spark, dir).filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    val served = VamanaIndex.searchProbed(idx, qs, 10, 64, params, 4,
+      excludeSelf = true, routing = Some(loaded)).collect()
+    val recomputed = VamanaIndex.searchProbed(idx, qs, 10, 64, params, 4,
+      excludeSelf = true).collect()
+    assert(served.sameElements(recomputed))
+  }
 }
