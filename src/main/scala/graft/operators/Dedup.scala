@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -32,6 +32,98 @@ object Dedup {
   private val SimhashMaxHamming = 3
   private val JaccardTau = 0.6
   private val CosineTau = 0.35
+
+  /** Bucket-size cap for the pair-generation skew guard (SURVEY §4):
+    * blocks larger than this are split into deterministic sub-bucket
+    * salts so no single task ever runs an unbounded O(b²) loop. */
+  private[graft] val BucketCap = 1024
+  private[graft] val MaxSalts = 32
+
+  // ------------------------------------------------------- skew guard
+
+  /** Replicate each (block, id, payload) row to its salt-pair tasks.
+    *
+    * Blocks at or under `cap` members keep the single task (0,0). A
+    * block with n > cap members gets S = min(maxSalts, ceil(n/cap))
+    * deterministic salts (salt = id mod S); a member with salt u is
+    * replicated to every task (min(u,x), max(u,x)) for x in [0,S) —
+    * S tasks. Task (i,i) owns within-salt-i pairs; task (i,j), i<j
+    * owns cross pairs, so every unordered pair lands in EXACTLY one
+    * task and the emitted pair set is identical to the unguarded
+    * kernel, while per-task work drops from O(n²) to O((n/S)²)-ish.
+    *
+    * The oversized-block table is found with one narrow count
+    * aggregation (payload pruned before the shuffle) and is tiny by
+    * definition (skewed keys are outliers), so it broadcasts. */
+  private[graft] def saltExplode[V](
+      rows: Dataset[(String, Long, V)], cap: Int, maxSalts: Int)(
+      implicit enc: org.apache.spark.sql.Encoder[(String, Int, Int, Long, Int, V)])
+      : Dataset[(String, Int, Int, Long, Int, V)] = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val over: Map[String, Int] = rows.toDF("block", "id", "payload")
+      .groupBy($"block").agg(count(lit(1)).as("n"))
+      .filter($"n" > cap)
+      .select($"block", $"n").as[(String, Long)].collect()
+      .map { case (b, n) => b -> math.min(maxSalts.toLong, (n + cap - 1) / cap).toInt }
+      .toMap
+    val bc = s.sparkContext.broadcast(over)
+    rows.flatMap { case (block, id, v) =>
+      bc.value.get(block) match {
+        case None => Iterator.single((block, 0, 0, id, 0, v))
+        case Some(ns) =>
+          val u = (id % ns).toInt
+          Iterator.range(0, ns).map(x => (block, math.min(u, x), math.max(u, x), id, u, v))
+      }
+    }
+  }
+
+  /** Skew-guarded within-block pair generation: every unordered pair
+    * of same-block members is offered to `pairFn` exactly once, with
+    * the lower id first; `None` drops the pair. Per-task work is
+    * bounded by the salting in [[saltExplode]]. */
+  private[graft] def saltedPairs[V, O](
+      rows: Dataset[(String, Long, V)], cap: Int = BucketCap, maxSalts: Int = MaxSalts)(
+      pairFn: ((Long, V), (Long, V)) => Option[O])(
+      implicit enc: org.apache.spark.sql.Encoder[(String, Int, Int, Long, Int, V)],
+      encK: org.apache.spark.sql.Encoder[(String, Int, Int)],
+      encO: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
+    saltExplode(rows, cap, maxSalts)
+      .groupByKey { case (block, ti, tj, _, _, _) => (block, ti, tj) }
+      .flatMapGroups { (key: (String, Int, Int), it: Iterator[(String, Int, Int, Long, Int, V)]) =>
+        val (_, ti, tj) = key
+        val members = it.map { case (_, _, _, id, u, v) => (id, u, v) }
+          .toArray.sortInPlaceBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[O]
+        if (ti == tj) {
+          var i = 0
+          while (i < members.length) {
+            var j = i + 1
+            while (j < members.length) {
+              pairFn((members(i)._1, members(i)._3), (members(j)._1, members(j)._3))
+                .foreach(out += _)
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          // cross pairs only: side ti × side tj, lower id first
+          val (si, sj) = members.partition(_._2 == ti)
+          var i = 0
+          while (i < si.length) {
+            var j = 0
+            while (j < sj.length) {
+              val a = si(i); val b = sj(j)
+              val (lo, hi) = if (a._1 < b._1) (a, b) else (b, a)
+              pairFn((lo._1, lo._3), (hi._1, hi._3)).foreach(out += _)
+              j += 1
+            }
+            i += 1
+          }
+        }
+        out.iterator
+      }
+  }
 
   // ---------------------------------------------------------------- exact
 
@@ -151,24 +243,14 @@ object Dedup {
     // A self-join here materializes every band collision as a joined
     // row (tens of millions at sf0.1) before the cheap hamming filter
     // can run — that row plumbing, not the popcounts, was 29s of wall.
-    bands.select($"b", $"band", $"doc_id", $"code")
-      .as[(Int, Long, Long, Long)]
-      .groupByKey { r => (r._1, r._2) }
-      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
-        val arr = it.map { case (_, _, id, code) => (id, code) }.toArray.sortInPlaceBy(_._1)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-        var i = 0
-        while (i < arr.length) {
-          var j = i + 1
-          while (j < arr.length) {
-            val h = java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2)
-            if (h <= SimhashMaxHamming) out += ((arr(i)._1, arr(j)._1, h))
-            j += 1
-          }
-          i += 1
-        }
-        out.iterator
-      }
+    // Hot buckets are split by the saltedPairs skew guard, so a
+    // pathological band value never pins one task on O(b²) work.
+    val rows = bands.select(concat_ws("|", $"b", $"band").as("block"), $"doc_id", $"code")
+      .as[(String, Long, Long)]
+    saltedPairs(rows) { case ((ida, ca), (idb, cb)) =>
+      val h = java.lang.Long.bitCount(ca ^ cb)
+      if (h <= SimhashMaxHamming) Some((ida, idb, h)) else None
+    }
       .toDF("doc_a", "doc_b", "hamming")
       .distinct()
       .orderBy($"doc_a", $"doc_b")
@@ -217,33 +299,21 @@ object Dedup {
     // sorted gram set crosses the shuffle ONCE; pair verification is a
     // local two-pointer merge, and only pairs over the threshold leave
     // the task. A self-join would copy both ~300-string arrays into
-    // every candidate row first.
-    grams.select($"lang", $"bucket", $"doc_id", $"g3")
-      .as[(String, Long, Long, Array[String])]
-      .groupByKey { r => (r._1, r._2) }
-      .flatMapGroups { (_: (String, Long), it: Iterator[(String, Long, Long, Array[String])]) =>
-        val arr = it.map { case (_, _, id, g3) => (id, g3) }.toArray.sortInPlaceBy(_._1)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var i = 0
-        while (i < arr.length) {
-          var j = i + 1
-          while (j < arr.length) {
-            val ga = arr(i)._2; val gb = arr(j)._2
-            var x = 0; var y = 0; var inter = 0
-            while (x < ga.length && y < gb.length) {
-              val c = ga(x).compareTo(gb(y))
-              if (c == 0) { inter += 1; x += 1; y += 1 }
-              else if (c < 0) x += 1
-              else y += 1
-            }
-            val jac = inter.toDouble / (ga.length + gb.length - inter)
-            if (jac >= JaccardTau) out += ((arr(i)._1, arr(j)._1, jac))
-            j += 1
-          }
-          i += 1
-        }
-        out.iterator
+    // every candidate row first. Oversized blocks are salted by the
+    // saltedPairs skew guard so per-task work stays bounded.
+    val rows = grams.select(concat_ws("|", $"lang", $"bucket").as("block"), $"doc_id", $"g3")
+      .as[(String, Long, Array[String])]
+    saltedPairs(rows) { case ((ida, ga), (idb, gb)) =>
+      var x = 0; var y = 0; var inter = 0
+      while (x < ga.length && y < gb.length) {
+        val c = ga(x).compareTo(gb(y))
+        if (c == 0) { inter += 1; x += 1; y += 1 }
+        else if (c < 0) x += 1
+        else y += 1
       }
+      val jac = inter.toDouble / (ga.length + gb.length - inter)
+      if (jac >= JaccardTau) Some((ida, idb, jac)) else None
+    }
       .toDF("doc_a", "doc_b", "jac")
       .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
@@ -268,14 +338,23 @@ object Dedup {
 
   // ---------------------------------------------------------------- embedding
 
-  /** Embedding-cosine near-dup within label blocks (at scale the block
-    * key would be an LSH bucket — see q_lsh_bucket — same join shape). */
+  /** Embedding-cosine near-dup blocked on the 6-plane LSH bucket (the
+    * same deterministic hyperplane family as q_lsh_bucket / q_knn_lsh)
+    * with exact cosine verification inside each bucket.
+    *
+    * Blocking on the hash of the vector itself — instead of a fixed-
+    * cardinality metadata column like `label` — is what makes this
+    * scale: bucket count grows with the plane budget, so candidate
+    * pairs stay O(n²/2^planes) per bucket rather than quadratic in the
+    * corpus, and genuinely similar vectors still collide because the
+    * hyperplane hash is locality-sensitive for cosine. */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("va"))
-    val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("vb"))
-    a.join(b, "label").filter($"id_a" < $"id_b")
+      .withColumn("bucket", expr(VectorQueries.sparkLshBucketN(6)))
+    val a = e.select($"vec_id".as("id_a"), $"bucket", $"embedding".as("va"))
+    val b = e.select($"vec_id".as("id_b"), $"bucket", $"embedding".as("vb"))
+    a.join(b, "bucket").filter($"id_a" < $"id_b")
       .withColumn("cos_sim", lit(1.0) - cosineDist($"va", $"vb"))
       .filter($"cos_sim" >= CosineTau)
       .select($"id_a", $"id_b", round($"cos_sim", 4).as("cos_sim"))
@@ -283,11 +362,15 @@ object Dedup {
   }
 
   val qDedupEmbedSql: String =
-    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, ${VectorQueries.duckLshBucketN(6)} AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |FROM bucketed a JOIN bucketed b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
        |                             CAST(b.embedding AS DOUBLE[])) >= $CosineTau
        |ORDER BY id_a, id_b""".stripMargin

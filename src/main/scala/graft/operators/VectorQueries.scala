@@ -412,7 +412,7 @@ object VectorQueries {
     * deterministic, so both engines compute identical buckets. 16
     * planes → 16-bit bucket. The scale path for cosine near-dup
     * blocking: co-bucket join instead of all-pairs. */
-  private def sparkLshBucketN(planes: Int) =
+  private[graft] def sparkLshBucketN(planes: Int) =
     s"""aggregate(
       |  transform(sequence(0, ${planes - 1}), p -> IF(
       |    aggregate(
@@ -470,7 +470,7 @@ object VectorQueries {
        |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
   }
 
-  private def duckLshBucketN(planes: Int) =
+  private[graft] def duckLshBucketN(planes: Int) =
     s"""CAST(list_sum(list_transform(range(0, $planes), p -> CASE WHEN
        |    list_reduce(list_transform(range(0, 64),
        |      d -> embedding[d + 1] *

@@ -48,6 +48,37 @@ class DedupSemanticsSpec extends AnyFunSuite {
       rows.toSeq.toString)
   }
 
+  test("skew guard: a pathological bucket is salted, work is bounded, pairs are complete") {
+    // 300 members land in ONE block; with cap=20 the guard must split
+    // it into salted tasks yet still offer every unordered pair once.
+    val n = 300; val cap = 20; val maxSalts = 8
+    val rows = spark.range(n)
+      .select(lit("hot").as("block"), col("id"), (col("id") * 7L).as("payload"))
+      .as[(String, Long, Long)]
+    val pairs = operators.Dedup.saltedPairs(rows, cap, maxSalts) {
+      case ((ida, pa), (idb, pb)) => Some((ida, idb, pa + pb))
+    }.collect()
+    assert(pairs.length == n * (n - 1) / 2, s"got ${pairs.length} pairs")
+    assert(pairs.toSet.size == pairs.length, "pair emitted more than once")
+    assert(pairs.forall { case (a, b, sum) => a < b && sum == 7 * (a + b) })
+    // per-task membership is bounded: S=8 salts → ≤ 2·ceil(n/S) members
+    val taskSizes = operators.Dedup.saltExplode(rows, cap, maxSalts)
+      .groupByKey { case (block, ti, tj, _, _, _) => (block, ti, tj) }
+      .mapGroups((_, it) => it.size)
+      .collect()
+    val bound = 2 * ((n + maxSalts - 1) / maxSalts)
+    assert(taskSizes.max <= bound, s"max task ${taskSizes.max} > bound $bound")
+    assert(taskSizes.length == maxSalts * (maxSalts + 1) / 2)
+    // a small block must stay a single task
+    val small = spark.range(5)
+      .select(lit("cold").as("block"), col("id"), col("id").as("payload"))
+      .as[(String, Long, Long)]
+    val smallTasks = operators.Dedup.saltExplode(small, cap, maxSalts)
+      .groupByKey { case (block, ti, tj, _, _, _) => (block, ti, tj) }
+      .mapGroups((_, it) => it.size).collect()
+    assert(smallTasks.sameElements(Array(5)))
+  }
+
   test("exact dedup keeps the lower id of identical texts") {
     val d2 = "/tmp/graft_dedup_exact"
     Seq((5L, "same text", "en", "s", 9L), (9L, "same text", "en", "s", 9L),
