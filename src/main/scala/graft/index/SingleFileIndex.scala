@@ -1,40 +1,134 @@
 package graft.index
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, FileInputStream, FileOutputStream}
-import java.nio.{ByteBuffer, ByteOrder}
+import java.io.RandomAccessFile
+import java.nio.{ByteBuffer, ByteOrder, MappedByteBuffer}
+import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions.size
 
-/** Byte-level interop with the reference's single-file index layout
-  * (reference lib.rs:32-36):
+/** Byte-true interop with the reference's single-file index layout
+  * (reference lib.rs:32-36, 558-614):
   *
-  * `[ metadata_len:u64 ][ metadata ][ vectors (n·dim·f32) ]
-  *  [ adjacency (n·max_degree·u32, padded) ]`
+  * `[ metadata_len:u64 LE ][ metadata (bincode) ]
+  *  [ zero padding up to vectors_offset = 1 MiB ]
+  *  [ vectors (n·dim·elem_size, row-major, LE) ]
+  *  [ adjacency (n·max_degree·u32 LE, 0xFFFFFFFF padding) ]`
   *
-  * differences, by design: metadata is JSON instead of bincode (no
-  * Rust-specific serialization on the JVM), neighbors are written as
-  * row POSITIONS in vec_id order with `0xFFFFFFFF` padding — the same
-  * fixed-degree padded adjacency the reference mmaps (PAD_U32,
-  * reference lib.rs:51). Export streams through `toLocalIterator`
-  * (single-file = single-node by definition — the distributed format
-  * is the shard-partitioned parquet; this exists so an index can move
-  * between graft and a single-node serving process). */
+  * Metadata is the reference's bincode struct (bincode 1.x legacy
+  * encoding: fixed-width little-endian integers, usize as u64, String
+  * as u64 byte-length + UTF-8), fields in declaration order
+  * (reference lib.rs:126-136): dim, num_vectors, max_degree,
+  * medoid_id:u32, vectors_offset:u64, adjacency_offset:u64,
+  * elem_size:u8, distance_name:String. A file written here parses in
+  * rust-diskann's `open_index_with` (reference lib.rs:450-497) and
+  * vice versa; `distance_name` mismatches are warning-only there, as
+  * here.
+  *
+  * graft ids may be sparse; the reference layout has no id region, so
+  * non-dense ids go to a `<path>.ids` sidecar (u64 LE per row) that a
+  * reference reader never touches. Dense 0..n-1 ids write no sidecar
+  * and the file is indistinguishable from a reference-written one.
+  *
+  * `medoid_id` is the entry point of serving searches. The reference
+  * samples 8 random pivots (lib.rs:736-756, thread_rng — so no
+  * byte-reproducible "right" value exists); we use [[VamanaGraph]]'s
+  * deterministic pivot rule (min(64,n) evenly-spaced rows) so the
+  * heap-loaded graph recomputes the identical entry point.
+  */
 object SingleFileIndex {
 
-  private val Pad: Int = -1 // 0xFFFFFFFF as u32 (reference PAD_U32)
+  private val Pad: Int = -1 // 0xFFFFFFFF as u32 (reference PAD_U32, lib.rs:51)
 
+  /** Fixed gap before the vectors region (reference lib.rs:558). */
+  val VectorsOffset: Long = 1L << 20
+
+  /** Parsed reference metadata block. */
+  case class FileMeta(
+      dim: Int, numVectors: Int, maxDegree: Int, medoidId: Int,
+      vectorsOffset: Long, adjacencyOffset: Long, elemSize: Int,
+      distanceName: String)
+
+  /** graft metric name → anndists strategy type name (the string the
+    * reference records via std::any::type_name, lib.rs:606). */
+  private val MetricToName = Map(
+    "l2" -> "anndists::dist::distances::DistL2",
+    "cosine" -> "anndists::dist::distances::DistCosine",
+    "dot" -> "anndists::dist::distances::DistDot",
+    "hamming" -> "anndists::dist::distances::DistHamming")
+
+  private[index] def nameToMetric(name: String): String =
+    MetricToName.collectFirst { case (m, n) if n == name => m }
+      .orElse(Seq("L2", "Cosine", "Dot", "Hamming")
+        .collectFirst { case s if name.contains("Dist" + s) => s.toLowerCase })
+      .getOrElse("l2")
+
+  private def serializeMeta(m: FileMeta): Array[Byte] = {
+    val name = m.distanceName.getBytes(StandardCharsets.UTF_8)
+    val bb = ByteBuffer.allocate(8 * 3 + 4 + 8 * 2 + 1 + 8 + name.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(m.dim.toLong).putLong(m.numVectors.toLong).putLong(m.maxDegree.toLong)
+    bb.putInt(m.medoidId)
+    bb.putLong(m.vectorsOffset).putLong(m.adjacencyOffset)
+    bb.put(m.elemSize.toByte)
+    bb.putLong(name.length.toLong)
+    bb.put(name)
+    bb.array()
+  }
+
+  private def parseMeta(bytes: Array[Byte]): FileMeta = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dim = bb.getLong.toInt
+    val n = bb.getLong.toInt
+    val maxDeg = bb.getLong.toInt
+    val medoid = bb.getInt
+    val vOff = bb.getLong
+    val aOff = bb.getLong
+    val elem = bb.get() & 0xff
+    val nameLen = bb.getLong.toInt
+    val nameBytes = new Array[Byte](nameLen); bb.get(nameBytes)
+    FileMeta(dim, n, maxDeg, medoid, vOff, aOff, elem,
+      new String(nameBytes, StandardCharsets.UTF_8))
+  }
+
+  /** Read just the metadata header of an index file. */
+  def readMeta(path: String): FileMeta = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val lenBytes = new Array[Byte](8); raf.readFully(lenBytes)
+      val mdLen = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN).getLong.toInt
+      val md = new Array[Byte](mdLen); raf.readFully(md)
+      parseMeta(md)
+    } finally raf.close()
+  }
+
+  private def sidecarPath(path: String) = path + ".ids"
+
+  private def loadIds(path: String, n: Int): Array[Long] = {
+    val p = Paths.get(sidecarPath(path))
+    if (!Files.exists(p)) Array.tabulate(n)(_.toLong)
+    else {
+      val bytes = Files.readAllBytes(p)
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      Array.fill(n)(bb.getLong)
+    }
+  }
+
+  /** Export a (typically compacted single-shard) index into the
+    * reference's single-file layout. Streams through
+    * `toLocalIterator` — single-file = single-node by definition; the
+    * distributed format remains the shard-partitioned parquet. */
   def export(index: Dataset[IndexRow], params: VamanaParams, path: String): Unit = {
     val spark = index.sparkSession
     import spark.implicits._
     val sorted = index.orderBy($"vec_id")
-    // one job gathers ids + dim + observed max degree (count/head/agg
-    // would each re-run the sort)
+    // one job gathers ids + dim + observed max degree
     val idDegree = sorted.select($"vec_id", size($"neighbors"), size($"embedding"))
       .as[(Long, Int, Int)].collect()
     require(idDegree.nonEmpty, "cannot export an empty index")
-    val n = idDegree.length.toLong
+    val n = idDegree.length
     val dim = idDegree(0)._3
     // never truncate adjacency: fixed degree = max(params, observed)
     val maxDeg = math.max(params.maxDegree, idDegree.map(_._2).max)
@@ -42,87 +136,135 @@ object SingleFileIndex {
     val idToPos = new java.util.HashMap[java.lang.Long, Integer](ids.length * 2)
     ids.zipWithIndex.foreach { case (id, p) => idToPos.put(id, p) }
 
-    val meta =
-      s"""{"format":"graft-vamana-singlefile-v1","dim":$dim,"num_vectors":$n,
-         |"max_degree":$maxDeg,"metric":"${params.metric}","elem_size":4,
-         |"ids_dense":${ids.zipWithIndex.forall { case (id, p) => id == p.toLong }}}"""
-        .stripMargin.replace("\n", "")
-    val metaBytes = meta.getBytes(StandardCharsets.UTF_8)
+    // medoid pivots: VamanaGraph.medoid's deterministic evenly-spaced
+    // rule, so a heap reload recomputes the same entry point
+    val np = math.min(64, n)
+    val step = math.max(1, n / np)
+    val pivotPos = (0 until np).map(_ * step % n).distinct.toArray
+    val pivotIds = pivotPos.map(ids(_)).toSet
+    val pivotById = sorted.filter($"vec_id".isin(pivotIds.toSeq: _*))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    val pivotVecs = pivotPos.map(p => pivotById(ids(p)))
+    val metric = Metric.byName(params.metric)
+    val isCos = metric eq Metric.Cosine
+    def normFloor(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+      math.max(math.sqrt(s), java.lang.Double.MIN_NORMAL)
+    }
+    val pivotNorms = if (isCos) pivotVecs.map(normFloor) else null
 
-    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    val adjacencyOffset = VectorsOffset + 4L * n * dim
+    val raf = new RandomAccessFile(path, "rw")
     try {
-      val lenBuf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      lenBuf.putLong(metaBytes.length.toLong)
-      out.write(lenBuf.array()); out.write(metaBytes)
-      // vectors region
+      raf.setLength(0)
+      val ch = raf.getChannel
+      val stage = ByteBuffer.allocate(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
+      def flush(): Unit = { stage.flip(); while (stage.hasRemaining) ch.write(stage); stage.clear() }
+      def ensure(k: Int): Unit = if (stage.remaining < k) flush()
+
+      // vectors region (and the medoid argmin in the same pass)
+      ch.position(VectorsOffset)
+      var best = 0; var bestScore = Double.MaxValue
+      var pos = 0
       sorted.select($"vec_id", $"embedding").as[(Long, Array[Float])]
         .toLocalIterator().forEachRemaining { case (_, v) =>
-          val bb = ByteBuffer.allocate(4 * dim).order(ByteOrder.LITTLE_ENDIAN)
-          v.foreach(bb.putFloat); out.write(bb.array())
+          ensure(4 * dim)
+          v.foreach(stage.putFloat)
+          var s = 0.0
+          if (isCos) {
+            val vn = normFloor(v)
+            var p = 0
+            while (p < pivotVecs.length) {
+              val pv = pivotVecs(p)
+              var dot = 0.0; var i = 0
+              while (i < dim) { dot += v(i).toDouble * pv(i).toDouble; i += 1 }
+              s += 1.0 - dot / (vn * pivotNorms(p))
+              p += 1
+            }
+          } else {
+            var p = 0
+            while (p < pivotVecs.length) {
+              s += metric.eval(v, 0, pivotVecs(p), 0, dim); p += 1
+            }
+          }
+          if (s < bestScore) { bestScore = s; best = pos }
+          pos += 1
         }
-      // adjacency region (fixed-degree, padded, as positions)
+      flush()
+
+      // adjacency region (fixed-degree, padded, row positions)
       sorted.select($"vec_id", $"neighbors").as[(Long, Array[Long])]
         .toLocalIterator().forEachRemaining { case (_, nbrs) =>
-          val bb = ByteBuffer.allocate(4 * maxDeg).order(ByteOrder.LITTLE_ENDIAN)
+          ensure(4 * maxDeg)
           var written = 0
           var i = 0
           while (i < nbrs.length) {
             // neighbors outside the exported row set (a filtered subset
             // export) become padding instead of an NPE mid-file
-            val pos = idToPos.get(nbrs(i))
-            if (pos != null && written < maxDeg) { bb.putInt(pos.intValue()); written += 1 }
+            val p = idToPos.get(nbrs(i))
+            if (p != null && written < maxDeg) { stage.putInt(p.intValue()); written += 1 }
             i += 1
           }
-          while (written < maxDeg) { bb.putInt(Pad); written += 1 }
-          out.write(bb.array())
+          while (written < maxDeg) { stage.putInt(Pad); written += 1 }
         }
-      // ids region (u64 LE) — the one extension over the reference
-      // layout, needed because graft ids may be sparse
-      val idsBb = ByteBuffer.allocate(8 * ids.length).order(ByteOrder.LITTLE_ENDIAN)
-      ids.foreach(idsBb.putLong)
-      out.write(idsBb.array())
-    } finally out.close()
+      flush()
+      val endOfData = ch.position()
+
+      // header (reference writes it last too, lib.rs:609-613)
+      val meta = FileMeta(dim, n, maxDeg, best, VectorsOffset, adjacencyOffset, 4,
+        MetricToName.getOrElse(params.metric, params.metric))
+      val md = serializeMeta(meta)
+      require(8 + md.length <= VectorsOffset, "metadata exceeds the 1 MiB gap")
+      ch.position(0)
+      val head = ByteBuffer.allocate(8 + md.length).order(ByteOrder.LITTLE_ENDIAN)
+      head.putLong(md.length.toLong).put(md).flip()
+      while (head.hasRemaining) ch.write(head)
+      raf.setLength(endOfData) // file ends exactly at the adjacency end
+    } finally raf.close()
+
+    // id sidecar only when ids are sparse
+    val dense = ids.zipWithIndex.forall { case (id, p) => id == p.toLong }
+    if (dense) Files.deleteIfExists(Paths.get(sidecarPath(path)))
+    else {
+      val bb = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
+      ids.foreach(bb.putLong)
+      Files.write(Paths.get(sidecarPath(path)), bb.array())
+    }
   }
 
-  /** Load a single-file index fully into a local [[VamanaGraph]] (the
-    * reference's mmap-and-serve mode) plus the id mapping. */
+  /** Load a single-file index fully into a local [[VamanaGraph]] plus
+    * the id mapping — the heap-resident serving mode (for the
+    * disk-resident mode see [[MmapIndex]]). */
   def importLocal(path: String): (VamanaGraph, Array[Long], VamanaParams) = {
-    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path), 1 << 20))
+    val meta = readMeta(path)
+    require(meta.elemSize == 4, s"graft serves f32 indexes; file has elem_size ${meta.elemSize}")
+    val n = meta.numVectors; val dim = meta.dim
+    val raf = new RandomAccessFile(path, "r")
     try {
-      val lenBytes = new Array[Byte](8); in.readFully(lenBytes)
-      val metaLen = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN).getLong.toInt
-      val metaBytes = new Array[Byte](metaLen); in.readFully(metaBytes)
-      val meta = new String(metaBytes, StandardCharsets.UTF_8)
-      def intField(k: String): Long =
-        s""""$k":(\\d+)""".r.findFirstMatchIn(meta).get.group(1).toLong
-      def strField(k: String): String =
-        s""""$k":"([^"]+)"""".r.findFirstMatchIn(meta).get.group(1)
-      require(meta.contains("graft-vamana-singlefile-v1"), s"bad format: $meta")
-      val dim = intField("dim").toInt
-      val n = intField("num_vectors").toInt
-      val maxDeg = intField("max_degree").toInt
-      val metric = strField("metric")
-
       val flat = new Array[Float](n * dim)
+      raf.seek(meta.vectorsOffset)
       val vecBytes = new Array[Byte](4 * dim)
       var i = 0
       while (i < n) {
-        in.readFully(vecBytes)
+        raf.readFully(vecBytes)
         val bb = ByteBuffer.wrap(vecBytes).order(ByteOrder.LITTLE_ENDIAN)
         var d = 0
         while (d < dim) { flat(i * dim + d) = bb.getFloat; d += 1 }
         i += 1
       }
-      val params = VamanaParams(maxDegree = maxDeg, metric = metric)
+      val params = VamanaParams(maxDegree = meta.maxDegree,
+        metric = nameToMetric(meta.distanceName))
       val g = new VamanaGraph(flat, dim, n, params)
-      val adjBytes = new Array[Byte](4 * maxDeg)
+      raf.seek(meta.adjacencyOffset)
+      val adjBytes = new Array[Byte](4 * meta.maxDegree)
       i = 0
       while (i < n) {
-        in.readFully(adjBytes)
+        raf.readFully(adjBytes)
         val bb = ByteBuffer.wrap(adjBytes).order(ByteOrder.LITTLE_ENDIAN)
-        val lst = new scala.collection.mutable.ArrayBuffer[Int](maxDeg)
+        val lst = new scala.collection.mutable.ArrayBuffer[Int](meta.maxDegree)
         var t = 0
-        while (t < maxDeg) {
+        while (t < meta.maxDegree) {
           val p = bb.getInt
           if (p != Pad) lst += p
           t += 1
@@ -130,11 +272,161 @@ object SingleFileIndex {
         g.graph(i) = lst.toArray
         i += 1
       }
-      val idBytes = new Array[Byte](8 * n)
-      in.readFully(idBytes)
-      val idBb = ByteBuffer.wrap(idBytes).order(ByteOrder.LITTLE_ENDIAN)
-      val idArr = Array.fill(n)(idBb.getLong)
-      ((g, idArr, params))
-    } finally in.close()
+      (g, loadIds(path, n), params)
+    } finally raf.close()
   }
+}
+
+/** Disk-resident serving over a reference-layout index file: the file
+  * is memory-mapped (reference lib.rs:450-497 `open_index_with` +
+  * mmap) and beam search reads vectors and adjacency straight from
+  * the mapping — the index is never heap-loaded. The only O(n) heap
+  * state is the cached per-vector norm table for cosine (8n bytes),
+  * mirroring [[VamanaGraph]]'s fused-dot fast path so results are
+  * bit-identical to the heap-resident graph.
+  *
+  * One instance serves one thread (it reuses a per-row scratch
+  * buffer), same contract as VamanaGraph's serving scratch.
+  */
+final class MmapIndex(path: String) extends AutoCloseable {
+  import SingleFileIndex.FileMeta
+
+  val meta: FileMeta = SingleFileIndex.readMeta(path)
+  require(meta.elemSize == 4, s"graft serves f32 indexes; file has elem_size ${meta.elemSize}")
+  val n: Int = meta.numVectors
+  val dim: Int = meta.dim
+  val ids: Array[Long] = {
+    val p = Paths.get(path + ".ids")
+    if (!Files.exists(p)) Array.tabulate(n)(_.toLong)
+    else {
+      val bb = ByteBuffer.wrap(Files.readAllBytes(p)).order(ByteOrder.LITTLE_ENDIAN)
+      Array.fill(n)(bb.getLong)
+    }
+  }
+
+  private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+  require(ch.size() <= Int.MaxValue.toLong,
+    "single-segment mmap serves files up to 2 GiB; shard larger indexes")
+  private val buf: MappedByteBuffer = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
+  buf.order(ByteOrder.LITTLE_ENDIAN)
+
+  private val metricName = SingleFileIndex.nameToMetric(meta.distanceName)
+  private val metric = Metric.byName(metricName)
+  private val isCos = metric eq Metric.Cosine
+  private val rowScratch = new Array[Float](dim)
+
+  @inline private def vecOff(i: Int): Int =
+    (meta.vectorsOffset + i.toLong * dim * 4L).toInt
+  @inline private def adjOff(i: Int): Int =
+    (meta.adjacencyOffset + i.toLong * meta.maxDegree * 4L).toInt
+
+  /** Copy row `i` into a fresh array (reference get_vector, lib.rs:724). */
+  def vector(i: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val off = vecOff(i)
+    var d = 0
+    while (d < dim) { out(d) = buf.getFloat(off + 4 * d); d += 1 }
+    out
+  }
+
+  @inline private def loadRow(i: Int): Unit = {
+    val off = vecOff(i)
+    var d = 0
+    while (d < dim) { rowScratch(d) = buf.getFloat(off + 4 * d); d += 1 }
+  }
+
+  /** cosine norms cached once (same floored form as VamanaGraph). */
+  private val norms: Array[Double] =
+    if (!isCos) null
+    else {
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val off = vecOff(i)
+        var s = 0.0; var d = 0
+        while (d < dim) { val x = buf.getFloat(off + 4 * d).toDouble; s += x * x; d += 1 }
+        out(i) = math.max(math.sqrt(s), java.lang.Double.MIN_NORMAL)
+        i += 1
+      }
+      out
+    }
+
+  @inline private def distQ(q: Array[Float], qNorm: Double, j: Int): Double =
+    if (isCos) {
+      val off = vecOff(j)
+      var dot = 0.0; var i = 0
+      while (i < dim) { dot += q(i).toDouble * buf.getFloat(off + 4 * i).toDouble; i += 1 }
+      1.0 - dot / (qNorm * norms(j))
+    } else {
+      loadRow(j)
+      metric.eval(q, 0, rowScratch, 0, dim)
+    }
+
+  /** Beam search straight off the mapping — same working-set insert
+    * and termination rules as [[VamanaGraph.search]], so the results
+    * match the heap-resident graph exactly. Returns (global id, dist)
+    * ascending. */
+  def search(q: Array[Float], k: Int, beamWidth: Int): Array[(Long, Double)] = {
+    require(q.length == dim, s"query dim ${q.length} != index dim $dim")
+    val bw = math.max(beamWidth, k)
+    val qNorm = if (isCos) {
+      var acc = 0.0; var i = 0
+      while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
+      math.max(math.sqrt(acc), java.lang.Double.MIN_NORMAL)
+    } else 0.0
+
+    val wIds = new Array[Int](bw)
+    val wDists = new Array[Double](bw)
+    var wLen = 0
+    @inline def worstD = if (wLen == 0) Double.PositiveInfinity else wDists(wLen - 1)
+    def wInsert(id: Int, d: Double): Unit = {
+      var pos = wLen
+      while (pos > 0 && (wDists(pos - 1) > d || (wDists(pos - 1) == d && wIds(pos - 1) > id))) pos -= 1
+      if (pos >= bw) return
+      val newLen = math.min(wLen + 1, bw)
+      var m = newLen - 1
+      while (m > pos) { wIds(m) = wIds(m - 1); wDists(m) = wDists(m - 1); m -= 1 }
+      wIds(pos) = id; wDists(pos) = d
+      wLen = newLen
+    }
+
+    val visited = new java.util.HashSet[Integer](bw * 4)
+    val frontier = new java.util.PriorityQueue[Array[Double]](64,
+      (a: Array[Double], b: Array[Double]) => {
+        val c = java.lang.Double.compare(a(0), b(0))
+        if (c != 0) c else java.lang.Double.compare(a(1), b(1))
+      })
+
+    val entry = meta.medoidId
+    val d0 = distQ(q, qNorm, entry)
+    visited.add(entry); wInsert(entry, d0); frontier.add(Array(d0, entry.toDouble))
+
+    var done = false
+    while (!done && !frontier.isEmpty) {
+      val top = frontier.peek()
+      if (wLen >= bw && top(0) >= worstD) done = true
+      else {
+        frontier.poll()
+        val cur = top(1).toInt
+        val aOff = adjOff(cur)
+        var t = 0
+        while (t < meta.maxDegree) {
+          val nb = buf.getInt(aOff + 4 * t)
+          if (nb != -1 && visited.add(nb)) {
+            val d = distQ(q, qNorm, nb)
+            if (wLen < bw || d < worstD || (d == worstD && nb < wIds(wLen - 1))) {
+              wInsert(nb, d); frontier.add(Array(d, nb.toDouble))
+            }
+          }
+          t += 1
+        }
+      }
+    }
+    val out = new Array[(Long, Double)](math.min(k, wLen))
+    var i = 0
+    while (i < out.length) { out(i) = (ids(wIds(i)), wDists(i)); i += 1 }
+    out
+  }
+
+  override def close(): Unit = ch.close()
 }

@@ -1,22 +1,33 @@
 package graft
 
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
 import org.scalatest.funsuite.AnyFunSuite
-import graft.index.{SingleFileIndex, VamanaIndex, VamanaParams}
+import graft.index.{MmapIndex, SingleFileIndex, VamanaIndex, VamanaParams}
 
 /** Byte-level single-file interop (reference lib.rs file layout): a
   * compacted (single-shard → single connected graph) index exported
-  * to one file must serve identical results when loaded back into the
-  * local mmap-style kernel. */
+  * to one file must parse as the reference's exact byte layout, serve
+  * identical results when heap-loaded, and serve identical results
+  * again straight off the mmap without heap-loading vectors. */
 class SingleFileIndexSpec extends AnyFunSuite {
   private lazy val spark = SparkSpecBase.spark
   import spark.implicits._
 
   private val params = VamanaParams(maxDegree = 16, buildBeamWidth = 32, metric = "cosine")
 
+  private lazy val path: String = {
+    val vecs = Tables.embeddings(spark, SparkSpecBase.sf001)
+    val idx = VamanaIndex.build(vecs, params, numShards = 1)
+    val p = "/tmp/graft_single.idx"
+    SingleFileIndex.export(idx, params, p)
+    p
+  }
+
   test("export → importLocal round-trips vectors, adjacency, ids, and search") {
     val vecs = Tables.embeddings(spark, SparkSpecBase.sf001)
     val idx = VamanaIndex.build(vecs, params, numShards = 1)
-    val path = "/tmp/graft_single.idx"
     SingleFileIndex.export(idx, params, path)
 
     val (g, ids, p2) = SingleFileIndex.importLocal(path)
@@ -40,5 +51,70 @@ class SingleFileIndexSpec extends AnyFunSuite {
 
     // adjacency degrees bounded as written
     assert(g.graph.forall(_.length <= 16))
+  }
+
+  test("file bytes follow the reference layout exactly") {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // [metadata_len: u64 LE][bincode metadata]
+    val mdLen = bb.getLong
+    assert(mdLen > 0 && mdLen < (1 << 20) - 8, s"metadata_len $mdLen")
+    // bincode legacy fixint fields in struct declaration order
+    val dim = bb.getLong.toInt
+    val n = bb.getLong.toInt
+    val maxDeg = bb.getLong.toInt
+    val medoid = bb.getInt
+    val vOff = bb.getLong
+    val aOff = bb.getLong
+    val elem = bb.get() & 0xff
+    val nameLen = bb.getLong.toInt
+    val nameBytes = new Array[Byte](nameLen); bb.get(nameBytes)
+    val name = new String(nameBytes, "UTF-8")
+    assert(bb.position() == 8 + mdLen, "bincode length must equal metadata_len")
+
+    assert(dim == 64 && elem == 4)
+    assert(medoid >= 0 && medoid < n)
+    assert(name == "anndists::dist::distances::DistCosine")
+    // 1 MiB vectors_offset gap, adjacency immediately after vectors,
+    // file ends at the adjacency end (reference lib.rs:558-595)
+    assert(vOff == (1L << 20), s"vectors_offset $vOff")
+    assert(aOff == vOff + 4L * n * dim, s"adjacency_offset $aOff")
+    assert(bytes.length.toLong == aOff + 4L * n * maxDeg, s"file length ${bytes.length}")
+
+    // vectors region holds the corpus row-major LE: row 0 == vec_id 0
+    val first = Tables.embeddings(spark, SparkSpecBase.sf001)
+      .filter($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+    val vbb = ByteBuffer.wrap(bytes, (1 << 20), 4 * dim).order(ByteOrder.LITTLE_ENDIAN)
+    first.foreach(f => assert(vbb.getFloat == f))
+
+    // adjacency is u32 positions or 0xFFFFFFFF padding
+    val abb = ByteBuffer.wrap(bytes, aOff.toInt, 4 * maxDeg).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until maxDeg).foreach { _ =>
+      val v = abb.getInt
+      assert(v == -1 || (v >= 0 && v < n))
+    }
+  }
+
+  test("mmap serving matches the heap-loaded graph without loading vectors") {
+    val (g, ids, _) = SingleFileIndex.importLocal(path)
+    val mm = new MmapIndex(path)
+    try {
+      assert(mm.n == g.n && mm.dim == g.dim)
+      // the persisted entry point is the deterministic medoid the heap
+      // graph recomputes
+      assert(mm.meta.medoidId == g.medoid)
+      // vectors read lazily off the mapping match the heap copy
+      (0 until math.min(10, mm.n)).foreach { i =>
+        assert(mm.vector(i).sameElements(java.util.Arrays.copyOfRange(g.vecs, i * g.dim, (i + 1) * g.dim)))
+      }
+      val queries = Tables.embeddings(spark, SparkSpecBase.sf001)
+        .filter($"vec_id" % 100 === 0)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      queries.foreach { case (qid, qv) =>
+        val heap = g.search(qv, 5, 32).map { case (pos, d) => (ids(pos), d) }.toSeq
+        val mmap = mm.search(qv, 5, 32).toSeq
+        assert(mmap == heap, s"query $qid: mmap $mmap vs heap $heap")
+      }
+    } finally mm.close()
   }
 }
