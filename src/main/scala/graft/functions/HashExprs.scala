@@ -183,10 +183,14 @@ case class WordShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Distinct character n-grams, sorted by JVM String order — the same
-  * comparator the pair-merge kernel in Dedup uses, so sortedness is
-  * consistent for ALL inputs (for ASCII this equals UTF8 binary order
-  * and the SQL `array_sort(array_distinct(...))` form). */
+/** Distinct character n-grams, sorted in UTF8 binary (= Unicode code
+  * point) order — the SAME collation [[SortedIntersectCount]] merges
+  * in and Spark's `array_sort` sorts strings in, so sortedness is
+  * consistent for ALL inputs including surrogate-range text (JVM
+  * String order would diverge there: UTF-16 code units place
+  * supplementary characters below U+E000..U+FFFF). Consumers merging
+  * the decoded JVM strings must compare code points
+  * ([[SharedHash.codePointCompare]]), not String.compareTo. */
 case class CharNGramsSorted(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "graft_char_ngrams_sorted"
@@ -199,15 +203,15 @@ case class CharNGramsSorted(child: Expression, n: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString
-    val set = new java.util.TreeSet[String]()
+    val set = new java.util.TreeSet[UTF8String]()
     var i = 0
     while (i + n <= s.length) {
-      set.add(s.substring(i, i + n))
+      set.add(UTF8String.fromString(s.substring(i, i + n)))
       i += 1
     }
     val arr = new Array[AnyRef](set.size)
     val it = set.iterator(); var k = 0
-    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 

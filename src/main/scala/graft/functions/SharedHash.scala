@@ -13,6 +13,23 @@ package graft.functions
 object SharedHash {
   val P = 1000000007L
 
+  /** Unicode code-point order over JVM strings — equals UTF-8 binary
+    * order (what UTF8String.compareTo, Spark's array_sort, and
+    * [[graft.functions.SortedIntersectCount]] use). String.compareTo
+    * diverges for supplementary characters, whose UTF-16 surrogate
+    * units sort below U+E000..U+FFFF; any kernel merging arrays
+    * produced by [[graft.functions.CharNGramsSorted]] must use THIS
+    * comparator. */
+  def codePointCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** MinHash permutation parameters: h_j(x) = (a_j·x + b_j) mod P. */
   case class Perm(a: Long, b: Long)
   def perms(n: Int): Seq[Perm] = (0 until n).map(j => Perm(2L * j + 1, 7919L * j + 13))

@@ -306,7 +306,10 @@ object Dedup {
     saltedPairs(rows) { case ((ida, ga), (idb, gb)) =>
       var x = 0; var y = 0; var inter = 0
       while (x < ga.length && y < gb.length) {
-        val c = ga(x).compareTo(gb(y))
+        // g3 arrays are sorted in code-point (UTF8 binary) order by
+        // CharNGramsSorted; String.compareTo would mis-merge
+        // surrogate-range grams
+        val c = SharedHash.codePointCompare(ga(x), gb(y))
         if (c == 0) { inter += 1; x += 1; y += 1 }
         else if (c < 0) x += 1
         else y += 1

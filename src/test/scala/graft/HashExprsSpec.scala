@@ -41,6 +41,31 @@ class HashExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram collation is code-point order even for surrogate-range text") {
+    // U+1F600 (surrogate pair in UTF-16) must sort ABOVE U+E000-U+FFFF
+    // in code-point order; JVM String order would invert them. The
+    // producer (CharNGramsSorted), Spark's array_sort, and the merge
+    // consumers (SortedIntersectCount, SharedHash.codePointCompare)
+    // must all agree on one collation.
+    val tricky = "ab😀c" // a, U+E000, b, U+1F600, c
+    val native = Seq(tricky).toDF("text")
+      .select(HashExprs.charNGramsSorted($"text", 2).as("native"))
+      .collect()(0).getSeq[String](0)
+    // self-intersection through the binary merge sees every element —
+    // fails if the array order disagrees with UTF8String.compareTo
+    val selfCount = Seq(tricky).toDF("text")
+      .select(graft.functions.SetExprs.sortedIntersectCount(
+        HashExprs.charNGramsSorted($"text", 2),
+        HashExprs.charNGramsSorted($"text", 2)).as("c"))
+      .collect()(0).getInt(0)
+    assert(selfCount == native.size)
+    // kernel comparator sees the produced array as strictly ascending
+    native.sliding(2).foreach {
+      case Seq(x, y) => assert(functions.SharedHash.codePointCompare(x, y) < 0, s"$x !< $y")
+      case _ =>
+    }
+  }
+
   test("native SimHash62 == SQL fragment on token hashes") {
     val df = Seq("the quick brown fox", "spark spark spark streams", "one")
       .toDF("text")
