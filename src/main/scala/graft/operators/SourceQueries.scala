@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorExprs._
-import graft.sources.VecsFormats
+import graft.sources.{AnnHdf5, VecsFormats}
 
 /** Source round-trip queries: prove the reference's benchmark file
   * formats move losslessly through the engine. */
@@ -32,8 +32,38 @@ object SourceQueries {
       |                              CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** embeddings → ann-benchmarks HDF5 (`train` f32 dataset) on disk →
+    * distributed read-back → per-vector L2 norm. f32 is byte-lossless
+    * through the file, so the oracle computes the same norms straight
+    * from the parquet table (same contract as the fvecs round-trip).
+    * The write streams through `toLocalIterator`; the read fans row
+    * ranges out across executors. */
+  def qHdf5Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sf = dir.replaceAll(".*/", "")
+    val path = s"/tmp/graft_ann_${sf}_${s.sparkContext.applicationId}.hdf5"
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding").orderBy($"vec_id")
+    val (rows, dim) = {
+      val r = emb.agg(count(lit(1)), first(size($"embedding"))).head()
+      (r.getLong(0).toInt, r.getInt(1))
+    }
+    AnnHdf5.write(path, Seq(AnnHdf5.FloatMatrix("train", rows, dim,
+      () => {
+        import scala.jdk.CollectionConverters._
+        emb.as[(Long, Array[Float])].toLocalIterator().asScala.map(_._2)
+      })))
+    AnnHdf5.readFloatMatrix(s, path, "train")
+      .select($"vec_id",
+        round(sqrt(dotProduct($"embedding", $"embedding")), 4).as("l2_norm"))
+      .orderBy($"vec_id")
+  }
+
+  val qHdf5RoundtripSql: String = qVecsRoundtripSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_vecs_roundtrip" -> (qVecsRoundtrip(_, _)))
+    "q_vecs_roundtrip" -> (qVecsRoundtrip(_, _)),
+    "q_hdf5_roundtrip" -> (qHdf5Roundtrip(_, _)))
   val oracles: Map[String, String] = Map(
-    "q_vecs_roundtrip" -> qVecsRoundtripSql)
+    "q_vecs_roundtrip" -> qVecsRoundtripSql,
+    "q_hdf5_roundtrip" -> qHdf5RoundtripSql)
 }

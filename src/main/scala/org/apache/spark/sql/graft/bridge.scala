@@ -17,4 +17,13 @@ object bridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Ship a Hadoop Configuration to executors
+    * (`org.apache.spark.util.SerializableConfiguration` is
+    * private[spark]); pair with [[hadoopConfOf]] on the task side. */
+  def serializableHadoopConf(conf: org.apache.hadoop.conf.Configuration): java.io.Serializable =
+    new org.apache.spark.util.SerializableConfiguration(conf)
+
+  def hadoopConfOf(s: java.io.Serializable): org.apache.hadoop.conf.Configuration =
+    s.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
 }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.sources.AnnHdf5
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.index.{StreamingIndex, VamanaIndex, VamanaParams}
@@ -93,5 +95,42 @@ class SourcesSpec extends AnyFunSuite {
       .collect().sorted
     assert(res.toSeq == Seq((100L, 1, 1L), (100L, 2, 2L), (200L, 1, 4L), (200L, 2, 3L)),
       res.toSeq.toString)
+  }
+
+  test("ann-benchmarks HDF5: write → parse → distributed read round-trips all datasets") {
+    val path = "/tmp/graft_ann_spec.hdf5"
+    val train = Array.tabulate(37, 5)((r, c) => (r * 10 + c).toFloat / 7f)
+    val test = Array.tabulate(4, 5)((r, c) => (r - c).toFloat)
+    val neighbors = Array.tabulate(4, 3)((r, c) => (r * 3 + c).toLong)
+    val distances = Array.tabulate(4, 3)((r, c) => r * 0.5f + c)
+    AnnHdf5.write(path, Seq(
+      AnnHdf5.FloatMatrix.of("train", train),
+      AnnHdf5.FloatMatrix.of("test", test),
+      AnnHdf5.LongMatrix.of("neighbors", neighbors),
+      AnnHdf5.FloatMatrix.of("distances", distances)))
+
+    val metas = AnnHdf5.listDatasets(spark, path)
+    assert(metas.keySet == Set("train", "test", "neighbors", "distances"))
+    assert(metas("train").rows == 37 && metas("train").cols == 5)
+    assert(metas("train").kind == 'f' && metas("train").elemSize == 4)
+    assert(metas("neighbors").kind == 'i' && metas("neighbors").elemSize == 8)
+
+    val gotTrain = AnnHdf5.readFloatMatrix(spark, path, "train")
+      .orderBy("vec_id").as[(Long, Array[Float])].collect()
+    assert(gotTrain.length == 37)
+    gotTrain.foreach { case (id, row) => assert(row.sameElements(train(id.toInt))) }
+
+    val gotNbrs = AnnHdf5.readIntMatrix(spark, path, "neighbors")
+      .orderBy("query_id").as[(Long, Array[Long])].collect()
+    gotNbrs.foreach { case (id, row) => assert(row.sameElements(neighbors(id.toInt))) }
+
+    // the file signature is the HDF5 magic — any conformant tool
+    // recognizes it
+    val head = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)).take(8)
+    assert(head.sameElements(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')))
+
+    // wrong-kind access and unknown datasets fail loudly
+    intercept[Exception](AnnHdf5.readFloatMatrix(spark, path, "neighbors"))
+    intercept[Exception](AnnHdf5.readFloatMatrix(spark, path, "nope"))
   }
 }
