@@ -144,6 +144,77 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Random-hyperplane LSH bucket of an `array<float>` vector: bit p of
+  * the result is the sign of ⟨v, h_p⟩ for the deterministic LCG-derived
+  * hyperplane family h_p[d] = ((1103515245·(p·64+d) + 12345) mod 2³¹)
+  * / 2³¹ − 0.5 — bit-identical to the SQL HOF fragment
+  * (`VectorQueries.sparkLshBucketN`) and its DuckDB replay, but
+  * codegen'd: the interpreted `aggregate(transform(sequence))` chain
+  * allocates per element; this is one fused loop over a constant
+  * coefficient table. Plane seeds stride by 64, matching the SQL form
+  * on the 64-dim corpus (dims beyond 64 are ignored). */
+case class LshBucket(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_lsh_bucket"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${t.simpleString}")
+  }
+
+  @transient private lazy val coefs: Array[Double] = LshBucket.coefs(planes)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val lim = math.min(arr.numElements(), 64)
+    val cs = coefs
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      val base = p * 64
+      var d = 0
+      while (d < lim) { acc += arr.getFloat(d).toDouble * cs(base + d); d += 1 }
+      if (acc > 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cs = ctx.addReferenceObj("lshCoefs", coefs, "double[]")
+      val lim = ctx.freshName("lim"); val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |final int $lim = Math.min($v.numElements(), 64);
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $acc = 0.0;
+         |  final int base = $p * 64;
+         |  for (int $d = 0; $d < $lim; $d++) {
+         |    $acc += (double) $v.getFloat($d) * $cs[base + $d];
+         |  }
+         |  if ($acc > 0.0) $bucket |= (1L << $p);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object LshBucket {
+  /** Hyperplane coefficients, index p·64+d — the LCG recurrence both
+    * SQL dialects replay. */
+  def coefs(planes: Int): Array[Double] = Array.tabulate(planes * 64) { i =>
+    ((1103515245L * i + 12345L) % 2147483648L) / 2147483648.0 - 0.5
+  }
+}
+
 /** Column-API entry points (and SQL registration for `expr(...)` use). */
 object VectorExprs {
   private def col2(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
@@ -152,6 +223,8 @@ object VectorExprs {
   def l2Dist(a: Column, b: Column): Column = col2(L2Distance)(a, b)
   def cosineDist(a: Column, b: Column): Column = col2(CosineDistance)(a, b)
   def dotProduct(a: Column, b: Column): Column = col2(DotProduct)(a, b)
+  def lshBucket(v: Column, planes: Int): Column =
+    bridge.column(LshBucket(bridge.expression(v), planes))
 
   /** Register every graft expression as a SQL function (idempotent) —
     * makes the full surface usable from `spark.sql(...)`. */
@@ -160,6 +233,8 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("graft_l2_distance", es => L2Distance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine_distance", es => CosineDistance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_lsh_bucket",
+      es => LshBucket(es.head, es(1).eval(null).asInstanceOf[Number].intValue), "scala_udf")
     reg.createOrReplaceTempFunction("graft_roll_hash", es => RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash62", es => SimHash62(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_sorted_intersect_count",

@@ -354,7 +354,7 @@ object Dedup {
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-      .withColumn("bucket", expr(VectorQueries.sparkLshBucketN(6)))
+      .withColumn("bucket", graft.functions.VectorExprs.lshBucket($"embedding", 6))
     val a = e.select($"vec_id".as("id_a"), $"bucket", $"embedding".as("va"))
     val b = e.select($"vec_id".as("id_b"), $"bucket", $"embedding".as("vb"))
     a.join(b, "bucket").filter($"id_a" < $"id_b")

@@ -214,8 +214,11 @@ object TextAnalysis {
       .withColumn("norm", array_join(array_sort(array_distinct($"words")), " "))
       .select(
         $"doc_id",
-        expr(sparkRoll("text")).as("fp_raw"),
-        expr(sparkRoll("norm")).as("fp_norm"))
+        // native RollingHash (== the sparkRoll SQL fragment, pinned in
+        // HashExprsSpec): the interpreted per-character HOF chain was
+        // the single slowest projection in the honest bench
+        graft.functions.HashExprs.rollHash($"text").as("fp_raw"),
+        graft.functions.HashExprs.rollHash($"norm").as("fp_norm"))
       .orderBy($"doc_id")
   }
 

@@ -428,7 +428,7 @@ object VectorQueries {
   def qLshBucket(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
-      .select($"vec_id", expr(sparkLshBucket).as("bucket"))
+      .select($"vec_id", lshBucket($"embedding", 16).as("bucket"))
       .orderBy($"vec_id")
   }
 
@@ -441,7 +441,7 @@ object VectorQueries {
   def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bucketed = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding", expr(sparkLshBucketN(6)).as("bucket"))
+      .select($"vec_id", $"embedding", lshBucket($"embedding", 6).as("bucket"))
     val q = bucketed.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket")
     val d = bucketed.join(broadcast(q), "bucket")

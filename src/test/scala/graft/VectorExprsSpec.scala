@@ -48,4 +48,16 @@ class VectorExprsSpec extends AnyFunSuite {
     val n = spark.sql("SELECT graft_cosine_distance(a, b) AS d FROM vex").count()
     assert(n == 3)
   }
+
+  test("native LshBucket == interpreted SQL HOF fragment on real embeddings") {
+    import org.apache.spark.sql.functions.expr
+    val emb = Tables.embeddings(spark, SparkSpecBase.sf001)
+    Seq(6, 16).foreach { planes =>
+      val cmp = emb.select(
+        lshBucket($"embedding", planes).as("native"),
+        expr(operators.VectorQueries.sparkLshBucketN(planes)).as("sql")).collect()
+      cmp.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"planes=$planes: ${r.getLong(0)} vs ${r.getLong(1)}"))
+    }
+  }
 }
