@@ -32,6 +32,10 @@ object GraftANN {
 
     lazy val metadataJson: String = VamanaIndex.loadMeta(path)
 
+    /** Build-time routing table read back from metadata.json — probed
+      * serving must never rescan the index to recover it. */
+    lazy val routing: Array[(Int, Array[Float])] = VamanaIndex.loadRouting(spark, path)
+
     def numVectors: Long = index.count()
 
     def dim: Int = index.head().embedding.length
@@ -49,7 +53,8 @@ object GraftANN {
     /** Routed batch search: each query probes only its `nprobe`
       * nearest shards (the partition-pruned serving path). */
     def searchProbed(queries: DataFrame, k: Int, beamWidth: Int, nprobe: Int): DataFrame =
-      VamanaIndex.searchProbed(index, collectQueries(queries), k, beamWidth, params, nprobe)
+      VamanaIndex.searchProbed(index, collectQueries(queries), k, beamWidth, params, nprobe,
+        routing = Some(routing))
 
     /** Single-vector search, reference `search_with_dists` analog. */
     def searchVector(q: Array[Float], k: Int, beamWidth: Int): Array[(Long, Double)] = {

@@ -147,6 +147,14 @@ object SingleFileIndex {
     val pivotVecs = pivotPos.map(p => pivotById(ids(p)))
     val metric = Metric.byName(params.metric)
     val isCos = metric eq Metric.Cosine
+    // Hamming indexes pack bit-per-slot vectors into u64 words — the
+    // reference's native DiskANN<u64, DistHamming> element type
+    // (reference lib.rs:23-29): elem_size 8, file dim = word count,
+    // popcount distances identical to the unpacked slot count.
+    val packed = metric eq Metric.Hamming
+    val words = (dim + 63) / 64
+    val elemSize = if (packed) 8 else 4
+    val fileDim = if (packed) words else dim
     def normFloor(v: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
@@ -154,7 +162,7 @@ object SingleFileIndex {
     }
     val pivotNorms = if (isCos) pivotVecs.map(normFloor) else null
 
-    val adjacencyOffset = VectorsOffset + 4L * n * dim
+    val adjacencyOffset = VectorsOffset + elemSize.toLong * n * fileDim
     val raf = new RandomAccessFile(path, "rw")
     try {
       raf.setLength(0)
@@ -169,8 +177,26 @@ object SingleFileIndex {
       var pos = 0
       sorted.select($"vec_id", $"embedding").as[(Long, Array[Float])]
         .toLocalIterator().forEachRemaining { case (_, v) =>
-          ensure(4 * dim)
-          v.foreach(stage.putFloat)
+          if (packed) {
+            ensure(8 * words)
+            var w = 0
+            while (w < words) {
+              var word = 0L
+              var b = 0
+              while (b < 64 && w * 64 + b < dim) {
+                val slot = v(w * 64 + b)
+                require(slot == 0f || slot == 1f,
+                  "hamming export expects bit-per-slot {0,1} vectors")
+                if (slot != 0f) word |= (1L << b)
+                b += 1
+              }
+              stage.putLong(word)
+              w += 1
+            }
+          } else {
+            ensure(4 * dim)
+            v.foreach(stage.putFloat)
+          }
           var s = 0.0
           if (isCos) {
             val vn = normFloor(v)
@@ -212,7 +238,7 @@ object SingleFileIndex {
       val endOfData = ch.position()
 
       // header (reference writes it last too, lib.rs:609-613)
-      val meta = FileMeta(dim, n, maxDeg, best, VectorsOffset, adjacencyOffset, 4,
+      val meta = FileMeta(fileDim, n, maxDeg, best, VectorsOffset, adjacencyOffset, elemSize,
         MetricToName.getOrElse(params.metric, params.metric))
       val md = serializeMeta(meta)
       require(8 + md.length <= VectorsOffset, "metadata exceeds the 1 MiB gap")
@@ -238,23 +264,43 @@ object SingleFileIndex {
     * disk-resident mode see [[MmapIndex]]). */
   def importLocal(path: String): (VamanaGraph, Array[Long], VamanaParams) = {
     val meta = readMeta(path)
-    require(meta.elemSize == 4, s"graft serves f32 indexes; file has elem_size ${meta.elemSize}")
-    val n = meta.numVectors; val dim = meta.dim
+    val metricName = nameToMetric(meta.distanceName)
+    val packed = meta.elemSize == 8 && metricName == "hamming"
+    require(meta.elemSize == 4 || packed,
+      s"graft serves f32 (or packed-u64 hamming) indexes; file has " +
+        s"elem_size ${meta.elemSize} with distance ${meta.distanceName}")
+    val n = meta.numVectors
+    // a packed u64 hamming file records dim in WORDS; the in-memory
+    // graph works bit-per-slot (64 float slots per word — identical
+    // popcount distances, reference lib.rs:23-29)
+    val dim = if (packed) meta.dim * 64 else meta.dim
     val raf = new RandomAccessFile(path, "r")
     try {
       val flat = new Array[Float](n * dim)
       raf.seek(meta.vectorsOffset)
-      val vecBytes = new Array[Byte](4 * dim)
+      val vecBytes = new Array[Byte](meta.elemSize * meta.dim)
       var i = 0
       while (i < n) {
         raf.readFully(vecBytes)
         val bb = ByteBuffer.wrap(vecBytes).order(ByteOrder.LITTLE_ENDIAN)
-        var d = 0
-        while (d < dim) { flat(i * dim + d) = bb.getFloat; d += 1 }
+        if (packed) {
+          var w = 0
+          while (w < meta.dim) {
+            val word = bb.getLong
+            var b = 0
+            while (b < 64) {
+              flat(i * dim + w * 64 + b) = if (((word >>> b) & 1L) != 0) 1f else 0f
+              b += 1
+            }
+            w += 1
+          }
+        } else {
+          var d = 0
+          while (d < dim) { flat(i * dim + d) = bb.getFloat; d += 1 }
+        }
         i += 1
       }
-      val params = VamanaParams(maxDegree = meta.maxDegree,
-        metric = nameToMetric(meta.distanceName))
+      val params = VamanaParams(maxDegree = meta.maxDegree, metric = metricName)
       val g = new VamanaGraph(flat, dim, n, params)
       raf.seek(meta.adjacencyOffset)
       val adjBytes = new Array[Byte](4 * meta.maxDegree)
@@ -292,9 +338,15 @@ final class MmapIndex(path: String) extends AutoCloseable {
   import SingleFileIndex.FileMeta
 
   val meta: FileMeta = SingleFileIndex.readMeta(path)
-  require(meta.elemSize == 4, s"graft serves f32 indexes; file has elem_size ${meta.elemSize}")
+  private val metricName0 = SingleFileIndex.nameToMetric(meta.distanceName)
+  /** packed u64 hamming file (reference DiskANN<u64, DistHamming>):
+    * file dim counts words; queries/vectors are bit-per-slot. */
+  private val packed = meta.elemSize == 8 && metricName0 == "hamming"
+  require(meta.elemSize == 4 || packed,
+    s"graft serves f32 (or packed-u64 hamming) indexes; file has " +
+      s"elem_size ${meta.elemSize} with distance ${meta.distanceName}")
   val n: Int = meta.numVectors
-  val dim: Int = meta.dim
+  val dim: Int = if (packed) meta.dim * 64 else meta.dim
   val ids: Array[Long] = {
     val p = Paths.get(path + ".ids")
     if (!Files.exists(p)) Array.tabulate(n)(_.toLong)
@@ -310,22 +362,33 @@ final class MmapIndex(path: String) extends AutoCloseable {
   private val buf: MappedByteBuffer = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
   buf.order(ByteOrder.LITTLE_ENDIAN)
 
-  private val metricName = SingleFileIndex.nameToMetric(meta.distanceName)
-  private val metric = Metric.byName(metricName)
+  private val metric = Metric.byName(metricName0)
   private val isCos = metric eq Metric.Cosine
   private val rowScratch = new Array[Float](dim)
+  private val packedQ = if (packed) new Array[Long](meta.dim) else null
 
   @inline private def vecOff(i: Int): Int =
-    (meta.vectorsOffset + i.toLong * dim * 4L).toInt
+    (meta.vectorsOffset + i.toLong * meta.dim * meta.elemSize).toInt
   @inline private def adjOff(i: Int): Int =
     (meta.adjacencyOffset + i.toLong * meta.maxDegree * 4L).toInt
 
-  /** Copy row `i` into a fresh array (reference get_vector, lib.rs:724). */
+  /** Copy row `i` into a fresh array (reference get_vector, lib.rs:724);
+    * packed rows come back bit-per-slot. */
   def vector(i: Int): Array[Float] = {
     val out = new Array[Float](dim)
     val off = vecOff(i)
-    var d = 0
-    while (d < dim) { out(d) = buf.getFloat(off + 4 * d); d += 1 }
+    if (packed) {
+      var w = 0
+      while (w < meta.dim) {
+        val word = buf.getLong(off + 8 * w)
+        var b = 0
+        while (b < 64) { out(w * 64 + b) = if (((word >>> b) & 1L) != 0) 1f else 0f; b += 1 }
+        w += 1
+      }
+    } else {
+      var d = 0
+      while (d < dim) { out(d) = buf.getFloat(off + 4 * d); d += 1 }
+    }
     out
   }
 
@@ -352,7 +415,17 @@ final class MmapIndex(path: String) extends AutoCloseable {
     }
 
   @inline private def distQ(q: Array[Float], qNorm: Double, j: Int): Double =
-    if (isCos) {
+    if (packed) {
+      // reference serving math: popcount over xor'd u64 words, equal
+      // to the unpacked differing-slot count for {0,1} vectors
+      val off = vecOff(j)
+      var c = 0; var w = 0
+      while (w < meta.dim) {
+        c += java.lang.Long.bitCount(packedQ(w) ^ buf.getLong(off + 8 * w))
+        w += 1
+      }
+      c.toDouble
+    } else if (isCos) {
       val off = vecOff(j)
       var dot = 0.0; var i = 0
       while (i < dim) { dot += q(i).toDouble * buf.getFloat(off + 4 * i).toDouble; i += 1 }
@@ -369,6 +442,16 @@ final class MmapIndex(path: String) extends AutoCloseable {
   def search(q: Array[Float], k: Int, beamWidth: Int): Array[(Long, Double)] = {
     require(q.length == dim, s"query dim ${q.length} != index dim $dim")
     val bw = math.max(beamWidth, k)
+    if (packed) {
+      var w = 0
+      while (w < meta.dim) {
+        var word = 0L
+        var b = 0
+        while (b < 64) { if (q(w * 64 + b) != 0f) word |= (1L << b); b += 1 }
+        packedQ(w) = word
+        w += 1
+      }
+    }
     val qNorm = if (isCos) {
       var acc = 0.0; var i = 0
       while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }

@@ -45,4 +45,18 @@ class GraftANNSpec extends AnyFunSuite {
     val single = h.searchVector(q, k = 5, beamWidth = 32).map(_._1)
     assert(batch.sameElements(single))
   }
+
+  test("probed search serves from the persisted routing table") {
+    val h = GraftANN.openIndex(spark, path, params)
+    // routing read back from metadata.json covers every shard
+    assert(h.routing.map(_._1).toSeq == Seq(0, 1))
+    val q = h.getVector(11L)
+    val probedAll = h.searchProbed(Seq((11L, q)).toDF("q_id", "qv"),
+        k = 5, beamWidth = 32, nprobe = 2)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect()
+    val full = h.search(Seq((11L, q)).toDF("q_id", "qv"), k = 5, beamWidth = 32)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect()
+    // probing all shards must equal the unrouted search
+    assert(probedAll.sameElements(full))
+  }
 }

@@ -95,6 +95,48 @@ class SingleFileIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("u64 hamming index: packed export, heap and mmap serving agree") {
+    // binary corpus, bit-per-slot (the reference's DiskANN<u64,
+    // DistHamming> element type once packed)
+    val n = 60; val dim = 64
+    val rows = (0 until n).map { i =>
+      val v = Array.tabulate(dim)(d => if (((i * 2654435761L + d * 40503L) >>> 7) % 3 == 0) 1f else 0f)
+      (i.toLong, v)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val hp = VamanaParams(maxDegree = 8, buildBeamWidth = 16, metric = "hamming")
+    val idx = VamanaIndex.build(df, hp, numShards = 1)
+    val p = "/tmp/graft_hamming.idx"
+    SingleFileIndex.export(idx, hp, p)
+
+    // file header: elem_size 8, dim in WORDS, DistHamming name
+    val meta = SingleFileIndex.readMeta(p)
+    assert(meta.elemSize == 8 && meta.dim == 1)
+    assert(meta.distanceName == "anndists::dist::distances::DistHamming")
+    assert(meta.adjacencyOffset == meta.vectorsOffset + 8L * n)
+
+    // row 0's word is the packed bit pattern of the source slots
+    val bytes = Files.readAllBytes(Paths.get(p))
+    val word0 = ByteBuffer.wrap(bytes, (1 << 20), 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+    val expected0 = rows(0)._2.zipWithIndex.foldLeft(0L) {
+      case (acc, (s, b)) => if (s != 0f) acc | (1L << b) else acc
+    }
+    assert(word0 == expected0)
+
+    val (g, ids, gp) = SingleFileIndex.importLocal(p)
+    assert(gp.metric == "hamming" && g.dim == 64 && g.n == n)
+    val mm = new MmapIndex(p)
+    try {
+      assert(mm.dim == 64 && mm.n == n)
+      rows.take(5).foreach { case (i, v) => assert(mm.vector(i.toInt).sameElements(v)) }
+      rows.filter(_._1 % 7 == 0).foreach { case (qid, qv) =>
+        val heap = g.search(qv, 5, 16).map { case (pos, d) => (ids(pos), d) }.toSeq
+        val mmap = mm.search(qv, 5, 16).toSeq
+        assert(mmap == heap, s"query $qid: $mmap vs $heap")
+      }
+    } finally mm.close()
+  }
+
   test("mmap serving matches the heap-loaded graph without loading vectors") {
     val (g, ids, _) = SingleFileIndex.importLocal(path)
     val mm = new MmapIndex(path)
