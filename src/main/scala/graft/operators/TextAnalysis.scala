@@ -262,6 +262,48 @@ object TextAnalysis {
       |FROM r WHERE (rn - 1) % 5 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- packing
+
+  /** Sequence packing (concat-and-cut): documents are concatenated per
+    * source in doc_id order and cut into fixed token-budget training
+    * chunks; a doc belongs to the chunk its first token lands in — the
+    * standard GPT-style block packing a pretraining pipeline runs
+    * before batching. One window pass per stratum (prefix-sum), so the
+    * shuffle is one hash exchange on `source` regardless of corpus
+    * size; no stateful driver loop. */
+  private val ChunkTokens = 2048
+
+  def qPackChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        size(expr("filter(split(text, ' '), w -> w != '')")).cast("long"))
+      .withColumn("cum_prev", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"doc_id", $"source", $"n_tokens",
+        floor($"cum_prev" / ChunkTokens).cast("long").as("chunk_id"),
+        ($"cum_prev" % ChunkTokens).cast("long").as("chunk_off"))
+      .orderBy($"doc_id")
+  }
+
+  val qPackChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w != '')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+       |  FROM t
+       |)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(floor(cum_prev / $ChunkTokens.0) AS BIGINT) AS chunk_id,
+       |  CAST(cum_prev % $ChunkTokens AS BIGINT) AS chunk_off
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   /** Corpus overview per source: the summary a pipeline run reports.
@@ -293,9 +335,11 @@ object TextAnalysis {
     "q_text_lang" -> (qTextLang(_, _)),
     "q_text_fingerprint" -> (qTextFingerprint(_, _)),
     "q_text_bigram_ll" -> (qTextBigramLL(_, _)),
-    "q_sample_stratified" -> (qSampleStratified(_, _)))
+    "q_sample_stratified" -> (qSampleStratified(_, _)),
+    "q_pack_chunks" -> (qPackChunks(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_pack_chunks" -> qPackChunksSql,
     "q_doc_stats" -> qDocStatsSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_quality" -> qTextQualitySql,
