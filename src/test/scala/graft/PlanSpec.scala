@@ -60,6 +60,25 @@ class PlanSpec extends AnyFunSuite {
       s"assignment must not shuffle the points:\n$p")
   }
 
+  test("q_pack_chunks: one window pass — at most stratum + presentation exchanges") {
+    val p = planOf(operators.TextAnalysis.qPackChunks(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("q_medoid: broadcast pair generation feeding a map-side partial sum") {
+    val p = planOf(operators.VectorQueries.qMedoid(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum") || p.contains("Functions [partial"), p)
+  }
+
+  test("q_dedup_embed: bucket equi-join, never a cartesian product") {
+    val p = planOf(operators.Dedup.qDedupEmbed(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("q_text_tokens: single pruned scan, no join/agg shuffle") {
     // HOF lambdas are CodegenFallback in Spark, so no WholeStageCodegen
     // span here; the scale property is the plan shape — a pruned
