@@ -12,6 +12,9 @@ case class Ev(user_id: Long, ts_us: Long, event_type: String, value: Double)
 /** A closed user session emitted by the stateful sessionizer. */
 case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
+/** One dedup decision from the streaming exact-dedup operator. */
+case class DedupOut(doc_id: Long, keeper_id: Long, is_dup: Boolean)
+
 /** In-flight session state. */
 case class SessionState(start_us: Long, last_us: Long, n: Long)
 
@@ -56,6 +59,33 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming exact dedup — the ingest-time form of
+    * [[graft.operators.Dedup.qDedupExact]]: state per content hash
+    * remembers the first-seen keeper doc_id; every later arrival with
+    * the same text is flagged a duplicate of that keeper (flagged, not
+    * dropped, so downstream can count or reroute). State shards by
+    * hash across executors and each micro-batch shuffles only its own
+    * rows. Same state-retention contract as [[sessionize]]: no
+    * timeout here (synchronous-drain friendly); at-scale deployments
+    * put a TTL on the hash state.
+    *
+    * Input: streaming (doc_id: long, text: string). Within one batch,
+    * ties break to the lowest doc_id — the batch query's keeper rule. */
+  def streamingDedup(docs: DataFrame): Dataset[DedupOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), md5(col("text")).as("h")).as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, DedupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray.sorted
+          val keeper = state.getOption.getOrElse(ids.head)
+          state.update(keeper)
+          ids.iterator.map(id => DedupOut(id, keeper, id != keeper))
+      }
+  }
 
   /** Stateful sessionizer: 30-minute inactivity gap. A session is
     * emitted when a newer event of the same user arrives past the gap;

@@ -43,4 +43,22 @@ class StreamingSpec extends AnyFunSuite {
     val out = spark.table("sessout").as[(Long, Long, Long, Long)].collect().sorted
     assert(out.toSeq == Seq((1L, 0L, 10 * m, 2L), (1L, 50 * m, 50 * m, 1L)))
   }
+
+  test("streaming exact dedup flags duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingDedup(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedupout").start()
+    // batch 1: two copies of X (keeper = lower id) + unique Y
+    mem.addData((5L, "text X"), (9L, "text X"), (7L, "text Y"))
+    q.processAllAvailable()
+    // batch 2: a late copy of X must be flagged against batch-1's keeper
+    mem.addData((3L, "text Z"), (12L, "text X"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedupout").as[(Long, Long, Boolean)].collect().sorted
+    assert(out.toSeq == Seq(
+      (3L, 3L, false), (5L, 5L, false), (7L, 7L, false),
+      (9L, 5L, true), (12L, 5L, true)), out.toSeq.toString)
+  }
 }
