@@ -65,8 +65,9 @@ object Bench {
       name -> (if (times.isEmpty) -1.0 else median(times))
     }
 
-    // Serving QPS: routed probe over the already-built cached index
-    // (rows = nQueries × k with k=10, so nQueries = rows / 10).
+    // Serving QPS + recall@10 of the same probed config — the
+    // reference reports the pair together (examples/diskann_sift.rs,
+    // perf_test.rs). rows = nQueries × k with k=10.
     val qps = try {
       index.VamanaIndex.cachedIndex(spark, sfDir) // build outside the timer
       val runs = (1 to reps).map { _ =>
@@ -75,13 +76,15 @@ object Bench {
       }
       median(runs)
     } catch { case _: Throwable => errors += "qps_probe"; -1.0 }
+    val recall = try index.VamanaIndex.probedRecall(spark, sfDir)
+      catch { case _: Throwable => errors += "recall_probe"; -1.0 }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""qps":$qps,"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
+      s""""qps":$qps,"recall":$recall,"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -357,19 +357,31 @@ object VamanaIndex {
     searchProbed(cachedIndex(s, dir), queriesArr(s, dir), K, searchBeam, qParams,
       nprobe = 4, excludeSelf = true, routing = Some(cachedRouting(s, dir)))
 
-  /** recall@10 vs the exact brute-force ground truth — the evaluation
-    * loop every reference example runs (examples/diskann_sift.rs:58-98). */
-  def qVamanaRecall(s: SparkSession, dir: String): DataFrame = {
+  /** Mean recall of `approx` against `exact` (both (q_id,
+    * neighbor_id) result sets) — the evaluation every reference
+    * example runs (examples/diskann_sift.rs:58-98). */
+  def recallDf(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val s = approx.sparkSession
     import s.implicits._
-    val approx = qVamanaSearch(s, dir).select($"q_id", $"neighbor_id")
-    val exact = VectorQueries.qKnnExact(s, dir).select($"q_id", $"neighbor_id")
-    val hit = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+    val a = approx.select($"q_id", $"neighbor_id")
+    val e = exact.select($"q_id", $"neighbor_id")
+    val hit = e.join(a, Seq("q_id", "neighbor_id"), "left_semi")
       .groupBy($"q_id").agg(count(lit(1)).as("hits"))
-    exact.groupBy($"q_id").agg(count(lit(1)).as("total"))
+    e.groupBy($"q_id").agg(count(lit(1)).as("total"))
       .join(hit, Seq("q_id"), "left")
       .select($"q_id", (coalesce($"hits", lit(0)) / $"total").as("recall"))
       .agg(round(avg($"recall"), 4).as("mean_recall"), count(lit(1)).as("n_queries"))
   }
+
+  /** recall@10 of the full (unrouted) beam search vs brute force. */
+  def qVamanaRecall(s: SparkSession, dir: String): DataFrame =
+    recallDf(qVamanaSearch(s, dir), VectorQueries.qKnnExact(s, dir))
+
+  /** recall@10 of the PROBED serving config (what Bench pairs with its
+    * QPS figure, matching the reference's recall+QPS reporting). */
+  def probedRecall(s: SparkSession, dir: String): Double =
+    recallDf(qVamanaProbed(s, dir), VectorQueries.qKnnExact(s, dir))
+      .head().getDouble(0)
 
   /** Graph-quality diagnostic: fraction of each shard reachable by BFS
     * from its entry point — the navigability property Vamana's

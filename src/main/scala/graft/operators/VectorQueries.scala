@@ -423,8 +423,6 @@ object VectorQueries {
       |    shiftleft(1L, p), 0L)),
       |  0L, (acc, x) -> acc + x)""".stripMargin
 
-  private val sparkLshBucket = sparkLshBucketN(16)
-
   def qLshBucket(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
