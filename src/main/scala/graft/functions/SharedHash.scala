@@ -21,7 +21,25 @@ object SharedHash {
     * produced by [[graft.functions.CharNGramsSorted]] must use THIS
     * comparator. */
   def codePointCompare(a: String, b: String): Int = {
-    var i = 0; var j = 0
+    // fast path: at the first differing UTF-16 unit, if neither unit
+    // is in the surrogate range the unit order IS the code point
+    // order — one branch per char for ASCII/BMP text, which is the
+    // hot case in the dedup merge kernels
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i); val cb = b.charAt(i)
+      if (ca != cb) {
+        if (ca < 0xd800 && cb < 0xd800) return ca - cb
+        return codePointCompareSlow(a, b, i)
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def codePointCompareSlow(a: String, b: String, from: Int): Int = {
+    var i = from; var j = from
     while (i < a.length && j < b.length) {
       val ca = a.codePointAt(i); val cb = b.codePointAt(j)
       if (ca != cb) return Integer.compare(ca, cb)

@@ -245,14 +245,28 @@ object Dedup {
     // can run — that row plumbing, not the popcounts, was 29s of wall.
     // Hot buckets are split by the saltedPairs skew guard, so a
     // pathological band value never pins one task on O(b²) work.
-    val rows = bands.select(concat_ws("|", $"b", $"band").as("block"), $"doc_id", $"code")
-      .as[(String, Long, Long)]
-    saltedPairs(rows) { case ((ida, ca), (idb, cb)) =>
-      val h = java.lang.Long.bitCount(ca ^ cb)
-      if (h <= SimhashMaxHamming) Some((ida, idb, h)) else None
+    //
+    // A near-dup pair collides in SEVERAL of the 4 bands, so emitting
+    // from every band needs a million-row distinct() to dedup. Both
+    // codes are in hand, so each pair is emitted only from its FIRST
+    // matching band (min j with band_j(xor) == 0 — pigeonhole
+    // guarantees one exists when hamming ≤ 3): exactly-once without
+    // any dedup shuffle.
+    val rows = bands
+      .select(concat_ws("|", $"b", $"band").as("block"), $"doc_id",
+        struct($"b", $"code").as("payload"))
+      .as[(String, Long, (Int, Long))]
+    saltedPairs(rows) { case ((ida, (b, ca)), (idb, (_, cb))) =>
+      val xor = ca ^ cb
+      val h = java.lang.Long.bitCount(xor)
+      if (h > SimhashMaxHamming) None
+      else {
+        var first = 0
+        while (((xor >>> (16 * first)) & 0xffffL) != 0L) first += 1
+        if (first == b) Some((ida, idb, h)) else None
+      }
     }
       .toDF("doc_a", "doc_b", "hamming")
-      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
