@@ -158,6 +158,44 @@ object Relational {
       |FROM sflag GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Conversion funnel: per user, the first `signup` and the first
+    * `purchase` at-or-after it; completers within 24 h reported with
+    * their latency — the ordered-sequence analytic every event
+    * pipeline runs. Shape: two filtered hash aggregations joined on
+    * user_id (both sides arrive hash-partitioned by user_id from
+    * their own aggregation, so the joins add no extra exchange); no
+    * windows, no per-event blow-up. */
+  private val FunnelCapUs = 86400000000L // 24 h
+
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros($"ts"))
+    val first = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts_us").as("signup_us"))
+    ev.filter($"event_type" === "purchase")
+      .join(first, "user_id")
+      .filter($"ts_us" >= $"signup_us")
+      .groupBy($"user_id", $"signup_us").agg(min($"ts_us").as("purchase_us"))
+      .withColumn("delta_us", $"purchase_us" - $"signup_us")
+      .filter($"delta_us" <= FunnelCapUs)
+      .orderBy($"user_id")
+  }
+
+  val funnelSql: String =
+    s"""WITH s AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS signup_us
+       |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+       |), p AS (
+       |  SELECT e.user_id, s.signup_us, min(epoch_us(e.ts)) AS purchase_us
+       |  FROM events e JOIN s USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.signup_us
+       |  GROUP BY e.user_id, s.signup_us
+       |)
+       |SELECT user_id, signup_us, purchase_us,
+       |  purchase_us - signup_us AS delta_us
+       |FROM p WHERE purchase_us - signup_us <= $FunnelCapUs
+       |ORDER BY user_id""".stripMargin
+
   /** As-of join: each purchase event matched to the latest strictly
     * earlier click of the same user.
     *
@@ -273,6 +311,7 @@ object Relational {
     "q_join_topn" -> (joinTopN(_, _)),
     "q_window" -> (windowFuncs(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
+    "q_funnel" -> (funnel(_, _)),
     "q_asof_join" -> (asofJoin(_, _)),
     "q_stream_window" -> (streamWindowBatch(_, _)))
 
@@ -283,6 +322,7 @@ object Relational {
     "q_join_topn" -> joinTopNSql,
     "q_window" -> windowFuncsSql,
     "q_sessionize" -> sessionizeSql,
+    "q_funnel" -> funnelSql,
     "q_asof_join" -> asofJoinSql,
     "q_stream_window" -> streamWindowBatchSql)
 }
