@@ -50,6 +50,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("codePointCompare is a total order agreeing with UTF8String binary order") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // strings mixing ASCII, U+E000-region BMP chars, and supplementary
+    // (surrogate-pair) code points — exactly where String.compareTo
+    // and UTF-8 binary order disagree
+    val cp = Gen.oneOf(
+      Gen.chooseNum(0x20, 0x7e), Gen.chooseNum(0xe000, 0xe010),
+      Gen.chooseNum(0x1f600, 0x1f610))
+    val str = Gen.listOf(cp).map(_.flatMap(Character.toChars(_).toSeq).mkString)
+    for (s <- 1 to 300) {
+      val a = sample(str, 4000L + s)
+      val b = sample(str, 5000L + s)
+      val got = math.signum(graft.functions.SharedHash.codePointCompare(a, b))
+      val want = math.signum(
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b))).toDouble
+      assert(got == want, s"seed $s a=${a.codePoints.toArray.toSeq} b=${b.codePoints.toArray.toSeq}")
+    }
+  }
+
+  test("salted pair tasks partition every unordered pair exactly once") {
+    // pure replication-rule check (mirrors Dedup.saltExplode): for any
+    // member count and salt count, the task an unordered pair lands in
+    // is unique and every pair is covered
+    for (s <- 1 to 100) {
+      val n = 2 + s % 40
+      val ns = 1 + s % 8
+      val ids = (0 until n).map(_.toLong * 3 + s)
+      val tasks = ids.flatMap { id =>
+        val u = (id % ns).toInt
+        (0 until ns).map(x => ((math.min(u, x), math.max(u, x)), id, u))
+      }
+      val byTask = tasks.groupBy(_._1)
+      val covered = scala.collection.mutable.Set.empty[(Long, Long)]
+      byTask.foreach { case ((ti, tj), members) =>
+        val pairs =
+          if (ti == tj) {
+            val ms = members.map(_._2).sorted
+            for (i <- ms.indices; j <- (i + 1) until ms.length) yield (ms(i), ms(j))
+          } else {
+            val (si, sj) = members.partition(_._3 == ti)
+            for (a <- si.map(_._2); b <- sj.map(_._2))
+              yield (math.min(a, b), math.max(a, b))
+          }
+        pairs.foreach { p =>
+          assert(!covered.contains(p), s"seed $s: pair $p emitted twice")
+          covered += p
+        }
+      }
+      assert(covered.size == n * (n - 1) / 2, s"seed $s: ${covered.size} pairs")
+    }
+  }
+
   test("two-pointer intersect count == set intersection size") {
     val strs = Gen.listOf(Gen.oneOf("aa", "ab", "ba", "bb", "ca", "cb", "cc"))
     for (s <- 1 to 300) {
