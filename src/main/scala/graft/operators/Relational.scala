@@ -158,6 +158,43 @@ object Relational {
       |FROM sflag GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Exact per-type value percentiles (p50/p95/p99) via rank selection:
+    * percentile q = value at row_number ceil(q·n) in (value, event_id)
+    * order — deterministic and engine-replayable, unlike approximate
+    * sketches. One window pass per type + one conditional hash
+    * aggregate. (At 100 TB a t-digest/KLL sketch is the usual choice;
+    * exactness is this query's contract so the DuckDB oracle can
+    * replay it bit-for-bit.) */
+  def valuePctl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val wAll = Window.partitionBy($"event_type")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy($"event_type")
+      .agg(
+        max($"n").as("n_events"),
+        round(max(when($"rn" === ceil($"n" * 0.5), $"value")), 4).as("p50"),
+        round(max(when($"rn" === ceil($"n" * 0.95), $"value")), 4).as("p95"),
+        round(max(when($"rn" === ceil($"n" * 0.99), $"value")), 4).as("p99"))
+      .orderBy($"event_type")
+  }
+
+  val valuePctlSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value, event_id,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+      |  round(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END), 4) AS p50,
+      |  round(max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END), 4) AS p95,
+      |  round(max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END), 4) AS p99
+      |FROM r GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Conversion funnel: per user, the first `signup` and the first
     * `purchase` at-or-after it; completers within 24 h reported with
     * their latency — the ordered-sequence analytic every event
@@ -312,6 +349,7 @@ object Relational {
     "q_window" -> (windowFuncs(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
     "q_funnel" -> (funnel(_, _)),
+    "q_value_pctl" -> (valuePctl(_, _)),
     "q_asof_join" -> (asofJoin(_, _)),
     "q_stream_window" -> (streamWindowBatch(_, _)))
 
@@ -323,6 +361,7 @@ object Relational {
     "q_window" -> windowFuncsSql,
     "q_sessionize" -> sessionizeSql,
     "q_funnel" -> funnelSql,
+    "q_value_pctl" -> valuePctlSql,
     "q_asof_join" -> asofJoinSql,
     "q_stream_window" -> streamWindowBatchSql)
 }
