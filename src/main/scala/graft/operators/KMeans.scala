@@ -100,7 +100,11 @@ object KMeans {
     * partition (never the points); the k×dim centroid table lives on
     * the driver between iterations — the canonical distributed
     * Lloyd's. */
-  def qKmeans(s: SparkSession, dir: String): DataFrame = {
+  /** The trained centroid table after `Iters` Lloyd iterations —
+    * k×dim floats held on the driver between iterations (the
+    * canonical distributed Lloyd's loop). Shared by the assignment
+    * query and the trained-IVF search path. */
+  private[graft] def trainedCentroids(s: SparkSession, dir: String): Array[(Int, Array[Float])] = {
     import s.implicits._
     val points = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
     // same spelling as the oracle (WHERE vec_id < K): a pushed-down
@@ -112,15 +116,25 @@ object KMeans {
       val assigned = assign(points, cents)
       cents = recompute(assigned).as[(Int, Array[Float])].collect().sortBy(_._1)
     }
+    cents
+  }
+
+  def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val points = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
     // final assignment against the last recomputed centroids
-    assign(points, cents).select($"vec_id", $"cell").orderBy($"vec_id")
+    assign(points, trainedCentroids(s, dir)).select($"vec_id", $"cell").orderBy($"vec_id")
   }
 
   /** DuckDB replay: both Lloyd iterations unrolled. Centroid averages
     * are computed per (cell, dimension) over unnested positions —
     * same double math as the Spark aggregator up to summation order
     * (assignment argmins are insensitive at these magnitudes). */
-  val qKmeansSql: String = {
+  /** DuckDB CTE chain replaying both Lloyd iterations: c0 (seed
+    * cents) → a1 → c1 → a2 → c2 (trained cents, FLOAT-rounded like
+    * the Spark array<float>) → fin (final assignment). Shared by the
+    * assignment oracle and the trained-IVF search oracle. */
+  private[graft] val kmeansCtes: String = {
     // centroids round-trip through FLOAT exactly as the Spark side's
     // array<float> columns do, so both engines measure distances to
     // identically-rounded centroids
@@ -139,16 +153,19 @@ object KMeans {
          |  FROM $assignRel, unnest(range(0, 64)) AS t(d)
          |  GROUP BY cell, d
          |) GROUP BY cell""".stripMargin
-    s"""WITH c0 AS (
+    s"""c0 AS (
        |  SELECT vec_id::INTEGER AS cell, embedding AS cv
        |  FROM embeddings WHERE vec_id < $K
        |), a1 AS (${assignFrom("c0")}),
        |c1 AS (${recomputeFrom("a1")}),
        |a2 AS (${assignFrom("c1")}),
        |c2 AS (${recomputeFrom("a2")}),
-       |fin AS (${assignFrom("c2")})
-       |SELECT vec_id, cell FROM fin ORDER BY vec_id""".stripMargin
+       |fin AS (${assignFrom("c2")})""".stripMargin
   }
+
+  val qKmeansSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, cell FROM fin ORDER BY vec_id""".stripMargin
 
   /** Embedding outlier scoring: distance of each vector to its own
     * label's centroid, worst 20 reported — the embedding-QA pass a

@@ -361,6 +361,59 @@ object VectorQueries {
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
        |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
 
+  /** IVF-probed kNN over k-means-TRAINED cells — the full production
+    * IVF pipeline composed end-to-end: distributed Lloyd's training
+    * ([[KMeans.trainedCentroids]]), zero-shuffle cell assignment
+    * ([[KMeans.assign]]), query routing to the 2 nearest trained
+    * cells, exact cosine rerank inside the probed cells only. The
+    * DuckDB oracle replays the whole chain (both unrolled Lloyd
+    * iterations included), so train→assign→probe is hash-verified as
+    * one unit. */
+  def qKnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = KMeans.trainedCentroids(s, dir)
+    val centsDf = cents.toSeq.toDF("cell", "cv")
+    val points = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val assigned = KMeans.assign(points, cents)
+      .select($"vec_id".as("nid"), $"embedding".as("v"), $"cell")
+    val probeW = Window.partitionBy($"q_id").orderBy($"cdist", $"cell")
+    val probes = queriesDf(s, dir).join(broadcast(centsDf))
+      .select($"q_id", $"qv", $"cell", l2Dist($"qv", $"cv").as("cdist"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter($"rn" <= 2)
+      .select($"q_id", $"qv", $"cell")
+    val d = assigned.join(broadcast(probes), "cell")
+      .filter($"nid" =!= $"q_id")
+      .select($"q_id", $"nid", cosineDist($"qv", $"v").as("dist"))
+    topkExplode(d, K)
+  }
+
+  val qKnnIvfTrainedSql: String =
+    s"""WITH ${KMeans.kmeansCtes},
+       |q AS (
+       |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 50 = 0
+       |), probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY list_distance(qv, CAST(cv AS DOUBLE[])), cell) AS rn
+       |    FROM q CROSS JOIN c2) WHERE rn <= 2
+       |), d AS (
+       |  SELECT q.q_id, f.vec_id AS nid,
+       |    1 - list_cosine_similarity(q.qv, CAST(f.embedding AS DOUBLE[])) AS dist
+       |  FROM probes p
+       |  JOIN fin f ON f.cell = p.cell
+       |  JOIN q ON q.q_id = p.q_id
+       |  WHERE f.vec_id <> q.q_id
+       |), r AS (
+       |  SELECT q_id, nid, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nid) AS rn
+       |  FROM d
+       |)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
+       |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
+
   /** int8 scalar quantization (per-vector symmetric scale): codes =
     * round(x/scale) with scale = max|x|/127, plus the reconstruction
     * L2 error — the 4× disk/membandwidth compression step a
@@ -501,6 +554,7 @@ object VectorQueries {
     "q_range_search" -> (qRangeSearch(_, _)),
     "q_ivf_assign" -> (qIvfAssign(_, _)),
     "q_knn_ivf" -> (qKnnIvf(_, _)),
+    "q_knn_ivf_trained" -> (qKnnIvfTrained(_, _)),
     "q_lsh_bucket" -> (qLshBucket(_, _)),
     "q_knn_lsh" -> (qKnnLsh(_, _)),
     "q_quantize_sq8" -> (qQuantizeSq8(_, _)))
@@ -517,6 +571,7 @@ object VectorQueries {
     "q_range_search" -> qRangeSearchSql,
     "q_ivf_assign" -> qIvfAssignSql,
     "q_knn_ivf" -> qKnnIvfSql,
+    "q_knn_ivf_trained" -> qKnnIvfTrainedSql,
     "q_lsh_bucket" -> qLshBucketSql,
     "q_knn_lsh" -> qKnnLshSql,
     "q_quantize_sq8" -> qQuantizeSq8Sql)
