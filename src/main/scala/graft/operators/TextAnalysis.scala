@@ -262,6 +262,41 @@ object TextAnalysis {
       |FROM r WHERE (rn - 1) % 5 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- entropy
+
+  /** Character-level Shannon entropy per document — the classic
+    * gibberish/boilerplate filter signal (low entropy = repeated
+    * characters/markup, high = encrypted/binary junk). Shape: the
+    * char explode is immediately collapsed by a map-side partial
+    * aggregate, so the exchange carries at most |alphabet| rows per
+    * doc, never the characters. */
+  def qTextEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cnt = Tables.documents(s, dir)
+      .filter(length($"text") >= 1)
+      .select($"doc_id", explode(split($"text", "")).as("c"))
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).cast("double").as("n"))
+    val tot = cnt.groupBy($"doc_id").agg(sum($"n").as("t"))
+    cnt.join(tot, "doc_id")
+      .groupBy($"doc_id")
+      .agg(round(-sum(($"n" / $"t") * log2($"n" / $"t")), 4).as("char_entropy"))
+      .orderBy($"doc_id")
+  }
+
+  val qTextEntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c
+      |  FROM documents WHERE length(text) >= 1
+      |), cnt AS (
+      |  SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch GROUP BY doc_id, c
+      |), tot AS (
+      |  SELECT doc_id, sum(n) AS t FROM cnt GROUP BY doc_id
+      |)
+      |SELECT cnt.doc_id AS doc_id,
+      |  round(-sum((n/t) * log2(n/t)), 4) AS char_entropy
+      |FROM cnt JOIN tot USING (doc_id)
+      |GROUP BY cnt.doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- packing
 
   /** Sequence packing (concat-and-cut): documents are concatenated per
@@ -336,10 +371,12 @@ object TextAnalysis {
     "q_text_fingerprint" -> (qTextFingerprint(_, _)),
     "q_text_bigram_ll" -> (qTextBigramLL(_, _)),
     "q_sample_stratified" -> (qSampleStratified(_, _)),
-    "q_pack_chunks" -> (qPackChunks(_, _)))
+    "q_pack_chunks" -> (qPackChunks(_, _)),
+    "q_text_entropy" -> (qTextEntropy(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_pack_chunks" -> qPackChunksSql,
+    "q_text_entropy" -> qTextEntropySql,
     "q_doc_stats" -> qDocStatsSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_quality" -> qTextQualitySql,
