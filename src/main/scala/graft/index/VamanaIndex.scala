@@ -29,7 +29,9 @@ case class IndexRow(vec_id: Long, embedding: Array[Float], shard: Int, neighbors
   * Persistence: `graph/` parquet partitioned by shard (so a query that
   * probes 2 of 1000 shards reads 2/1000 of the files — partition
   * pruning on disk) + `metadata.json` (dim, n, max_degree, metric,
-  * shards, params — the analog of reference lib.rs:126-136 Metadata).
+  * shards, params, AND the shard→seed routing table — the analog of
+  * reference lib.rs:126-136 Metadata; persisting the routing table is
+  * what lets probed serving start without any index scan).
   *
   * Serving: queries are broadcast (small side), each shard searches its
   * local graph with the reference's beam search, and the global top-k
