@@ -200,12 +200,15 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  val qDedupMinhashSql: String = {
+  /** MinHash CTE chain ending in `verified` (unfiltered pairs with
+    * their exact jaccard) — shared by the pair query and the
+    * connected-components cluster oracle. */
+  private val minhashCtes: String = {
     val sigSelects = MinhashPerms.zipWithIndex
       .map { case (p, j) => s"${duckMinhash("sh_set", p)} AS sig_$j" }.mkString(", ")
     val bandUnion = MinhashPerms.indices
       .map(j => s"SELECT doc_id, $j AS j, sig_$j AS sig FROM sigs").mkString(" UNION ALL ")
-    s"""WITH $duckShingleSets,
+    s"""$duckShingleSets,
        |sigs AS (SELECT doc_id, $sigSelects FROM sets),
        |bands AS ($bandUnion),
        |cand AS (
@@ -218,11 +221,74 @@ object Dedup {
        |  FROM cand
        |  JOIN sets sa ON sa.doc_id = doc_a
        |  JOIN sets sb ON sb.doc_id = doc_b
-       |)
+       |)""".stripMargin
+  }
+
+  val qDedupMinhashSql: String =
+    s"""WITH $minhashCtes
        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
        |FROM verified WHERE jac >= $MinhashTau
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------- clustering
+
+  /** Duplicate clusters: connected components over the MinHash
+    * near-dup pair graph, labeled by the component's minimum doc_id —
+    * the step that turns pairwise matches into "keep one doc per
+    * cluster" decisions.
+    *
+    * Distributed min-label propagation: each round is one equi-join
+    * (edges ⋈ labels) + a min-aggregate, and the label table is
+    * `localCheckpoint`ed so lineage stays flat; rounds needed = the
+    * component diameter (near-dup clusters are near-cliques, so 2-3).
+    * Driver state is one `changed` counter per round — never the
+    * graph. The oracle replays the closure with a recursive CTE. */
+  def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = qDedupMinhash(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst").cache()
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("label", $"node")
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.as("e").join(labels.as("l"), $"e.dst" === $"l.node")
+        .groupBy($"e.src".as("pnode"))
+        .agg(min($"l.label").as("nbr_min"))
+      val next = labels.as("l2").join(prop, $"l2.node" === $"pnode", "left")
+        .select($"l2.node".as("node"),
+          least($"l2.label", coalesce($"nbr_min", $"l2.label")).as("label"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select($"node", $"label".as("old_label")).as("o"), "node")
+        .filter($"label" < $"old_label").count()
+      labels = next
+      rounds += 1
+    }
+    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .orderBy($"doc_id")
   }
+
+  val qDedupClusterSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |dup AS (SELECT doc_a, doc_b FROM verified WHERE jac >= $MinhashTau),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM dup
+       |  UNION ALL SELECT doc_b, doc_a FROM dup
+       |), reach(n, m) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, r.m FROM edges e JOIN reach r ON r.n = e.d
+       |), lab AS (
+       |  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+       |)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM lab ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- simhash
 
@@ -397,6 +463,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
+    "q_dedup_cluster" -> (qDedupCluster(_, _)),
     "q_dedup_simhash" -> (qDedupSimhash(_, _)),
     "q_dedup_jaccard" -> (qDedupJaccard(_, _)),
     "q_dedup_embed" -> (qDedupEmbed(_, _)))
@@ -404,6 +471,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_cluster" -> qDedupClusterSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_embed" -> qDedupEmbedSql)
