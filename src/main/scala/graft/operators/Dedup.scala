@@ -230,6 +230,40 @@ object Dedup {
        |FROM verified WHERE jac >= $MinhashTau
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: training docs sharing any word-3-
+    * shingle with the held-out benchmark set (stand-in: doc_id ≡ 0
+    * mod 97) are flagged with their overlap count — the exact-n-gram
+    * collision pass every pretraining pipeline runs against eval
+    * suites. Shape: the benchmark shingle set is tiny and broadcast;
+    * candidate generation is an exploded equi-join on the shingle
+    * hash + one count-distinct per doc, so the corpus never
+    * self-joins. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = shingleSets(s, dir)
+    val benchSh = sets.filter($"doc_id" % 97 === 0)
+      .select(explode($"sh_set").as("sh")).distinct()
+    sets.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", explode($"sh_set").as("sh"))
+      .join(broadcast(benchSh), "sh")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"sh").as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
+  val qDecontaminateSql: String =
+    s"""WITH $duckShingleSets,
+       |bench AS (
+       |  SELECT DISTINCT unnest(sh_set) AS sh FROM sets WHERE doc_id % 97 = 0
+       |), hits AS (
+       |  SELECT doc_id, unnest(sh_set) AS sh FROM sets WHERE doc_id % 97 <> 0
+       |)
+       |SELECT h.doc_id, count(DISTINCT h.sh) AS n_shared
+       |FROM hits h JOIN bench b ON b.sh = h.sh
+       |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin
+
   // ------------------------------------------------------- clustering
 
   /** Duplicate clusters: connected components over the MinHash
@@ -464,6 +498,7 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_dedup_cluster" -> (qDedupCluster(_, _)),
+    "q_decontaminate" -> (qDecontaminate(_, _)),
     "q_dedup_simhash" -> (qDedupSimhash(_, _)),
     "q_dedup_jaccard" -> (qDedupJaccard(_, _)),
     "q_dedup_embed" -> (qDedupEmbed(_, _)))
@@ -472,6 +507,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_cluster" -> qDedupClusterSql,
+    "q_decontaminate" -> qDecontaminateSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_embed" -> qDedupEmbedSql)
