@@ -34,10 +34,14 @@ object Bench {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
-  /** Time one full materialization of the plan's output. */
-  private def runOnce(df: DataFrame): (Double, Long) = {
+  /** Time one full run: DataFrame CONSTRUCTION + materialization.
+    * Construction is inside the timer because several operators do
+    * real driver-coordinated work there (Lloyd iterations, label
+    * propagation, file export) — timing only the lazy tail would
+    * under-report exactly the queries with driver-side loops. */
+  private def runOnce(mk: => DataFrame): (Double, Long) = {
     val t0 = System.nanoTime()
-    val rows = df.queryExecution.toRdd.count()
+    val rows = mk.queryExecution.toRdd.count()
     ((System.nanoTime() - t0) / 1e9, rows)
   }
 
@@ -58,7 +62,7 @@ object Bench {
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
-        try Some(runOnce(fn(spark, sfDir))._1)
+        try Some(runOnce(fn(spark, sfDir))._1) // fn call lazily inside the timer
         catch { case _: Throwable => None }
       }
       if (times.isEmpty) errors += name

@@ -33,8 +33,12 @@ object GraftANN {
     lazy val metadataJson: String = VamanaIndex.loadMeta(path)
 
     /** Build-time routing table read back from metadata.json — probed
-      * serving must never rescan the index to recover it. */
-    lazy val routing: Array[(Int, Array[Float])] = VamanaIndex.loadRouting(spark, path)
+      * serving must never rescan the index to recover it. Indexes
+      * saved before the routing field existed fall back to one
+      * recompute (then cached on this handle). */
+    lazy val routing: Array[(Int, Array[Float])] =
+      try VamanaIndex.loadRouting(spark, path)
+      catch { case _: Exception => VamanaIndex.routingTable(index) }
 
     def numVectors: Long = index.count()
 

@@ -106,7 +106,7 @@ object SingleFileIndex {
 
   private def sidecarPath(path: String) = path + ".ids"
 
-  private def loadIds(path: String, n: Int): Array[Long] = {
+  private[index] def loadIds(path: String, n: Int): Array[Long] = {
     val p = Paths.get(sidecarPath(path))
     if (!Files.exists(p)) Array.tabulate(n)(_.toLong)
     else {
@@ -152,6 +152,11 @@ object SingleFileIndex {
     // (reference lib.rs:23-29): elem_size 8, file dim = word count,
     // popcount distances identical to the unpacked slot count.
     val packed = metric eq Metric.Hamming
+    // the reference layout records only the WORD count, so a non-
+    // multiple-of-64 slot dim cannot round-trip (import would inflate
+    // dim and break the owner's queries) — fail loudly instead
+    require(!packed || dim % 64 == 0,
+      s"hamming export needs dim % 64 == 0 (got $dim); pad the bit vectors to a word multiple")
     val words = (dim + 63) / 64
     val elemSize = if (packed) 8 else 4
     val fileDim = if (packed) words else dim
@@ -347,14 +352,7 @@ final class MmapIndex(path: String) extends AutoCloseable {
       s"elem_size ${meta.elemSize} with distance ${meta.distanceName}")
   val n: Int = meta.numVectors
   val dim: Int = if (packed) meta.dim * 64 else meta.dim
-  val ids: Array[Long] = {
-    val p = Paths.get(path + ".ids")
-    if (!Files.exists(p)) Array.tabulate(n)(_.toLong)
-    else {
-      val bb = ByteBuffer.wrap(Files.readAllBytes(p)).order(ByteOrder.LITTLE_ENDIAN)
-      Array.fill(n)(bb.getLong)
-    }
-  }
+  val ids: Array[Long] = SingleFileIndex.loadIds(path, n)
 
   private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
   require(ch.size() <= Int.MaxValue.toLong,

@@ -72,7 +72,9 @@ object Dedup {
       bc.value.get(block) match {
         case None => Iterator.single((block, 0, 0, id, 0, v))
         case Some(ns) =>
-          val u = (id % ns).toInt
+          // floorMod: a plain % is negative for negative ids, which
+          // would silently drop within-salt pairs
+          val u = java.lang.Math.floorMod(id, ns.toLong).toInt
           Iterator.range(0, ns).map(x => (block, math.min(u, x), math.max(u, x), id, u, v))
       }
     }
@@ -287,7 +289,8 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    val maxRounds = 64
+    while (changed > 0 && rounds < maxRounds) {
       val prop = edges.as("e").join(labels.as("l"), $"e.dst" === $"l.node")
         .groupBy($"e.src".as("pnode"))
         .agg(min($"l.label").as("nbr_min"))
@@ -301,6 +304,12 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // fail loudly rather than return a silently-split component (a
+    // chain-shaped cluster with diameter > maxRounds would otherwise
+    // diverge from the oracle's exact closure)
+    require(changed == 0,
+      s"label propagation did not converge in $maxRounds rounds")
+    edges.unpersist(blocking = false) // labels are checkpointed; edges done
     labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy($"cluster_id")))

@@ -252,9 +252,13 @@ object AnnHdf5 {
         val p = new HPath(path)
         val fs = p.getFileSystem(org.apache.spark.sql.graft.bridge.hadoopConfOf(conf))
         val in = fs.open(p)
+        // close on task completion, not on iterator drain — a limit()
+        // or mid-read failure would otherwise leak the handle
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
         val rowBytes = meta.cols * meta.elemSize
         val buf = new Array[Byte](rowBytes)
-        val out = rowIds.iterator.map { row =>
+        rowIds.iterator.map { row =>
           in.readFully(meta.dataAddr + row * rowBytes.toLong, buf)
           val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
           val arr = new Array[Float](meta.cols)
@@ -264,10 +268,6 @@ object AnnHdf5 {
             i += 1
           }
           (row.toLong, arr)
-        }
-        new scala.collection.AbstractIterator[(Long, Array[Float])] {
-          def hasNext = { val h = out.hasNext; if (!h) in.close(); h }
-          def next() = out.next()
         }
       }
     }.toDF("vec_id", "embedding")
@@ -288,9 +288,11 @@ object AnnHdf5 {
         val p = new HPath(path)
         val fs = p.getFileSystem(org.apache.spark.sql.graft.bridge.hadoopConfOf(conf))
         val in = fs.open(p)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
         val rowBytes = meta.cols * meta.elemSize
         val buf = new Array[Byte](rowBytes)
-        val out = rowIds.iterator.map { row =>
+        rowIds.iterator.map { row =>
           in.readFully(meta.dataAddr + row * rowBytes.toLong, buf)
           val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
           val arr = new Array[Long](meta.cols)
@@ -300,10 +302,6 @@ object AnnHdf5 {
             i += 1
           }
           (row.toLong, arr)
-        }
-        new scala.collection.AbstractIterator[(Long, Array[Long])] {
-          def hasNext = { val h = out.hasNext; if (!h) in.close(); h }
-          def next() = out.next()
         }
       }
     }.toDF("query_id", "neighbors")
