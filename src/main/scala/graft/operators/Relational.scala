@@ -162,9 +162,12 @@ object Relational {
     * percentile q = value at row_number ceil(q·n) in (value, event_id)
     * order — deterministic and engine-replayable, unlike approximate
     * sketches. One window pass per type + one conditional hash
-    * aggregate. (At 100 TB a t-digest/KLL sketch is the usual choice;
-    * exactness is this query's contract so the DuckDB oracle can
-    * replay it bit-for-bit.) */
+    * aggregate. (At 100 TB the per-type window sort serializes on the
+    * low-cardinality type key — there the same exact semantics run as
+    * distributed selection (binary search on the value domain with
+    * count aggregates) or drop to a t-digest/KLL sketch; exactness is
+    * this query's contract so the DuckDB oracle can replay it
+    * bit-for-bit.) */
   def valuePctl(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wOrd = Window.partitionBy($"event_type").orderBy($"value", $"event_id")

@@ -305,7 +305,14 @@ object TextAnalysis {
     * standard GPT-style block packing a pretraining pipeline runs
     * before batching. One window pass per stratum (prefix-sum), so the
     * shuffle is one hash exchange on `source` regardless of corpus
-    * size; no stateful driver loop. */
+    * size; no stateful driver loop.
+    *
+    * Scale note: `source` is low-cardinality, so the window sort puts
+    * one stratum per task. At 100 TB the same semantics run as a
+    * hierarchical prefix sum — per-partition token subtotals (one
+    * pass), cumulative offsets broadcast, then a second map-only pass
+    * — keeping every stage fully parallel; the window form here is
+    * the semantic spec the oracle can replay. */
   private val ChunkTokens = 2048
 
   def qPackChunks(s: SparkSession, dir: String): DataFrame = {
