@@ -294,13 +294,20 @@ object Dedup {
       val prop = edges.as("e").join(labels.as("l"), $"e.dst" === $"l.node")
         .groupBy($"e.src".as("pnode"))
         .agg(min($"l.label").as("nbr_min"))
+      // the convergence check rides the checkpoint materialization as
+      // an accumulator instead of a second per-round job; a task-retry
+      // over-count only errs toward one extra (no-op) round, never an
+      // early stop
+      val acc = s.sparkContext.longAccumulator("graft_cc_changed")
+      val tick = udf { (newLabel: Long, oldLabel: Long) =>
+        if (newLabel < oldLabel) acc.add(1L)
+        newLabel
+      }
       val next = labels.as("l2").join(prop, $"l2.node" === $"pnode", "left")
         .select($"l2.node".as("node"),
-          least($"l2.label", coalesce($"nbr_min", $"l2.label")).as("label"))
+          tick(least($"l2.label", coalesce($"nbr_min", $"l2.label")), $"l2.label").as("label"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select($"node", $"label".as("old_label")).as("o"), "node")
-        .filter($"label" < $"old_label").count()
+      changed = acc.value
       labels = next
       rounds += 1
     }
