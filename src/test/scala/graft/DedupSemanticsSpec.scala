@@ -48,6 +48,15 @@ class DedupSemanticsSpec extends AnyFunSuite {
       rows.toSeq.toString)
   }
 
+  test("dedup clustering groups the planted pair under the min-id keeper") {
+    val rows = operators.Dedup.qDedupCluster(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // docs 1 and 2 are the planted near-dup pair → one 2-member
+    // cluster labeled by the min id; the unrelated doc 3 pairs with
+    // nothing and so never enters the pair graph
+    assert(rows == Set((1L, 1L, 2L), (2L, 1L, 2L)), rows.toString)
+  }
+
   test("skew guard: a pathological bucket is salted, work is bounded, pairs are complete") {
     // 300 members land in ONE block; with cap=20 the guard must split
     // it into salted tasks yet still offer every unordered pair once.
