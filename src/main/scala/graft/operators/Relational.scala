@@ -161,14 +161,86 @@ object Relational {
   /** Exact per-type value percentiles (p50/p95/p99) via rank selection:
     * percentile q = value at row_number ceil(q·n) in (value, event_id)
     * order — deterministic and engine-replayable, unlike approximate
-    * sketches. One window pass per type + one conditional hash
-    * aggregate. (At 100 TB the per-type window sort serializes on the
-    * low-cardinality type key — there the same exact semantics run as
-    * distributed selection (binary search on the value domain with
-    * count aggregates) or drop to a t-digest/KLL sketch; exactness is
-    * this query's contract so the DuckDB oracle can replay it
-    * bit-for-bit.) */
+    * sketches.
+    *
+    * Execution is distributed selection, NOT a window over the
+    * low-cardinality `event_type` key (~5 types → 5 tasks sorting
+    * everything — the r3 100 TB scale-killer):
+    *   1. range-repartition by (event_type, value, event_id), sort
+    *      within partitions — each partition sorts only its slice;
+    *   2. per-(partition, type) row counts collected — O(partitions ×
+    *      types) rows, independent of corpus size;
+    *   3. from the counts: per-type totals n, target ranks ceil(q·n),
+    *      and each partition's per-type global start rank, broadcast;
+    *   4. a map-only second pass emits exactly the rows whose global
+    *      rank is a target — ≤ 3 rows per type leave the executors.
+    * The cached repartitioned input pins one partition layout across
+    * both passes (range sampling is not stable across independent
+    * materializations). The selected VALUE is rank-determined even
+    * with duplicate values split across partitions: ties are broken by
+    * event_id in the range key, and equal-value rows carry the same
+    * value regardless of which one the rank lands on.
+    * [[valuePctlWindow]] keeps the window form as the semantic spec;
+    * ValuePctlSpec pins equivalence. */
   def valuePctl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranged = Tables.events(s, dir)
+      .select($"event_type", $"value", $"event_id")
+      .repartitionByRange($"event_type", $"value", $"event_id")
+      .sortWithinPartitions($"event_type", $"value", $"event_id")
+      .as[(String, Double, Long)]
+      .cache()
+    val counts: Array[(Int, String, Long)] = ranged.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (t, _, _) => m.update(t, m.getOrElse(t, 0L) + 1L) }
+        m.iterator.map { case (t, c) => (pid, t, c) }
+      }.collect()
+    val nByType: Map[String, Long] =
+      counts.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._3).sum }
+    // target global ranks per type; several percentiles can land on
+    // the same rank for small n, so ranks map to a LIST of labels
+    val targets: Map[String, Map[Long, Seq[String]]] = nByType.map { case (t, n) =>
+      val want = Seq(
+        "p50" -> math.ceil(n * 0.5).toLong,
+        "p95" -> math.ceil(n * 0.95).toLong,
+        "p99" -> math.ceil(n * 0.99).toLong)
+      t -> want.groupBy(_._2).map { case (r, qs) => r -> qs.map(_._1) }
+    }
+    val startRank: Map[(Int, String), Long] = counts.groupBy(_._2).iterator
+      .flatMap { case (t, rows) =>
+        var run = 0L
+        rows.sortBy(_._1).iterator.map { case (pid, _, c) =>
+          val entry = ((pid, t), run); run += c; entry
+        }
+      }.toMap
+    val bcStart = s.sparkContext.broadcast(startRank)
+    val bcTargets = s.sparkContext.broadcast(targets)
+    val hits = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var curType: String = null
+      var rank = 0L
+      it.flatMap { case (t, v, _) =>
+        if (t != curType) { curType = t; rank = bcStart.value.getOrElse((pid, t), 0L) }
+        rank += 1
+        bcTargets.value(t).getOrElse(rank, Nil).map(q => (t, q, v))
+      }
+    }
+    val nDf = nByType.toSeq.toDF("event_type", "n_events")
+    s.createDataset(hits).toDF("event_type", "q", "value")
+      .groupBy($"event_type")
+      .agg(
+        round(max(when($"q" === "p50", $"value")), 4).as("p50"),
+        round(max(when($"q" === "p95", $"value")), 4).as("p95"),
+        round(max(when($"q" === "p99", $"value")), 4).as("p99"))
+      .join(broadcast(nDf), "event_type")
+      .select($"event_type", $"n_events", $"p50", $"p95", $"p99")
+      .orderBy($"event_type")
+  }
+
+  /** The one-window semantic reference for [[valuePctl]] — exactly the
+    * oracle SQL's shape. Used by ValuePctlSpec to pin equivalence of
+    * the distributed-selection form; not registered as a query. */
+  private[graft] def valuePctlWindow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wOrd = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
     val wAll = Window.partitionBy($"event_type")

@@ -303,19 +303,72 @@ object TextAnalysis {
     * source in doc_id order and cut into fixed token-budget training
     * chunks; a doc belongs to the chunk its first token lands in — the
     * standard GPT-style block packing a pretraining pipeline runs
-    * before batching. One window pass per stratum (prefix-sum), so the
-    * shuffle is one hash exchange on `source` regardless of corpus
-    * size; no stateful driver loop.
+    * before batching.
     *
-    * Scale note: `source` is low-cardinality, so the window sort puts
-    * one stratum per task. At 100 TB the same semantics run as a
-    * hierarchical prefix sum — per-partition token subtotals (one
-    * pass), cumulative offsets broadcast, then a second map-only pass
-    * — keeping every stage fully parallel; the window form here is
-    * the semantic spec the oracle can replay. */
+    * Execution is a hierarchical prefix sum, NOT a window over the
+    * low-cardinality `source` key (which would sort each whole stratum
+    * in one task — the r3 100 TB scale-killer):
+    *   1. range-repartition by (source, doc_id), sort within
+    *      partitions — every partition holds a contiguous slice of
+    *      one-or-more strata and sorts only its slice;
+    *   2. per-(partition, source) token subtotals — O(partitions ×
+    *      sources) rows, collected (thousands of rows even at 100 TB,
+    *      independent of corpus size);
+    *   3. cumulative start offsets per (partition, source) broadcast;
+    *   4. a map-only second pass accumulates the local running sum on
+    *      top of the broadcast offset.
+    * The repartitioned input is cached (plan-keyed, one bounded entry
+    * per sf dir) so both passes see the identical partition layout —
+    * required, since range-boundary sampling is not stable across
+    * independent materializations. [[qPackChunksWindow]] keeps the
+    * one-window form as the semantic spec; PackChunksSpec pins
+    * equivalence. */
   private val ChunkTokens = 2048
 
   def qPackChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranged = Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        size(expr("filter(split(text, ' '), w -> w != '')")).cast("long"))
+      .select($"doc_id", $"source", $"n_tokens")
+      .repartitionByRange($"source", $"doc_id")
+      .sortWithinPartitions($"source", $"doc_id")
+      .as[(Long, String, Long)]
+      .cache()
+    val subtotals: Array[(Int, String, Long)] = ranged.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        // LinkedHashMap: sources within a partition stay in encounter
+        // (sorted) order, but correctness only needs the (pid, source)
+        // keys — offsets are re-derived by pid sort below
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (_, src, n) => m.update(src, m.getOrElse(src, 0L) + n) }
+        m.iterator.map { case (src, tot) => (pid, src, tot) }
+      }.collect()
+    val offsets: Map[(Int, String), Long] = subtotals.groupBy(_._2).iterator
+      .flatMap { case (src, rows) =>
+        var run = 0L
+        rows.sortBy(_._1).iterator.map { case (pid, _, tot) =>
+          val entry = ((pid, src), run); run += tot; entry
+        }
+      }.toMap
+    val bc = s.sparkContext.broadcast(offsets)
+    val packed = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val running = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { case (docId, src, n) =>
+        val cum = running.getOrElse(src, bc.value.getOrElse((pid, src), 0L))
+        running.update(src, cum + n)
+        (docId, src, n, cum / ChunkTokens, cum % ChunkTokens)
+      }
+    }
+    s.createDataset(packed)
+      .toDF("doc_id", "source", "n_tokens", "chunk_id", "chunk_off")
+      .orderBy($"doc_id")
+  }
+
+  /** The one-window semantic reference for [[qPackChunks]] — exactly
+    * the oracle SQL's shape. Used by PackChunksSpec to pin equivalence
+    * of the hierarchical form; not registered as a query. */
+  private[graft] def qPackChunksWindow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"doc_id")

@@ -60,11 +60,14 @@ class PlanSpec extends AnyFunSuite {
       s"assignment must not shuffle the points:\n$p")
   }
 
-  test("q_pack_chunks: one window pass — at most stratum + presentation exchanges") {
+  test("q_pack_chunks: hierarchical prefix sum — no window, presentation exchange only") {
+    // r4: the per-source window became a range-partitioned prefix sum
+    // (PrefixSumSpec pins equivalence); the SQL plan over the result
+    // RDD must carry only the final presentation sort's exchange
     val p = planOf(operators.TextAnalysis.qPackChunks(spark, sf))
-    assert(p.contains("Window"), p)
+    assert(!p.contains("Window"), p)
     assert(!p.contains("Join"), p)
-    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 2, p)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1, p)
   }
 
   test("q_medoid: broadcast pair generation feeding a map-side partial sum") {
