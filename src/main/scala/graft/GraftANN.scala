@@ -98,4 +98,15 @@ object GraftANN {
       s"index at $path was built with a different metric than ${params.metric}")
     new Handle(spark, path, params)
   }
+
+  /** Open an existing index inferring the metric AND every build knob
+    * from its own metadata.json (reference `open_index_default_metric`,
+    * lib.rs:506-534) — the handed-over-index path: the caller has a
+    * directory, not the build configuration. Searches through this
+    * handle are identical to one opened with the original params. */
+  def openIndex(spark: SparkSession, path: String): Handle = {
+    val meta = VamanaIndex.loadMeta(path)
+    require(meta.contains("\"format\":\"graft-vamana-v1\""), s"not a graft index: $path")
+    new Handle(spark, path, VamanaIndex.paramsFromMeta(spark, meta))
+  }
 }

@@ -173,6 +173,31 @@ object VamanaIndex {
   def loadMeta(path: String): String =
     Files.readString(Paths.get(s"$path/metadata.json"))
 
+  /** Reconstruct the build params from persisted metadata.json — the
+    * reference's `open_index_default_metric` support (reference
+    * lib.rs:506-534): an index directory is self-describing, so a
+    * caller who received one without its build configuration can still
+    * open and serve it. Casts are explicit because Spark's JSON reader
+    * infers integral-valued doubles (alpha = 2.0 written as "2") as
+    * longs. */
+  def paramsFromMeta(spark: SparkSession, meta: String): VamanaParams = {
+    import spark.implicits._
+    val row = spark.read.json(spark.createDataset(Seq(meta)))
+      .selectExpr("metric", "CAST(max_degree AS INT)",
+        "CAST(build_beam_width AS INT)", "CAST(alpha AS DOUBLE)",
+        "CAST(passes AS INT)", "CAST(extra_seeds AS INT)",
+        "CAST(seed AS BIGINT)")
+      .head()
+    VamanaParams(
+      metric = row.getString(0),
+      maxDegree = row.getInt(1),
+      buildBeamWidth = row.getInt(2),
+      alpha = row.getDouble(3),
+      passes = row.getInt(4),
+      extraSeeds = row.getInt(5),
+      seed = row.getLong(6))
+  }
+
   /** Rebuild one shard's in-memory graph from its IndexRows: sorts by
     * vec_id, flattens vectors, remaps global neighbor ids to local
     * indices. Shared by every serving/diagnostic path so fixes can't

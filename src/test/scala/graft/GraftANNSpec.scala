@@ -46,6 +46,18 @@ class GraftANNSpec extends AnyFunSuite {
     assert(batch.sameElements(single))
   }
 
+  test("openIndex with no params infers them from metadata (open_index_default_metric)") {
+    val inferred = GraftANN.openIndex(spark, path)
+    // every build knob round-trips through metadata.json
+    assert(inferred.params == params)
+    // and serving through the inferred handle is identical
+    val explicit = GraftANN.openIndex(spark, path, params)
+    val q = explicit.getVector(3L)
+    val a = inferred.searchVector(q, k = 5, beamWidth = 32)
+    val b = explicit.searchVector(q, k = 5, beamWidth = 32)
+    assert(a.sameElements(b))
+  }
+
   test("probed search serves from the persisted routing table") {
     val h = GraftANN.openIndex(spark, path, params)
     // routing read back from metadata.json covers every shard
