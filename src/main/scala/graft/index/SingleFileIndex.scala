@@ -116,14 +116,28 @@ object SingleFileIndex {
     }
   }
 
+  /** Hard cap on exportable rows: export holds one (id, degree) pair
+    * per row on the driver (~16 bytes each; 2²⁶ ≈ 1 GiB of driver
+    * arrays with the id→position map) before streaming the data. At
+    * 1 B+ vectors that array alone is ~16 GB of driver heap, so the
+    * guard fails fast with a pointer to the distributed format instead
+    * of an opaque OOM mid-export. */
+  val MaxExportRows: Long = 1L << 26
+
   /** Export a (typically compacted single-shard) index into the
     * reference's single-file layout. Streams through
     * `toLocalIterator` — single-file = single-node by definition; the
     * distributed format remains the shard-partitioned parquet. */
-  def export(index: Dataset[IndexRow], params: VamanaParams, path: String): Unit = {
+  def export(index: Dataset[IndexRow], params: VamanaParams, path: String,
+      maxRows: Long = MaxExportRows): Unit = {
     val spark = index.sparkSession
     import spark.implicits._
     val sorted = index.orderBy($"vec_id")
+    val total = index.count()
+    require(total <= maxRows,
+      s"single-file export is a driver-streamed interop path: $total rows exceeds " +
+        s"the $maxRows-row driver-heap guard — keep indexes this large in the " +
+        "shard-partitioned parquet format (VamanaIndex.save)")
     // one job gathers ids + dim + observed max degree
     val idDegree = sorted.select($"vec_id", size($"neighbors"), size($"embedding"))
       .as[(Long, Int, Int)].collect()
@@ -307,6 +321,12 @@ object SingleFileIndex {
       }
       val params = VamanaParams(maxDegree = meta.maxDegree, metric = metricName)
       val g = new VamanaGraph(flat, dim, n, params)
+      // honor the file's stored entry point: a reference(rust)-written
+      // file records a random-pivot medoid that graft's deterministic
+      // rule would not reproduce — without this, heap and mmap serving
+      // of the SAME file would start from different entries and could
+      // return different results
+      if (meta.medoidId >= 0 && meta.medoidId < n) g.entryOverride = meta.medoidId
       raf.seek(meta.adjacencyOffset)
       val adjBytes = new Array[Byte](4 * meta.maxDegree)
       i = 0
@@ -334,7 +354,10 @@ object SingleFileIndex {
   * the mapping — the index is never heap-loaded. The only O(n) heap
   * state is the cached per-vector norm table for cosine (8n bytes),
   * mirroring [[VamanaGraph]]'s fused-dot fast path so results are
-  * bit-identical to the heap-resident graph.
+  * bit-identical to the heap-resident graph. Both modes enter at the
+  * file's stored medoid_id ([[SingleFileIndex.importLocal]] threads it
+  * into the graph), so the equivalence holds for reference-written
+  * files too, whose random-pivot medoid graft would not recompute.
   *
   * One instance serves one thread (it reuses a per-row scratch
   * buffer), same contract as VamanaGraph's serving scratch.

@@ -164,10 +164,18 @@ final class VamanaGraph(
   /** adjacency: var-degree lists, bounded by slackLimit during build. */
   val graph: Array[Array[Int]] = new Array[Array[Int]](n)
 
+  /** Externally-supplied entry point (e.g. a single-file index's
+    * stored medoid_id): set BEFORE the first search to make serving
+    * honor the file's entry point instead of recomputing one — a
+    * reference-written file records a random-pivot medoid this
+    * deterministic rule would not reproduce. Negative = compute. */
+  private[graft] var entryOverride: Int = -1
+
   /** Entry point: medoid over min(n, 64) deterministic pivots (ids
     * 0, step, 2·step …) — sampled form of reference lib.rs:736-756. */
   lazy val medoid: Int = {
-    if (n == 1) 0
+    if (entryOverride >= 0) entryOverride
+    else if (n == 1) 0
     else {
       val np = math.min(64, n)
       val step = math.max(1, n / np)

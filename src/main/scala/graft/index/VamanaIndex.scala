@@ -446,9 +446,10 @@ object VamanaIndex {
   def qIndexMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // applicationId-scoped path: concurrent same-sf runs must not
-    // clobber each other's round-trip directory
+    // clobber each other's round-trip directory; deleted at JVM exit
     val sf = dir.replaceAll(".*/", "")
-    val path = s"/tmp/graft_index_${sf}_${s.sparkContext.applicationId}"
+    val path = graft.TempCleanup.onExit(
+      s"/tmp/graft_index_${sf}_${s.sparkContext.applicationId}")
     save(cachedIndex(s, dir), qParams, path)
     val re = load(s, path)
     val meta = loadMeta(path)

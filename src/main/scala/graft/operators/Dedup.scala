@@ -35,7 +35,18 @@ object Dedup {
 
   /** Bucket-size cap for the pair-generation skew guard (SURVEY §4):
     * blocks larger than this are split into deterministic sub-bucket
-    * salts so no single task ever runs an unbounded O(b²) loop. */
+    * salts so no single task ever runs an unbounded O(b²) loop.
+    *
+    * Residual quadratic regime: salts are capped at [[MaxSalts]], so a
+    * degenerate block far beyond MaxSalts·cap members (e.g. millions
+    * of byte-identical documents sharing one band value) still costs
+    * each task O((b/MaxSalts)²) — bounded relative to unguarded, but
+    * quadratic in b. That regime is inherent to the OUTPUT, not the
+    * plan: a block of b mutual near-dups emits Θ(b²) pairs whatever
+    * the engine does, so the right mitigation upstream of any pairwise
+    * detector is exact dedup first ([[qDedupExact]] collapses
+    * byte-identical payloads), after which residual blocks are
+    * near-dup-sized and MaxSalts·cap ≈ 32k members is ample headroom. */
   private[graft] val BucketCap = 1024
   private[graft] val MaxSalts = 32
 

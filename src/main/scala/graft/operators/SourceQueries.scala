@@ -17,8 +17,9 @@ object SourceQueries {
     import s.implicits._
     val sf = dir.replaceAll(".*/", "")
     // app-unique path: concurrent runs on the same sf must not clobber
-    // each other's file mid-read
-    val path = s"/tmp/graft_vecs_${sf}_${s.sparkContext.applicationId}.fvecs"
+    // each other's file mid-read; deleted at JVM exit
+    val path = graft.TempCleanup.onExit(
+      s"/tmp/graft_vecs_${sf}_${s.sparkContext.applicationId}.fvecs")
     VecsFormats.writeFvecs(Tables.embeddings(s, dir), path)
     VecsFormats.readFvecs(s, path)
       .select($"vec_id",
@@ -41,7 +42,8 @@ object SourceQueries {
   def qHdf5Roundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sf = dir.replaceAll(".*/", "")
-    val path = s"/tmp/graft_ann_${sf}_${s.sparkContext.applicationId}.hdf5"
+    val path = graft.TempCleanup.onExit(
+      s"/tmp/graft_ann_${sf}_${s.sparkContext.applicationId}.hdf5")
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding").orderBy($"vec_id")
     val (rows, dim) = {
       val r = emb.agg(count(lit(1)), first(size($"embedding"))).head()

@@ -335,9 +335,13 @@ object AnnHdf5 {
   }
 
   /** Write an ann-benchmarks-shaped HDF5 file (superblock v0, v1
-    * object headers, contiguous layout) — the exact structure the
-    * reader above parses and h5py's default writer emits. Local-path
-    * export utility, like [[VecsFormats.writeFvecs]]. */
+    * object headers, contiguous layout, full datatype property fields)
+    * — the same structural subset h5py's default writer emits.
+    * Executable validation is the reader above (h5py/libhdf5 are not
+    * available in this offline environment); the datatype property
+    * fields and B-tree name-offset keys conformant readers require are
+    * emitted per the HDF5 v0/v1 spec. Local-path export utility, like
+    * [[VecsFormats.writeFvecs]]. */
   def write(path: String, matrices: Seq[Matrix]): Unit = {
     require(matrices.nonEmpty && matrices.size <= 8,
       "writer supports 1..8 datasets (one SNOD)")
@@ -366,14 +370,22 @@ object AnnHdf5 {
       val heapDataSize = heapCursor
       val heapDataAddr = heapAddr + 32L
       var cursor = align8(heapDataAddr + heapDataSize)
-      // dataset headers: 16 prefix + dataspace(8+56... v1 rank-2 body =
-      // 8 + 16) + datatype (8 + 8) + layout v3 contiguous (8 + 18→pad 24)
-      val dsHeaderSize = 16L + (8 + 24) + (8 + 8) + (8 + 24)
+      // dataset headers: 16 prefix + dataspace(8 + v1 rank-2 body 24)
+      // + datatype (8 + class/bits/size 8 + property fields, 8-padded:
+      // float props are 12 bytes → 24 total body; fixed-point props are
+      // 4 bytes → 16 total body — conformant readers (libhdf5/h5py)
+      // parse the properties, so they must be present) + layout v3
+      // contiguous (8 + 18 → pad 24)
+      def dtBodySize(m: Matrix): Long = m match {
+        case _: FloatMatrix => 24L // 8 + 12 props, padded
+        case _: LongMatrix => 16L // 8 + 4 props, padded
+      }
+      def dsHeaderSize(m: Matrix): Long = 16L + (8 + 24) + (8 + dtBodySize(m)) + (8 + 24)
       val headerAddrs = new Array[Long](matrices.size)
       val dataAddrs = new Array[Long](matrices.size)
       matrices.zipWithIndex.foreach { case (m, i) =>
         headerAddrs(i) = cursor
-        cursor = align8(cursor + dsHeaderSize)
+        cursor = align8(cursor + dsHeaderSize(m))
         dataAddrs(i) = cursor
         val elem = m match { case _: FloatMatrix => 4L; case _: LongMatrix => 8L }
         cursor = align8(cursor + m.rows.toLong * m.cols * elem)
@@ -408,17 +420,21 @@ object AnnHdf5 {
       rh.putLong(btreeAddr); rh.putLong(heapAddr)
       writeAt(rootHeaderAddr, rh)
 
-      // ---- B-tree v1, level 0, one SNOD child
+      // ---- B-tree v1, level 0, one SNOD child. Keys are heap name
+      // offsets: key 0 = offset 0 (the reserved empty name — the
+      // conventional "smallest" key) and the closing key = the
+      // lexicographically-largest stored name's offset, so libhdf5's
+      // key-guided name lookup binary-searches correctly.
+      val order = matrices.indices.sortBy(matrices(_).name)
       val bt = bb(48)
       bt.put("TREE".getBytes("ASCII"))
       bt.put(0.toByte); bt.put(0.toByte); bt.putShort(1)
       bt.putLong(Undef); bt.putLong(Undef)
-      bt.putLong(0L); bt.putLong(snodAddr); bt.putLong(heapDataSize)
+      bt.putLong(0L); bt.putLong(snodAddr); bt.putLong(nameOffsets(order.last))
       writeAt(btreeAddr, bt)
 
       // ---- SNOD (symbol table node) — entries sorted by name, as the
       // format requires (h5py maintains the same invariant)
-      val order = matrices.indices.sortBy(matrices(_).name)
       val sn = bb(8 + 40 * matrices.size)
       sn.put("SNOD".getBytes("ASCII"))
       sn.put(1.toByte); sn.put(0.toByte)
@@ -446,25 +462,38 @@ object AnnHdf5 {
 
       // ---- dataset headers + data
       matrices.zipWithIndex.foreach { case (m, i) =>
-        val h = bb(dsHeaderSize.toInt)
+        val hSize = dsHeaderSize(m)
+        val h = bb(hSize.toInt)
         h.put(1.toByte); h.put(0.toByte); h.putShort(3)
-        h.putInt(1); h.putInt((dsHeaderSize - 16).toInt); h.putInt(0)
+        h.putInt(1); h.putInt((hSize - 16).toInt); h.putInt(0)
         // dataspace v1, rank 2
         h.putShort(0x01); h.putShort(24); h.putInt(0)
         h.put(1.toByte); h.put(2.toByte); h.put(0.toByte); h.put(0.toByte)
         h.putInt(0) // reserved
         h.putLong(m.rows.toLong); h.putLong(m.cols.toLong)
-        // datatype: class 1 float f32 LE or class 0 fixed i64 LE
-        h.putShort(0x03); h.putShort(8); h.putInt(0)
+        // datatype: class 1 float f32 LE or class 0 fixed i64 LE, with
+        // the class-specific property fields the spec mandates (h5py/
+        // libhdf5 parse them; the reader above tolerates either)
+        h.putShort(0x03); h.putShort(dtBodySize(m).toShort); h.putInt(0)
         m match {
           case _: FloatMatrix =>
             h.put(0x11.toByte) // version 1, class 1 (float)
             h.put(0x20.toByte); h.put(0x1f.toByte); h.put(0.toByte) // IEEE LE bits
             h.putInt(4)
+            // float properties: bit offset/precision, exponent
+            // location+size, mantissa location+size, bias (IEEE
+            // binary32: exp@23 ×8, man@0 ×23, bias 127)
+            h.putShort(0); h.putShort(32)
+            h.put(23.toByte); h.put(8.toByte); h.put(0.toByte); h.put(23.toByte)
+            h.putInt(127)
+            h.putInt(0) // pad 12-byte props to the 8-aligned body
           case _: LongMatrix =>
             h.put(0x10.toByte) // version 1, class 0 (fixed-point)
             h.put(0x08.toByte); h.put(0.toByte); h.put(0.toByte) // signed, LE
             h.putInt(8)
+            // fixed-point properties: bit offset, bit precision
+            h.putShort(0); h.putShort(64)
+            h.putInt(0) // pad 4-byte props to the 8-aligned body
         }
         // layout v3 class 1 (contiguous): address + size, padded to 24
         h.putShort(0x08); h.putShort(24); h.putInt(0)

@@ -53,6 +53,26 @@ class SingleFileIndexSpec extends AnyFunSuite {
     assert(g.graph.forall(_.length <= 16))
   }
 
+  test("export refuses an index beyond the driver-heap guard with a clear message") {
+    val vecs = Tables.embeddings(spark, SparkSpecBase.sf001)
+    val idx = VamanaIndex.build(vecs, params, numShards = 1)
+    val e = intercept[IllegalArgumentException] {
+      SingleFileIndex.export(idx, params, "/tmp/graft_guard.idx", maxRows = 10)
+    }
+    assert(e.getMessage.contains("driver-heap guard"), e.getMessage)
+    assert(e.getMessage.contains("VamanaIndex.save"), e.getMessage)
+    assert(!Files.exists(Paths.get("/tmp/graft_guard.idx")))
+  }
+
+  test("importLocal enters at the file's stored medoid (mmap parity for foreign files)") {
+    // heap and mmap serving must use the SAME entry point recorded in
+    // the file — for a reference-written file the stored medoid is a
+    // random pivot graft's deterministic rule would not reproduce
+    val (g, _, _) = SingleFileIndex.importLocal(path)
+    val meta = SingleFileIndex.readMeta(path)
+    assert(g.medoid == meta.medoidId)
+  }
+
   test("file bytes follow the reference layout exactly") {
     val bytes = Files.readAllBytes(Paths.get(path))
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
