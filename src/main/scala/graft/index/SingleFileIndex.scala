@@ -129,7 +129,7 @@ object SingleFileIndex {
     * `toLocalIterator` — single-file = single-node by definition; the
     * distributed format remains the shard-partitioned parquet. */
   def export(index: Dataset[IndexRow], params: VamanaParams, path: String,
-      maxRows: Long = MaxExportRows): Unit = {
+      maxRows: Long = MaxExportRows, u8: Boolean = false): Unit = {
     val spark = index.sparkSession
     import spark.implicits._
     val sorted = index.orderBy($"vec_id")
@@ -171,8 +171,14 @@ object SingleFileIndex {
     // dim and break the owner's queries) — fail loudly instead
     require(!packed || dim % 64 == 0,
       s"hamming export needs dim % 64 == 0 (got $dim); pad the bit vectors to a word multiple")
+    // u8 mode (reference's generic T = u8, examples/bigann.rs): one
+    // byte per slot, elem_size 1 — a 4× scan-volume reduction vs f32.
+    // Slots must already be integral 0..255 (e.g. SQ8+offset codes);
+    // export VALIDATES rather than quantizes, so the file is an exact
+    // representation of the index it came from.
+    require(!(packed && u8), "u8 export does not apply to hamming (packed u64) indexes")
     val words = (dim + 63) / 64
-    val elemSize = if (packed) 8 else 4
+    val elemSize = if (packed) 8 else if (u8) 1 else 4
     val fileDim = if (packed) words else dim
     def normFloor(v: Array[Float]): Double = {
       var s = 0.0; var i = 0
@@ -211,6 +217,16 @@ object SingleFileIndex {
               }
               stage.putLong(word)
               w += 1
+            }
+          } else if (u8) {
+            ensure(dim)
+            var d = 0
+            while (d < dim) {
+              val slot = v(d)
+              require(slot >= 0f && slot <= 255f && slot == math.rint(slot).toFloat,
+                s"u8 export expects integral slots in [0,255], got $slot")
+              stage.put(slot.toInt.toByte)
+              d += 1
             }
           } else {
             ensure(4 * dim)
@@ -285,8 +301,9 @@ object SingleFileIndex {
     val meta = readMeta(path)
     val metricName = nameToMetric(meta.distanceName)
     val packed = meta.elemSize == 8 && metricName == "hamming"
-    require(meta.elemSize == 4 || packed,
-      s"graft serves f32 (or packed-u64 hamming) indexes; file has " +
+    val u8 = meta.elemSize == 1
+    require(meta.elemSize == 4 || u8 || packed,
+      s"graft serves f32, u8, or packed-u64 hamming indexes; file has " +
         s"elem_size ${meta.elemSize} with distance ${meta.distanceName}")
     val n = meta.numVectors
     // a packed u64 hamming file records dim in WORDS; the in-memory
@@ -313,6 +330,11 @@ object SingleFileIndex {
             }
             w += 1
           }
+        } else if (u8) {
+          // u8 → float is lossless (0..255 exact in f32), so graph
+          // distances equal native u8 integer arithmetic exactly
+          var d = 0
+          while (d < dim) { flat(i * dim + d) = (bb.get() & 0xff).toFloat; d += 1 }
         } else {
           var d = 0
           while (d < dim) { flat(i * dim + d) = bb.getFloat; d += 1 }
@@ -370,8 +392,12 @@ final class MmapIndex(path: String) extends AutoCloseable {
   /** packed u64 hamming file (reference DiskANN<u64, DistHamming>):
     * file dim counts words; queries/vectors are bit-per-slot. */
   private val packed = meta.elemSize == 8 && metricName0 == "hamming"
-  require(meta.elemSize == 4 || packed,
-    s"graft serves f32 (or packed-u64 hamming) indexes; file has " +
+  /** u8 file (reference generic T = u8, examples/bigann.rs): slots are
+    * unsigned bytes read straight off the mapping — no widened copy of
+    * the vector region ever exists on the heap. */
+  private val u8 = meta.elemSize == 1
+  require(meta.elemSize == 4 || u8 || packed,
+    s"graft serves f32, u8, or packed-u64 hamming indexes; file has " +
       s"elem_size ${meta.elemSize} with distance ${meta.distanceName}")
   val n: Int = meta.numVectors
   val dim: Int = if (packed) meta.dim * 64 else meta.dim
@@ -408,15 +434,21 @@ final class MmapIndex(path: String) extends AutoCloseable {
       }
     } else {
       var d = 0
-      while (d < dim) { out(d) = buf.getFloat(off + 4 * d); d += 1 }
+      while (d < dim) { out(d) = slot(off, d); d += 1 }
     }
     out
   }
 
+  /** Read slot `d` of the row at byte offset `off`: unsigned byte for
+    * u8 files, f32 otherwise. `u8` is fixed per instance so the branch
+    * predicts perfectly in the hot loops. */
+  @inline private def slot(off: Int, d: Int): Float =
+    if (u8) (buf.get(off + d) & 0xff).toFloat else buf.getFloat(off + 4 * d)
+
   @inline private def loadRow(i: Int): Unit = {
     val off = vecOff(i)
     var d = 0
-    while (d < dim) { rowScratch(d) = buf.getFloat(off + 4 * d); d += 1 }
+    while (d < dim) { rowScratch(d) = slot(off, d); d += 1 }
   }
 
   /** cosine norms cached once (same floored form as VamanaGraph). */
@@ -428,7 +460,7 @@ final class MmapIndex(path: String) extends AutoCloseable {
       while (i < n) {
         val off = vecOff(i)
         var s = 0.0; var d = 0
-        while (d < dim) { val x = buf.getFloat(off + 4 * d).toDouble; s += x * x; d += 1 }
+        while (d < dim) { val x = slot(off, d).toDouble; s += x * x; d += 1 }
         out(i) = math.max(math.sqrt(s), java.lang.Double.MIN_NORMAL)
         i += 1
       }
@@ -449,7 +481,7 @@ final class MmapIndex(path: String) extends AutoCloseable {
     } else if (isCos) {
       val off = vecOff(j)
       var dot = 0.0; var i = 0
-      while (i < dim) { dot += q(i).toDouble * buf.getFloat(off + 4 * i).toDouble; i += 1 }
+      while (i < dim) { dot += q(i).toDouble * slot(off, i).toDouble; i += 1 }
       1.0 - dot / (qNorm * norms(j))
     } else {
       loadRow(j)

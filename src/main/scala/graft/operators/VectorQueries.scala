@@ -459,6 +459,59 @@ object VectorQueries {
       |    (acc, e) -> acc + e)), 4) AS recon_err
       |FROM c ORDER BY vec_id""".stripMargin
 
+  /** Exact kNN over u8-quantized vectors in pure integer arithmetic
+    * (the reference is generic over element type — lib.rs:7-8's `T:
+    * Distance<T>` — and its BigANN example serves u8 vectors,
+    * examples/bigann.rs): codes = round(x/scale) + 128 ∈ [1,255] (the
+    * SQ8 rule shifted into unsigned-byte range), distance = integer
+    * squared L2. No float participates in the distance, so results
+    * are bit-portable across engines — and at 100 TB the u8 code
+    * column is a 4× scan-volume reduction over f32 embeddings. */
+  def qKnnU8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = Tables.embeddings(s, dir)
+      .withColumn("scale",
+        expr("greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30d)"))
+      .withColumn("codes",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT) + 128)"))
+      .select($"vec_id", $"codes")
+    val q = codes.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"codes".as("qc"))
+    val d = codes.select($"vec_id".as("nid"), $"codes".as("nc"))
+      .join(broadcast(q))
+      .filter($"nid" =!= $"q_id")
+      .select($"q_id", $"nid",
+        expr("""CAST(aggregate(
+          |  zip_with(qc, nc, (a, b) -> CAST((a - b) * (a - b) AS BIGINT)),
+          |  0L, (acc, e) -> acc + e) AS DOUBLE)""".stripMargin).as("dist"))
+    topkExplode(d, K)
+  }
+
+  val qKnnU8Sql: String =
+    s"""WITH sc AS (
+       |  SELECT vec_id, embedding,
+       |    greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0,
+       |             1e-30) AS scale
+       |  FROM embeddings
+       |), c AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> round(x::DOUBLE / scale, 0)::INTEGER + 128) AS codes
+       |  FROM sc
+       |), q AS (
+       |  SELECT vec_id AS q_id, codes AS qc FROM c WHERE vec_id % 50 = 0
+       |), d AS (
+       |  SELECT q_id, c.vec_id AS nid,
+       |    CAST(list_sum(list_transform(range(1, len(qc) + 1),
+       |      i -> CAST((qc[i] - c.codes[i]) * (qc[i] - c.codes[i]) AS BIGINT))) AS DOUBLE) AS dist
+       |  FROM q CROSS JOIN c WHERE c.vec_id <> q_id
+       |), r AS (
+       |  SELECT q_id, nid, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nid) AS rn
+       |  FROM d
+       |)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
+       |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- LSH
 
   /** Random-hyperplane LSH bucketing with hash-derived (LCG) planes —
@@ -557,7 +610,8 @@ object VectorQueries {
     "q_knn_ivf_trained" -> (qKnnIvfTrained(_, _)),
     "q_lsh_bucket" -> (qLshBucket(_, _)),
     "q_knn_lsh" -> (qKnnLsh(_, _)),
-    "q_quantize_sq8" -> (qQuantizeSq8(_, _)))
+    "q_quantize_sq8" -> (qQuantizeSq8(_, _)),
+    "q_knn_u8" -> (qKnnU8(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_dist_l2" -> qDistL2Sql,
@@ -574,5 +628,6 @@ object VectorQueries {
     "q_knn_ivf_trained" -> qKnnIvfTrainedSql,
     "q_lsh_bucket" -> qLshBucketSql,
     "q_knn_lsh" -> qKnnLshSql,
-    "q_quantize_sq8" -> qQuantizeSq8Sql)
+    "q_quantize_sq8" -> qQuantizeSq8Sql,
+    "q_knn_u8" -> qKnnU8Sql)
 }

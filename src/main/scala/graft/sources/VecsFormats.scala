@@ -70,6 +70,44 @@ object VecsFormats {
       }.toDF("vec_id", "embedding")
   }
 
+  /** `.bvecs` → (vec_id: long, codes: binary) with NO float widening:
+    * the u8 payload stays one byte per slot end to end (reference
+    * examples/bigann.rs reads BigANN .bvecs as native u8) — at 100 TB
+    * the 4× scan-volume difference vs widened f32 is the point.
+    * Pair with integer-arithmetic distances (see
+    * [[graft.operators.VectorQueries.qKnnU8]]) or the u8 single-file
+    * export path. */
+  def readBvecsU8(spark: SparkSession, path: String): DataFrame = {
+    val dim = headerDim(spark, path)
+    val recLen = 4 + dim
+    import spark.implicits._
+    spark.sparkContext.binaryRecords(path, recLen)
+      .zipWithIndex()
+      .map { case (bytes, idx) =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val d = bb.getInt
+        require(d == dim, s"non-uniform dim: $d vs $dim at record $idx")
+        (idx, java.util.Arrays.copyOfRange(bytes, 4, recLen))
+      }.toDF("vec_id", "codes")
+  }
+
+  /** Export (vec_id, codes: binary) as `.bvecs` in vec_id order —
+    * byte-true inverse of [[readBvecsU8]]. */
+  def writeBvecs(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    try {
+      df.select("vec_id", "codes").orderBy("vec_id")
+        .as[(Long, Array[Byte])].toLocalIterator().forEachRemaining { case (_, v) =>
+          val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          bb.putInt(v.length)
+          out.write(bb.array())
+          out.write(v)
+        }
+    } finally out.close()
+  }
+
   /** `.ivecs` (int lists — ground-truth neighbors) →
     * (query_id: long, neighbors: array<int>). */
   def readIvecs(spark: SparkSession, path: String): DataFrame = {

@@ -115,6 +115,48 @@ class SingleFileIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("u8 index: elem_size 1 export round-trips byte-true, heap and mmap agree") {
+    // quantize the embeddings into integral [1,255] slots — genuine u8
+    // content exactly representable in the float graph
+    val vecs = Tables.embeddings(spark, SparkSpecBase.sf001)
+      .selectExpr("vec_id",
+        """transform(embedding,
+          |  x -> CAST(CAST(round(greatest(least(x, 1.0F), -1.0F) * 127 + 128, 0) AS INT) AS FLOAT))
+          |AS embedding""".stripMargin)
+    val p8 = VamanaParams(maxDegree = 16, buildBeamWidth = 32, metric = "l2")
+    val idx = VamanaIndex.build(vecs, p8, numShards = 1)
+    val pathA = "/tmp/graft_u8_a.idx"
+    SingleFileIndex.export(idx, p8, pathA, u8 = true)
+
+    // file records elem_size 1 and is 4x smaller in the vector region
+    val meta = SingleFileIndex.readMeta(pathA)
+    assert(meta.elemSize == 1)
+    assert(meta.adjacencyOffset == SingleFileIndex.VectorsOffset + meta.numVectors.toLong * meta.dim)
+
+    // import → re-export is byte-identical (u8 → float → u8 lossless)
+    val (g, ids, pBack) = SingleFileIndex.importLocal(pathA)
+    assert(g.n == meta.numVectors)
+    val rows = (0 until g.n).map { i =>
+      graft.index.IndexRow(ids(i), g.vecs.slice(i * g.dim, (i + 1) * g.dim),
+        0, g.graph(i).map(ids(_)))
+    }
+    val reIdx = spark.createDataset(rows)
+    val pathB = "/tmp/graft_u8_b.idx"
+    SingleFileIndex.export(reIdx, pBack, pathB, u8 = true)
+    val a = Files.readAllBytes(Paths.get(pathA))
+    val b = Files.readAllBytes(Paths.get(pathB))
+    assert(a.length == b.length && java.util.Arrays.equals(a, b))
+
+    // mmap serving reads u8 bytes directly and matches the heap graph
+    val mm = new MmapIndex(pathA)
+    try {
+      val q = g.vecs.slice(7 * g.dim, 8 * g.dim)
+      val heap = g.search(q, 5, 32).map { case (pos, d) => (ids(pos), d) }.toSeq
+      val mapped = mm.search(q, 5, 32).toSeq
+      assert(mapped == heap, s"$mapped vs $heap")
+    } finally mm.close()
+  }
+
   test("u64 hamming index: packed export, heap and mmap serving agree") {
     // binary corpus, bit-per-slot (the reference's DiskANN<u64,
     // DistHamming> element type once packed)

@@ -43,6 +43,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(ivr(0)._2.sameElements(Array(7, 42)) && ivr(1)._2.sameElements(Array(-1, 0)))
   }
 
+  test("bvecs u8 round-trip is byte-true with no float widening") {
+    // quantize the test embeddings into genuine u8 payloads
+    val codes = Tables.embeddings(spark, SparkSpecBase.sf001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, v.map(x => (math.round(math.max(-1f, math.min(1f, x)) * 127) + 128).toByte))
+      }
+      .toDF("vec_id", "codes")
+    val path = "/tmp/graft_spec_u8.bvecs"
+    VecsFormats.writeBvecs(codes, path)
+    val back = VecsFormats.readBvecsU8(spark, path)
+    // schema carries bytes, not floats
+    assert(back.schema("codes").dataType == org.apache.spark.sql.types.BinaryType)
+    val b = back.as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val o = codes.as[(Long, Array[Byte])].collect().sortBy(_._1)
+    assert(b.length == o.length && b.nonEmpty)
+    b.zip(o).foreach { case ((ri, rv), (oi, ov)) =>
+      assert(ri == oi && rv.sameElements(ov))
+    }
+  }
+
   test("streaming ingest: index grows per batch and stays queryable") {
     val dir = "/tmp/graft_stream_idx"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
