@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.{VamanaIndex, VamanaParams}
+
+/** Skewed-corpus ANN behavior (reference examples/diskann_skewed.rs
+  * pins recall on pathologically skewed clouds): a corpus that is one
+  * dense cluster plus uniform noise is exactly where IVF-style
+  * sharding degrades — kmeans cells crowd the dense region, shard
+  * sizes spread apart, and routing must still find the right cells.
+  * This spec pins (a) the observed shard-size spread so a sharding
+  * regression is loud, and (b) probed recall@10 vs exact brute force
+  * on both dense-cluster and noise queries.
+  */
+class SkewedCorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private val Dim = 16
+  private val N = 3000
+  private val DenseFrac = 0.8 // 80% of points in one tight ball
+
+  /** splitmix64 — deterministic synthetic cloud, no RNG state. */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  private def unit(seed: Long): Double =
+    (mix(seed) >>> 11).toDouble / (1L << 53).toDouble // [0, 1)
+
+  /** id < N·DenseFrac → tight cluster around a fixed center (spread
+    * 0.05); rest → uniform noise in [-1, 1]^Dim. */
+  private def point(id: Int): Array[Float] = {
+    val dense = id < (N * DenseFrac).toInt
+    Array.tabulate(Dim) { d =>
+      val u = unit(id.toLong * 1013L + d)
+      if (dense) (0.5 + (u - 0.5) * 0.05).toFloat
+      else (u * 2.0 - 1.0).toFloat
+    }
+  }
+
+  private val params = VamanaParams(maxDegree = 16, buildBeamWidth = 32,
+    passes = 1, metric = "l2")
+  private val NumShards = 8
+
+  private lazy val corpus = (0 until N).map(i => (i.toLong, point(i)))
+  private lazy val idx = {
+    val df = spark.createDataFrame(corpus).toDF("vec_id", "embedding")
+    VamanaIndex.build(df, params, NumShards).cache()
+  }
+
+  private def l2(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  test("shard sizes spread under skew but every shard stays non-empty") {
+    val sizes = idx.groupBy($"shard").count()
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(sizes.length == NumShards, s"lost shards: ${sizes.length}")
+    assert(sizes.sum == N)
+    assert(sizes.min > 0, "empty shard: routing would probe dead cells")
+    // kmeans sharding under 80/20 skew: cells concentrate in the dense
+    // ball, so the spread is real but bounded — no shard should hold a
+    // majority of the corpus (that would mean sharding collapsed and
+    // one task serves most probes). Observed at pinning time:
+    // sizes 639/368/479/141/346/585/123/319 — a 5.2× min-to-max
+    // spread, largest shard 21% of the corpus: the dense ball splits
+    // across several cells rather than collapsing into one.
+    assert(sizes.max.toDouble / N < 0.55,
+      s"one shard holds ${sizes.max} of $N — sharding collapsed: ${sizes.mkString(",")}")
+  }
+
+  test("probed recall@10 holds for dense-cluster AND noise queries") {
+    // queries: 15 from the dense ball, 15 from the noise region
+    val qids = (0 until 15).map(_ * 100) ++ (0 until 15).map(2450 + _ * 30)
+    val queries = qids.map(i => (i.toLong, point(i))).toArray
+
+    def exactTop10(q: Array[Float], self: Long): Set[Long] =
+      corpus.filter(_._1 != self)
+        .map { case (id, v) => (l2(q, v), id) }
+        .sortBy(identity).take(10).map(_._2).toSet
+
+    def recallAt(np: Int): (Double, Double) = {
+      val got = VamanaIndex.searchProbed(idx, queries, 10, 64, params, np,
+          excludeSelf = true)
+        .select($"q_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val (dq, nq) = queries.partition(_._1 < (N * DenseFrac).toInt)
+      def avg(qs: Array[(Long, Array[Float])]) =
+        qs.map { case (id, q) =>
+          (exactTop10(q, id) & got.getOrElse(id, Set.empty)).size / 10.0
+        }.sum / qs.length
+      (avg(dq), avg(nq))
+    }
+
+    val (dense4, noise4) = recallAt(4)
+    val (denseAll, noiseAll) = recallAt(NumShards)
+    // probing every shard must recover near-exact recall in BOTH
+    // regimes — beam search inside a shard is still approximate, so
+    // the floor is high-but-not-1.0 for noise queries whose neighbors
+    // are spread thin
+    assert(denseAll >= 0.95, s"dense recall at nprobe=all: $denseAll")
+    assert(noiseAll >= 0.85, s"noise recall at nprobe=all: $noiseAll")
+    // nprobe=4 of 8: the dense ball spans several cells, so routed
+    // probing must still find most true neighbors; noise queries route
+    // to their own sparse cells
+    assert(dense4 >= 0.7, s"dense recall at nprobe=4: $dense4")
+    assert(noise4 >= 0.6, s"noise recall at nprobe=4: $noise4")
+    // monotonic: probing more shards never hurts
+    assert(denseAll >= dense4 - 1e-9 && noiseAll >= noise4 - 1e-9)
+  }
+}
