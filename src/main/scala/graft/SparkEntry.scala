@@ -18,7 +18,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.VectorQueries.queries ++
-      index.VamanaIndex.queries ++ operators.Dedup.queries ++
+      index.VamanaIndex.queries ++ index.HnswIndex.queries ++
+      operators.Dedup.queries ++
       operators.TextAnalysis.queries ++ multimodal.Multimodal.queries ++
       operators.KMeans.queries ++ operators.SourceQueries.queries
 

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.{HnswGraph, HnswIndex, HnswParams}
+
+/** HNSW comparison baseline (reference examples/hnsw_sift.rs ships
+  * HNSW side-by-side with DiskANN so users can weigh index families):
+  * kernel determinism/sanity, and the headline comparison — sharded
+  * HNSW recall@10 must meet Vamana's at EQUAL search budget
+  * (ef = beam = 64) through the same harness on the same corpus. */
+class HnswSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private def corpus(n: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(n) { i =>
+      Array.tabulate(dim) { d =>
+        val h = (i.toLong * 2654435761L + d * 40503L) * 0x9e3779b97f4a7c15L
+        ((h >>> 40).toDouble / (1L << 24).toDouble - 0.5).toFloat
+      }
+    }
+
+  test("kernel: deterministic build, self is its own nearest neighbor") {
+    val n = 300; val dim = 16
+    val pts = corpus(n, dim)
+    val flat = pts.flatten
+    val hp = HnswParams(m = 8, efConstruction = 32, metric = "l2")
+    val g1 = new HnswGraph(flat, dim, n, hp).build()
+    val g2 = new HnswGraph(flat, dim, n, hp).build()
+    // identical builds: same entry, same adjacency everywhere
+    assert(g1.entry == g2.entry)
+    (0 until n).foreach { i =>
+      assert(g1.levels(i) == g2.levels(i))
+      g1.layers(i).zip(g2.layers(i)).foreach { case (a, b) =>
+        assert(a.sameElements(b), s"node $i adjacency drifted")
+      }
+    }
+    // every node finds itself at distance 0, results sorted
+    (0 until n by 37).foreach { i =>
+      val r = g1.search(pts(i), 5, 32)
+      assert(r.head._1 == i && r.head._2 < 1e-12, s"node $i: ${r.toSeq}")
+      assert(r.map(_._2).sameElements(r.map(_._2).sorted))
+    }
+  }
+
+  test("kernel: layered structure exists and respects degree caps") {
+    val n = 2000; val dim = 8
+    val flat = corpus(n, dim).flatten
+    val hp = HnswParams(m = 8, efConstruction = 32, metric = "l2")
+    val g = new HnswGraph(flat, dim, n, hp).build()
+    // with n=2000, m=8: expected max level ≈ ln(2000)/ln(8) ≈ 3.7 —
+    // the hierarchy must actually exist (some node above level 0)
+    assert(g.levels.max >= 1, s"no hierarchy: max level ${g.levels.max}")
+    (0 until n).foreach { i =>
+      g.layers(i).zipWithIndex.foreach { case (nbrs, lev) =>
+        val cap = if (lev == 0) 2 * hp.m else hp.m
+        assert(nbrs.length <= cap, s"node $i layer $lev degree ${nbrs.length} > $cap")
+        assert(!nbrs.contains(i), s"node $i self-loop at layer $lev")
+      }
+    }
+  }
+
+  test("sharded HNSW recall@10 meets Vamana's at equal search budget (ef=beam=64)") {
+    val dir = SparkSpecBase.sf001
+    val hnsw = HnswIndex.hnswRecall(spark, dir)
+    val vamana = index.VamanaIndex.qVamanaRecall(spark, dir)
+      .head().getDouble(0)
+    assert(hnsw >= vamana - 1e-9,
+      s"hnsw recall $hnsw below vamana $vamana at equal budget")
+    assert(hnsw >= 0.95, s"hnsw recall $hnsw")
+  }
+
+  test("q_hnsw_search returns k ranked rows per query") {
+    val df = HnswIndex.qHnswSearch(spark, SparkSpecBase.sf001)
+    val byQ = df.groupBy($"q_id").count().as[(Long, Long)].collect()
+    assert(byQ.nonEmpty && byQ.forall(_._2 == 10), byQ.toSeq.toString)
+  }
+}
