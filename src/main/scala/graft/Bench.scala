@@ -36,6 +36,12 @@ object Bench {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
+  /** Nearest-rank percentile (p in [0,1]) of a non-empty sample. */
+  private def pctl(xs: Array[Double], p: Double): Double = {
+    val s = xs.sorted
+    s(math.min(s.length - 1, math.max(0, math.ceil(p * s.length).toInt - 1)))
+  }
+
   /** Time one full run: DataFrame CONSTRUCTION + materialization.
     * Construction is inside the timer because several operators do
     * real driver-coordinated work there (Lloyd iterations, label
@@ -72,7 +78,14 @@ object Bench {
     } catch { case _: Throwable => }
 
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration;
+    // unset (the driver's invocation) benches everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(set) => SparkEntry.queries.filter { case (n, _) => set(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         try Some(runOnce(fn(spark, sfDir))._1) // fn call lazily inside the timer
         catch { case _: Throwable => None }
@@ -94,13 +107,26 @@ object Bench {
     } catch { case _: Throwable => errors += "qps_probe"; -1.0 }
     val recall = try index.VamanaIndex.probedRecall(spark, sfDir)
       catch { case _: Throwable => errors += "recall_probe"; -1.0 }
+    // recall@100 of the same probed config (reference bigann.rs:334-338
+    // evaluates k=10 AND k=100).
+    val recall100 = try index.VamanaIndex.probedRecallAt(spark, sfDir, 100)
+      catch { case _: Throwable => errors += "recall100_probe"; -1.0 }
+    // Sequential per-query latency percentiles (reference
+    // perf_test.rs:100) — one pass, not repped: the sample is already
+    // |queries| measurements.
+    val (p50, p95, p99) = try {
+      val lats = index.VamanaIndex.probedLatencies(spark, sfDir)
+      (pctl(lats, 0.50), pctl(lats, 0.95), pctl(lats, 0.99))
+    } catch { case _: Throwable => errors += "latency_probe"; (-1.0, -1.0, -1.0) }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""qps":$qps,"recall":$recall,"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
+      s""""qps":$qps,"recall":$recall,"recall100":$recall100,""" +
+      s""""latency_p50":$p50,"latency_p95":$p95,"latency_p99":$p99,""" +
+      s""""reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

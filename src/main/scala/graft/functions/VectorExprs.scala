@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst vector-distance expressions over `array<float>`.
   *
@@ -144,6 +144,68 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Integer squared-L2 over `array<int>` u8 codes: Σ (a−b)² accumulated
+  * in a long, returned as double (to match the oracle's
+  * `CAST(list_sum(...) AS DOUBLE)`). The distance kernel of the native
+  * u8 path (reference is generic over element type, lib.rs:7-8;
+  * examples/bigann.rs serves u8) — codegen'd, because the interpreted
+  * `aggregate(zip_with(...))` HOF chain it replaces allocated a boxed
+  * pair array per candidate and ran ~30× slower (the exact
+  * anti-pattern [[LshBucket]]'s docstring warns about). No float
+  * participates: results are bit-portable across engines. */
+case class IntSqL2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_int_sql2_distance"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<int>, array<int>), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch $n vs ${b.numElements()}")
+    var acc = 0L; var i = 0
+    while (i < n) {
+      val d = (a.getInt(i) - b.getInt(i)).toLong
+      acc += d * d; i += 1
+    }
+    acc.toDouble
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("$prettyName: dimension mismatch");
+         |}
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = (long) ($a.getInt($i) - $b.getInt($i));
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = (double) $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH bucket of an `array<float>` vector: bit p of
   * the result is the sign of ⟨v, h_p⟩ for the deterministic LCG-derived
   * hyperplane family h_p[d] = ((1103515245·(p·64+d) + 12345) mod 2³¹)
@@ -223,6 +285,7 @@ object VectorExprs {
   def l2Dist(a: Column, b: Column): Column = col2(L2Distance)(a, b)
   def cosineDist(a: Column, b: Column): Column = col2(CosineDistance)(a, b)
   def dotProduct(a: Column, b: Column): Column = col2(DotProduct)(a, b)
+  def intSqL2Dist(a: Column, b: Column): Column = col2(IntSqL2Distance)(a, b)
   def lshBucket(v: Column, planes: Int): Column =
     bridge.column(LshBucket(bridge.expression(v), planes))
 
@@ -233,6 +296,7 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("graft_l2_distance", es => L2Distance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine_distance", es => CosineDistance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_int_sql2_distance", es => IntSqL2Distance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bucket",
       es => LshBucket(es.head, es(1).eval(null).asInstanceOf[Number].intValue), "scala_udf")
     reg.createOrReplaceTempFunction("graft_roll_hash", es => RollingHash(es.head), "scala_udf")

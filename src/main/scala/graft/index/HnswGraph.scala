@@ -194,11 +194,44 @@ final class HnswGraph(
   /** max degree at `lev`: 2m on the ground layer, m above. */
   @inline private def maxDeg(lev: Int): Int = if (lev == 0) 2 * params.m else params.m
 
-  /** keep the `cap` nearest of `ids` to node `i` (simple nearest-m
-    * selection; ties by id). */
-  private def selectNearest(i: Int, ids: Array[Int], cap: Int): Array[Int] = {
-    if (ids.length <= cap) ids
-    else ids.map(j => (distIdx(i, j), j)).sortBy(identity).take(cap).map(_._2)
+  /** Algorithm-4 "select neighbors heuristic" (paper §4.2): scan
+    * candidates nearest-first and keep a candidate only if it is
+    * closer to the base node than to every already-kept neighbor —
+    * the same occlusion rule as [[VamanaGraph]]'s α-prune at α=1 —
+    * then backfill the nearest rejected candidates up to `cap`
+    * (keepPrunedConnections). Diversity-preserving selection is what
+    * keeps the graph connected: plain nearest-m lets later inserts
+    * re-prune away every in-link of an early low-degree node, leaving
+    * it unreachable. */
+  private def selectHeuristic(i: Int, ids: Array[Int], cap: Int): Array[Int] = {
+    if (ids.length <= cap) return ids
+    val sorted = ids.map(j => (distIdx(i, j), j)).sortBy(identity)
+    val kept = new Array[Int](cap)
+    var keptLen = 0
+    var t = 0
+    while (t < sorted.length && keptLen < cap) {
+      val (dc, c) = sorted(t)
+      var occluded = false
+      var e = 0
+      while (e < keptLen && !occluded) {
+        if (distIdx(c, kept(e)) <= dc) occluded = true
+        e += 1
+      }
+      if (!occluded) { kept(keptLen) = c; keptLen += 1 }
+      t += 1
+    }
+    if (keptLen < cap) { // nearest backfill over the rejected
+      t = 0
+      while (t < sorted.length && keptLen < cap) {
+        val c = sorted(t)._2
+        var present = false
+        var e = 0
+        while (e < keptLen && !present) { if (kept(e) == c) present = true; e += 1 }
+        if (!present) { kept(keptLen) = c; keptLen += 1 }
+        t += 1
+      }
+    }
+    kept
   }
 
   /** Incremental insert in local-id order (deterministic). */
@@ -217,7 +250,7 @@ final class HnswGraph(
       lev = math.min(l, maxLevel)
       while (lev >= 0) {
         val found = searchLayer(q, qNorm, ep, params.efConstruction, lev)
-        val chosen = selectNearest(node, found.map(_._2), maxDeg(lev))
+        val chosen = selectHeuristic(node, found.map(_._2), maxDeg(lev))
         layers(node)(lev) = chosen
         // bidirectional links, pruned back to the layer cap
         chosen.foreach { nb =>
@@ -226,7 +259,7 @@ final class HnswGraph(
             val grown = cur :+ node
             layers(nb)(lev) =
               if (grown.length <= maxDeg(lev)) grown
-              else selectNearest(nb, grown, maxDeg(lev))
+              else selectHeuristic(nb, grown, maxDeg(lev))
           }
         }
         ep = found.head._2

@@ -410,6 +410,34 @@ object VamanaIndex {
     recallDf(qVamanaProbed(s, dir), VectorQueries.qKnnExact(s, dir))
       .head().getDouble(0)
 
+  /** recall@k of the probed config at arbitrary k (the reference's
+    * BigANN evaluation reports k=10 AND k=100, examples/bigann.rs:
+    * 334-338). The beam widens to ≥k — a beam narrower than k cannot
+    * return k candidates. */
+  def probedRecallAt(s: SparkSession, dir: String, k: Int): Double = {
+    val approx = searchProbed(cachedIndex(s, dir), queriesArr(s, dir), k,
+      math.max(searchBeam, k), qParams, nprobe = 4, excludeSelf = true,
+      routing = Some(cachedRouting(s, dir)))
+    recallDf(approx, VectorQueries.qKnnExactK(s, dir, k)).head().getDouble(0)
+  }
+
+  /** Sequential per-query wall latencies (seconds) of the probed
+    * serving config — the reference measures per-query latency one
+    * query at a time (perf_test.rs:100), vs the batch QPS figure.
+    * Each element times one single-query probed search end-to-end
+    * (routing + beam + merge) against the cached index. */
+  def probedLatencies(s: SparkSession, dir: String): Array[Double] = {
+    val idx = cachedIndex(s, dir)
+    val routing = cachedRouting(s, dir)
+    queriesArr(s, dir).map { q =>
+      val t0 = System.nanoTime()
+      searchProbed(idx, Array(q), K, searchBeam, qParams, nprobe = 4,
+        excludeSelf = true, routing = Some(routing))
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
   /** Graph-quality diagnostic: fraction of each shard reachable by BFS
     * from its entry point — the navigability property Vamana's
     * bootstrap + reverse-edge merge must maintain (a disconnected

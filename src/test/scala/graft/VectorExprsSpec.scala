@@ -42,6 +42,22 @@ class VectorExprsSpec extends AnyFunSuite {
     proj.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
   }
 
+  test("integer squared-L2: native == interpreted HOF, long accumulation") {
+    val idf = Seq(
+      (1L, Array(1, 2, 3), Array(4, 6, 3)),
+      (2L, Array(255, 0, 128), Array(0, 255, 128)),
+      (3L, Array(7, 7, 7), Array(7, 7, 7))
+    ).toDF("id", "a", "b")
+    val r = idf.select($"id", intSqL2Dist($"a", $"b").as("d"),
+        expr("CAST(aggregate(zip_with(a, b, (x, y) -> CAST((x - y) * (x - y) AS BIGINT)), " +
+          "0L, (acc, e) -> acc + e) AS DOUBLE)").as("hof"))
+      .collect()
+    r.foreach(row => assert(row.getDouble(1) == row.getDouble(2),
+      s"id ${row.getLong(0)}: native ${row.getDouble(1)} vs hof ${row.getDouble(2)}"))
+    val m = r.map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(m(1L) == 25.0 && m(2L) == 2 * 255.0 * 255.0 && m(3L) == 0.0)
+  }
+
   test("SQL registration works") {
     register(spark)
     df.createOrReplaceTempView("vex")
