@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
-import graft.index.{IndexRow, VamanaIndex, VamanaParams}
+import graft.index.{HnswIndex, HnswParams, HnswRow, IndexRow, VamanaIndex, VamanaParams}
 
 /** User-facing facade mirroring the reference's API surface
   * (reference lib.rs: `build_index` / `open_index_with` / `search` /
@@ -108,5 +108,59 @@ object GraftANN {
     val meta = VamanaIndex.loadMeta(path)
     require(meta.contains("\"format\":\"graft-vamana-v1\""), s"not a graft index: $path")
     new Handle(spark, path, VamanaIndex.paramsFromMeta(spark, meta))
+  }
+
+  // ------------------------------------------------------------------ HNSW
+
+  /** HNSW twin of [[Handle]] — the reference treats both index
+    * families as buildable/openable artifacts (examples/hnsw_sift.rs
+    * dumps and reloads its HNSW exactly like diskann_sift.rs does its
+    * DiskANN index). */
+  final class HnswHandle private[GraftANN] (
+      val spark: SparkSession,
+      val path: String,
+      val params: HnswParams) extends Serializable {
+
+    lazy val index: Dataset[HnswRow] = HnswIndex.load(spark, path)
+
+    lazy val metadataJson: String = HnswIndex.loadMeta(path)
+
+    def numVectors: Long = index.count()
+
+    /** Batch search for a DataFrame of (q_id: long, qv: array<float>).
+      * Returns (q_id, rank, neighbor_id, dist). */
+    def search(queries: DataFrame, k: Int, ef: Int): DataFrame = {
+      import spark.implicits._
+      val qs = queries.select(col("q_id"), col("qv")).as[(Long, Array[Float])].collect()
+      HnswIndex.search(index, qs, k, ef, params)
+    }
+
+    /** Single-vector search, reference `search_with_dists` analog. */
+    def searchVector(q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
+      import spark.implicits._
+      HnswIndex.search(index, Array((0L, q)), k, ef, params)
+        .orderBy(col("rank"))
+        .select(col("neighbor_id"), col("dist"))
+        .as[(Long, Double)].collect()
+    }
+  }
+
+  /** Build + persist + open an HNSW index (hnsw_sift.rs's
+    * build-dump-reload flow as one call). */
+  def buildHnswIndex(
+      vectors: DataFrame,
+      params: HnswParams,
+      numShards: Int,
+      path: String): HnswHandle = {
+    val idx = HnswIndex.build(vectors, params, numShards)
+    HnswIndex.save(idx, params, path)
+    new HnswHandle(vectors.sparkSession, path, params)
+  }
+
+  /** Open a persisted HNSW index, params inferred from metadata.json. */
+  def openHnswIndex(spark: SparkSession, path: String): HnswHandle = {
+    val meta = HnswIndex.loadMeta(path)
+    require(meta.contains("\"format\":\"graft-hnsw-v1\""), s"not a graft HNSW index: $path")
+    new HnswHandle(spark, path, HnswIndex.paramsFromMeta(spark, meta))
   }
 }

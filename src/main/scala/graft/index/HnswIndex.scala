@@ -1,9 +1,11 @@
 package graft.index
 
+import java.nio.file.{Files, Paths}
+
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, size}
 import graft.operators.VectorQueries
 
 /** One index row: per-layer adjacency with GLOBAL neighbor ids (layer
@@ -104,6 +106,62 @@ object HnswIndex {
       }
     }.toDF("q_id", "nid", "dist")
     VectorQueries.topkExplode(perShard, k)
+  }
+
+  // ------------------------------------------------------------ persistence
+
+  /** Persist a built HNSW index: shard-partitioned parquet adjacency +
+    * self-describing metadata.json — the exact layout contract of
+    * [[VamanaIndex.save]], so both index families survive JVM exit
+    * (the reference dumps and reloads its HNSW the same way it does
+    * DiskANN, examples/hnsw_sift.rs:1-205). Per-node levels are NOT
+    * stored: they are a pure function of (seed, node) and
+    * `fromAdjacency` re-derives and cross-checks them, so adjacency +
+    * params is the complete index. */
+  def save(index: Dataset[HnswRow], hp: HnswParams, path: String): Unit = {
+    val wasPersisted = index.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!wasPersisted) index.persist()
+    index.write.mode("overwrite").partitionBy("shard").parquet(s"$path/graph")
+    val stats = index.agg(
+      count(lit(1)), max(size(col("layers"))), countDistinct(col("shard"))).head()
+    val dim = index.head().embedding.length
+    val meta =
+      s"""{"format":"graft-hnsw-v1","dim":$dim,"num_vectors":${stats.getLong(0)},
+         |"max_layers_observed":${stats.getInt(1)},"num_shards":${stats.getLong(2)},
+         |"metric":"${hp.metric}","m":${hp.m},
+         |"ef_construction":${hp.efConstruction},"seed":${hp.seed}}"""
+        .stripMargin.replace("\n", "")
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(s"$path/metadata.json"), meta)
+    if (!wasPersisted) index.unpersist()
+  }
+
+  def load(spark: SparkSession, path: String): Dataset[HnswRow] = {
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$path/graph")
+      .select("vec_id", "embedding", "shard", "layers").as[HnswRow]
+    // re-cluster so each shard's graph is whole within a task
+    val nShards = raw.select("shard").distinct().count().toInt
+    raw.repartition(math.max(1, nShards), $"shard").as[HnswRow]
+  }
+
+  def loadMeta(path: String): String =
+    Files.readString(Paths.get(s"$path/metadata.json"))
+
+  /** Reconstruct build params from metadata.json — the handed-over-
+    * index path (same contract as [[VamanaIndex.paramsFromMeta]]): a
+    * directory is self-describing, no build configuration needed. */
+  def paramsFromMeta(spark: SparkSession, meta: String): HnswParams = {
+    val row = spark.read.json(
+        spark.createDataset(Seq(meta))(org.apache.spark.sql.Encoders.STRING))
+      .selectExpr("metric", "CAST(m AS INT)",
+        "CAST(ef_construction AS INT)", "CAST(seed AS BIGINT)")
+      .head()
+    HnswParams(
+      m = row.getInt(1),
+      efConstruction = row.getInt(2),
+      seed = row.getLong(3),
+      metric = row.getString(0))
   }
 
   // ---------------------------------------------------------------- queries

@@ -22,4 +22,38 @@ class GraphPerfProbe extends AnyFunSuite {
     info(f"build(500, d64, passes=2): ${(System.nanoTime() - t1) / 1e9}%.3f s")
     assert(sec < 30.0)
   }
+
+  test("u8 mmap serving: integer path vs widened-float fallback bandwidth") {
+    val spark = SparkSpecBase.spark
+    // integral [1,255] content — same quantization as the u8 spec
+    val vecs = Tables.embeddings(spark, SparkSpecBase.sf001)
+      .selectExpr("vec_id",
+        """transform(embedding,
+          |  x -> CAST(CAST(round(greatest(least(x, 1.0F), -1.0F) * 127 + 128, 0) AS INT) AS FLOAT))
+          |AS embedding""".stripMargin)
+    val p8 = graft.index.VamanaParams(maxDegree = 16, buildBeamWidth = 32, metric = "l2")
+    val idx = graft.index.VamanaIndex.build(vecs, p8, numShards = 1)
+    val path = "/tmp/graft_u8_perf.idx"
+    graft.index.SingleFileIndex.export(idx, p8, path, u8 = true)
+    val mm = new graft.index.MmapIndex(path)
+    try {
+      val qInt = mm.vector(7)            // integral → native integer loop
+      val qFrac = qInt.clone(); qFrac(0) += 0.5f // fractional → widened fallback
+      val reps = 2000
+      def time(q: Array[Float]): Double = {
+        var i = 0
+        while (i < 200) { mm.search(q, 10, 64); i += 1 } // warmup
+        val t0 = System.nanoTime()
+        i = 0
+        while (i < reps) { mm.search(q, 10, 64); i += 1 }
+        (System.nanoTime() - t0) / 1e9 / reps * 1e6
+      }
+      val usInt = time(qInt)
+      val usFloat = time(qFrac)
+      info(f"u8 mmap search: integer path $usInt%.1f µs/query, widened-float $usFloat%.1f µs/query (${usFloat / usInt}%.2fx)")
+      // same candidates either way (identical distances) — sanity
+      assert(mm.search(qInt, 10, 64).map(_._1).toSeq ==
+        mm.search(qInt.map(_ + 0f), 10, 64).map(_._1).toSeq)
+    } finally mm.close()
+  }
 }

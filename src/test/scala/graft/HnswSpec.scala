@@ -75,4 +75,35 @@ class HnswSpec extends AnyFunSuite {
     val byQ = df.groupBy($"q_id").count().as[(Long, Long)].collect()
     assert(byQ.nonEmpty && byQ.forall(_._2 == 10), byQ.toSeq.toString)
   }
+
+  test("save → open → search identical to the in-memory index (hnsw_sift.rs dump/reload)") {
+    val path = "/tmp/graft_hnsw_spec_idx"
+    val hp = HnswParams(m = 8, efConstruction = 32, seed = 7L, metric = "cosine")
+    val vecs = Tables.embeddings(spark, SparkSpecBase.sf001)
+    val h = GraftANN.buildHnswIndex(vecs, hp, numShards = 2, path)
+    assert(h.metadataJson.contains("graft-hnsw-v1"))
+    assert(h.numVectors == vecs.count())
+    // params round-trip through metadata.json alone
+    val inferred = GraftANN.openHnswIndex(spark, path)
+    assert(inferred.params == hp)
+    // in-memory build vs persisted-and-reloaded: identical results
+    val mem = HnswIndex.build(vecs, hp, numShards = 2)
+    val q = vecs.filter($"vec_id" === 11L).select($"embedding")
+      .as[Array[Float]].head()
+    val fromMem = HnswIndex.search(mem, Array((11L, q)), 5, 32, hp)
+      .orderBy($"rank").select($"neighbor_id", $"dist").as[(Long, Double)].collect()
+    val fromDisk = inferred.searchVector(q, k = 5, ef = 32)
+    assert(fromMem.sameElements(fromDisk),
+      s"mem ${fromMem.toSeq} vs disk ${fromDisk.toSeq}")
+    assert(fromDisk.head._1 == 11L && fromDisk.head._2 < 1e-9)
+  }
+
+  test("openHnswIndex rejects a non-HNSW directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_not_hnsw")
+    java.nio.file.Files.writeString(dir.resolve("metadata.json"),
+      """{"format":"graft-vamana-v1"}""")
+    intercept[IllegalArgumentException] {
+      GraftANN.openHnswIndex(spark, dir.toString)
+    }
+  }
 }

@@ -147,13 +147,21 @@ class SingleFileIndexSpec extends AnyFunSuite {
     val b = Files.readAllBytes(Paths.get(pathB))
     assert(a.length == b.length && java.util.Arrays.equals(a, b))
 
-    // mmap serving reads u8 bytes directly and matches the heap graph
+    // mmap serving reads u8 bytes directly and matches the heap graph.
+    // An integral query takes the native integer-L2 loop (no float
+    // widening); results must equal the f32-widened heap graph's.
     val mm = new MmapIndex(pathA)
     try {
       val q = g.vecs.slice(7 * g.dim, 8 * g.dim)
       val heap = g.search(q, 5, 32).map { case (pos, d) => (ids(pos), d) }.toSeq
       val mapped = mm.search(q, 5, 32).toSeq
       assert(mapped == heap, s"$mapped vs $heap")
+      // fractional query: integer path ineligible, widened-float
+      // fallback must still match the heap graph exactly
+      val qf = q.clone(); qf(0) += 0.5f
+      val heapF = g.search(qf, 5, 32).map { case (pos, d) => (ids(pos), d) }.toSeq
+      val mappedF = mm.search(qf, 5, 32).toSeq
+      assert(mappedF == heapF, s"fractional: $mappedF vs $heapF")
     } finally mm.close()
   }
 
