@@ -203,7 +203,28 @@ object HnswIndex {
   def hnswRecall(s: SparkSession, dir: String): Double =
     qHnswRecall(s, dir).head().getDouble(0)
 
+  /** Persistence round-trip: save → load → metadata + integrity row —
+    * the HNSW twin of [[VamanaIndex.qIndexMeta]], so the save/load
+    * path is exercised by the driver's gate every round, not only by
+    * the spec. */
+  def qHnswMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sf = dir.replaceAll(".*/", "")
+    val path = graft.TempCleanup.onExit(
+      s"/tmp/graft_hnsw_${sf}_${s.sparkContext.applicationId}")
+    save(cachedIndex(s, dir), qHp, path)
+    val re = load(s, path)
+    val meta = loadMeta(path)
+    re.agg(
+      count(lit(1)).as("num_vectors"),
+      countDistinct(col("shard")).as("num_shards"),
+      max(size(col("layers"))).as("max_layers"))
+      .withColumn("meta_format",
+        lit(if (meta.contains("graft-hnsw-v1")) "graft-hnsw-v1" else "corrupt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hnsw_search" -> (qHnswSearch(_, _)),
-    "q_hnsw_recall" -> (qHnswRecall(_, _)))
+    "q_hnsw_recall" -> (qHnswRecall(_, _)),
+    "q_hnsw_meta" -> (qHnswMeta(_, _)))
 }
