@@ -294,6 +294,72 @@ object SingleFileIndex {
     }
   }
 
+  /** Load a u8/L2 single-file index into a byte-resident [[U8Graph]]
+    * — heap serving at 1/4 the memory of [[importLocal]]'s widened
+    * f32 graph, with the distance loop in integer arithmetic (the
+    * reference serves its BigANN u8 index without widening,
+    * examples/bigann.rs). Search results are identical to the widened
+    * graph's (SingleFileIndexSpec pins it). */
+  def importLocalU8(path: String): (U8Graph, Array[Long], VamanaParams) = {
+    val meta = readMeta(path)
+    val metricName = nameToMetric(meta.distanceName)
+    require(meta.elemSize == 1 && metricName == "l2",
+      s"importLocalU8 serves u8/L2 files; this one is elem_size " +
+        s"${meta.elemSize} with distance ${meta.distanceName}")
+    val n = meta.numVectors
+    val dim = meta.dim
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val codes = new Array[Byte](n * dim)
+      raf.seek(meta.vectorsOffset)
+      raf.readFully(codes)
+      val entry =
+        if (meta.medoidId >= 0 && meta.medoidId < n) meta.medoidId
+        else {
+          // foreign file without a usable medoid: same deterministic
+          // pivot rule as VamanaGraph.medoid, integer distances
+          val np = math.min(64, n)
+          val step = math.max(1, n / np)
+          val pivots = (0 until np).map(_ * step % n).distinct.toArray
+          var best = 0; var bestScore = Double.MaxValue
+          var i = 0
+          while (i < n) {
+            var s = 0.0; var p = 0
+            while (p < pivots.length) {
+              var acc = 0; var d = 0
+              val ao = i * dim; val bo = pivots(p) * dim
+              while (d < dim) {
+                val df = (codes(ao + d) & 0xff) - (codes(bo + d) & 0xff)
+                acc += df * df; d += 1
+              }
+              s += math.sqrt(acc.toDouble); p += 1
+            }
+            if (s < bestScore) { bestScore = s; best = i }
+            i += 1
+          }
+          best
+        }
+      val g = new U8Graph(codes, dim, n, entry)
+      raf.seek(meta.adjacencyOffset)
+      val adjBytes = new Array[Byte](4 * meta.maxDegree)
+      var i = 0
+      while (i < n) {
+        raf.readFully(adjBytes)
+        val bb = ByteBuffer.wrap(adjBytes).order(ByteOrder.LITTLE_ENDIAN)
+        val lst = new scala.collection.mutable.ArrayBuffer[Int](meta.maxDegree)
+        var t = 0
+        while (t < meta.maxDegree) {
+          val p = bb.getInt
+          if (p != Pad) lst += p
+          t += 1
+        }
+        g.graph(i) = lst.toArray
+        i += 1
+      }
+      (g, loadIds(path, n), VamanaParams(maxDegree = meta.maxDegree, metric = metricName))
+    } finally raf.close()
+  }
+
   /** Load a single-file index fully into a local [[VamanaGraph]] plus
     * the id mapping — the heap-resident serving mode (for the
     * disk-resident mode see [[MmapIndex]]). */

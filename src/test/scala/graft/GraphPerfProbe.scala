@@ -51,6 +51,20 @@ class GraphPerfProbe extends AnyFunSuite {
       val usInt = time(qInt)
       val usFloat = time(qFrac)
       info(f"u8 mmap search: integer path $usInt%.1f µs/query, widened-float $usFloat%.1f µs/query (${usFloat / usInt}%.2fx)")
+      // byte-resident heap serving vs widened f32 heap graph
+      val (g8, _, _) = graft.index.SingleFileIndex.importLocalU8(path)
+      val (gf, _, _) = graft.index.SingleFileIndex.importLocal(path)
+      def timeHeap(search: Array[Float] => Unit, q: Array[Float]): Double = {
+        var i = 0
+        while (i < 200) { search(q); i += 1 }
+        val t0 = System.nanoTime()
+        i = 0
+        while (i < reps) { search(q); i += 1 }
+        (System.nanoTime() - t0) / 1e9 / reps * 1e6
+      }
+      val usHeap8 = timeHeap(q => g8.search(q, 10, 64), qInt)
+      val usHeapF = timeHeap(q => gf.search(q, 10, 64), qInt)
+      info(f"u8 heap search: byte-resident $usHeap8%.1f µs/query, widened-f32 $usHeapF%.1f µs/query (heap = 1/4 the bytes)")
       // same candidates either way (identical distances) — sanity
       assert(mm.search(qInt, 10, 64).map(_._1).toSeq ==
         mm.search(qInt.map(_ + 0f), 10, 64).map(_._1).toSeq)

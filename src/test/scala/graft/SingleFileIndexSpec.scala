@@ -162,6 +162,15 @@ class SingleFileIndexSpec extends AnyFunSuite {
       val heapF = g.search(qf, 5, 32).map { case (pos, d) => (ids(pos), d) }.toSeq
       val mappedF = mm.search(qf, 5, 32).toSeq
       assert(mappedF == heapF, s"fractional: $mappedF vs $heapF")
+
+      // byte-resident heap serving (U8Graph, 1/4 the widened heap):
+      // identical results on both the integer path and the fallback
+      val (g8, ids8, _) = SingleFileIndex.importLocalU8(pathA)
+      assert(ids8.sameElements(ids))
+      val u8Int = g8.search(q, 5, 32).map { case (pos, d) => (ids8(pos), d) }.toSeq
+      assert(u8Int == heap, s"u8 heap: $u8Int vs $heap")
+      val u8Frac = g8.search(qf, 5, 32).map { case (pos, d) => (ids8(pos), d) }.toSeq
+      assert(u8Frac == heapF, s"u8 heap fractional: $u8Frac vs $heapF")
     } finally mm.close()
   }
 
