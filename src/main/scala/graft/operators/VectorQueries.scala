@@ -522,6 +522,54 @@ object VectorQueries {
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
        |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
 
+  /** L2-normalization of the embedding column + dot-product top-5 over
+    * the normalized vectors — the reference's `do_l2_normalization`
+    * (examples/utils/annhdf5.rs:206-214), whose whole point is serving
+    * a pre-normalized corpus with the cheaper DistDot instead of
+    * DistCosine. The oracle replays the full chain, so the check
+    * proves the normalize-then-dot ranking reproduces the cosine
+    * ranking. Normalization is a once-per-row projection (O(n·dim),
+    * cached); the pair loop uses the native codegen'd dot product. */
+  def qEmbedNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val normed = Tables.embeddings(s, dir)
+      .select($"vec_id", expr(
+        """transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
+          |  greatest(sqrt(aggregate(transform(embedding,
+          |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+          |    0D, (a, e) -> a + e)), 1e-30D) AS FLOAT))""".stripMargin).as("nv"))
+      .cache()
+    val q = normed.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"nv".as("qv"))
+    val d = normed.select($"vec_id".as("nid"), $"nv".as("v"))
+      .join(broadcast(q))
+      .filter($"nid" =!= $"q_id")
+      .select($"q_id", $"nid", (-dotProduct($"qv", $"v")).as("dist"))
+    topkExplode(d, 5)
+  }
+
+  val qEmbedNormalizeSql: String =
+    """WITH nrm AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x::DOUBLE /
+      |      greatest(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |        list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)),
+      |        (a, e) -> a + e)), 1e-30) AS FLOAT)) AS nv
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS q_id, nv AS qv FROM nrm WHERE vec_id % 50 = 0
+      |), d AS (
+      |  SELECT q_id, nrm.vec_id AS nid,
+      |    - list_dot_product(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])) AS dist
+      |  FROM q CROSS JOIN nrm WHERE nrm.vec_id <> q_id
+      |), r AS (
+      |  SELECT q_id, nid, dist,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nid) AS rn
+      |  FROM d
+      |)
+      |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
+      |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- LSH
 
   /** Random-hyperplane LSH bucketing with hash-derived (LCG) planes —
@@ -621,7 +669,8 @@ object VectorQueries {
     "q_lsh_bucket" -> (qLshBucket(_, _)),
     "q_knn_lsh" -> (qKnnLsh(_, _)),
     "q_quantize_sq8" -> (qQuantizeSq8(_, _)),
-    "q_knn_u8" -> (qKnnU8(_, _)))
+    "q_knn_u8" -> (qKnnU8(_, _)),
+    "q_embed_normalize" -> (qEmbedNormalize(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_dist_l2" -> qDistL2Sql,
@@ -639,5 +688,6 @@ object VectorQueries {
     "q_lsh_bucket" -> qLshBucketSql,
     "q_knn_lsh" -> qKnnLshSql,
     "q_quantize_sq8" -> qQuantizeSq8Sql,
-    "q_knn_u8" -> qKnnU8Sql)
+    "q_knn_u8" -> qKnnU8Sql,
+    "q_embed_normalize" -> qEmbedNormalizeSql)
 }
