@@ -60,6 +60,11 @@ object GraftANN {
       VamanaIndex.searchProbed(index, collectQueries(queries), k, beamWidth, params, nprobe,
         routing = Some(routing))
 
+    /** Ids-only single-vector search (reference `search`, lib.rs:696 —
+      * the distance-free twin of `search_with_dists`). */
+    def searchVectorIds(q: Array[Float], k: Int, beamWidth: Int): Array[Long] =
+      searchVector(q, k, beamWidth).map(_._1)
+
     /** Single-vector search, reference `search_with_dists` analog. */
     def searchVector(q: Array[Float], k: Int, beamWidth: Int): Array[(Long, Double)] = {
       import spark.implicits._
@@ -76,6 +81,12 @@ object GraftANN {
         .select(col("embedding")).as[Array[Float]].head()
     }
   }
+
+  /** Build with default parameters (reference `build_index_default` /
+    * `build_index_default_metric`, lib.rs:413,506 — same knobs as
+    * `VamanaParams()`'s defaults). */
+  def buildIndexDefault(vectors: DataFrame, numShards: Int, path: String): Handle =
+    buildIndex(vectors, VamanaParams(), numShards, path)
 
   /** Build + persist + open (reference `build_index`: writes the index
     * file and returns a ready handle). */

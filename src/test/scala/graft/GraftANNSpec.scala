@@ -37,6 +37,21 @@ class GraftANNSpec extends AnyFunSuite {
     assert(nn.map(_._2).sameElements(nn.map(_._2).sorted))
   }
 
+  test("searchVectorIds returns the ids of searchVector (reference ids-only search)") {
+    val h = GraftANN.openIndex(spark, path, params)
+    val q = h.getVector(9L)
+    assert(h.searchVectorIds(q, k = 5, beamWidth = 32)
+      .sameElements(h.searchVector(q, k = 5, beamWidth = 32).map(_._1)))
+  }
+
+  test("buildIndexDefault builds with VamanaParams() defaults") {
+    val p = "/tmp/graft_ann_spec_default_idx"
+    val vecs = Tables.embeddings(spark, SparkSpecBase.sf001).limit(100)
+    val h = GraftANN.buildIndexDefault(vecs, numShards = 1, p)
+    assert(h.params == index.VamanaParams())
+    assert(GraftANN.openIndex(spark, p).params == index.VamanaParams())
+  }
+
   test("batch search matches single-vector search") {
     val h = GraftANN.openIndex(spark, path, params)
     val q = h.getVector(7L)

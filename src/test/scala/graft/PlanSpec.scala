@@ -82,6 +82,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("q_knn_u8: cached codes, broadcast queries, native int distance in the pair loop") {
+    val p = planOf(operators.VectorQueries.qKnnU8(spark, sf))
+    // the quantization HOFs must NOT be in the per-pair path: both join
+    // sides read the one cached codes projection
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+    assert(p.contains("Broadcast"), p)
+    // distance is the codegen'd expression, not an interpreted HOF chain
+    assert(p.contains("graft_int_sql2_distance"), p)
+    assert(!p.contains("zip_with"), s"interpreted HOF back in the pair loop:\n$p")
+  }
+
+  test("q_embed_normalize: cached normalization, broadcast queries, native dot") {
+    val p = planOf(operators.VectorQueries.qEmbedNormalize(spark, sf))
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("graft_dot_product"), p)
+  }
+
   test("q_text_tokens: single pruned scan, no join/agg shuffle") {
     // HOF lambdas are CodegenFallback in Spark, so no WholeStageCodegen
     // span here; the scale property is the plan shape — a pruned
