@@ -449,8 +449,18 @@ object SingleFileIndex {
   *
   * One instance serves one thread (it reuses a per-row scratch
   * buffer), same contract as VamanaGraph's serving scratch.
+  *
+  * Files beyond 2 GiB — a Java `MappedByteBuffer` is int-indexed —
+  * are served through ROW-ALIGNED SEGMENTED mappings: the vector and
+  * adjacency regions are each mapped as a chain of segments holding a
+  * whole number of rows, so no row read ever straddles a segment.
+  * The reference mmaps BigANN-scale (100 GB+) files; the old
+  * single-segment form refused anything its one buffer couldn't
+  * index. `maxSegBytes` exists for tests (tiny segments on small
+  * files must serve identically).
   */
-final class MmapIndex(path: String) extends AutoCloseable {
+final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong)
+    extends AutoCloseable {
   import SingleFileIndex.FileMeta
 
   val meta: FileMeta = SingleFileIndex.readMeta(path)
@@ -470,10 +480,27 @@ final class MmapIndex(path: String) extends AutoCloseable {
   val ids: Array[Long] = SingleFileIndex.loadIds(path, n)
 
   private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
-  require(ch.size() <= Int.MaxValue.toLong,
-    "single-segment mmap serves files up to 2 GiB; shard larger indexes")
-  private val buf: MappedByteBuffer = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
-  buf.order(ByteOrder.LITTLE_ENDIAN)
+
+  /** Row-aligned segment chain over one file region: segment s holds
+    * rows [s·rowsPerSeg, …), so `(bufOf(i), offOf(i))` addresses row i
+    * without any read crossing a segment boundary. */
+  private final class SegMap(base: Long, val rowBytes: Int, rows: Int) {
+    val rowsPerSeg: Int = math.max(1, math.min(rows.toLong.max(1L),
+      maxSegBytes / rowBytes).toInt)
+    val segs: Array[MappedByteBuffer] =
+      Array.tabulate(math.max(1, (rows + rowsPerSeg - 1) / rowsPerSeg)) { s =>
+        val startRow = s.toLong * rowsPerSeg
+        val segRows = math.min(rowsPerSeg.toLong, rows - startRow).max(0L)
+        val m = ch.map(FileChannel.MapMode.READ_ONLY,
+          base + startRow * rowBytes, segRows * rowBytes)
+        m.order(ByteOrder.LITTLE_ENDIAN); m
+      }
+    @inline def bufOf(i: Int): MappedByteBuffer = segs(i / rowsPerSeg)
+    @inline def offOf(i: Int): Int = (i % rowsPerSeg) * rowBytes
+  }
+
+  private val vecMap = new SegMap(meta.vectorsOffset, meta.dim * meta.elemSize, n)
+  private val adjMap = new SegMap(meta.adjacencyOffset, meta.maxDegree * 4, n)
 
   private val metric = Metric.byName(metricName0)
   private val isCos = metric eq Metric.Cosine
@@ -496,41 +523,36 @@ final class MmapIndex(path: String) extends AutoCloseable {
   private val byteScratch = if (u8L2) new Array[Byte](dim) else null
   private var qIntValid = false
 
-  @inline private def vecOff(i: Int): Int =
-    (meta.vectorsOffset + i.toLong * meta.dim * meta.elemSize).toInt
-  @inline private def adjOff(i: Int): Int =
-    (meta.adjacencyOffset + i.toLong * meta.maxDegree * 4L).toInt
-
   /** Copy row `i` into a fresh array (reference get_vector, lib.rs:724);
     * packed rows come back bit-per-slot. */
   def vector(i: Int): Array[Float] = {
     val out = new Array[Float](dim)
-    val off = vecOff(i)
+    val vb = vecMap.bufOf(i); val off = vecMap.offOf(i)
     if (packed) {
       var w = 0
       while (w < meta.dim) {
-        val word = buf.getLong(off + 8 * w)
+        val word = vb.getLong(off + 8 * w)
         var b = 0
         while (b < 64) { out(w * 64 + b) = if (((word >>> b) & 1L) != 0) 1f else 0f; b += 1 }
         w += 1
       }
     } else {
       var d = 0
-      while (d < dim) { out(d) = slot(off, d); d += 1 }
+      while (d < dim) { out(d) = slot(vb, off, d); d += 1 }
     }
     out
   }
 
-  /** Read slot `d` of the row at byte offset `off`: unsigned byte for
-    * u8 files, f32 otherwise. `u8` is fixed per instance so the branch
-    * predicts perfectly in the hot loops. */
-  @inline private def slot(off: Int, d: Int): Float =
-    if (u8) (buf.get(off + d) & 0xff).toFloat else buf.getFloat(off + 4 * d)
+  /** Read slot `d` of the row at byte offset `off` in segment `b`:
+    * unsigned byte for u8 files, f32 otherwise. `u8` is fixed per
+    * instance so the branch predicts perfectly in the hot loops. */
+  @inline private def slot(b: MappedByteBuffer, off: Int, d: Int): Float =
+    if (u8) (b.get(off + d) & 0xff).toFloat else b.getFloat(off + 4 * d)
 
   @inline private def loadRow(i: Int): Unit = {
-    val off = vecOff(i)
+    val vb = vecMap.bufOf(i); val off = vecMap.offOf(i)
     var d = 0
-    while (d < dim) { rowScratch(d) = slot(off, d); d += 1 }
+    while (d < dim) { rowScratch(d) = slot(vb, off, d); d += 1 }
   }
 
   /** cosine norms cached once (same floored form as VamanaGraph). */
@@ -540,9 +562,9 @@ final class MmapIndex(path: String) extends AutoCloseable {
       val out = new Array[Double](n)
       var i = 0
       while (i < n) {
-        val off = vecOff(i)
+        val vb = vecMap.bufOf(i); val off = vecMap.offOf(i)
         var s = 0.0; var d = 0
-        while (d < dim) { val x = slot(off, d).toDouble; s += x * x; d += 1 }
+        while (d < dim) { val x = slot(vb, off, d).toDouble; s += x * x; d += 1 }
         out(i) = math.max(math.sqrt(s), java.lang.Double.MIN_NORMAL)
         i += 1
       }
@@ -553,20 +575,20 @@ final class MmapIndex(path: String) extends AutoCloseable {
     if (packed) {
       // reference serving math: popcount over xor'd u64 words, equal
       // to the unpacked differing-slot count for {0,1} vectors
-      val off = vecOff(j)
+      val vb = vecMap.bufOf(j); val off = vecMap.offOf(j)
       var c = 0; var w = 0
       while (w < meta.dim) {
-        c += java.lang.Long.bitCount(packedQ(w) ^ buf.getLong(off + 8 * w))
+        c += java.lang.Long.bitCount(packedQ(w) ^ vb.getLong(off + 8 * w))
         w += 1
       }
       c.toDouble
     } else if (isCos) {
-      val off = vecOff(j)
+      val vb = vecMap.bufOf(j); val off = vecMap.offOf(j)
       var dot = 0.0; var i = 0
-      while (i < dim) { dot += q(i).toDouble * slot(off, i).toDouble; i += 1 }
+      while (i < dim) { dot += q(i).toDouble * slot(vb, off, i).toDouble; i += 1 }
       1.0 - dot / (qNorm * norms(j))
     } else if (qIntValid) {
-      buf.get(vecOff(j), byteScratch, 0, dim)
+      vecMap.bufOf(j).get(vecMap.offOf(j), byteScratch, 0, dim)
       var acc = 0; var i = 0
       while (i < dim) {
         val d = qInt(i) - (byteScratch(i) & 0xff)
@@ -646,10 +668,10 @@ final class MmapIndex(path: String) extends AutoCloseable {
       else {
         frontier.poll()
         val cur = top(1).toInt
-        val aOff = adjOff(cur)
+        val ab = adjMap.bufOf(cur); val aOff = adjMap.offOf(cur)
         var t = 0
         while (t < meta.maxDegree) {
-          val nb = buf.getInt(aOff + 4 * t)
+          val nb = ab.getInt(aOff + 4 * t)
           if (nb != -1 && visited.add(nb)) {
             val d = distQ(q, qNorm, nb)
             if (wLen < bw || d < worstD || (d == worstD && nb < wIds(wLen - 1))) {

@@ -174,6 +174,24 @@ class SingleFileIndexSpec extends AnyFunSuite {
     } finally mm.close()
   }
 
+  test("segmented mmap (tiny maxSegBytes) serves identically to one segment") {
+    // row-aligned segmentation is how files beyond 2 GiB are served;
+    // forcing ~3-row segments on a small file must change nothing
+    val (g, ids, _) = SingleFileIndex.importLocal(path)
+    val meta = SingleFileIndex.readMeta(path)
+    val one = new MmapIndex(path)
+    val seg = new MmapIndex(path, maxSegBytes = meta.dim.toLong * 4 * 3)
+    try {
+      Seq(3, 57, 311).foreach { i =>
+        val q = g.vecs.slice(i * g.dim, (i + 1) * g.dim)
+        val a = one.search(q, 5, 32).toSeq
+        val b = seg.search(q, 5, 32).toSeq
+        assert(a == b, s"row $i: $a vs $b")
+        assert(seg.vector(i).sameElements(one.vector(i)), s"vector($i) drifted")
+      }
+    } finally { one.close(); seg.close() }
+  }
+
   test("u64 hamming index: packed export, heap and mmap serving agree") {
     // binary corpus, bit-per-slot (the reference's DiskANN<u64,
     // DistHamming> element type once packed)
