@@ -6,7 +6,7 @@ import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.size
 
 /** Byte-true interop with the reference's single-file index layout
@@ -292,6 +292,36 @@ object SingleFileIndex {
       ids.foreach(bb.putLong)
       Files.write(Paths.get(sidecarPath(path)), bb.array())
     }
+  }
+
+  /** Distributed serving straight off a reference-layout single file:
+    * each task memory-maps the file once (an [[MmapIndex]] instance is
+    * single-threaded, and a Spark task is one thread) and serves its
+    * partition of queries — cluster-parallel queries over one mmap'd
+    * index, the engine analog of the reference's rayon concurrent
+    * queries (README "Parallel query processing"). The file must be
+    * visible to every executor (shared filesystem / distributed
+    * cache); nothing about the index is heap-loaded or shuffled, so
+    * serving capacity scales with partitions of `queries` alone.
+    * Returns (q_id, rank, neighbor_id, dist) like every other search
+    * surface. */
+  def serve(queries: DataFrame, path: String, k: Int, beamWidth: Int): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    queries.select("q_id", "qv").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val mm = new MmapIndex(path)
+        try {
+          // materialize the partition's results before closing the map
+          it.flatMap { case (qid, qv) =>
+            mm.search(qv, k, beamWidth).iterator.zipWithIndex.map {
+              case ((nid, d), r) =>
+                (qid, r + 1, nid, math.rint(d * 1e4) / 1e4)
+            }
+          }.toArray.iterator
+        } finally mm.close()
+      }
+      .toDF("q_id", "rank", "neighbor_id", "dist")
   }
 
   /** Load a u8/L2 single-file index into a byte-resident [[U8Graph]]

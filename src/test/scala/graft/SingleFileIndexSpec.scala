@@ -174,6 +174,23 @@ class SingleFileIndexSpec extends AnyFunSuite {
     } finally mm.close()
   }
 
+  test("distributed serve() over the file matches driver-side mmap search") {
+    val (g, ids, _) = SingleFileIndex.importLocal(path)
+    val qs = Seq(2, 91, 333).map { i =>
+      (i.toLong, g.vecs.slice(i * g.dim, (i + 1) * g.dim))
+    }
+    val served = SingleFileIndex.serve(
+        qs.toDF("q_id", "qv").repartition(3), path, k = 5, beamWidth = 32)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    val mm = new MmapIndex(path)
+    try qs.foreach { case (qid, qv) =>
+      val local = mm.search(qv, 5, 32).toSeq
+        .map { case (nid, d) => (nid, math.rint(d * 1e4) / 1e4) }
+      assert(served(qid) == local, s"q $qid: ${served(qid)} vs $local")
+    } finally mm.close()
+  }
+
   test("segmented mmap (tiny maxSegBytes) serves identically to one segment") {
     // row-aligned segmentation is how files beyond 2 GiB are served;
     // forcing ~3-row segments on a small file must change nothing
