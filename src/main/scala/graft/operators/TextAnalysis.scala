@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.SharedHash._
@@ -62,24 +63,34 @@ object TextAnalysis {
 
   /** Quality scoring: length, word stats, stopword/punct ratios and a
     * composite score — the usual pre-training corpus filters. */
-  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Tokenization shared by quality / lang / the composed pipeline —
+    * one definition so the standalone queries and q_pipeline_select
+    * can never drift. */
+  private def withWords(df: DataFrame): DataFrame =
+    df.withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+
+  /** Appends the quality metric columns (incl. `quality_score`) to a
+    * docs frame that already carries `words`; drops empty docs. */
+  private def withQualityCols(df: DataFrame): DataFrame = {
     val en = langWords.head._2
-    Tables.documents(s, dir)
-      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
-      .filter(size($"words") >= 1)
-      .withColumn("n_words", size($"words").cast("double"))
+    df.filter(size(col("words")) >= 1)
+      .withColumn("n_words", size(col("words")).cast("double"))
       .withColumn("avg_word_len",
-        expr("aggregate(transform(words, w -> cast(length(w) as bigint)), 0L, (a, x) -> a + x)") / $"n_words")
+        expr("aggregate(transform(words, w -> cast(length(w) as bigint)), 0L, (a, x) -> a + x)") / col("n_words"))
       .withColumn("stop_hits",
         expr(s"size(filter(words, w -> ${inList("w", en)}))").cast("double"))
       .withColumn("punct_ratio",
-        size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double") / length($"text"))
-      .withColumn("stop_ratio", $"stop_hits" / $"n_words")
+        size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double") / length(col("text")))
+      .withColumn("stop_ratio", col("stop_hits") / col("n_words"))
       .withColumn("len_score",
-        least($"n_words" / lit(100.0), lit(1.0)))
+        least(col("n_words") / lit(100.0), lit(1.0)))
       .withColumn("quality_score",
-        round(($"len_score" * 0.5 + $"stop_ratio" * 0.3 + (lit(1.0) - $"punct_ratio") * 0.2), 4))
+        round((col("len_score") * 0.5 + col("stop_ratio") * 0.3 + (lit(1.0) - col("punct_ratio")) * 0.2), 4))
+  }
+
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withQualityCols(withWords(Tables.documents(s, dir)))
       .select($"doc_id", $"n_words".cast("int").as("n_words"),
         round($"avg_word_len", 4).as("avg_word_len"),
         round($"stop_ratio", 4).as("stop_ratio"),
@@ -118,10 +129,10 @@ object TextAnalysis {
   /** Stopword-list language ID: hits per language, argmax with
     * deterministic tie-break (hit count desc, then language asc;
     * 'und' when nothing matches). */
-  def qTextLang(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    var df = Tables.documents(s, dir)
-      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+  /** Appends the language-ID columns (`hits_*`, `pred_lang`) to a
+    * docs frame that already carries `words`. */
+  private def withLangCols(df0: DataFrame): DataFrame = {
+    var df = df0
     for ((lang, ws) <- langWords)
       df = df.withColumn(s"hits_$lang",
         expr(s"size(filter(words, w -> ${inList("w", ws)}))"))
@@ -131,7 +142,12 @@ object TextAnalysis {
     }
     df.withColumn("best", least(structs: _*))
       .withColumn("pred_lang",
-        when(greatest(hitCols: _*) === 0, lit("und")).otherwise($"best.lang"))
+        when(greatest(hitCols: _*) === 0, lit("und")).otherwise(col("best.lang")))
+  }
+
+  def qTextLang(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withLangCols(withWords(Tables.documents(s, dir)))
       .select(($"doc_id" +: langWords.map { case (l, _) => col(s"hits_$l") } :+ $"pred_lang"): _*)
       .orderBy($"doc_id")
   }
@@ -423,7 +439,69 @@ object TextAnalysis {
       |  CAST(sum(len(list_filter(string_split(text, ' '), w -> w != ''))) AS BIGINT) AS total_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------ pipeline
+
+  /** Composed training-set selection — the end-to-end filter every
+    * pre-training pipeline runs, as ONE operator: keep a document iff
+    * it is English (the [[qTextLang]] heuristic), scores
+    * quality ≥ 0.5 ([[qTextQuality]]'s composite), and is the exact-
+    * dedup keeper of its content group ([[Dedup.qDedupExact]]'s
+    * min-doc_id rule). Built from the SAME column helpers as the
+    * standalone queries (withWords/withQualityCols/withLangCols), so
+    * the composed form cannot drift from the audited pieces — and the
+    * physical plan is the 100 TB shape: ONE scan of documents, one
+    * md5-window shuffle for the keeper rule, no joins. */
+  def qPipelineSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keeperW = Window.partitionBy(md5($"text"))
+    val base = withWords(Tables.documents(s, dir))
+      .withColumn("keeper_id", min($"doc_id").over(keeperW))
+    withLangCols(withQualityCols(base))
+      .filter($"pred_lang" === "en" && $"quality_score" >= 0.5 &&
+        $"doc_id" === $"keeper_id")
+      .select($"doc_id", $"quality_score", $"pred_lang")
+      .orderBy($"doc_id")
+  }
+
+  val qPipelineSelectSql: String = {
+    val en = langWords.head._2
+    val hitSelects = langWords.map { case (l, ws) =>
+      s"len(list_filter(words, w -> ${inList("w", ws)})) AS hits_$l"
+    }.mkString(",\n    ")
+    val structList = langWords.map { case (l, _) =>
+      s"{'neg': -hits_$l, 'lang': '$l'}"
+    }.mkString(", ")
+    val greatestHits = langWords.map { case (l, _) => s"hits_$l" }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), w -> w != '') AS words,
+       |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, keeper_id, words,
+       |    least(len(words)::DOUBLE / 100.0, 1.0) AS len_score,
+       |    len(list_filter(words, w -> ${inList("w", en)}))::DOUBLE
+       |      / len(words)::DOUBLE AS stop_ratio,
+       |    len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+       |      / length(text)::DOUBLE AS punct_ratio,
+       |    $hitSelects
+       |  FROM base WHERE len(words) >= 1
+       |), sc AS (
+       |  SELECT doc_id, keeper_id,
+       |    round(len_score * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 4)
+       |      AS quality_score,
+       |    CASE WHEN greatest($greatestHits) = 0 THEN 'und'
+       |         ELSE list_sort([$structList])[1].lang END AS pred_lang
+       |  FROM m
+       |)
+       |SELECT doc_id, quality_score, pred_lang
+       |FROM sc
+       |WHERE pred_lang = 'en' AND quality_score >= 0.5 AND doc_id = keeper_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_select" -> (qPipelineSelect(_, _)),
     "q_doc_stats" -> (qDocStats(_, _)),
     "q_text_tokens" -> (qTextTokens(_, _)),
     "q_text_quality" -> (qTextQuality(_, _)),
@@ -435,6 +513,7 @@ object TextAnalysis {
     "q_text_entropy" -> (qTextEntropy(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_pipeline_select" -> qPipelineSelectSql,
     "q_pack_chunks" -> qPackChunksSql,
     "q_text_entropy" -> qTextEntropySql,
     "q_doc_stats" -> qDocStatsSql,

@@ -100,6 +100,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_dot_product"), p)
   }
 
+  test("q_pipeline_select: one scan of documents, keeper window exchange, no joins") {
+    // the composed quality+lang+dedup selection must NOT re-scan or
+    // self-join documents per component — one pass + the md5 window
+    val p = planOf(operators.TextAnalysis.qPipelineSelect(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, s"documents scanned more than once:\n$p")
+  }
+
   test("q_text_tokens: single pruned scan, no join/agg shuffle") {
     // HOF lambdas are CodegenFallback in Spark, so no WholeStageCodegen
     // span here; the scale property is the plan shape — a pruned
