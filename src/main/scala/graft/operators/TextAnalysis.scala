@@ -463,6 +463,15 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Stateless scoring projection shared with the streaming form
+    * ([[graft.streaming.StreamOps.streamingSelect]]): one row per
+    * non-empty doc with its content hash and the exact quality/lang
+    * verdicts the batch pipeline filters on. */
+  private[graft] def scoreForSelect(docs: DataFrame): DataFrame =
+    withLangCols(withQualityCols(withWords(docs)))
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        col("quality_score"), col("pred_lang"))
+
   val qPipelineSelectSql: String = {
     val en = langWords.head._2
     val hitSelects = langWords.map { case (l, ws) =>

@@ -15,6 +15,11 @@ case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Lon
 /** One dedup decision from the streaming exact-dedup operator. */
 case class DedupOut(doc_id: Long, keeper_id: Long, is_dup: Boolean)
 
+/** One ingest-time selection verdict (streaming pipeline select). */
+case class SelectOut(
+    doc_id: Long, quality_score: Double, pred_lang: String,
+    is_dup: Boolean, selected: Boolean)
+
 /** In-flight session state. */
 case class SessionState(start_us: Long, last_us: Long, n: Long)
 
@@ -84,6 +89,40 @@ object StreamOps {
           val keeper = state.getOption.getOrElse(ids.head)
           state.update(keeper)
           ids.iterator.map(id => DedupOut(id, keeper, id != keeper))
+      }
+  }
+
+  /** Ingest-time training-set selection — the streaming form of
+    * [[graft.operators.TextAnalysis.qPipelineSelect]]: every micro-
+    * batch is scored statelessly with the SAME quality/language
+    * column helpers the batch operator uses (one shared projection,
+    * [[graft.operators.TextAnalysis.scoreForSelect]], so the two
+    * forms cannot drift), then the exact-dedup keeper state flags
+    * duplicates across batches, and `selected` = keeper ∧ English ∧
+    * quality ≥ 0.5. Docs are flagged, not dropped, so downstream can
+    * count or reroute rejects.
+    *
+    * Keeper rule: first-seen content hash wins (lowest doc_id within
+    * a batch) — identical to the batch min-doc_id rule whenever
+    * ingest is id-ordered, the same contract as [[streamingDedup]].
+    * State shards by content hash across executors. */
+  def streamingSelect(docs: DataFrame): Dataset[SelectOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.TextAnalysis.scoreForSelect(docs)
+      .as[(Long, String, Double, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, SelectOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String, Double, String)],
+         state: GroupState[Long]) =>
+          val sorted = rows.toArray.sortBy(_._1)
+          val keeper = state.getOption.getOrElse(sorted.head._1)
+          state.update(keeper)
+          sorted.iterator.map { case (id, _, q, l) =>
+            val dup = id != keeper
+            SelectOut(id, q, l, dup, !dup && l == "en" && q >= 0.5)
+          }
       }
   }
 

@@ -61,4 +61,26 @@ class StreamingSpec extends AnyFunSuite {
       (3L, 3L, false), (5L, 5L, false), (7L, 7L, false),
       (9L, 5L, true), (12L, 5L, true)), out.toSeq.toString)
   }
+
+  test("streaming pipeline select == batch q_pipeline_select on id-ordered ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, SparkSpecBase.sf001)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingSelect(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("selout").start()
+    mem.addData(first.toIndexedSeq)   // two micro-batches: keeper state
+    q.processAllAvailable()           // must carry across the boundary
+    mem.addData(second.toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("selout")
+      .filter($"selected").select($"doc_id").as[Long].collect().sorted
+    val batch = operators.TextAnalysis.qPipelineSelect(spark, SparkSpecBase.sf001)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(streamed.sameElements(batch),
+      s"streaming ${streamed.length} vs batch ${batch.length}")
+  }
 }
