@@ -154,13 +154,67 @@ object Multimodal {
        |  round(CAST(list_sum(bytes) AS DOUBLE) / 16.0 / 255.0, 4) AS brightness
        |FROM b ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- resize
+
+  /** Resize planning for image/video payloads — the remaining member
+    * of the decode / feature-extract / resize / frame-sample quartet:
+    * fit each payload into a [[ResizeBox]]×[[ResizeBox]] box
+    * preserving aspect ratio (standard vision-model preprocessing,
+    * never upscaling). With the stub decoder the resize IS the plan —
+    * target dims via floor (floor is bit-identical across engines,
+    * unlike banker's-vs-half-up rounding), the scale factor, and the
+    * output byte volume a real resampler would emit. The pixel loop
+    * slots into the same batched mapPartitions shape as
+    * [[extractFeatures]] when a codec exists. */
+  private val ResizeBox = 32.0
+
+  def qMmResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    qMmMeta(s, dir)
+      .filter($"media_type" =!= "audio")
+      .withColumn("scale",
+        least(lit(ResizeBox) / $"width", lit(ResizeBox) / $"height", lit(1.0)))
+      .withColumn("out_w", greatest(floor($"width" * $"scale"), lit(1.0)).cast("int"))
+      .withColumn("out_h", greatest(floor($"height" * $"scale"), lit(1.0)).cast("int"))
+      .select($"doc_id", $"media_type", $"width", $"height",
+        round($"scale", 4).as("scale"), $"out_w", $"out_h",
+        ($"out_w".cast("long") * $"out_h" * 3L * $"n_frames").as("out_bytes"))
+      .orderBy($"doc_id")
+  }
+
+  val qMmResizeSql: String =
+    s"""WITH h AS (SELECT doc_id, md5(text) AS hex FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    ['image', 'audio', 'video'][(${duckHexToInt("substring(hex, 1, 2)")} % 3 + 1)::INTEGER] AS media_type,
+       |    (${duckHexToInt("substring(hex, 3, 2)")} % 64 + 16)::INTEGER AS width,
+       |    (${duckHexToInt("substring(hex, 5, 2)")} % 64 + 16)::INTEGER AS height,
+       |    CASE WHEN ['image', 'audio', 'video'][(${duckHexToInt("substring(hex, 1, 2)")} % 3 + 1)::INTEGER] = 'video'
+       |         THEN (${duckHexToInt("substring(hex, 7, 2)")} % 120 + 8)::INTEGER
+       |         ELSE 1 END AS n_frames
+       |  FROM h
+       |), r AS (
+       |  SELECT doc_id, media_type, width, height, n_frames,
+       |    least($ResizeBox / width, $ResizeBox / height, 1.0) AS raw_scale
+       |  FROM m WHERE media_type <> 'audio'
+       |)
+       |SELECT doc_id, media_type, width, height,
+       |  round(raw_scale, 4) AS scale,
+       |  greatest(floor(width * raw_scale), 1)::INTEGER AS out_w,
+       |  greatest(floor(height * raw_scale), 1)::INTEGER AS out_h,
+       |  greatest(floor(width * raw_scale), 1)::BIGINT *
+       |    greatest(floor(height * raw_scale), 1)::BIGINT * 3 * n_frames AS out_bytes
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta" -> (qMmMeta(_, _)),
     "q_mm_frames" -> (qMmFrames(_, _)),
-    "q_mm_features" -> (qMmFeatures(_, _)))
+    "q_mm_features" -> (qMmFeatures(_, _)),
+    "q_mm_resize" -> (qMmResize(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_mm_meta" -> qMmMetaSql,
     "q_mm_frames" -> qMmFramesSql,
-    "q_mm_features" -> qMmFeaturesSql)
+    "q_mm_features" -> qMmFeaturesSql,
+    "q_mm_resize" -> qMmResizeSql)
 }
