@@ -191,6 +191,39 @@ class SingleFileIndexSpec extends AnyFunSuite {
     } finally mm.close()
   }
 
+  test("importLocalU8 medoid fallback on a foreign file without a stored entry") {
+    // clone the u8 file and corrupt medoid_id to the 0xFFFFFFFF
+    // sentinel (metadata layout: 8-byte len prefix + dim/num/maxdeg
+    // longs → medoid int at file offset 32): the importer must fall
+    // back to the deterministic pivot-medoid rule instead of crashing
+    // or entering at a bogus node
+    val src = "/tmp/graft_u8_a.idx"
+    if (!Files.exists(Paths.get(src))) cancel("u8 export test must run first")
+    val patched = "/tmp/graft_u8_nomedoid.idx"
+    Files.copy(Paths.get(src), Paths.get(patched),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val ids__ = Files.exists(Paths.get(src + ".ids"))
+    if (ids__) Files.copy(Paths.get(src + ".ids"), Paths.get(patched + ".ids"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val raf = new java.io.RandomAccessFile(patched, "rw")
+    try {
+      raf.seek(32)
+      raf.write(Array[Byte](-1, -1, -1, -1)) // medoid_id = -1 (LE)
+    } finally raf.close()
+    assert(SingleFileIndex.readMeta(patched).medoidId == -1)
+    val (g8, ids8, _) = SingleFileIndex.importLocalU8(patched)
+    assert(g8.entry >= 0 && g8.entry < g8.n)
+    // fallback entry = the same deterministic pivot rule VamanaGraph
+    // uses, computed in integer math — must match the f32 graph's
+    val (gf, _, _) = SingleFileIndex.importLocal(patched)
+    assert(g8.entry == gf.medoid, s"${g8.entry} vs ${gf.medoid}")
+    // and search still works end-to-end
+    val q = gf.vecs.slice(3 * gf.dim, 4 * gf.dim)
+    val a = g8.search(q, 5, 32).map { case (p, d) => (ids8(p), d) }.toSeq
+    val b = gf.search(q, 5, 32).map { case (p, d) => (ids8(p), d) }.toSeq
+    assert(a == b, s"$a vs $b")
+  }
+
   test("segmented mmap (tiny maxSegBytes) serves identically to one segment") {
     // row-aligned segmentation is how files beyond 2 GiB are served;
     // forcing ~3-row segments on a small file must change nothing
