@@ -454,9 +454,12 @@ object TextAnalysis {
   def qPipelineSelect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val keeperW = Window.partitionBy(md5($"text"))
-    val base = withWords(Tables.documents(s, dir))
+    // keeper window FIRST, over the narrow (doc_id, text) projection —
+    // tokenizing before the window would drag the exploded words array
+    // through the exchange for no reason
+    val base = Tables.documents(s, dir).select($"doc_id", $"text")
       .withColumn("keeper_id", min($"doc_id").over(keeperW))
-    withLangCols(withQualityCols(base))
+    withLangCols(withQualityCols(withWords(base)))
       .filter($"pred_lang" === "en" && $"quality_score" >= 0.5 &&
         $"doc_id" === $"keeper_id")
       .select($"doc_id", $"quality_score", $"pred_lang")
