@@ -21,11 +21,13 @@ object SparkEntry {
       index.VamanaIndex.queries ++ index.HnswIndex.queries ++
       operators.Dedup.queries ++
       operators.TextAnalysis.queries ++ multimodal.Multimodal.queries ++
-      operators.KMeans.queries ++ operators.SourceQueries.queries
+      operators.KMeans.queries ++ operators.SourceQueries.queries ++
+      operators.PQ.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.VectorQueries.oracles ++
       index.VamanaIndex.oracles ++ operators.Dedup.oracles ++
       operators.TextAnalysis.oracles ++ multimodal.Multimodal.oracles ++
-      operators.KMeans.oracles ++ operators.SourceQueries.oracles
+      operators.KMeans.oracles ++ operators.SourceQueries.oracles ++
+      operators.PQ.oracles
 }

@@ -206,6 +206,76 @@ case class IntSqL2Distance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Product-quantization asymmetric distance (ADC): given a query's
+  * per-subspace lookup table `lut` (array<double>, length m·ksub —
+  * lut[s·ksub + j] = squared L2 between the query's subvector s and
+  * codebook entry j) and a vector's PQ codes (array<int>, length m),
+  * the approximate squared distance is Σ_s lut[s·ksub + codes[s]] —
+  * m table lookups instead of a dim-length float loop. This is the
+  * in-memory distance DiskANN traverses its graph with (Subramanya et
+  * al., NeurIPS'19 §3; full-precision rerank follows). Codegen'd for
+  * the same reason as [[IntSqL2Distance]]: the candidate loop is the
+  * hot path and an interpreted HOF chain there runs ~30× slower.
+  * Summation is s-ascending, matching the oracle's ordered list
+  * reduce. */
+case class PqAdcDistance(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_pq_adc_distance"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<double> lut, array<int> codes), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lut = l.asInstanceOf[ArrayData]; val codes = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (m * ksub != lut.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: lut length ${lut.numElements()} != m($m) * ksub($ksub)")
+    var acc = 0.0; var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      if (c < 0 || c >= ksub)
+        throw new IllegalArgumentException(s"$prettyName: code $c outside [0, $ksub)")
+      acc += lut.getDouble(s * ksub + c); s += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      s"""
+         |final int $m = $codes.numElements();
+         |if ($m * $ksub != $lut.numElements()) {
+         |  throw new IllegalArgumentException("$prettyName: lut/codes shape mismatch");
+         |}
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  final int $c = $codes.getInt($s);
+         |  if ($c < 0 || $c >= $ksub) {
+         |    throw new IllegalArgumentException("$prettyName: code outside codebook");
+         |  }
+         |  $acc += $lut.getDouble($s * $ksub + $c);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH bucket of an `array<float>` vector: bit p of
   * the result is the sign of ⟨v, h_p⟩ for the deterministic LCG-derived
   * hyperplane family h_p[d] = ((1103515245·(p·64+d) + 12345) mod 2³¹)
@@ -286,6 +356,8 @@ object VectorExprs {
   def cosineDist(a: Column, b: Column): Column = col2(CosineDistance)(a, b)
   def dotProduct(a: Column, b: Column): Column = col2(DotProduct)(a, b)
   def intSqL2Dist(a: Column, b: Column): Column = col2(IntSqL2Distance)(a, b)
+  def pqAdcDist(lut: Column, codes: Column, ksub: Int): Column =
+    bridge.column(PqAdcDistance(bridge.expression(lut), bridge.expression(codes), ksub))
   def lshBucket(v: Column, planes: Int): Column =
     bridge.column(LshBucket(bridge.expression(v), planes))
 
@@ -297,6 +369,8 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("graft_cosine_distance", es => CosineDistance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_int_sql2_distance", es => IntSqL2Distance(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_pq_adc_distance",
+      es => PqAdcDistance(es.head, es(1), es(2).eval(null).asInstanceOf[Number].intValue), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bucket",
       es => LshBucket(es.head, es(1).eval(null).asInstanceOf[Number].intValue), "scala_udf")
     reg.createOrReplaceTempFunction("graft_roll_hash", es => RollingHash(es.head), "scala_udf")

@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorExprs._
+
+/** Product quantization (PQ) — the compression scheme the DiskANN
+  * paper (Subramanya et al., NeurIPS'19 §3) pairs with the Vamana
+  * graph the reference implements: the vector is split into `M`
+  * subspaces, each subvector replaced by the id of its nearest
+  * codebook entry, and query-time distances become `M` table lookups
+  * (asymmetric distance computation, ADC) instead of a dim-length
+  * float loop. At 100 TB this is the difference between holding f32
+  * vectors (dim·4 bytes) and PQ codes (M bytes — 32× smaller at
+  * dim=64, M=8) in executor memory during candidate generation.
+  *
+  * Everything here is deterministic and oracle-replayable (SURVEY.md
+  * §5): codebooks are the subvector slices of the `Ksub` lowest-id
+  * vectors (the same seed-centroid rule as `q_ivf_assign`; the
+  * trained form lives in the index kernel, [[graft.index.PqCodebook]],
+  * where recall — not hash parity — is the contract), argmin ties go
+  * to the lower code, and every double accumulation is left-to-right
+  * in both engines.
+  *
+  * Scale shape: codebooks are M·Ksub·SubDim floats — broadcast;
+  * encoding is a zero-shuffle mapPartitions kernel (same shape as
+  * [[KMeans.assign]]); the ADC candidate loop is a broadcast join of
+  * the tiny query-LUT set against the codes scan with the codegen'd
+  * [[graft.functions.PqAdcDistance]] inside; rerank reads only the
+  * Cand·|queries| surviving rows' full vectors.
+  */
+object PQ {
+
+  private[graft] val M = 8       // subspaces
+  private[graft] val SubDim = 8  // dims per subspace (dim 64 / M)
+  private[graft] val Ksub = 16   // codebook entries per subspace
+  private val Cand = 50          // ADC candidates reranked per query
+  private val K = 10
+
+  /** Seed codebooks: entry j of subspace s is the s-th SubDim-slice of
+    * the embedding with vec_id == j (j < Ksub). Flat layout
+    * cb[(s·Ksub + j)·SubDim + i]. */
+  private def codebooks(s: SparkSession, dir: String): Array[Float] = {
+    import s.implicits._
+    val seeds = Tables.embeddings(s, dir).filter($"vec_id" < Ksub)
+      .select($"vec_id".cast("int"), $"embedding")
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    require(seeds.length == Ksub, s"need $Ksub seed vectors, found ${seeds.length}")
+    val out = new Array[Float](M * Ksub * SubDim)
+    var sub = 0
+    while (sub < M) {
+      var j = 0
+      while (j < Ksub) {
+        System.arraycopy(seeds(j)._2, sub * SubDim, out, (sub * Ksub + j) * SubDim, SubDim)
+        j += 1
+      }
+      sub += 1
+    }
+    out
+  }
+
+  /** Squared L2 between subvector `sub` of `v` and codebook entry
+    * (sub, j) — double, left-to-right, the exact order the oracle's
+    * ordered list reduce replays. */
+  @inline private def subSqL2(v: Array[Float], sub: Int, cb: Array[Float], j: Int): Double = {
+    val vOff = sub * SubDim
+    val cOff = (sub * Ksub + j) * SubDim
+    var acc = 0.0; var i = 0
+    while (i < SubDim) {
+      val d = v(vOff + i).toDouble - cb(cOff + i).toDouble
+      acc += d * d; i += 1
+    }
+    acc
+  }
+
+  /** PQ-encode: per subspace the argmin codebook entry (tie → lower
+    * code). Returns codes and the per-subspace quantization error. */
+  private def encodeOne(v: Array[Float], cb: Array[Float]): (Array[Int], Array[Double]) = {
+    val codes = new Array[Int](M)
+    val errs = new Array[Double](M)
+    var sub = 0
+    while (sub < M) {
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < Ksub) {
+        val d = subSqL2(v, sub, cb, j)
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(sub) = best; errs(sub) = bestD
+      sub += 1
+    }
+    (codes, errs)
+  }
+
+  /** (vec_id, codes) for the whole corpus — broadcast codebooks +
+    * zero-shuffle mapPartitions, cached so the encode runs once per
+    * (plan, JVM) across bench repetitions and the query subset. */
+  private def codesDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(codebooks(s, dir))
+    Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cb = bc.value
+        it.map { case (id, v) => (id, encodeOne(v, cb)._1) }
+      }
+      .toDF("vec_id", "codes")
+      .cache()
+  }
+
+  /** `q_pq_encode`: PQ codes + per-subspace squared quantization error
+    * for every vector — one row per (vector, subspace), fully
+    * hash-verified against the DuckDB replay of the same argmin. */
+  def qPqEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(codebooks(s, dir))
+    Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cb = bc.value
+        it.flatMap { case (id, v) =>
+          val (codes, errs) = encodeOne(v, cb)
+          (0 until M).iterator.map { sub =>
+            (id, sub, codes(sub), math.rint(errs(sub) * 1e4) / 1e4)
+          }
+        }
+      }
+      .toDF("vec_id", "sub", "code", "sub_err")
+      .orderBy($"vec_id", $"sub")
+  }
+
+  /** Shared oracle CTE fragment: cb = (sub, j, cv) seed codebooks,
+    * enc = per-(vec_id, sub) argmin code. Double math matches the
+    * Scala kernel term for term (ordered prepend-reduce = the
+    * left-to-right while loop). */
+  private val encodeCtes: String =
+    s"""cb AS (
+       |  SELECT CAST(t.s AS INTEGER) AS sub, CAST(vec_id AS INTEGER) AS j,
+       |    embedding[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS cv
+       |  FROM embeddings, unnest(range(0, $M)) AS t(s)
+       |  WHERE vec_id < $Ksub
+       |), sv AS (
+       |  SELECT vec_id, CAST(t.s AS INTEGER) AS sub,
+       |    embedding[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS v
+       |  FROM embeddings, unnest(range(0, $M)) AS t(s)
+       |), encd AS (
+       |  SELECT sv.vec_id, sv.sub, cb.j,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, $SubDim + 1),
+       |      i -> (sv.v[i]::DOUBLE - cb.cv[i]::DOUBLE) * (sv.v[i]::DOUBLE - cb.cv[i]::DOUBLE))),
+       |      (acc, x) -> acc + x) AS dd
+       |  FROM sv JOIN cb ON cb.sub = sv.sub
+       |), enc AS (
+       |  SELECT vec_id, sub, j AS code, dd FROM (
+       |    SELECT vec_id, sub, j, dd,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, j) AS rn
+       |    FROM encd
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  val qPqEncodeSql: String =
+    s"""WITH $encodeCtes
+       |SELECT vec_id, sub, code, round(dd, 4) AS sub_err
+       |FROM enc ORDER BY vec_id, sub""".stripMargin
+
+  /** `q_knn_pq`: the full PQ search pipeline — encode the corpus,
+    * build each query's M×Ksub ADC lookup table, rank all candidates
+    * by ADC distance ([[graft.functions.PqAdcDistance]], codegen'd),
+    * keep the top `Cand`, rerank those with exact full-precision L2 —
+    * hash-verified end-to-end against the DuckDB replay of the whole
+    * chain. The plan shape is the 100 TB one: codes scan × broadcast
+    * query LUTs, bounded TopK merge, rerank join touches only
+    * Cand·|queries| full vectors. */
+  def qKnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(codebooks(s, dir))
+    val codes = codesDf(s, dir)
+
+    // per-query ADC lookup tables (M·Ksub doubles each — tiny)
+    val luts = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cb = bc.value
+        it.map { case (qid, qv) =>
+          val lut = new Array[Double](M * Ksub)
+          var sub = 0
+          while (sub < M) {
+            var j = 0
+            while (j < Ksub) { lut(sub * Ksub + j) = subSqL2(qv, sub, cb, j); j += 1 }
+            sub += 1
+          }
+          (qid, lut)
+        }
+      }
+      .toDF("q_id", "lut")
+
+    // ADC candidate generation: codes scan × broadcast LUTs, codegen'd
+    // m-lookup distance, bounded top-Cand merge
+    val adc = codes.select($"vec_id".as("nid"), $"codes".as("nc"))
+      .join(broadcast(luts))
+      .filter($"nid" =!= $"q_id")
+      .select($"q_id", $"nid", pqAdcDist($"lut", $"nc", Ksub).as("adc_d"))
+    val tk = TopK.topk(Cand)
+    val cand = adc.groupBy($"q_id").agg(tk($"nid", $"adc_d").as("tk"))
+      .select($"q_id", explode($"tk.ids").as("nid"))
+
+    // full-precision rerank of the surviving candidates only
+    val q = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val candQ = cand.join(q, "q_id")
+    val d = Tables.embeddings(s, dir).select($"vec_id".as("nid"), $"embedding".as("v"))
+      .join(broadcast(candQ), "nid")
+      .select($"q_id", $"nid", l2Dist($"qv", $"v").as("dist"))
+    VectorQueries.topkExplode(d, K)
+  }
+
+  val qKnnPqSql: String =
+    s"""WITH $encodeCtes,
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id % 50 = 0
+       |), qs AS (
+       |  SELECT q_id, CAST(t.s AS INTEGER) AS sub,
+       |    qv[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS v
+       |  FROM q, unnest(range(0, $M)) AS t(s)
+       |), lut AS (
+       |  SELECT q_id, cb.sub, cb.j AS code,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, $SubDim + 1),
+       |      i -> (qs.v[i]::DOUBLE - cb.cv[i]::DOUBLE) * (qs.v[i]::DOUBLE - cb.cv[i]::DOUBLE))),
+       |      (acc, x) -> acc + x) AS d
+       |  FROM qs JOIN cb ON cb.sub = qs.sub
+       |), adc AS (
+       |  SELECT l.q_id, e.vec_id AS nid,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(l.d ORDER BY l.sub)),
+       |      (acc, x) -> acc + x) AS adc_d
+       |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+       |  WHERE e.vec_id <> l.q_id
+       |  GROUP BY l.q_id, e.vec_id
+       |), cand AS (
+       |  SELECT q_id, nid FROM (
+       |    SELECT q_id, nid,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc_d, nid) AS rn
+       |    FROM adc
+       |  ) WHERE rn <= $Cand
+       |), d AS (
+       |  SELECT c.q_id, c.nid,
+       |    list_distance(CAST(eq.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[])) AS dist
+       |  FROM cand c
+       |  JOIN embeddings eq ON eq.vec_id = c.q_id
+       |  JOIN embeddings en ON en.vec_id = c.nid
+       |), r AS (
+       |  SELECT q_id, nid, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nid) AS rn
+       |  FROM d
+       |)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
+       |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pq_encode" -> (qPqEncode(_, _)),
+    "q_knn_pq" -> (qKnnPq(_, _)))
+  val oracles: Map[String, String] = Map(
+    "q_pq_encode" -> qPqEncodeSql,
+    "q_knn_pq" -> qKnnPqSql)
+}
