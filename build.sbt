@@ -27,5 +27,9 @@ scalacOptions += "-deprecation"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench JVM holds ~63 queries' shared caches
+  // (indexes, shingle sets, verified pairs, PQ codebooks) at sf0.1;
+  // 8g left Spark's unified storage region close enough to eviction
+  // that cached-plan reuse was at the mercy of GC timing.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

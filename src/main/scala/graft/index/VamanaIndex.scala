@@ -490,7 +490,33 @@ object VamanaIndex {
         lit(if (meta.contains("graft-vamana-v1")) "graft-vamana-v1" else "corrupt"))
   }
 
+  /** Vector retrieval by id through the SERVED index (reference
+    * `get_vector`, lib.rs:724) — the stored index rows, not the source
+    * table, answer the lookup, proving the index preserves its vectors
+    * bit-exactly. Because retrieval is exact, this one gets a FULL SQL
+    * oracle over the embeddings table (unlike the stochastic graph
+    * queries): norms computed from the index must hash-match norms
+    * computed from the source parquet. The filter prunes on the stored
+    * `vec_id` column before any vector math — at scale this is an
+    * id-indexed point-lookup family, not a scan of vector payloads. */
+  def qGetVector(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cachedIndex(s, dir)
+      .filter($"vec_id" % 25 === 0)
+      .select($"vec_id", size($"embedding").as("dim"),
+        round(sqrt(graft.functions.VectorExprs.dotProduct($"embedding", $"embedding")), 4)
+          .as("l2_norm"))
+      .orderBy($"vec_id")
+  }
+
+  val qGetVectorSql: String =
+    """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+      |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                              CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
+      |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_get_vector" -> (qGetVector(_, _)),
     "q_vamana_degree" -> (qVamanaDegree(_, _)),
     "q_vamana_search" -> (qVamanaSearch(_, _)),
     "q_vamana_probed" -> (qVamanaProbed(_, _)),
@@ -498,6 +524,7 @@ object VamanaIndex {
     "q_vamana_recall" -> (qVamanaRecall(_, _)),
     "q_index_meta" -> (qIndexMeta(_, _)))
 
-  /** Approximate/graph ops: rows-only checks (SURVEY.md §2.B). */
-  val oracles: Map[String, String] = Map.empty
+  /** Approximate/graph ops are rows-only (SURVEY.md §2.B); exact
+    * retrieval is hash-checked. */
+  val oracles: Map[String, String] = Map("q_get_vector" -> qGetVectorSql)
 }

@@ -512,7 +512,141 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ repetition
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 "repetition
+    * filters"): duplicate-word ratio, most-frequent-word fraction and
+    * most-frequent-bigram fraction per document — the standard screens
+    * for degenerate/boilerplate text in a pre-training corpus.
+    *
+    * Scale shape: ONE exploded gram stream carries unigrams (t=1) and
+    * bigrams (t=2), so gram counting is a single (doc_id, t, gram)
+    * hash aggregate with map-side partial rows, and a second per-doc_id
+    * conditional aggregate folds both gram types back to one row — no
+    * self-join of two count tables, no window. Both exchanges hash on
+    * high-cardinality keys, so the plan is skew-free at corpus scale. */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .filter(size($"words") >= 1)
+      .select($"doc_id", explode(expr(
+        // sequence(0, -1) would generate a DESCENDING range for 1-word
+        // docs, so the bigram arm must be guarded, not just empty
+        """concat(
+          |  transform(words, w -> struct(1 AS t, w AS g)),
+          |  CASE WHEN size(words) >= 2 THEN
+          |    transform(sequence(0, size(words) - 2),
+          |      i -> struct(2 AS t, concat(element_at(words, i+1), ' ', element_at(words, i+2)) AS g))
+          |  ELSE cast(array() AS array<struct<t: int, g: string>>) END)""".stripMargin))
+        .as("gr"))
+      .select($"doc_id", $"gr.t", $"gr.g")
+    grams.groupBy($"doc_id", $"t", $"g").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"t" === 1, $"cnt")).as("nw"),
+        count(when($"t" === 1, true)).as("ndw"),
+        max(when($"t" === 1, $"cnt")).as("topw"),
+        sum(when($"t" === 2, $"cnt")).as("nbg"),
+        max(when($"t" === 2, $"cnt")).as("topbg"))
+      .select(
+        $"doc_id",
+        $"nw".cast("int").as("n_words"),
+        round(lit(1.0) - $"ndw".cast("double") / $"nw".cast("double"), 4)
+          .as("dup_word_ratio"),
+        round($"topw".cast("double") / $"nw".cast("double"), 4).as("top_word_frac"),
+        coalesce(round($"topbg".cast("double") / $"nbg".cast("double"), 4), lit(0.0))
+          .as("top_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val qTextRepetitionSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS words
+      |  FROM documents
+      |), docs AS (
+      |  SELECT doc_id, words FROM base WHERE len(words) >= 1
+      |), grams AS (
+      |  SELECT doc_id, 1 AS t, unnest(words) AS g FROM docs
+      |  UNION ALL
+      |  SELECT doc_id, 2 AS t, words[i + 1] || ' ' || words[i + 2] AS g
+      |  FROM docs, unnest(range(0, len(words) - 1)) AS u(i)
+      |  WHERE len(words) >= 2
+      |), c AS (
+      |  SELECT doc_id, t, g, count(*) AS cnt FROM grams GROUP BY doc_id, t, g
+      |)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN t = 1 THEN cnt END) AS INTEGER) AS n_words,
+      |  round(1.0 - count(CASE WHEN t = 1 THEN 1 END)::DOUBLE
+      |    / sum(CASE WHEN t = 1 THEN cnt END)::DOUBLE, 4) AS dup_word_ratio,
+      |  round(max(CASE WHEN t = 1 THEN cnt END)::DOUBLE
+      |    / sum(CASE WHEN t = 1 THEN cnt END)::DOUBLE, 4) AS top_word_frac,
+      |  coalesce(round(max(CASE WHEN t = 2 THEN cnt END)::DOUBLE
+      |    / sum(CASE WHEN t = 2 THEN cnt END)::DOUBLE, 4), 0.0) AS top_bigram_frac
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ tf-idf
+
+  /** Per-source distinctive terms (training-mixture analysis): TF-IDF
+    * score per (source, word) with idf = ln(S / df), top-5 per source,
+    * ties broken by word so the ranking is engine-reproducible.
+    *
+    * Scale shape: the token explode feeds a (source, word) hash
+    * aggregate (map-side combine shrinks the exchange to vocabulary
+    * size), df is a second vocab-sized aggregate on word, the source
+    * count is a broadcast scalar, and the final window runs over
+    * VOCAB-sized input — never the token stream. With very large
+    * per-source vocabularies the window's per-source partitions can be
+    * pre-pruned by a partial top-k per input partition (the TopKAgg
+    * pattern); at realistic vocab sizes the single window exchange is
+    * the cheaper plan. */
+  def qTfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"source",
+        explode(expr("filter(split(text, ' '), w -> w != '')")).as("word"))
+    val tf = tok.groupBy($"source", $"word").agg(count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val sCount = Tables.documents(s, dir)
+      .agg(countDistinct($"source").as("n_sources"))
+    val w = Window.partitionBy($"source").orderBy($"score".desc, $"word")
+    tf.join(dfCounts, Seq("word"))
+      .crossJoin(broadcast(sCount))
+      .withColumn("score",
+        round($"tf".cast("double") *
+          log($"n_sources".cast("double") / $"df".cast("double")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"source", $"rank", $"word", $"tf".cast("long").as("tf"),
+        $"df".cast("int").as("df"), $"score")
+      .orderBy($"source", $"rank")
+  }
+
+  val qTfidfTermsSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
+      |  FROM documents
+      |), tf AS (
+      |  SELECT source, word, count(*) AS tf FROM tok GROUP BY source, word
+      |), dfc AS (
+      |  SELECT word, count(*) AS df FROM tf GROUP BY word
+      |), sc AS (
+      |  SELECT count(DISTINCT source) AS n_sources FROM documents
+      |), scored AS (
+      |  SELECT tf.source, tf.word, tf.tf, dfc.df,
+      |    round(tf.tf::DOUBLE * ln(sc.n_sources::DOUBLE / dfc.df::DOUBLE), 6) AS score,
+      |    row_number() OVER (PARTITION BY tf.source ORDER BY
+      |      round(tf.tf::DOUBLE * ln(sc.n_sources::DOUBLE / dfc.df::DOUBLE), 6) DESC,
+      |      tf.word) AS rank
+      |  FROM tf JOIN dfc USING (word) CROSS JOIN sc
+      |)
+      |SELECT source, CAST(rank AS INTEGER) AS rank, word,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS INTEGER) AS df, score
+      |FROM scored WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_repetition" -> (qTextRepetition(_, _)),
+    "q_tfidf_terms" -> (qTfidfTerms(_, _)),
     "q_pipeline_select" -> (qPipelineSelect(_, _)),
     "q_doc_stats" -> (qDocStats(_, _)),
     "q_text_tokens" -> (qTextTokens(_, _)),
@@ -525,6 +659,8 @@ object TextAnalysis {
     "q_text_entropy" -> (qTextEntropy(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_text_repetition" -> qTextRepetitionSql,
+    "q_tfidf_terms" -> qTfidfTermsSql,
     "q_pipeline_select" -> qPipelineSelectSql,
     "q_pack_chunks" -> qPackChunksSql,
     "q_text_entropy" -> qTextEntropySql,
