@@ -324,6 +324,43 @@ object SingleFileIndex {
       .toDF("q_id", "rank", "neighbor_id", "dist")
   }
 
+  /** Two-tier distributed serving — the actual DiskANN serving
+    * architecture (Subramanya et al. NeurIPS'19 §3): PQ codes live in
+    * executor MEMORY (m bytes per vector — broadcast once), the
+    * full-precision vectors stay ON DISK, and each query's traversal
+    * is steered by in-memory ADC lookups with only adjacency reads
+    * and the final ≤ beamWidth exact rerank touching the file. At
+    * 100 TB this is the serving mode: a dim=64 f32 corpus is 256 B/
+    * vector on disk but 8 B/vector resident, so a 1000-executor
+    * cluster holds the candidate-generation state for ~32× more
+    * vectors than heap-resident serving. The PQ state is trained and
+    * encoded once on the driver (one sequential file pass) and
+    * torrent-broadcast; queries scale with their partitioning alone,
+    * exactly like [[serve]]. */
+  def servePq(queries: DataFrame, path: String, k: Int, beamWidth: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 5): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val state = {
+      val mm = new MmapIndex(path)
+      try mm.buildPqState(m, ksub, iters) finally mm.close()
+    }
+    val stateB = s.sparkContext.broadcast(state)
+    queries.select("q_id", "qv").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val mm = new MmapIndex(path)
+        try {
+          val (cb, codes) = stateB.value
+          it.flatMap { case (qid, qv) =>
+            mm.searchPq(qv, k, beamWidth, cb, codes).iterator.zipWithIndex.map {
+              case ((nid, d), r) => (qid, r + 1, nid, math.rint(d * 1e4) / 1e4)
+            }
+          }.toArray.iterator
+        } finally mm.close()
+      }
+      .toDF("q_id", "rank", "neighbor_id", "dist")
+  }
+
   /** Load a u8/L2 single-file index into a byte-resident [[U8Graph]]
     * — heap serving at 1/4 the memory of [[importLocal]]'s widened
     * f32 graph, with the distance loop in integer arithmetic (the
@@ -630,13 +667,11 @@ final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong)
       metric.eval(q, 0, rowScratch, 0, dim)
     }
 
-  /** Beam search straight off the mapping — same working-set insert
-    * and termination rules as [[VamanaGraph.search]], so the results
-    * match the heap-resident graph exactly. Returns (global id, dist)
-    * ascending. */
-  def search(q: Array[Float], k: Int, beamWidth: Int): Array[(Long, Double)] = {
+  /** Per-query state shared by [[search]] and [[searchPq]]: arms the
+    * u8 integer path when the query is exactly u8-valued, packs a
+    * hamming query into words, and returns the cosine norm. */
+  private def prepQuery(q: Array[Float]): Double = {
     require(q.length == dim, s"query dim ${q.length} != index dim $dim")
-    val bw = math.max(beamWidth, k)
     // u8/L2: take the integer path when every query slot is exactly
     // u8-valued (the BigANN case); a fractional or out-of-range query
     // falls back to the widened-float loop with identical semantics.
@@ -659,11 +694,20 @@ final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong)
         w += 1
       }
     }
-    val qNorm = if (isCos) {
+    if (isCos) {
       var acc = 0.0; var i = 0
       while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
       math.max(math.sqrt(acc), java.lang.Double.MIN_NORMAL)
     } else 0.0
+  }
+
+  /** Beam search straight off the mapping — same working-set insert
+    * and termination rules as [[VamanaGraph.search]], so the results
+    * match the heap-resident graph exactly. Returns (global id, dist)
+    * ascending. */
+  def search(q: Array[Float], k: Int, beamWidth: Int): Array[(Long, Double)] = {
+    val bw = math.max(beamWidth, k)
+    val qNorm = prepQuery(q)
 
     val wIds = new Array[Int](bw)
     val wDists = new Array[Double](bw)
@@ -716,6 +760,87 @@ final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong)
     var i = 0
     while (i < out.length) { out(i) = (ids(wIds(i)), wDists(i)); i += 1 }
     out
+  }
+
+  // ----------------------------------------------------- PQ-guided serving
+
+  /** Row `i` as the PQ geometry sees it: the raw slots, L2-normalized
+    * for cosine files (L2 order on unit vectors IS cosine order — the
+    * DiskANN treatment of cosine corpora), raw for l2/u8. */
+  private def loadPqRow(i: Int, out: Array[Float]): Unit = {
+    val vb = vecMap.bufOf(i); val off = vecMap.offOf(i)
+    var d = 0
+    while (d < dim) { out(d) = slot(vb, off, d); d += 1 }
+    if (isCos) {
+      val inv = 1.0 / norms(i)
+      d = 0
+      while (d < dim) { out(d) = (out(d) * inv).toFloat; d += 1 }
+    }
+  }
+
+  /** Build the resident PQ state for this file — trained codebook +
+    * n·m code array — in one sequential pass over the mapping
+    * (nothing else is heap-loaded; this is the 8-bytes-per-vector
+    * state DiskANN keeps in RAM, Subramanya et al. NeurIPS'19 §3).
+    * Training samples evenly-spaced rows (the deterministic rule every
+    * kernel here uses), so two builds over the same file are
+    * bit-identical. */
+  def buildPqState(m: Int = 8, ksub: Int = 16, iters: Int = 5,
+      sampleMax: Int = 4096): (PqCodebook, Array[Byte]) = {
+    require(!packed, "PQ serving applies to f32/u8 files, not packed hamming")
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sN = math.min(n, sampleMax)
+    val step = math.max(1, n / sN)
+    val sample = new Array[Float](sN * dim)
+    val row = new Array[Float](dim)
+    var si = 0
+    while (si < sN) {
+      loadPqRow(si * step, row)
+      System.arraycopy(row, 0, sample, si * dim, dim)
+      si += 1
+    }
+    val cb = PqCodebook.train(sample, dim, sN, m, ksub, iters, sampleMax = sN)
+    val codes = new Array[Byte](n * m)
+    var i = 0
+    while (i < n) { loadPqRow(i, row); cb.encodeInto(row, 0, codes, i * m); i += 1 }
+    (cb, codes)
+  }
+
+  /** Out-neighbors of row `cur` (padding stripped) off the mapping. */
+  private def adjacencyOf(cur: Int): Array[Int] = {
+    val ab = adjMap.bufOf(cur); val aOff = adjMap.offOf(cur)
+    val lst = new scala.collection.mutable.ArrayBuffer[Int](meta.maxDegree)
+    var t = 0
+    while (t < meta.maxDegree) {
+      val nb = ab.getInt(aOff + 4 * t)
+      if (nb != -1) lst += nb
+      t += 1
+    }
+    lst.toArray
+  }
+
+  /** Two-tier beam search (the DiskANN serving split): traversal is
+    * steered by ADC distances over the RESIDENT `codes` array — the
+    * mapping is touched only for adjacency rows and the ≤ beamWidth
+    * exact rerank distances, so per-query disk traffic is O(visited ·
+    * maxDegree · 4 B + beamWidth · dim · elem) instead of O(visited ·
+    * dim · elem). Returns (global id, EXACT distance) ascending —
+    * distances are the same metric [[search]] reports, only the
+    * candidate set is PQ-approximate. */
+  def searchPq(q: Array[Float], k: Int, beamWidth: Int,
+      cb: PqCodebook, codes: Array[Byte]): Array[(Long, Double)] = {
+    require(codes.length == n.toLong * cb.m,
+      s"codes length ${codes.length} != n($n)·m(${cb.m}) — state from another file?")
+    val qNorm = prepQuery(q)
+    val qSteer =
+      if (!isCos) q
+      else {
+        val inv = 1.0 / qNorm
+        Array.tabulate(dim)(i => (q(i) * inv).toFloat)
+      }
+    PqSearch.search(adjacencyOf, meta.medoidId, cb.lut(qSteer), codes, cb,
+        j => distQ(q, qNorm, j), k, math.max(beamWidth, k))
+      .map { case (rowId, d) => (ids(rowId), d) }
   }
 
   override def close(): Unit = ch.close()

@@ -258,9 +258,44 @@ object PQ {
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
        |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------- two-tier file serving
+
+  /** One single-file index per (sf dir, JVM) for [[qPqServe]] — the
+    * build-once/serve-many contract every index query here follows. */
+  private val serveFile = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def cachedServeFile(s: SparkSession, dir: String): String =
+    serveFile.getOrElseUpdate(dir, {
+      val sf = dir.replaceAll(".*/", "")
+      val path = graft.TempCleanup.onExit(
+        s"/tmp/graft_pqserve_${sf}_${s.sparkContext.applicationId}.idx")
+      val p = graft.index.VamanaParams(metric = "cosine")
+      val idx = graft.index.VamanaIndex.build(
+        Tables.embeddings(s, dir), p, numShards = 1)
+      graft.index.SingleFileIndex.export(idx, p, path)
+      path
+    })
+
+  /** `q_pq_serve`: the DiskANN two-tier serving mode over the
+    * reference-layout single file — PQ codes resident in executor
+    * memory steer the traversal, exact distances come off the mmap
+    * only for adjacency and the final rerank
+    * ([[graft.index.SingleFileIndex.servePq]]). Rows-only in the
+    * driver gate (the PQ-steered candidate set is approximate);
+    * recall and exact-rerank-parity floors are pinned in
+    * SingleFileIndexSpec. */
+  def qPqServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    graft.index.SingleFileIndex.servePq(
+      qs, cachedServeFile(s, dir), K, beamWidth = 64)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_encode" -> (qPqEncode(_, _)),
-    "q_knn_pq" -> (qKnnPq(_, _)))
+    "q_knn_pq" -> (qKnnPq(_, _)),
+    "q_pq_serve" -> (qPqServe(_, _)))
   val oracles: Map[String, String] = Map(
     "q_pq_encode" -> qPqEncodeSql,
     "q_knn_pq" -> qKnnPqSql)

@@ -70,4 +70,37 @@ class GraphPerfProbe extends AnyFunSuite {
         mm.search(qInt.map(_ + 0f), 10, 64).map(_._1).toSeq)
     } finally mm.close()
   }
+
+  test("two-tier PQ serving: resident state size and per-query timing vs exact mmap") {
+    val spark = SparkSpecBase.spark
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, SparkSpecBase.sf001)
+    val p = graft.index.VamanaParams(metric = "cosine")
+    val idx = graft.index.VamanaIndex.build(vecs, p, numShards = 1)
+    val path = "/tmp/graft_pq_perf.idx"
+    graft.index.SingleFileIndex.export(idx, p, path)
+    val mm = new graft.index.MmapIndex(path)
+    try {
+      val (cb, codes) = mm.buildPqState()
+      // resident-state arithmetic the 100 TB design rests on: codes are
+      // m bytes/vector vs dim·4 on disk
+      val residentB = codes.length + cb.cents.length * 4
+      val diskB = mm.n.toLong * mm.dim * 4
+      info(f"resident PQ state ${residentB / 1024.0}%.1f KiB vs $diskB%d B of f32 vectors (${diskB.toDouble / codes.length}%.0fx)")
+      val q = mm.vector(7)
+      val reps = 2000
+      def time(f: => Unit): Double = {
+        var i = 0
+        while (i < 200) { f; i += 1 }
+        val t0 = System.nanoTime()
+        i = 0
+        while (i < reps) { f; i += 1 }
+        (System.nanoTime() - t0) / 1e9 / reps * 1e6
+      }
+      val usExact = time(mm.search(q, 10, 64))
+      val usPq = time(mm.searchPq(q, 10, 64, cb, codes))
+      info(f"mmap serving: exact $usExact%.1f µs/query, PQ-steered $usPq%.1f µs/query")
+      assert(usPq < 10000, "PQ-steered search unreasonably slow")
+    } finally mm.close()
+  }
 }

@@ -306,4 +306,62 @@ class SingleFileIndexSpec extends AnyFunSuite {
       }
     } finally mm.close()
   }
+
+  test("PQ-guided serving: deterministic state, exact rerank distances, recall floor") {
+    // two-tier mode (DiskANN §3): traversal steered by resident ADC
+    // codes, distances reported from the exact metric off the mapping
+    val (cb1, codes1) = { val mm = new MmapIndex(path); try mm.buildPqState() finally mm.close() }
+    val (cb2, codes2) = { val mm = new MmapIndex(path); try mm.buildPqState() finally mm.close() }
+    assert(cb1.cents.sameElements(cb2.cents), "codebook training must be deterministic")
+    assert(java.util.Arrays.equals(codes1, codes2), "encoding must be deterministic")
+
+    val vecs = Tables.embeddings(spark, SparkSpecBase.sf001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    val byId = vecs.toMap
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      1.0 - dot / (math.max(math.sqrt(na), java.lang.Double.MIN_NORMAL) *
+        math.max(math.sqrt(nb), java.lang.Double.MIN_NORMAL))
+    }
+    val mm = new MmapIndex(path)
+    try {
+      val queries = vecs.filter(_._1 % 100 == 0)
+      var recallSum = 0.0
+      queries.foreach { case (qid, qv) =>
+        val res = mm.searchPq(qv, 10, 64, cb1, codes1)
+        // reported distances are the EXACT metric (rerank), never ADC
+        res.foreach { case (nid, d) =>
+          val exact = cosDist(qv, byId(nid))
+          assert(math.abs(d - exact) < 1e-9, s"q $qid nid $nid: $d vs exact $exact")
+        }
+        val truth = vecs.map { case (nid, v) => (nid, cosDist(qv, v)) }
+          .sortBy { case (nid, d) => (d, nid) }.take(10).map(_._1).toSet
+        recallSum += res.count { case (nid, _) => truth(nid) } / 10.0
+      }
+      val recall = recallSum / queries.length
+      assert(recall >= 0.85, s"PQ-guided recall@10 $recall below 0.85 floor")
+    } finally mm.close()
+  }
+
+  test("distributed servePq matches driver-side PQ-guided search") {
+    val (g, ids, _) = SingleFileIndex.importLocal(path)
+    val qs = Seq(4, 120, 404).map { i =>
+      (i.toLong, g.vecs.slice(i * g.dim, (i + 1) * g.dim))
+    }
+    val served = SingleFileIndex.servePq(
+        qs.toDF("q_id", "qv").repartition(3), path, k = 5, beamWidth = 32)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    val (cb, codes) = { val mm = new MmapIndex(path); try mm.buildPqState() finally mm.close() }
+    val mm = new MmapIndex(path)
+    try qs.foreach { case (qid, qv) =>
+      val local = mm.searchPq(qv, 5, 32, cb, codes).toSeq
+        .map { case (nid, d) => (nid, math.rint(d * 1e4) / 1e4) }
+      assert(served(qid) == local, s"q $qid: ${served(qid)} vs $local")
+    } finally mm.close()
+  }
 }

@@ -44,6 +44,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0L, 10 * m, 2L), (1L, 50 * m, 50 * m, 1L)))
   }
 
+  test("streaming sessionizer == batch q_sessionize on closed sessions") {
+    // the REAL events table through the stateful sessionizer: every
+    // session the stream closes must match the batch window-lag
+    // operator row for row; the one session per user the stream holds
+    // open (no timeout flush — see the sessionize docstring) is each
+    // user's LAST batch session
+    val stream = StreamOps.eventsStream(spark, SparkSpecBase.sf001)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_type", $"value")
+      .as[Ev]
+    val q = StreamOps.sessionize(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessbatcheq").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sessbatcheq").as[(Long, Long, Long, Long)].collect()
+      .map { case (u, s, e, n) => (u, s / 1000000, e / 1000000, n) }.toSet
+    val batch = operators.Relational.sessionize(spark, SparkSpecBase.sf001)
+      .select($"user_id", $"session_id", $"n_events", $"start_s", $"end_s")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val closed = batch.groupBy(_._1).values
+      .flatMap(ss => ss.sortBy(_._2).dropRight(1).toSeq)
+      .map { case (u, _, n, st, en) => (u, st, en, n) }.toSet
+    assert(streamed == closed,
+      s"streamed-only: ${(streamed -- closed).take(3)}; batch-only: ${(closed -- streamed).take(3)}")
+  }
+
   test("streaming exact dedup flags duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
