@@ -346,6 +346,44 @@ final class VamanaGraph(
     out
   }
 
+  /** Filtered serving search (the Filtered-DiskANN serving pattern,
+    * Gollapudi et al. WWW'23 — predicated top-k without per-label
+    * indexes): the traversal steers over ALL nodes, preserving the
+    * connectivity the unfiltered build guarantees, while the result
+    * collects only nodes satisfying `allow`. Every VISITED match is a
+    * candidate — not just the final working set — so recall degrades
+    * gracefully as selectivity drops; no distance is computed twice.
+    * Size `beamWidth` ≈ k / selectivity (FilteredSearchSpec pins the
+    * floors). */
+  def searchFiltered(q: Array[Float], k: Int, beamWidth: Int,
+      allow: Int => Boolean): Array[(Int, Double)] = {
+    val s = servingScratch
+    val bw = math.max(beamWidth, k)
+    val wIds = new Array[Int](bw)
+    val wDists = new Array[Double](bw)
+    val qNorm = if (isCosine) {
+      var acc = 0.0; var i = 0
+      while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
+      math.max(math.sqrt(acc), java.lang.Double.MIN_NORMAL)
+    } else 0.0
+    beamSearch(-1, q, qNorm, medoid, bw, s, collect = true, wIds, wDists)
+    // compact the allowed prefix of the visited log in place (the log
+    // is duplicate-free — epoch marks — and reset by the next search)
+    var m = 0
+    var i = 0
+    while (i < s.visLen) {
+      if (allow(s.visIds(i))) {
+        s.visIds(m) = s.visIds(i); s.visDists(m) = s.visDists(i); m += 1
+      }
+      i += 1
+    }
+    sortPairs(s.visIds, s.visDists, 0, m - 1)
+    val out = new Array[(Int, Double)](math.min(k, m))
+    i = 0
+    while (i < out.length) { out(i) = (s.visIds(i), s.visDists(i)); i += 1 }
+    out
+  }
+
   // ------------------------------------------------------------- sorting
 
   /** quicksort of parallel (dists, ids) by ascending (dist, id). */

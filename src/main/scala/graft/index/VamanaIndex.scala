@@ -275,6 +275,43 @@ object VamanaIndex {
     VectorQueries.topkExplode(perShard, k)
   }
 
+  /** Filtered serving — predicate-constrained top-k through the SAME
+    * graph, no per-label index (the Filtered-DiskANN serving pattern,
+    * Gollapudi et al. WWW'23): the narrow label payload joins the
+    * index rows, shard graphs rebuild as usual, and each query runs
+    * the kernel's filtered beam search with allow = (label == target).
+    * Traversal stays unfiltered so connectivity is preserved; only
+    * result collection filters. The label join is one narrow-column
+    * shuffle here — at 100 TB store attributes in the index rows at
+    * build time (or co-bucket both tables on vec_id) and it
+    * disappears. Widen `beamWidth` ≈ k / selectivity. */
+  def searchFiltered(
+      index: Dataset[IndexRow], labels: DataFrame,
+      queries: Array[(Long, Array[Float])], k: Int, beamWidth: Int,
+      params: VamanaParams, target: Int): DataFrame = {
+    val s = index.sparkSession
+    import s.implicits._
+    val qB = s.sparkContext.broadcast(queries)
+    val perShard = index.join(labels.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("shard"), col("neighbors"), col("label"))
+      .repartition(col("shard"))
+      .as[(Long, Array[Float], Int, Array[Long], Int)]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        rows.groupBy(_._3).iterator.flatMap { case (_, group) =>
+          val srt = group.sortBy(_._1)
+          val labelOf = srt.map(_._5)
+          val (g, sorted) = rebuildShardGraph(
+            srt.map(t => IndexRow(t._1, t._2, t._3, t._4)), params)
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            g.searchFiltered(qv, k, beamWidth, li => labelOf(li) == target)
+              .iterator.map { case (li, d) => (qid, sorted(li).vec_id, d) }
+          }
+        }
+      }.toDF("q_id", "nid", "dist")
+    VectorQueries.topkExplode(perShard, k)
+  }
+
   /** Routed (probed) search — the 100 TB serving path: each query is
     * routed to its `nprobe` nearest shards (routing table = the shard
     * seed vectors, persisted at build time in metadata.json) and ONLY
@@ -400,6 +437,14 @@ object VamanaIndex {
       .agg(round(avg($"recall"), 4).as("mean_recall"), count(lit(1)).as("n_queries"))
   }
 
+  /** Label-filtered top-k through the graph (target label 3, ~10% of
+    * the corpus; beam widened 4× for the selectivity) — rows-only,
+    * recall floors pinned in FilteredSearchSpec. */
+  def qVamanaFiltered(s: SparkSession, dir: String): DataFrame =
+    searchFiltered(cachedIndex(s, dir),
+      Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+      queriesArr(s, dir), K, searchBeam * 4, qParams, target = 3)
+
   /** recall@10 of the full (unrouted) beam search vs brute force. */
   def qVamanaRecall(s: SparkSession, dir: String): DataFrame =
     recallDf(qVamanaSearch(s, dir), VectorQueries.qKnnExact(s, dir))
@@ -517,6 +562,7 @@ object VamanaIndex {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_get_vector" -> (qGetVector(_, _)),
+    "q_vamana_filtered" -> (qVamanaFiltered(_, _)),
     "q_vamana_degree" -> (qVamanaDegree(_, _)),
     "q_vamana_search" -> (qVamanaSearch(_, _)),
     "q_vamana_probed" -> (qVamanaProbed(_, _)),

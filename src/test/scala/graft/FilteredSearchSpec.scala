@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.VamanaIndex
+
+/** Filtered graph serving (the Filtered-DiskANN serving pattern):
+  * predicate-constrained top-k through the UNfiltered graph must (a)
+  * return only matching vectors, (b) recall the exact filtered ground
+  * truth at a widened beam, (c) be deterministic, and (d) degrade to
+  * empty — not crash — on a predicate nothing satisfies. */
+class FilteredSearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private val dir = SparkSpecBase.sf001
+  private val Target = 3
+
+  private lazy val vecs = Tables.embeddings(spark, dir)
+    .select($"vec_id", $"embedding", $"label")
+    .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+
+  private def cosDist(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+    }
+    1.0 - dot / (math.max(math.sqrt(na), java.lang.Double.MIN_NORMAL) *
+      math.max(math.sqrt(nb), java.lang.Double.MIN_NORMAL))
+  }
+
+  test("filtered search returns only target-label vectors and recalls ground truth") {
+    val res = VamanaIndex.qVamanaFiltered(spark, dir)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect()
+    val labelOf = vecs.map(v => v._1 -> v._3).toMap
+    assert(res.nonEmpty)
+    res.foreach { case (q, nid) =>
+      assert(labelOf(nid) == Target, s"q $q returned label ${labelOf(nid)} vector $nid")
+    }
+
+    // exact filtered ground truth: top-10 by (dist, id) among label-3
+    val queries = vecs.filter(_._1 % 50 == 0)
+    val approx = res.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = queries.map { case (qid, qv, _) =>
+      val truth = vecs.filter(_._3 == Target)
+        .map { case (nid, v, _) => (nid, cosDist(qv, v)) }
+        .sortBy { case (nid, d) => (d, nid) }.take(10).map(_._1).toSet
+      (truth & approx.getOrElse(qid, Set.empty)).size / 10.0
+    }.sum / queries.length
+    assert(recall >= 0.8, s"filtered recall@10 $recall below 0.8 floor")
+  }
+
+  test("filtered search is deterministic") {
+    val a = VamanaIndex.qVamanaFiltered(spark, dir).collect().toSeq
+    val b = VamanaIndex.qVamanaFiltered(spark, dir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("an unsatisfiable predicate yields zero rows, not a failure") {
+    val qs = vecs.take(3).map(v => (v._1, v._2))
+    val out = VamanaIndex.searchFiltered(
+      VamanaIndex.cachedIndex(spark, dir),
+      Tables.embeddings(spark, dir).select($"vec_id", $"label"),
+      qs, 10, 256, graft.index.VamanaParams(metric = "cosine"), target = 99)
+    assert(out.count() == 0)
+  }
+}
