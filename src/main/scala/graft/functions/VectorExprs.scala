@@ -120,6 +120,63 @@ case class CosineDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Manhattan distance: Σ |x−y|. Reference: anndists DistL1 (the
+  * reference is generic over any `anndists::Distance<T>`, README
+  * "Distance metrics ... et.al."). */
+case class L1Distance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "graft_l1_distance"
+
+  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+    s"""
+       |double acc = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  acc += Math.abs((double) $a.getFloat(i) - (double) $b.getFloat(i));
+       |}
+       |$res = acc;
+     """.stripMargin
+
+  override protected def evalVectors(x: ArrayData, y: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) {
+      acc += math.abs(x.getFloat(i).toDouble - y.getFloat(i).toDouble); i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Chebyshev distance: max |x−y|. Reference: anndists DistLinf. */
+case class LinfDistance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "graft_linf_distance"
+
+  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+    s"""
+       |double acc = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  double d = Math.abs((double) $a.getFloat(i) - (double) $b.getFloat(i));
+       |  if (d > acc) acc = d;
+       |}
+       |$res = acc;
+     """.stripMargin
+
+  override protected def evalVectors(x: ArrayData, y: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) {
+      val d = math.abs(x.getFloat(i).toDouble - y.getFloat(i).toDouble)
+      if (d > acc) acc = d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Inner product: Σ x·y. Reference: anndists DistDot (ranking by −dot). */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {
@@ -353,6 +410,8 @@ object VectorExprs {
     bridge.column(f(bridge.expression(a), bridge.expression(b)))
 
   def l2Dist(a: Column, b: Column): Column = col2(L2Distance)(a, b)
+  def l1Dist(a: Column, b: Column): Column = col2(L1Distance)(a, b)
+  def linfDist(a: Column, b: Column): Column = col2(LinfDistance)(a, b)
   def cosineDist(a: Column, b: Column): Column = col2(CosineDistance)(a, b)
   def dotProduct(a: Column, b: Column): Column = col2(DotProduct)(a, b)
   def intSqL2Dist(a: Column, b: Column): Column = col2(IntSqL2Distance)(a, b)

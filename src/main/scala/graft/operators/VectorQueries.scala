@@ -59,6 +59,20 @@ object VectorQueries {
   val qDistL2Sql: String =
     distPairsSql("list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")
 
+  def qDistL1(s: SparkSession, dir: String): DataFrame = distPairs(s, dir, l1Dist)
+  val qDistL1Sql: String = distPairsSql(
+    // left-to-right reduce, not list_sum: double addition order must
+    // match the codegen loop bit for bit (SURVEY §5)
+    """list_reduce(list_prepend(0.0::DOUBLE,
+      |   list_transform(range(1, len(a.embedding) + 1),
+      |     i -> abs(a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE))),
+      |   (acc, x) -> acc + x)""".stripMargin)
+
+  def qDistLinf(s: SparkSession, dir: String): DataFrame = distPairs(s, dir, linfDist)
+  val qDistLinfSql: String = distPairsSql(
+    """list_max(list_transform(range(1, len(a.embedding) + 1),
+      |     i -> abs(a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)))""".stripMargin)
+
   def qDistCosine(s: SparkSession, dir: String): DataFrame = distPairs(s, dir, cosineDist)
   val qDistCosineSql: String =
     distPairsSql("1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")
@@ -655,6 +669,8 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dist_l2" -> (qDistL2(_, _)),
+    "q_dist_l1" -> (qDistL1(_, _)),
+    "q_dist_linf" -> (qDistLinf(_, _)),
     "q_dist_cosine" -> (qDistCosine(_, _)),
     "q_dist_dot" -> (qDistDot(_, _)),
     "q_dist_hamming" -> (qDistHamming(_, _)),
@@ -674,6 +690,8 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dist_l2" -> qDistL2Sql,
+    "q_dist_l1" -> qDistL1Sql,
+    "q_dist_linf" -> qDistLinfSql,
     "q_dist_cosine" -> qDistCosineSql,
     "q_dist_dot" -> qDistDotSql,
     "q_dist_hamming" -> qDistHammingSql,

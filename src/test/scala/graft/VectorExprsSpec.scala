@@ -29,6 +29,27 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(math.abs(r(3L)) < 1e-12) // identical direction
   }
 
+  test("l1 and linf distances") {
+    val l1 = df.select($"id", l1Dist($"a", $"b").as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(l1(1L) == 2.0 && l1(2L) == 9.0 && l1(3L) == 0.0)
+    val li = df.select($"id", linfDist($"a", $"b").as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(li(1L) == 1.0 && li(2L) == 3.0 && li(3L) == 0.0)
+    // interpreted (nullSafeEval) == codegen on real embeddings
+    val emb = Tables.embeddings(spark, SparkSpecBase.sf001).limit(50)
+      .select($"embedding".as("a"), reverse($"embedding").as("b"))
+    val viaHof = emb.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> abs(cast(x as double) - cast(y as double))), 0D, (acc, v) -> acc + v) AS l1",
+      "array_max(zip_with(a, b, (x, y) -> abs(cast(x as double) - cast(y as double)))) AS li")
+      .as[(Double, Double)].collect()
+    val native = emb.select(l1Dist($"a", $"b"), linfDist($"a", $"b"))
+      .as[(Double, Double)].collect()
+    viaHof.zip(native).foreach { case ((h1, hi), (n1, ni)) =>
+      assert(math.abs(h1 - n1) < 1e-9 && hi == ni)
+    }
+  }
+
   test("dot product") {
     val r = df.select($"id", dotProduct($"a", $"b").as("d")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
