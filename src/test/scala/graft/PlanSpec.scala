@@ -119,4 +119,35 @@ class PlanSpec extends AnyFunSuite {
     // detail section; count detail headers only
     assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1, p)
   }
+
+  test("q_text_repetition: one scan, fused gram aggregate, no join, no window") {
+    // unigrams and bigrams travel in ONE exploded stream — the plan
+    // must not self-join two count tables or window anything
+    val p = planOf(operators.TextAnalysis.qTextRepetition(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"documents scanned more than once:\n$p")
+    // both aggregation levels are partial before their exchange
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q_tfidf_terms: vocab-sized aggregates; the scalar source count broadcasts") {
+    val p = planOf(operators.TextAnalysis.qTfidfTerms(spark, sf))
+    // the 1-row source count must join via broadcast NLJ, never a
+    // shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the window runs over the vocab-sized joined aggregate, after
+    // map-side partial counting of the token stream
+    assert(p.contains("partial_count") || p.contains("Functions [partial"), p)
+  }
+
+  test("q_get_vector: id filter prunes before any vector math") {
+    val p = planOf(index.VamanaIndex.qGetVector(spark, sf))
+    // the modulo-id predicate must sit in a Filter over the cached
+    // index relation, not after the projection math
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan parquet"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
