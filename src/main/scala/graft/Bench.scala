@@ -107,6 +107,17 @@ object Bench {
     } catch { case _: Throwable => errors += "qps_probe"; -1.0 }
     val recall = try index.VamanaIndex.probedRecall(spark, sfDir)
       catch { case _: Throwable => errors += "recall_probe"; -1.0 }
+    // the high-recall operating point next to the routed one: full
+    // (all-shard) search, whose recall@10 is spec-pinned at 1.0 — the
+    // two pairs bracket the routing QPS/recall trade
+    val (qpsFull, recallFull) = try {
+      val runs = (1 to reps).map { _ =>
+        val (sec, rows) = runOnce(index.VamanaIndex.qVamanaSearch(spark, sfDir))
+        (rows / 10.0) / sec
+      }
+      (median(runs),
+        index.VamanaIndex.qVamanaRecall(spark, sfDir).head().getDouble(0))
+    } catch { case _: Throwable => errors += "full_probe"; (-1.0, -1.0) }
     // recall@100 of the same probed config (reference bigann.rs:334-338
     // evaluates k=10 AND k=100).
     val recall100 = try index.VamanaIndex.probedRecallAt(spark, sfDir, 100)
@@ -125,6 +136,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""qps":$qps,"recall":$recall,"recall100":$recall100,""" +
+      s""""qps_full":$qpsFull,"recall_full":$recallFull,""" +
       s""""latency_p50":$p50,"latency_p95":$p95,"latency_p99":$p99,""" +
       s""""reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
