@@ -122,6 +122,17 @@ object Bench {
     // evaluates k=10 AND k=100).
     val recall100 = try index.VamanaIndex.probedRecallAt(spark, sfDir, 100)
       catch { case _: Throwable => errors += "recall100_probe"; -1.0 }
+    // Fresh index-build wall time (the reference's benchmark tables
+    // lead with build time, README "DiskANN, sift1m" — this is the
+    // uncached cost the per-query medians deliberately exclude).
+    val buildS = try {
+      val t0 = System.nanoTime()
+      index.VamanaIndex.build(
+          Tables.embeddings(spark, sfDir), index.VamanaIndex.qParams,
+          index.VamanaIndex.qShards)
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => errors += "build_probe"; -1.0 }
     // Sequential per-query latency percentiles (reference
     // perf_test.rs:100) — one pass, not repped: the sample is already
     // |queries| measurements.
@@ -136,7 +147,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""qps":$qps,"recall":$recall,"recall100":$recall100,""" +
-      s""""qps_full":$qpsFull,"recall_full":$recallFull,""" +
+      s""""qps_full":$qpsFull,"recall_full":$recallFull,"build_s":$buildS,""" +
       s""""latency_p50":$p50,"latency_p95":$p95,"latency_p99":$p99,""" +
       s""""reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

@@ -80,6 +80,15 @@ object GraftANN {
       index.filter(col("vec_id") === vecId)
         .select(col("embedding")).as[Array[Float]].head()
     }
+
+    /** Predicate-constrained batch search through the same graph
+      * (Filtered-DiskANN serving pattern): `labels` is a narrow
+      * (vec_id, label) frame; only vectors with `label == target` are
+      * returned. Widen `beamWidth` ≈ k / selectivity. */
+    def searchFiltered(queries: DataFrame, k: Int, beamWidth: Int,
+        labels: DataFrame, target: Int): DataFrame =
+      VamanaIndex.searchFiltered(index, labels, collectQueries(queries),
+        k, beamWidth, params, target)
   }
 
   /** Build with default parameters (reference `build_index_default` /

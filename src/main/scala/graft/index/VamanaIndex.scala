@@ -365,10 +365,10 @@ object VamanaIndex {
 
   // ---------------------------------------------------------------- queries
 
-  private val qParams = VamanaParams(
+  private[graft] val qParams = VamanaParams(
     maxDegree = 32, buildBeamWidth = 64, alpha = 1.2, passes = 1,
     extraSeeds = 1, seed = 42L, metric = "cosine")
-  private val qShards = 8
+  private[graft] val qShards = 8
   private val K = 10
   private val searchBeam = 64
 

@@ -44,6 +44,20 @@ class GraftANNSpec extends AnyFunSuite {
       .sameElements(h.searchVector(q, k = 5, beamWidth = 32).map(_._1)))
   }
 
+  test("searchFiltered through an opened index returns only target-label vectors") {
+    val h = GraftANN.openIndex(spark, path, params)
+    val labels = Tables.embeddings(spark, SparkSpecBase.sf001)
+      .select($"vec_id", $"label")
+    val qs = Tables.embeddings(spark, SparkSpecBase.sf001)
+      .filter($"vec_id" % 200 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val res = h.searchFiltered(qs, k = 5, beamWidth = 128, labels, target = 2)
+      .select($"neighbor_id").as[Long].collect()
+    assert(res.nonEmpty)
+    val labelOf = labels.as[(Long, Int)].collect().toMap
+    res.foreach(nid => assert(labelOf(nid) == 2, s"vector $nid has label ${labelOf(nid)}"))
+  }
+
   test("buildIndexDefault builds with VamanaParams() defaults") {
     val p = "/tmp/graft_ann_spec_default_idx"
     val vecs = Tables.embeddings(spark, SparkSpecBase.sf001).limit(100)
