@@ -72,28 +72,79 @@ object VamanaIndex {
       .toDF("vec_id", "embedding", "shard")
   }
 
-  def build(emb: DataFrame, params: VamanaParams, numShards: Int): Dataset[IndexRow] = {
+  def build(emb: DataFrame, params: VamanaParams, numShards: Int): Dataset[IndexRow] =
+    buildAssigned(shardAssign(emb, numShards), params, numShards)
+
+  /** Capacity-capped build — the HARD answer to shard skew. Centroid
+    * quality (seeded or Lloyd-trained) can never bound the largest
+    * cell: k-means minimizes variance, not balance, and a dense-ball
+    * corpus legitimately wants most of its mass in one cell. So the
+    * bound comes from splitting, not clustering: after the normal
+    * assignment, any cell whose count exceeds `cap = capFactor·n/
+    * numShards` is split deterministically by xxhash64(vec_id) into
+    * ceil(count/cap) sub-shards. The largest build task and serving
+    * shard are then ≤ cap REGARDLESS of the data distribution — the
+    * same philosophy as Dedup's salted-bucket skew guard. Sub-shards
+    * of a dense cell carry near-identical routing seeds, so probed
+    * serving naturally probes siblings of a hot region. Costs one
+    * k-row count aggregate over the assignment; everything stays
+    * deterministic. */
+  def buildCapped(emb: DataFrame, params: VamanaParams, numShards: Int,
+      capFactor: Double = 1.5): Dataset[IndexRow] = {
     val s = emb.sparkSession
     import s.implicits._
     val assigned = shardAssign(emb, numShards)
-      .repartition(numShards, $"shard")
-      .as[(Long, Array[Float], Int)]
-    assigned.mapPartitions { it =>
-      val rows = it.toArray
-      rows.groupBy(_._3).iterator.flatMap { case (shard, group) =>
-        val sorted = group.sortBy(_._1) // deterministic local ordering
-        val n = sorted.length
-        val dim = if (n == 0) 0 else sorted(0)._2.length
-        val flat = new Array[Float](n * dim)
-        var i = 0
-        while (i < n) { System.arraycopy(sorted(i)._2, 0, flat, i * dim, dim); i += 1 }
-        val g = new VamanaGraph(flat, dim, n, params).build()
-        sorted.indices.iterator.map { li =>
-          IndexRow(sorted(li)._1, sorted(li)._2, shard,
-            g.graph(li).map(l => sorted(l)._1))
+    val counts = assigned.groupBy($"shard").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    val total = counts.values.sum
+    val cap = math.max(1L, math.ceil(capFactor * total.toDouble / numShards).toLong)
+    val splitOf: Map[Int, Int] = counts.map { case (sh, n) =>
+      sh -> math.max(1, math.ceil(n.toDouble / cap).toInt)
+    }
+    val maxSplit = splitOf.values.max
+    val bc = s.sparkContext.broadcast(splitOf)
+    // zero-shuffle re-tag kernel (same shape as shardAssign's argmin
+    // pass — no UDF boxing, no exchange): sub-shard = a deterministic
+    // hash-split of the oversized cell
+    val recapped = assigned.select($"vec_id", $"embedding", $"shard",
+        xxhash64($"vec_id").as("h"))
+      .as[(Long, Array[Float], Int, Long)]
+      .mapPartitions { it =>
+        val splits = bc.value
+        it.map { case (id, v, shard, h) =>
+          val k = splits.getOrElse(shard, 1)
+          (id, v, shard * maxSplit + math.floorMod(h, k.toLong).toInt)
         }
       }
-    }
+      .toDF("vec_id", "embedding", "shard")
+    buildAssigned(recapped, params, numShards * maxSplit)
+  }
+
+  /** Shared build tail: one repartition by shard, then per-shard
+    * in-memory Vamana builds inside `mapPartitions`. */
+  private def buildAssigned(
+      assigned: DataFrame, params: VamanaParams, numShards: Int): Dataset[IndexRow] = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    assigned
+      .repartition(numShards, $"shard")
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        rows.groupBy(_._3).iterator.flatMap { case (shard, group) =>
+          val sorted = group.sortBy(_._1) // deterministic local ordering
+          val n = sorted.length
+          val dim = if (n == 0) 0 else sorted(0)._2.length
+          val flat = new Array[Float](n * dim)
+          var i = 0
+          while (i < n) { System.arraycopy(sorted(i)._2, 0, flat, i * dim, dim); i += 1 }
+          val g = new VamanaGraph(flat, dim, n, params).build()
+          sorted.indices.iterator.map { li =>
+            IndexRow(sorted(li)._1, sorted(li)._2, shard,
+              g.graph(li).map(l => sorted(l)._1))
+          }
+        }
+      }
   }
 
   // ---------------------------------------------------------------- persist

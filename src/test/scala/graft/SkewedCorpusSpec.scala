@@ -113,4 +113,46 @@ class SkewedCorpusSpec extends AnyFunSuite {
     // monotonic: probing more shards never hurts
     assert(denseAll >= dense4 - 1e-9 && noiseAll >= noise4 - 1e-9)
   }
+
+  test("capped build bounds the largest shard regardless of skew; recall holds") {
+    // centroid quality cannot bound the largest cell (k-means
+    // minimizes variance, not balance — a Lloyd-trained assignment on
+    // THIS cloud collapses 66% of the corpus into one cell), so the
+    // guarantee comes from deterministic hash-splitting of oversized
+    // cells: max shard ≤ capFactor·n/numShards, always
+    val df = spark.createDataFrame(corpus).toDF("vec_id", "embedding")
+    val capFactor = 1.5
+    val capped = VamanaIndex.buildCapped(df, params, NumShards, capFactor).cache()
+    val sizes = capped.groupBy($"shard").count()
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    val cap = math.ceil(capFactor * N.toDouble / NumShards).toLong
+    val seedMax = idx.groupBy($"shard").count().as[(Int, Long)].collect().map(_._2).max
+    info(s"seed max shard $seedMax -> capped max ${sizes.max} (hard cap $cap, " +
+      s"${sizes.length} shards: ${sizes.mkString("/")})")
+    assert(sizes.sum == N)
+    assert(sizes.max <= cap, s"cap violated: ${sizes.max} > $cap")
+
+    // deterministic: two builds produce identical shard tags
+    val again = VamanaIndex.buildCapped(df, params, NumShards, capFactor)
+      .select($"vec_id", $"shard").as[(Long, Int)].collect().sortBy(_._1)
+    val first = capped.select($"vec_id", $"shard").as[(Long, Int)].collect().sortBy(_._1)
+    assert(again.sameElements(first))
+
+    // full (all-shard) serving through the capped index keeps recall:
+    // splitting a cell only partitions its graph, never drops vectors
+    val qids = (0 until 10).map(_ * 150)
+    val queries = qids.map(i => (i.toLong, point(i))).toArray
+    val got = VamanaIndex.search(capped, queries, 10, 64, params,
+        excludeSelf = true)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = queries.map { case (id, q) =>
+      val truth = corpus.filter(_._1 != id)
+        .map { case (nid, v) => (l2(q, v), nid) }
+        .sortBy(identity).take(10).map(_._2).toSet
+      (truth & got.getOrElse(id, Set.empty)).size / 10.0
+    }.sum / queries.length
+    assert(recall >= 0.9, s"capped-build recall@10 $recall")
+    capped.unpersist()
+  }
 }
