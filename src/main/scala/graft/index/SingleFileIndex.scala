@@ -324,6 +324,157 @@ object SingleFileIndex {
       .toDF("q_id", "rank", "neighbor_id", "dist")
   }
 
+  // ------------------------------------------------ sharded files tier
+
+  /** Write ONE shard's rows as a reference-layout file — the
+    * task-local unit of [[exportSharded]]. Adjacency comes from the
+    * shard graph rebuild (global neighbor ids remapped to local rows,
+    * out-of-shard edges dropped — exactly what in-memory serving
+    * sees), and the recorded medoid is the rebuilt graph's
+    * deterministic pivot medoid, so mmap serving of this file enters
+    * where [[VamanaIndex.search]]'s rebuild does: the two tiers
+    * return IDENTICAL results (ShardedFilesSpec pins it). */
+  private def writeShardFile(
+      group: Array[IndexRow], params: VamanaParams, path: String): Unit = {
+    val (g, sorted) = VamanaIndex.rebuildShardGraph(group, params)
+    val n = sorted.length
+    require(n > 0, "cannot write an empty shard file")
+    val dim = g.dim
+    val maxDeg = math.max(params.maxDegree, g.graph.map(_.length).max)
+    val adjacencyOffset = VectorsOffset + 4L * n * dim
+    val raf = new RandomAccessFile(path, "rw")
+    try {
+      raf.setLength(0)
+      val ch = raf.getChannel
+      val stage = ByteBuffer.allocate(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
+      def flush(): Unit = { stage.flip(); while (stage.hasRemaining) ch.write(stage); stage.clear() }
+      def ensure(k: Int): Unit = if (stage.remaining < k) flush()
+      ch.position(VectorsOffset)
+      var i = 0
+      while (i < n) {
+        ensure(4 * dim)
+        var d = 0
+        while (d < dim) { stage.putFloat(g.vecs(i * dim + d)); d += 1 }
+        i += 1
+      }
+      flush()
+      i = 0
+      while (i < n) {
+        ensure(4 * maxDeg)
+        val nbrs = g.graph(i)
+        var written = 0
+        var t = 0
+        while (t < nbrs.length && written < maxDeg) {
+          stage.putInt(nbrs(t)); written += 1; t += 1
+        }
+        while (written < maxDeg) { stage.putInt(Pad); written += 1 }
+        i += 1
+      }
+      flush()
+      val endOfData = ch.position()
+      val meta = FileMeta(dim, n, maxDeg, g.medoid, VectorsOffset, adjacencyOffset, 4,
+        MetricToName.getOrElse(params.metric, params.metric))
+      val md = serializeMeta(meta)
+      ch.position(0)
+      val head = ByteBuffer.allocate(8 + md.length).order(ByteOrder.LITTLE_ENDIAN)
+      head.putLong(md.length.toLong).put(md).flip()
+      while (head.hasRemaining) ch.write(head)
+      raf.setLength(endOfData)
+    } finally raf.close()
+    val dense = sorted.zipWithIndex.forall { case (r, p) => r.vec_id == p.toLong }
+    if (dense) Files.deleteIfExists(Paths.get(sidecarPath(path)))
+    else {
+      val bb = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
+      sorted.foreach(r => bb.putLong(r.vec_id))
+      Files.write(Paths.get(sidecarPath(path)), bb.array())
+    }
+  }
+
+  /** Distributed export of a sharded index into ONE reference-layout
+    * file PER SHARD plus a routing manifest — the serving-tier form
+    * of [[export]] without its driver bottleneck: each task writes
+    * its own shard's file ([[writeShardFile]]), so export throughput
+    * scales with shards exactly like the build, and the
+    * [[MaxExportRows]] driver-heap guard does not apply. `dir` must
+    * be shared storage on a real cluster (same contract as
+    * [[serve]]). Manifest seeds are each shard's lowest-id vector —
+    * the SAME routing rule as [[VamanaIndex.routingTable]], so probed
+    * serving over files routes identically to the in-memory tier. */
+  def exportSharded(index: Dataset[IndexRow], params: VamanaParams, dir: String): Unit = {
+    val s = index.sparkSession
+    import s.implicits._
+    Files.createDirectories(Paths.get(dir))
+    val entries = index.repartition(org.apache.spark.sql.functions.col("shard"))
+      .mapPartitions { it =>
+        val rows = it.toArray
+        rows.groupBy(_.shard).iterator.map { case (shard, group) =>
+          writeShardFile(group, params, s"$dir/shard-$shard.idx")
+          val sorted = group.sortBy(_.vec_id)
+          (shard, sorted.length.toLong, sorted.head.embedding)
+        }
+      }.collect().sortBy(_._1)
+    require(entries.nonEmpty, "cannot export an empty index")
+    val shardsJson = entries.map { case (sh, n, seed) =>
+      s"""{"shard":$sh,"file":"shard-$sh.idx","n":$n,"seed":[${seed.mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$dir/manifest.json"),
+      s"""{"format":"graft-sharded-v1","num_shards":${entries.length},""" +
+        s""""metric":"${params.metric}","max_degree":${params.maxDegree},""" +
+        s""""shards":$shardsJson}""")
+  }
+
+  /** Parse the sharded-tier manifest: (shard, file, routing seed). */
+  def readManifest(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Array[(Int, String, Array[Float])] = {
+    import spark.implicits._
+    val meta = Files.readString(Paths.get(s"$dir/manifest.json"))
+    spark.read.json(spark.createDataset(Seq(meta)))
+      .selectExpr("explode(shards) AS s")
+      .selectExpr("s.shard", "s.file", "s.seed")
+      .as[(Long, String, Array[Double])]
+      .collect()
+      .map { case (sh, f, seed) => (sh.toInt, f, seed.map(_.toFloat)) }
+      .sortBy(_._1)
+  }
+
+  /** Serve queries over the sharded-files tier: each task mmaps only
+    * the shard files routed to it, searches its queries, and the
+    * bounded TopK merge combines per-shard results — the disk-
+    * resident twin of [[VamanaIndex.searchProbed]], with the same
+    * L2-to-seed routing rule, returning IDENTICAL rows (spec-pinned).
+    * `nprobe ≤ 0` probes every shard (== [[VamanaIndex.search]]). */
+  def serveSharded(queries: DataFrame, dir: String, k: Int, beamWidth: Int,
+      nprobe: Int = 0): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val man = readManifest(s, dir)
+    val qArr = queries.select("q_id", "qv").as[(Long, Array[Float])].collect().sortBy(_._1)
+    val np = if (nprobe <= 0) man.length else nprobe
+    val routed: Map[Int, Array[(Long, Array[Float])]] = qArr.flatMap { case (qid, qv) =>
+      man.map { case (shard, _, seed) =>
+        (shard, Metric.L2.eval(qv, 0, seed, 0, qv.length), qid, qv)
+      }.sortBy { case (shard, d, _, _) => (d, shard) }
+        .take(np)
+        .map { case (shard, _, q2, v2) => (shard, (q2, v2)) }
+    }.groupBy(_._1).map { case (shard, rows) => shard -> rows.map(_._2) }
+    val bc = s.sparkContext.broadcast(routed)
+    val files = man.collect { case (sh, f, _) if routed.contains(sh) => (sh, f) }.toSeq
+    val perShard = files.toDF("shard", "file")
+      .repartition(math.max(1, files.length), $"shard")
+      .as[(Int, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (shard, file) =>
+          val mm = new MmapIndex(s"$dir/$file")
+          try {
+            bc.value(shard).iterator.flatMap { case (qid, qv) =>
+              mm.search(qv, k, beamWidth).iterator.map { case (nid, d) => (qid, nid, d) }
+            }.toArray.iterator
+          } finally mm.close()
+        }
+      }.toDF("q_id", "nid", "dist")
+    graft.operators.VectorQueries.topkExplode(perShard, k)
+  }
+
   /** Two-tier distributed serving — the actual DiskANN serving
     * architecture (Subramanya et al. NeurIPS'19 §3): PQ codes live in
     * executor MEMORY (m bytes per vector — broadcast once), the
@@ -337,14 +488,20 @@ object SingleFileIndex {
     * encoded once on the driver (one sequential file pass) and
     * torrent-broadcast; queries scale with their partitioning alone,
     * exactly like [[serve]]. */
+  /** PQ state per (file, m, ksub, iters) and JVM — trained once,
+    * served many times (the same build-once contract as every index
+    * cache here; the state is immutable, keyed by the file path). */
+  private val pqStateCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), (PqCodebook, Array[Byte])]
+
   def servePq(queries: DataFrame, path: String, k: Int, beamWidth: Int,
       m: Int = 8, ksub: Int = 16, iters: Int = 5): DataFrame = {
     val s = queries.sparkSession
     import s.implicits._
-    val state = {
+    val state = pqStateCache.getOrElseUpdate((path, m, ksub, iters), {
       val mm = new MmapIndex(path)
       try mm.buildPqState(m, ksub, iters) finally mm.close()
-    }
+    })
     val stateB = s.sparkContext.broadcast(state)
     queries.select("q_id", "qv").as[(Long, Array[Float])]
       .mapPartitions { it =>

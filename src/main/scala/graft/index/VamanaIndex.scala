@@ -253,7 +253,7 @@ object VamanaIndex {
     * vec_id, flattens vectors, remaps global neighbor ids to local
     * indices. Shared by every serving/diagnostic path so fixes can't
     * drift between them. */
-  private def rebuildShardGraph(
+  private[index] def rebuildShardGraph(
       group: Array[IndexRow], params: VamanaParams): (VamanaGraph, Array[IndexRow]) = {
     val sorted = group.sortBy(_.vec_id)
     val n = sorted.length
