@@ -496,6 +496,30 @@ object VamanaIndex {
       Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
       queriesArr(s, dir), K, searchBeam * 4, qParams, target = 3)
 
+  /** One sharded-files export per (sf dir, JVM) for [[qShardedServe]]
+    * — export-once/serve-many, like every index cache here. */
+  private val shardedDirCache = TrieMap.empty[String, String]
+
+  private def cachedShardedDir(s: SparkSession, dir: String): String =
+    shardedDirCache.getOrElseUpdate(dir, {
+      val sf = dir.replaceAll(".*/", "")
+      val path = graft.TempCleanup.onExit(
+        s"/tmp/graft_sharded_${sf}_${s.sparkContext.applicationId}")
+      SingleFileIndex.exportSharded(cachedIndex(s, dir), qParams, path)
+      path
+    })
+
+  /** Probed serving over the sharded-files tier (one mmap'd
+    * reference-layout file per shard + manifest routing) — rows-only
+    * in the driver gate; row-identity with the in-memory tier is
+    * pinned in ShardedFilesSpec. */
+  def qShardedServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qdf = queriesArr(s, dir).toSeq.toDF("q_id", "qv")
+    SingleFileIndex.serveSharded(qdf, cachedShardedDir(s, dir), K, searchBeam,
+      nprobe = 4)
+  }
+
   /** recall@10 of the full (unrouted) beam search vs brute force. */
   def qVamanaRecall(s: SparkSession, dir: String): DataFrame =
     recallDf(qVamanaSearch(s, dir), VectorQueries.qKnnExact(s, dir))
@@ -614,6 +638,7 @@ object VamanaIndex {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_get_vector" -> (qGetVector(_, _)),
     "q_vamana_filtered" -> (qVamanaFiltered(_, _)),
+    "q_sharded_serve" -> (qShardedServe(_, _)),
     "q_vamana_degree" -> (qVamanaDegree(_, _)),
     "q_vamana_search" -> (qVamanaSearch(_, _)),
     "q_vamana_probed" -> (qVamanaProbed(_, _)),
