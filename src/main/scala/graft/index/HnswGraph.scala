@@ -132,13 +132,16 @@ final class HnswGraph(
   }
 
   private def searchLayer(
-      q: Array[Float], qNorm: Double, ep: Int, ef: Int, lev: Int): Array[(Double, Int)] = {
+      q: Array[Float], qNorm: Double, ep: Int, ef: Int, lev: Int,
+      visitLog: scala.collection.mutable.ArrayBuffer[(Double, Int)] = null)
+      : Array[(Double, Int)] = {
     val visited = new java.util.HashSet[Integer](ef * 4)
     val cand = new java.util.PriorityQueue[Array[Double]](64, nearFirst) // nearest-first
     val res = new java.util.PriorityQueue[Array[Double]](64,
       java.util.Collections.reverseOrder(nearFirst)) // worst-first
     val d0 = distQ(q, qNorm, ep)
     visited.add(ep)
+    if (visitLog != null) visitLog += ((d0, ep))
     cand.add(Array(d0, ep.toDouble)); res.add(Array(d0, ep.toDouble))
     while (!cand.isEmpty) {
       val c = cand.peek()
@@ -151,6 +154,7 @@ final class HnswGraph(
           val nb = nbrs(t)
           if (visited.add(nb)) {
             val d = distQ(q, qNorm, nb)
+            if (visitLog != null) visitLog += ((d, nb))
             if (res.size() < ef || nearFirst.compare(Array(d, nb.toDouble), res.peek()) < 0) {
               cand.add(Array(d, nb.toDouble))
               res.add(Array(d, nb.toDouble))
@@ -187,6 +191,26 @@ final class HnswGraph(
     while (lev > 0) { ep = greedy(q, qNorm, ep, lev); lev -= 1 }
     searchLayer(q, qNorm, ep, math.max(ef, k), 0)
       .take(k).map { case (d, id) => (id, d) }
+  }
+
+  /** Filtered k-NN — the same serving pattern as
+    * [[VamanaGraph.searchFiltered]]: the layer-0 beam traverses
+    * UNfiltered (connectivity preserved) while every VISITED node
+    * satisfying `allow` is a result candidate, so no distance is
+    * computed twice and recall degrades gracefully with selectivity.
+    * Size `ef` ≈ k / selectivity. */
+  def searchFiltered(q: Array[Float], k: Int, ef: Int,
+      allow: Int => Boolean): Array[(Int, Double)] = {
+    require(q.length == dim, s"query dim ${q.length} != index dim $dim")
+    val qNorm = qNormOf(q)
+    var ep = entry
+    var lev = levels(entry)
+    while (lev > 0) { ep = greedy(q, qNorm, ep, lev); lev -= 1 }
+    val log = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+    searchLayer(q, qNorm, ep, math.max(ef, k), 0, visitLog = log)
+    log.filter { case (_, id) => allow(id) }
+      .sortBy { case (d, id) => (d, id) }
+      .take(k).map { case (d, id) => (id, d) }.toArray
   }
 
   // ------------------------------------------------------------- build

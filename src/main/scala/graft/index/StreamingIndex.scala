@@ -25,16 +25,21 @@ object StreamingIndex {
   /** Offline compaction: rebuild the accumulated segments into
     * `numShards` fresh, well-clustered shards (the periodic merge step
     * of the segment-per-batch design — run it when small streaming
-    * segments accumulate). */
+    * segments accumulate). `capFactor > 0` routes through
+    * [[VamanaIndex.buildCapped]] so a skewed accumulated stream cannot
+    * produce an oversized merged shard. */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       params: VamanaParams,
-      numShards: Int): Unit = {
+      numShards: Int,
+      capFactor: Double = 0.0): Unit = {
     import org.apache.spark.sql.functions.col
     val vectors = VamanaIndex.load(spark, path)
       .select(col("vec_id"), col("embedding"))
-    val rebuilt = VamanaIndex.build(vectors, params, numShards)
+    val rebuilt =
+      if (capFactor > 0) VamanaIndex.buildCapped(vectors, params, numShards, capFactor)
+      else VamanaIndex.build(vectors, params, numShards)
     // write to a temp location first: build reads lazily from `path`
     val tmp = new java.io.File(s"$path-compacting")
     VamanaIndex.save(rebuilt, params, tmp.getPath)

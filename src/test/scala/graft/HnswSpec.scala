@@ -43,6 +43,31 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel: filtered search returns only allowed nodes and recalls ground truth") {
+    val n = 300; val dim = 16
+    val pts = corpus(n, dim)
+    val g = new HnswGraph(pts.flatten, dim, n, HnswParams(m = 8, efConstruction = 32, metric = "l2")).build()
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    val allow = (id: Int) => id % 3 == 0 // ~33% selectivity
+    var recallSum = 0.0; var nq = 0
+    (0 until n by 29).foreach { qi =>
+      val res = g.searchFiltered(pts(qi), 5, 96, allow)
+      assert(res.forall { case (id, _) => allow(id) }, s"q $qi leaked: ${res.toSeq}")
+      assert(res.map(_._2).sameElements(res.map(_._2).sorted))
+      val truth = (0 until n).filter(allow)
+        .map(id => (l2(pts(qi), pts(id)), id))
+        .sorted.take(5).map(_._2).toSet
+      recallSum += res.count { case (id, _) => truth(id) } / 5.0
+      nq += 1
+    }
+    val recall = recallSum / nq
+    assert(recall >= 0.8, s"filtered kernel recall@5 $recall below 0.8 floor")
+  }
+
   test("kernel: layered structure exists and respects degree caps") {
     val n = 2000; val dim = 8
     val flat = corpus(n, dim).flatten
