@@ -605,10 +605,15 @@ object TextAnalysis {
     val tok = Tables.documents(s, dir)
       .select($"source",
         explode(expr("filter(split(text, ' '), w -> w != '')")).as("word"))
-    val tf = tok.groupBy($"source", $"word").agg(count(lit(1)).as("tf"))
+    // tf is vocab-sized and feeds THREE consumers (the join, df, and
+    // the source count) — cached so the corpus is scanned exactly
+    // once; deriving n_sources from tf instead of re-scanning
+    // documents removes a full corpus pass at scale (a source counts
+    // iff it contributed a token, which is also the right idf
+    // semantic)
+    val tf = tok.groupBy($"source", $"word").agg(count(lit(1)).as("tf")).cache()
     val dfCounts = tf.groupBy($"word").agg(count(lit(1)).as("df"))
-    val sCount = Tables.documents(s, dir)
-      .agg(countDistinct($"source").as("n_sources"))
+    val sCount = tf.agg(countDistinct($"source").as("n_sources"))
     val w = Window.partitionBy($"source").orderBy($"score".desc, $"word")
     tf.join(dfCounts, Seq("word"))
       .crossJoin(broadcast(sCount))
@@ -631,7 +636,7 @@ object TextAnalysis {
       |), dfc AS (
       |  SELECT word, count(*) AS df FROM tf GROUP BY word
       |), sc AS (
-      |  SELECT count(DISTINCT source) AS n_sources FROM documents
+      |  SELECT count(DISTINCT source) AS n_sources FROM tf
       |), scored AS (
       |  SELECT tf.source, tf.word, tf.tf, dfc.df,
       |    round(tf.tf::DOUBLE * ln(sc.n_sources::DOUBLE / dfc.df::DOUBLE), 6) AS score,

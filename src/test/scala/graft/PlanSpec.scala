@@ -132,15 +132,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
-  test("q_tfidf_terms: vocab-sized aggregates; the scalar source count broadcasts") {
+  test("q_tfidf_terms: ONE corpus scan; vocab-sized aggregates; source count broadcasts") {
     val p = planOf(operators.TextAnalysis.qTfidfTerms(spark, sf))
+    // tf is cached and feeds all three consumers — documents must be
+    // scanned exactly once (df and n_sources derive from tf, never
+    // from a second corpus pass)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"documents scanned more than once:\n$p")
     // the 1-row source count must join via broadcast NLJ, never a
     // shuffled cartesian
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the window runs over the vocab-sized joined aggregate, after
-    // map-side partial counting of the token stream
-    assert(p.contains("partial_count") || p.contains("Functions [partial"), p)
   }
 
   test("q_get_vector: id filter prunes before any vector math") {
