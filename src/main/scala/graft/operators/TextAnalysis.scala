@@ -453,13 +453,16 @@ object TextAnalysis {
     * md5-window shuffle for the keeper rule, no joins. */
   def qPipelineSelect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val keeperW = Window.partitionBy(md5($"text"))
-    // keeper window FIRST, over the narrow (doc_id, text) projection —
-    // tokenizing before the window would drag the exploded words array
-    // through the exchange for no reason
-    val base = Tables.documents(s, dir).select($"doc_id", $"text")
+    // score FIRST with the shared stateless projection (one scan,
+    // emits doc_id + content hash + verdicts), THEN window over the
+    // hash — the keeper exchange carries ~50-byte scored rows, never
+    // the text or the words array. Keeper groups are identical-text
+    // groups, and identical text scores identically, so windowing
+    // after the empty-doc filter changes nothing: an empty doc can
+    // only share a hash with another empty doc.
+    val keeperW = Window.partitionBy($"h")
+    scoreForSelect(Tables.documents(s, dir).select($"doc_id", $"text"))
       .withColumn("keeper_id", min($"doc_id").over(keeperW))
-    withLangCols(withQualityCols(withWords(base)))
       .filter($"pred_lang" === "en" && $"quality_score" >= 0.5 &&
         $"doc_id" === $"keeper_id")
       .select($"doc_id", $"quality_score", $"pred_lang")
