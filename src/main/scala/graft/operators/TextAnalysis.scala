@@ -191,8 +191,12 @@ object TextAnalysis {
           |  i -> struct(element_at(words, i+1) AS w1, element_at(words, i+2) AS w2))""".stripMargin))
         .as("bg"))
       .select($"doc_id", $"bg.w1", $"bg.w2")
-    val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    // c12 is vocab-sized — cached, it feeds both consumers; c1 derives
+    // from it by summation (identical counts, no extra pass), so the
+    // corpus is tokenized twice (the LM build + the per-doc score),
+    // never three times
+    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12")).cache()
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
     bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .withColumn("lp", log($"c12".cast("double") / $"c1".cast("double")))
       .groupBy($"doc_id")
@@ -208,10 +212,10 @@ object TextAnalysis {
       |  SELECT doc_id, words[i + 1] AS w1, words[i + 2] AS w2
       |  FROM base, unnest(range(0, len(words) - 1)) AS t(i)
       |  WHERE len(words) >= 2
-      |), c1 AS (
-      |  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
       |), c12 AS (
       |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+      |), c1 AS (
+      |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
       |), scored AS (
       |  SELECT doc_id, ln(c12.c12::DOUBLE / c1.c1::DOUBLE) AS lp
       |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
@@ -288,14 +292,18 @@ object TextAnalysis {
     * doc, never the characters. */
   def qTextEntropy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // algebra removes the self-join: −Σ (n/t)·log2(n/t) =
+    // log2(t) − Σ n·log2(n) / t with t = Σn — so the whole query is
+    // explode → per-(doc, char) partial agg → per-doc agg, two
+    // exchanges total and the char counts are consumed exactly once
     val cnt = Tables.documents(s, dir)
       .filter(length($"text") >= 1)
       .select($"doc_id", explode(split($"text", "")).as("c"))
       .groupBy($"doc_id", $"c").agg(count(lit(1)).cast("double").as("n"))
-    val tot = cnt.groupBy($"doc_id").agg(sum($"n").as("t"))
-    cnt.join(tot, "doc_id")
-      .groupBy($"doc_id")
-      .agg(round(-sum(($"n" / $"t") * log2($"n" / $"t")), 4).as("char_entropy"))
+    cnt.groupBy($"doc_id")
+      .agg(round(
+        log2(sum($"n")) - sum($"n" * log2($"n")) / sum($"n"), 4)
+        .as("char_entropy"))
       .orderBy($"doc_id")
   }
 
@@ -305,13 +313,10 @@ object TextAnalysis {
       |  FROM documents WHERE length(text) >= 1
       |), cnt AS (
       |  SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch GROUP BY doc_id, c
-      |), tot AS (
-      |  SELECT doc_id, sum(n) AS t FROM cnt GROUP BY doc_id
       |)
-      |SELECT cnt.doc_id AS doc_id,
-      |  round(-sum((n/t) * log2(n/t)), 4) AS char_entropy
-      |FROM cnt JOIN tot USING (doc_id)
-      |GROUP BY cnt.doc_id ORDER BY doc_id""".stripMargin
+      |SELECT doc_id,
+      |  round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4) AS char_entropy
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- packing
 
