@@ -333,6 +333,78 @@ case class PqAdcDistance(left: Expression, right: Expression, ksub: Int)
     copy(left = l, right = r)
 }
 
+/** Nearest-centroid assignment of an `array<float>` vector: the cell
+  * id of the closest of a small driver-side centroid table (IVF coarse
+  * assignment / a Lloyd iteration's E-step). Distance is
+  * sqrt(Σ(x−y)²) with double accumulation — bit-identical to
+  * [[graft.index.Metric.L2]], which the mapPartitions kernel this
+  * replaces used — and ties keep the lowest cell id (centroids are
+  * iterated id-ascending with strict `<`), matching the oracle's
+  * `min(struct(dist, cell))` / `row_number() ORDER BY dist, cell`
+  * replay. The centroid matrix rides into generated code via
+  * `addReferenceObj`, so assignment is a map-only PROJECTION inside
+  * whole-stage codegen: no corpus×k join fan-out, no groupBy argmin
+  * exchange, and no Dataset-encoder serde boundary — the three shapes
+  * this expression exists to avoid. At 100 TB the corpus never
+  * shuffles for assignment at all. */
+case class NearestCell(child: Expression, cells: Array[Int], cents: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(cells.length == cents.length && cells.nonEmpty,
+    s"NearestCell: ${cells.length} cell ids vs ${cents.length} centroids")
+  override def prettyName: String = "graft_nearest_cell"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var best = -1; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var acc = 0.0; var i = 0
+      while (i < n) { val d = arr.getFloat(i).toDouble - cv(i).toDouble; acc += d * d; i += 1 }
+      val dist = math.sqrt(acc)
+      if (dist < bestD) { bestD = dist; best = cells(c) }
+      c += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cv = ctx.addReferenceObj("nearestCents", cents, "float[][]")
+      val ids = ctx.addReferenceObj("nearestCells", cells, "int[]")
+      val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val dist = ctx.freshName("dist"); val row = ctx.freshName("row")
+      s"""
+         |final int $n = $v.numElements();
+         |int $best = -1;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cv.length; $c++) {
+         |  final float[] $row = $cv[$c];
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double d = (double) $v.getFloat($i) - (double) $row[$i];
+         |    $acc += d * d;
+         |  }
+         |  final double $dist = Math.sqrt($acc);
+         |  if ($dist < $bestD) { $bestD = $dist; $best = $ids[$c]; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Random-hyperplane LSH bucket of an `array<float>` vector: bit p of
   * the result is the sign of ⟨v, h_p⟩ for the deterministic LCG-derived
   * hyperplane family h_p[d] = ((1103515245·(p·64+d) + 12345) mod 2³¹)
@@ -419,6 +491,12 @@ object VectorExprs {
     bridge.column(PqAdcDistance(bridge.expression(lut), bridge.expression(codes), ksub))
   def lshBucket(v: Column, planes: Int): Column =
     bridge.column(LshBucket(bridge.expression(v), planes))
+  /** `cents` as (cellId, centroid) pairs; sorted id-ascending here so
+    * the tie rule (lowest cell) holds regardless of caller order. */
+  def nearestCell(v: Column, cents: Array[(Int, Array[Float])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    bridge.column(NearestCell(bridge.expression(v), sorted.map(_._1), sorted.map(_._2)))
+  }
 
   /** Register every graft expression as a SQL function (idempotent) —
     * makes the full surface usable from `spark.sql(...)`. */

@@ -48,34 +48,18 @@ object KMeans {
 
   /** One assignment pass: nearest centroid by L2, tie → lower cell.
     *
-    * Centroids are k×dim floats — broadcast once; the argmin runs as a
-    * zero-shuffle mapPartitions kernel over the scan (same shape as
-    * [[graft.index.VamanaIndex.shardAssign]]), so points NEVER enter
-    * an Exchange during assignment. `Metric.L2.eval` accumulates
-    * left-to-right in double exactly like the codegen'd
-    * [[graft.functions.L2Distance]], so the argmin (ties → first =
-    * lowest cell, input sorted by cell) is bit-identical to the old
+    * Centroids are k×dim floats riding inside the codegen'd
+    * [[graft.functions.NearestCell]] expression, so assignment is a
+    * map-only projection: points NEVER enter an Exchange, and (unlike
+    * the earlier Dataset-encoder mapPartitions kernel) the scan stays
+    * in whole-stage codegen with no serde boundary. NearestCell's
+    * arithmetic is bit-identical to `Metric.L2.eval` (double
+    * accumulation + sqrt) and its tie rule (strict `<` over
+    * id-ascending centroids = lowest cell) matches the old
     * `min(struct(dist, cell))` plan and the DuckDB oracle replay. */
-  private[graft] def assign(points: DataFrame, cents: Array[(Int, Array[Float])]): DataFrame = {
-    val s = points.sparkSession
-    import s.implicits._
-    val bc = s.sparkContext.broadcast(cents.sortBy(_._1))
-    points.select($"vec_id", $"embedding").as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cv = bc.value
-        it.map { case (id, v) =>
-          var best = -1; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cv.length) {
-            val d = graft.index.Metric.L2.eval(v, 0, cv(c)._2, 0, v.length)
-            if (d < bestD) { bestD = d; best = cv(c)._1 }
-            c += 1
-          }
-          (id, v, best)
-        }
-      }
-      .toDF("vec_id", "embedding", "cell")
-  }
+  private[graft] def assign(points: DataFrame, cents: Array[(Int, Array[Float])]): DataFrame =
+    points.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+      graft.functions.VectorExprs.nearestCell(col("embedding"), cents).as("cell"))
 
   /** Centroid recomputation via the partial vector-sum aggregate.
     * Sums run in DOUBLE over the float inputs in vec_id order within

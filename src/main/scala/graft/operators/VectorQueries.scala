@@ -287,17 +287,30 @@ object VectorQueries {
   /** IVF cell assignment: nearest of NCELLS deterministic seed
     * centroids (vectors with vec_id < NCELLS). At scale the centroids
     * come from sampled k-means; the assignment join is the same. */
-  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+  /** Seed centroids collected once (NCELLS × dim floats). */
+  private def seedCents(s: SparkSession, dir: String): Array[(Int, Array[Float])] = {
     import s.implicits._
-    val cents = Tables.embeddings(s, dir).filter($"vec_id" < NCELLS)
-      .select($"vec_id".as("cell"), $"embedding".as("cv"))
-    Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      .join(broadcast(cents))
-      .select($"vec_id", $"embedding", $"cell", l2Dist($"embedding", $"cv").as("dist"))
-      .groupBy($"vec_id")
-      .agg(min(struct($"dist", $"cell")).as("m"))
-      .select($"vec_id", $"m.cell".as("cell"))
+    Tables.embeddings(s, dir).filter($"vec_id" < NCELLS)
+      .select($"vec_id".cast("int"), $"embedding")
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
   }
+
+  /** Cell assignment with the embedding still attached — the
+    * zero-shuffle [[KMeans.assign]] kernel (broadcast centroids,
+    * mapPartitions argmin; ties → lowest cell, bit-identical to the
+    * oracle's `min(struct(dist, cell))` replay). The old plan
+    * broadcast-joined the corpus against all NCELLS centroids and
+    * shuffled the ×16 fan-out through a groupBy(vec_id) argmin —
+    * a corpus-sized exchange the kernel form simply does not have. */
+  private def ivfAssignWithVec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    KMeans.assign(
+      Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
+      seedCents(s, dir))
+  }
+
+  def ivfAssign(s: SparkSession, dir: String): DataFrame =
+    ivfAssignWithVec(s, dir).select(col("vec_id"), col("cell"))
 
   def qIvfAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -334,8 +347,8 @@ object VectorQueries {
       .withColumn("rn", row_number().over(probeW))
       .filter($"rn" <= NPROBE)
       .select($"q_id", $"qv", $"cell")
-    val assigned = ivfAssign(s, dir)
-      .join(Tables.embeddings(s, dir), "vec_id")
+    // assignment carries the vector — no join back to the corpus
+    val assigned = ivfAssignWithVec(s, dir)
       .select($"vec_id".as("nid"), $"embedding".as("v"), $"cell")
     val d = assigned.join(broadcast(probes), "cell")
       .filter($"nid" =!= $"q_id")
