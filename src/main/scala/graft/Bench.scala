@@ -122,6 +122,16 @@ object Bench {
     // evaluates k=10 AND k=100).
     val recall100 = try index.VamanaIndex.probedRecallAt(spark, sfDir, 100)
       catch { case _: Throwable => errors += "recall100_probe"; -1.0 }
+    // the overlap-2 operating point: same nprobe, boundary-replicated
+    // shards (the merged-build DiskANN trade — 2× storage for recall)
+    val (qpsOverlap, recallOverlap) = try {
+      index.VamanaIndex.cachedOverlapIndex(spark, sfDir) // build outside the timer
+      val runs = (1 to reps).map { _ =>
+        val (sec, rows) = runOnce(index.VamanaIndex.qOverlapServe(spark, sfDir))
+        (rows / 10.0) / sec
+      }
+      (median(runs), index.VamanaIndex.probedRecallOverlap(spark, sfDir))
+    } catch { case _: Throwable => errors += "overlap_probe"; (-1.0, -1.0) }
     // Fresh index-build wall time (the reference's benchmark tables
     // lead with build time, README "DiskANN, sift1m" — this is the
     // uncached cost the per-query medians deliberately exclude).
@@ -147,6 +157,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""qps":$qps,"recall":$recall,"recall100":$recall100,""" +
+      s""""qps_overlap":$qpsOverlap,"recall_overlap":$recallOverlap,""" +
       s""""qps_full":$qpsFull,"recall_full":$recallFull,"build_s":$buildS,""" +
       s""""latency_p50":$p50,"latency_p95":$p95,"latency_p99":$p99,""" +
       s""""reps":$reps,"errors":$errs,"sf":"$sfDir"}""")

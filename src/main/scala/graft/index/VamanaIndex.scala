@@ -75,6 +75,45 @@ object VamanaIndex {
   def build(emb: DataFrame, params: VamanaParams, numShards: Int): Dataset[IndexRow] =
     buildAssigned(shardAssign(emb, numShards), params, numShards)
 
+  /** Overlapped assignment: every non-seed vector goes to its `overlap`
+    * nearest cells, not just the nearest — the published merged-build
+    * DiskANN recipe (Subramanya et al., NeurIPS'19 §4: points are
+    * assigned to their ℓ closest clusters so each cluster's graph sees
+    * its boundary neighborhood). A query whose true neighbors straddle
+    * a Voronoi boundary no longer loses them to an unprobed shard:
+    * probed recall at the SAME nprobe rises sharply, for `overlap`×
+    * storage and build compute — the trade 100 TB deployments take,
+    * because storage is the cheap axis and recall the product one.
+    *
+    * Seed vectors (id < numShards) stay primary-only so each shard's
+    * lowest id remains its own assignment centroid and the standing
+    * lowest-id routing rule reproduces the exact routing table.
+    * Serving merges with the id-distinct TopK (replicas of a neighbor
+    * arrive from several shards with bit-identical distances). */
+  def shardAssignOverlapped(emb: DataFrame, numShards: Int, overlap: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cents: Array[Array[Float]] = emb.orderBy($"vec_id").limit(numShards)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).map(_._2)
+    val bc = s.sparkContext.broadcast(cents)
+    emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cv = bc.value
+        val nCells = cv.length
+        it.flatMap { case (id, v) =>
+          val reps = if (id < nCells) 1 else math.min(overlap, nCells)
+          Array.tabulate(nCells)(c => (Metric.L2.eval(v, 0, cv(c), 0, v.length), c))
+            .sortBy(identity).iterator.take(reps).map { case (_, c) => (id, v, c) }
+        }
+      }
+      .toDF("vec_id", "embedding", "shard")
+  }
+
+  def buildOverlapped(emb: DataFrame, params: VamanaParams, numShards: Int,
+      overlap: Int = 2): Dataset[IndexRow] =
+    buildAssigned(shardAssignOverlapped(emb, numShards, overlap), params, numShards)
+
   /** Capacity-capped build — the HARD answer to shard skew. Centroid
     * quality (seeded or Lloyd-trained) can never bound the largest
     * cell: k-means minimizes variance, not balance, and a dense-ball
@@ -381,7 +420,8 @@ object VamanaIndex {
       params: VamanaParams,
       nprobe: Int,
       excludeSelf: Boolean = false,
-      routing: Option[Array[(Int, Array[Float])]] = None): DataFrame = {
+      routing: Option[Array[(Int, Array[Float])]] = None,
+      distinctMerge: Boolean = false): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
     val seeds: Array[(Int, Array[Float])] = routing.getOrElse(routingTable(index))
@@ -411,7 +451,7 @@ object VamanaIndex {
           }
         }
       }.toDF("q_id", "nid", "dist")
-    VectorQueries.topkExplode(perShard, k)
+    VectorQueries.topkExplode(perShard, k, distinctIds = distinctMerge)
   }
 
   // ---------------------------------------------------------------- queries
@@ -442,6 +482,22 @@ object VamanaIndex {
   def cachedRouting(s: SparkSession, dir: String): Array[(Int, Array[Float])] =
     routingCache.getOrElseUpdate(dir, routingTable(cachedIndex(s, dir)))
 
+  /** Overlap-2 index, cached like [[cachedIndex]]. Routing comes from
+    * the overlapped rows themselves (same lowest-id rule; seeds are
+    * primary-only so the table is identical to the plain build's). */
+  private val overlapCache = TrieMap.empty[String, Dataset[IndexRow]]
+  private val overlapRoutingCache = TrieMap.empty[String, Array[(Int, Array[Float])]]
+
+  def cachedOverlapIndex(s: SparkSession, dir: String): Dataset[IndexRow] =
+    overlapCache.getOrElseUpdate(dir, {
+      val idx = buildOverlapped(Tables.embeddings(s, dir), qParams, qShards).persist()
+      idx.count()
+      idx
+    })
+
+  def cachedOverlapRouting(s: SparkSession, dir: String): Array[(Int, Array[Float])] =
+    overlapRoutingCache.getOrElseUpdate(dir, routingTable(cachedOverlapIndex(s, dir)))
+
   private def queriesArr(s: SparkSession, dir: String): Array[(Long, Array[Float])] = {
     import s.implicits._
     Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
@@ -471,6 +527,23 @@ object VamanaIndex {
   def qVamanaProbed(s: SparkSession, dir: String): DataFrame =
     searchProbed(cachedIndex(s, dir), queriesArr(s, dir), K, searchBeam, qParams,
       nprobe = 4, excludeSelf = true, routing = Some(cachedRouting(s, dir)))
+
+  /** Routed search over the OVERLAPPED index — same queries, knobs,
+    * and nprobe as [[qVamanaProbed]], so the two rows-only results
+    * isolate exactly what boundary replication buys: recall at equal
+    * probe fan-out (floors pinned in OverlapSpec). Merge is
+    * id-distinct — a replicated neighbor arrives from every probed
+    * shard that holds it. */
+  def qOverlapServe(s: SparkSession, dir: String): DataFrame =
+    searchProbed(cachedOverlapIndex(s, dir), queriesArr(s, dir), K, searchBeam,
+      qParams, nprobe = 4, excludeSelf = true,
+      routing = Some(cachedOverlapRouting(s, dir)), distinctMerge = true)
+
+  /** recall@10 of the overlapped probed config (Bench's
+    * `recall_overlap`, paired with `qps_overlap`). */
+  def probedRecallOverlap(s: SparkSession, dir: String): Double =
+    recallDf(qOverlapServe(s, dir), VectorQueries.qKnnExact(s, dir))
+      .head().getDouble(0)
 
   /** Mean recall of `approx` against `exact` (both (q_id,
     * neighbor_id) result sets) — the evaluation every reference
@@ -642,6 +715,7 @@ object VamanaIndex {
     "q_vamana_degree" -> (qVamanaDegree(_, _)),
     "q_vamana_search" -> (qVamanaSearch(_, _)),
     "q_vamana_probed" -> (qVamanaProbed(_, _)),
+    "q_overlap_serve" -> (qOverlapServe(_, _)),
     "q_vamana_reach" -> (qVamanaReach(_, _)),
     "q_vamana_recall" -> (qVamanaRecall(_, _)),
     "q_index_meta" -> (qIndexMeta(_, _)))

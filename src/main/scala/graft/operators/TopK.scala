@@ -24,8 +24,18 @@ case class TopKBuf(ids: Array[Long], dists: Array[Double])
   * beam_width) — re-expressed as a Spark partial aggregate.
   *
   * Ties break on id, so results are engine-reproducible.
+  *
+  * `distinctIds = true` additionally keeps at most one entry per id
+  * (the best), for candidate streams where the same neighbor can
+  * legitimately arrive more than once — an overlapped sharded index
+  * returns a replicated vector from each shard that holds it. Doing
+  * the dedup inside the aggregate costs zero extra shuffle: map-side
+  * partials collapse same-partition duplicates and the reduce-side
+  * merge collapses cross-shard ones, vs. a groupBy(q_id, nid)
+  * pre-aggregation that would add a corpus-of-candidates exchange.
   */
-class TopKAgg(k: Int) extends Aggregator[KnnCand, TopKBuf, TopKBuf] {
+class TopKAgg(k: Int, distinctIds: Boolean = false)
+    extends Aggregator[KnnCand, TopKBuf, TopKBuf] {
 
   override def zero: TopKBuf = TopKBuf(Array.emptyLongArray, Array.emptyDoubleArray)
 
@@ -39,6 +49,20 @@ class TopKAgg(k: Int) extends Aggregator[KnnCand, TopKBuf, TopKBuf] {
 
   override def reduce(b: TopKBuf, a: KnnCand): TopKBuf = {
     val n = b.ids.length
+    if (distinctIds) {
+      // buffers are ≤ k entries, so a linear id scan is cheaper than
+      // any auxiliary structure that would have to shuffle with it
+      var p = 0
+      while (p < n) {
+        if (b.ids(p) == a.id) {
+          // duplicates carry bit-identical dists in the overlap use;
+          // handle the general case anyway: keep the better pair
+          return if (!better(a.dist, a.id, b.dists(p), b.ids(p))) b
+          else reduce(removeAt(b, p), a)
+        }
+        p += 1
+      }
+    }
     if (n >= k && !better(a.dist, a.id, b.dists(n - 1), b.ids(n - 1))) return b
     // binary search for insertion point by (dist, id)
     var lo = 0; var hi = n
@@ -60,20 +84,39 @@ class TopKAgg(k: Int) extends Aggregator[KnnCand, TopKBuf, TopKBuf] {
     TopKBuf(ids, dists)
   }
 
+  private def removeAt(b: TopKBuf, p: Int): TopKBuf = {
+    val n = b.ids.length
+    val ids = new Array[Long](n - 1); val dists = new Array[Double](n - 1)
+    System.arraycopy(b.ids, 0, ids, 0, p)
+    System.arraycopy(b.dists, 0, dists, 0, p)
+    System.arraycopy(b.ids, p + 1, ids, p, n - p - 1)
+    System.arraycopy(b.dists, p + 1, dists, p, n - p - 1)
+    TopKBuf(ids, dists)
+  }
+
   override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
     val n1 = b1.ids.length; val n2 = b2.ids.length
-    val outN = math.min(n1 + n2, k)
-    val ids = new Array[Long](outN)
-    val dists = new Array[Double](outN)
+    val cap = math.min(n1 + n2, k)
+    val ids = new Array[Long](cap)
+    val dists = new Array[Double](cap)
     var i = 0; var j = 0; var o = 0
-    while (o < outN) {
+    while (o < cap && (i < n1 || j < n2)) {
       val takeLeft = j >= n2 ||
         (i < n1 && better(b1.dists(i), b1.ids(i), b2.dists(j), b2.ids(j)))
-      if (takeLeft) { ids(o) = b1.ids(i); dists(o) = b1.dists(i); i += 1 }
-      else { ids(o) = b2.ids(j); dists(o) = b2.dists(j); j += 1 }
-      o += 1
+      val id = if (takeLeft) b1.ids(i) else b2.ids(j)
+      val d = if (takeLeft) b1.dists(i) else b2.dists(j)
+      if (takeLeft) i += 1 else j += 1
+      // merged stream is (dist, id)-ascending, so the first occurrence
+      // of an id is its best pair — later duplicates are just skipped
+      var dup = false
+      if (distinctIds) {
+        var p = 0
+        while (p < o && !dup) { dup = ids(p) == id; p += 1 }
+      }
+      if (!dup) { ids(o) = id; dists(o) = d; o += 1 }
     }
-    TopKBuf(ids, dists)
+    if (o == cap) TopKBuf(ids, dists)
+    else TopKBuf(ids.take(o), dists.take(o))
   }
 
   override def finish(b: TopKBuf): TopKBuf = b
@@ -87,6 +130,12 @@ object TopK {
     * a struct(ids: array<long>, dists: array<double>) sorted ascending. */
   def topk(k: Int): (Column, Column) => Column = {
     val u = functions.udaf(new TopKAgg(k), Encoders.product[KnnCand])
+    (id: Column, dist: Column) => u(id, dist)
+  }
+
+  /** Id-distinct variant — for overlapped/replicated candidate streams. */
+  def topkDistinct(k: Int): (Column, Column) => Column = {
+    val u = functions.udaf(new TopKAgg(k, distinctIds = true), Encoders.product[KnnCand])
     (id: Column, dist: Column) => u(id, dist)
   }
 }

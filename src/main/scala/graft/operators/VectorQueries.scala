@@ -184,11 +184,14 @@ object VectorQueries {
     topkExplode(d, k)
   }
 
-  /** Shared tail: (q_id, nid, dist) → (q_id, rank, neighbor_id, dist). */
-  private[graft] def topkExplode(d: DataFrame, k: Int): DataFrame = {
+  /** Shared tail: (q_id, nid, dist) → (q_id, rank, neighbor_id, dist).
+    * `distinctIds` dedups same-nid candidates inside the aggregate
+    * (overlapped-index serving) — no extra exchange. */
+  private[graft] def topkExplode(d: DataFrame, k: Int,
+      distinctIds: Boolean = false): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val tk = TopK.topk(k)
+    val tk = if (distinctIds) TopK.topkDistinct(k) else TopK.topk(k)
     d.groupBy($"q_id").agg(tk($"nid", $"dist").as("tk"))
       .select($"q_id", posexplode(arrays_zip($"tk.ids", $"tk.dists")))
       .select($"q_id", ($"pos" + 1).cast("int").as("rank"),
