@@ -657,7 +657,69 @@ object TextAnalysis {
       |  CAST(tf AS BIGINT) AS tf, CAST(df AS INTEGER) AS df, score
       |FROM scored WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
+  // ------------------------------------------------------------ boilerplate
+
+  /** Cross-doc repeated spans (boilerplate detection): the fraction of
+    * each document's word-4-gram positions whose span also occurs in
+    * at least one OTHER document — the exact-substring layer of a C4/
+    * RefinedWeb-style cleaning stack (their three-sentence-span rule,
+    * re-expressed at 4-gram granularity). High `boiler_frac` marks
+    * template/boilerplate documents that near-dup doc-level passes
+    * (minhash/simhash) miss because the rest of the page differs.
+    *
+    * Scale shape: span occurrences feed a (doc, gram) hash aggregate
+    * (map-side combine collapses within-doc repeats before the
+    * exchange), gram doc-frequency is a second gram-keyed aggregate
+    * over that already-deduplicated set, and the join back is
+    * gram-co-partitioned with it — every exchange is keyed on the gram
+    * hash and shrinks monotonically. Nothing is ever collected; at
+    * 100 TB this is three hash exchanges over shingle-sized rows, the
+    * same economics as the minhash band shuffle. */
+  def qTextBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .filter(size($"words") >= 4)
+      .select($"doc_id", explode(
+        expr("transform(sequence(1, size(words) - 3), i -> concat_ws(' ', slice(words, i, 4)))"))
+        .as("gram"))
+    val perDocGram = grams.groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
+    // rows of perDocGram are distinct (doc, gram) pairs, so doc
+    // frequency is a plain row count — no countDistinct pass
+    val docFreq = perDocGram.groupBy($"gram").agg(count(lit(1)).as("n_docs"))
+    perDocGram.join(docFreq, Seq("gram"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"cnt").as("n_grams"),
+        sum(when($"n_docs" >= 2, $"cnt").otherwise(lit(0L))).as("n_boiler"))
+      .select($"doc_id", $"n_grams", $"n_boiler",
+        round($"n_boiler".cast("double") / $"n_grams".cast("double"), 4).as("boiler_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val qTextBoilerplateSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS words
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, array_to_string(words[i:i+3], ' ') AS gram
+      |  FROM w, unnest(range(1, len(words) - 2)) AS t(i)
+      |  WHERE len(words) >= 4
+      |), pdg AS (
+      |  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+      |), ds AS (
+      |  SELECT gram, count(*) AS n_docs FROM pdg GROUP BY gram
+      |)
+      |SELECT p.doc_id,
+      |  CAST(sum(p.cnt) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN ds.n_docs >= 2 THEN p.cnt ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  round(sum(CASE WHEN ds.n_docs >= 2 THEN p.cnt ELSE 0 END)::DOUBLE
+      |        / sum(p.cnt), 4) AS boiler_frac
+      |FROM pdg p JOIN ds USING (gram)
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_boilerplate" -> (qTextBoilerplate(_, _)),
     "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_tfidf_terms" -> (qTfidfTerms(_, _)),
     "q_pipeline_select" -> (qPipelineSelect(_, _)),
@@ -672,6 +734,7 @@ object TextAnalysis {
     "q_text_entropy" -> (qTextEntropy(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_text_boilerplate" -> qTextBoilerplateSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_tfidf_terms" -> qTfidfTermsSql,
     "q_pipeline_select" -> qPipelineSelectSql,
