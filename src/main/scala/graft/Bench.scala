@@ -42,6 +42,18 @@ object Bench {
     s(math.min(s.length - 1, math.max(0, math.ceil(p * s.length).toInt - 1)))
   }
 
+  /** Cumulative (steal, total) jiffies from /proc/stat — this box is
+    * a shared-host VM and BENCH runs have been observed 10-75x slow
+    * under neighbor CPU steal (r6: a 390 s full-bench re-ran at 38 s
+    * minutes later, idle q_dist_l2 22.6 s vs 0.29 baseline). Reporting
+    * the run's steal fraction makes a starved run self-documenting
+    * instead of reading as a code regression. */
+  private def cpuJiffies(): (Long, Long) = try {
+    val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+    val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+    (if (f.length > 7) f(7) else 0L, f.sum)
+  } catch { case _: Throwable => (0L, 0L) }
+
   /** Time one full run: DataFrame CONSTRUCTION + materialization.
     * Construction is inside the timer because several operators do
     * real driver-coordinated work there (Lloyd iterations, label
@@ -77,6 +89,7 @@ object Bench {
       operators.Dedup.warm(spark, sfDir)
     } catch { case _: Throwable => }
 
+    val jiffies0 = cpuJiffies()
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration;
     // unset (the driver's invocation) benches everything.
@@ -151,16 +164,54 @@ object Bench {
       (pctl(lats, 0.50), pctl(lats, 0.95), pctl(lats, 0.99))
     } catch { case _: Throwable => errors += "latency_probe"; (-1.0, -1.0, -1.0) }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // stdout carries the driver-contract fields plus the serving
+    // numbers the judged protocol asks for; the secondary operating
+    // points (full/overlap QPS pairs, build time) live only in
+    // BENCH_LOCAL.json to keep the stdout line inside the tail budget
+    val jiffies1 = cpuJiffies()
+    val stealPct =
+      if (jiffies1._2 <= jiffies0._2) -1.0
+      else 100.0 * (jiffies1._1 - jiffies0._1) / (jiffies1._2 - jiffies0._2)
+    val core = Seq(
+      "qps" -> qps, "recall" -> recall, "recall100" -> recall100,
+      "latency_p50" -> p50, "latency_p95" -> p95, "latency_p99" -> p99,
+      "steal_pct" -> stealPct)
+    val extra = Seq(
+      "qps_overlap" -> qpsOverlap, "recall_overlap" -> recallOverlap,
+      "qps_full" -> qpsFull, "recall_full" -> recallFull, "build_s" -> buildS)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (renderLine(results, core ++ extra, reps, errors.toSeq, sfDir, compact = false) + "\n")
+        .getBytes("UTF-8"))
+    catch { case _: Throwable => } // read-only cwd must not fail the bench
+    println(renderLine(results, core, reps, errors.toSeq, sfDir, compact = true))
+    spark.stop()
+  }
+
+  /** The driver records only the LAST ~2000 chars of stdout: r5's
+    * full-precision line (~2.3 KB for 64 queries) lost its head —
+    * "metric"/"value" were cut off. So (a) compact per-query seconds
+    * print at 2 decimals (10 ms resolution — an order of magnitude
+    * finer than the 2x comparison gate on ≥0.1 s queries), (b) the
+    * queries map leads and every headline scalar TRAILS it, so
+    * front-truncation can only eat query entries, never the totals,
+    * and (c) the full-precision form is also written to
+    * BENCH_LOCAL.json for offline reading. BenchFormatSpec pins the
+    * compact line under the tail window at the current query count.
+    */
+  private[graft] def renderLine(
+      results: Seq[(String, Double)], scalars: Seq[(String, Double)],
+      reps: Int, errors: Seq[String], sfDir: String,
+      compact: Boolean): String = {
+    def f(d: Double, places: Int): String =
+      if (!compact || d < 0) d.toString
+      else String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v, 2) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""qps":$qps,"recall":$recall,"recall100":$recall100,""" +
-      s""""qps_overlap":$qpsOverlap,"recall_overlap":$recallOverlap,""" +
-      s""""qps_full":$qpsFull,"recall_full":$recallFull,"build_s":$buildS,""" +
-      s""""latency_p50":$p50,"latency_p95":$p95,"latency_p99":$p99,""" +
-      s""""reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
-    spark.stop()
+    val tail = scalars.map { case (k, v) => "\"" + k + "\":" + f(v, 3) }.mkString(",")
+    s"""{"queries":$qs,"reps":$reps,"errors":$errs,"sf":"$sfDir",""" +
+      tail + s""","metric":"total","value":${f(total, 2)},"unit":"sec"}"""
   }
 }
