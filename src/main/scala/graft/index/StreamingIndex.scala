@@ -22,6 +22,37 @@ object StreamingIndex {
 
   val ShardsPerBatchBase = 1000
 
+  /** Lazy delete (the FreshDiskANN lifecycle): ids append to a
+    * tombstone log next to the graph; serving filters them out of
+    * results while the graph still routes through them, and the next
+    * [[compact]] drops them physically and retires the log. Append-
+    * only, so deletes never rewrite index files in place — the same
+    * economics as segment ingestion. */
+  def delete(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** The accumulated tombstone set (empty when none recorded). */
+  def tombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[Long] = {
+    import spark.implicits._
+    if (!new java.io.File(s"$path/tombstones").exists()) Set.empty
+    else spark.read.parquet(s"$path/tombstones")
+      .select($"vec_id").as[Long].collect().toSet
+  }
+
+  /** Search the index honoring the tombstone log: deleted ids are
+    * excluded from results but still traversed, so live-set recall
+    * holds between compactions (pinned in DeleteSpec). */
+  def searchLive(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: Array[(Long, Array[Float])], k: Int, beamWidth: Int,
+      params: VamanaParams): DataFrame =
+    VamanaIndex.searchExcluding(VamanaIndex.load(spark, path), queries,
+      k, beamWidth, params, tombstones(spark, path))
+
   /** Offline compaction: rebuild the accumulated segments into
     * `numShards` fresh, well-clustered shards (the periodic merge step
     * of the segment-per-batch design — run it when small streaming
@@ -35,8 +66,16 @@ object StreamingIndex {
       numShards: Int,
       capFactor: Double = 0.0): Unit = {
     import org.apache.spark.sql.functions.col
-    val vectors = VamanaIndex.load(spark, path)
+    val all = VamanaIndex.load(spark, path)
       .select(col("vec_id"), col("embedding"))
+    // drop tombstoned vectors for good — an anti-join (not an isin
+    // filter) so a large accumulated delete log shuffles instead of
+    // broadcasting through the driver; the log itself retires with
+    // the old directory in the swap below
+    val vectors =
+      if (!new java.io.File(s"$path/tombstones").exists()) all
+      else all.join(spark.read.parquet(s"$path/tombstones").select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
     val rebuilt =
       if (capFactor > 0) VamanaIndex.buildCapped(vectors, params, numShards, capFactor)
       else VamanaIndex.build(vectors, params, numShards)

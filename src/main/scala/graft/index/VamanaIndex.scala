@@ -402,6 +402,39 @@ object VamanaIndex {
     VectorQueries.topkExplode(perShard, k)
   }
 
+  /** Search with a tombstone set excluded from RESULTS but not from
+    * TRAVERSAL — the lazy-delete serving mode (the FreshDiskANN
+    * pattern, Singh et al. 2021: deleted nodes keep routing until a
+    * consolidation pass rewires around them, so recall on the live
+    * set does not degrade between compactions). The set is broadcast
+    * once; each shard kernel runs its filtered beam search with
+    * allow = "not tombstoned". For tombstone sets too large to
+    * broadcast, compact first — a set that big means compaction is
+    * overdue anyway. */
+  def searchExcluding(
+      index: Dataset[IndexRow],
+      queries: Array[(Long, Array[Float])],
+      k: Int, beamWidth: Int, params: VamanaParams,
+      excluded: Set[Long]): DataFrame = {
+    val s = index.sparkSession
+    import s.implicits._
+    if (excluded.isEmpty) return search(index, queries, k, beamWidth, params)
+    val qB = s.sparkContext.broadcast(queries)
+    val exB = s.sparkContext.broadcast(excluded)
+    val perShard = index.mapPartitions { it =>
+      val rows = it.toArray
+      rows.groupBy(_.shard).iterator.flatMap { case (_, group) =>
+        val (g, sorted) = rebuildShardGraph(group, params)
+        val ex = exB.value
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          g.searchFiltered(qv, k, beamWidth, li => !ex(sorted(li).vec_id))
+            .iterator.map { case (li, d) => (qid, sorted(li).vec_id, d) }
+        }
+      }
+    }.toDF("q_id", "nid", "dist")
+    VectorQueries.topkExplode(perShard, k)
+  }
+
   /** Routed (probed) search — the 100 TB serving path: each query is
     * routed to its `nprobe` nearest shards (routing table = the shard
     * seed vectors, persisted at build time in metadata.json) and ONLY
@@ -569,6 +602,18 @@ object VamanaIndex {
       Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
       queriesArr(s, dir), K, searchBeam * 4, qParams, target = 3)
 
+  /** Lazy-delete serving: every 7th vector tombstoned (~14% of the
+    * corpus), results exclude them while traversal still routes
+    * through them — rows-only; tombstone exclusion and live-set
+    * recall floors pinned in DeleteSpec. */
+  def qVamanaDeleted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tombs = Tables.embeddings(s, dir).select($"vec_id")
+      .filter($"vec_id" % 7 === 0).as[Long].collect().toSet
+    searchExcluding(cachedIndex(s, dir), queriesArr(s, dir), K, searchBeam,
+      qParams, tombs)
+  }
+
   /** One sharded-files export per (sf dir, JVM) for [[qShardedServe]]
     * — export-once/serve-many, like every index cache here. */
   private val shardedDirCache = TrieMap.empty[String, String]
@@ -711,6 +756,7 @@ object VamanaIndex {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_get_vector" -> (qGetVector(_, _)),
     "q_vamana_filtered" -> (qVamanaFiltered(_, _)),
+    "q_vamana_deleted" -> (qVamanaDeleted(_, _)),
     "q_sharded_serve" -> (qShardedServe(_, _)),
     "q_vamana_degree" -> (qVamanaDegree(_, _)),
     "q_vamana_search" -> (qVamanaSearch(_, _)),

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.{StreamingIndex, VamanaIndex, VamanaParams}
+
+/** Lazy-delete lifecycle (the FreshDiskANN pattern): tombstoned ids
+  * vanish from results immediately while the graph keeps routing
+  * through them, and compaction drops them physically and retires the
+  * tombstone log. Pins the guarantees q_vamana_deleted relies on.
+  */
+class DeleteSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private val params = VamanaParams(maxDegree = 16, buildBeamWidth = 32, metric = "cosine")
+  private val k = 5
+  private val beam = 64
+
+  // fresh index per suite run: build → save → delete every 5th id
+  private lazy val path = {
+    val p = "/tmp/graft_delete_spec_idx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val vecs = Tables.embeddings(spark, SparkSpecBase.sf001)
+    VamanaIndex.save(VamanaIndex.build(vecs, params, numShards = 2), params, p)
+    p
+  }
+  private lazy val all: Map[Long, Array[Float]] =
+    Tables.embeddings(spark, SparkSpecBase.sf001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+  private lazy val tombs: Set[Long] = all.keySet.filter(_ % 5 == 0)
+
+  private def cosDist(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    1.0 - dot / math.sqrt(na * nb)
+  }
+
+  private def liveNearest(q: Array[Float], n: Int): Seq[Long] =
+    all.view.filterKeys(id => !tombs(id)).toSeq
+      .sortBy { case (_, v) => cosDist(q, v) }.take(n).map(_._1)
+
+  test("with an empty tombstone log, searchLive is plain search") {
+    path // force build before any delete lands
+    val qs = Array((1L, all(1L)))
+    val got = StreamingIndex.searchLive(spark, path, qs, k, beam, params)
+      .select($"neighbor_id").as[Long].collect()
+    assert(got.head == 1L)
+  }
+
+  test("deleted ids never appear in results; live queries still self-match") {
+    path
+    StreamingIndex.delete(spark, path, tombs.toSeq)
+    val liveQ = Seq(1L, 7L, 13L).map(id => (id, all(id)))
+    val res = StreamingIndex.searchLive(spark, path, liveQ.toArray, k, beam, params)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(res.nonEmpty)
+    res.foreach { case (_, nid) => assert(!tombs(nid), s"tombstoned $nid served") }
+    liveQ.foreach { case (id, _) =>
+      assert(res.filter(_._1 == id).map(_._2).head == id,
+        s"live $id no longer its own nearest neighbor") }
+  }
+
+  test("a tombstoned query vector resolves to its nearest LIVE vector") {
+    path
+    val qid = tombs.head
+    val got = StreamingIndex.searchLive(spark, path, Array((qid, all(qid))), k, beam, params)
+      .select($"neighbor_id").as[Long].collect()
+    assert(!got.contains(qid))
+    // lazy delete keeps the deleted node routable, so recall on the
+    // live set holds: the served head must be among the true live top-3
+    assert(liveNearest(all(qid), 3).contains(got.head),
+      s"head ${got.head} not in live top-3 ${liveNearest(all(qid), 3)}")
+  }
+
+  test("compact drops tombstoned rows physically and retires the log") {
+    path
+    StreamingIndex.delete(spark, path, tombs.toSeq) // idempotent re-log
+    StreamingIndex.compact(spark, path, params, numShards = 2)
+    assert(!new java.io.File(s"$path/tombstones").exists(), "log not retired")
+    val served = VamanaIndex.load(spark, path)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(served == all.keySet.diff(tombs))
+    // and the compacted index serves without the filter path
+    val got = StreamingIndex.searchLive(spark, path, Array((1L, all(1L))), k, beam, params)
+      .select($"neighbor_id").as[Long].collect()
+    assert(got.head == 1L)
+  }
+}
