@@ -53,9 +53,31 @@ object Metric {
       c.toDouble
     }
   }
+  /** Manhattan — the reference's DistL1 (anndists); mirrors the
+    * L1Distance SQL expression in VectorExprs. */
+  case object L1 extends Metric {
+    val name = "l1"
+    def eval(a: Array[Float], ao: Int, b: Array[Float], bo: Int, dim: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { acc += math.abs(a(ao + i).toDouble - b(bo + i).toDouble); i += 1 }
+      acc
+    }
+  }
+  /** Chebyshev — the reference's DistLinf; mirrors LinfDistance. */
+  case object Linf extends Metric {
+    val name = "linf"
+    def eval(a: Array[Float], ao: Int, b: Array[Float], bo: Int, dim: Int): Double = {
+      var m = 0.0; var i = 0
+      while (i < dim) {
+        val d = math.abs(a(ao + i).toDouble - b(bo + i).toDouble)
+        if (d > m) m = d; i += 1
+      }
+      m
+    }
+  }
   def byName(n: String): Metric = n match {
     case "l2" => L2; case "cosine" => Cosine; case "dot" => Dot
-    case "hamming" => Hamming
+    case "hamming" => Hamming; case "l1" => L1; case "linf" => Linf
     case other => throw new IllegalArgumentException(s"unknown metric $other")
   }
 }

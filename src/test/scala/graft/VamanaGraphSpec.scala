@@ -83,6 +83,25 @@ class VamanaGraphSpec extends AnyFunSuite {
     assert(g.search(vs(0), 1, 16).head._2 == 0.0)
   }
 
+  test("l1 and linf metric indexes: recall >= 0.8 vs their own brute force") {
+    // closes the kernel side of the reference's distance genericity
+    // (anndists DistL1/DistLinf) — the SQL expressions landed first
+    val rnd = new java.util.Random(33)
+    val vs = Array.fill(250)(Array.fill(16)(rnd.nextFloat() - 0.5f))
+    for (m <- Seq(Metric.L1, Metric.Linf)) {
+      val p = VamanaParams(maxDegree = 16, buildBeamWidth = 48, metric = m.name)
+      val g = new VamanaGraph(flat(vs), 16, vs.length, p).build()
+      val recalls = (0 until 10).map { qi =>
+        val q = vs(qi * 23 % vs.length)
+        val exact = bruteKnn(vs, q, 5, m).toSet
+        val approx = g.search(q, 5, 48).map(_._1).toSet
+        (exact & approx).size / 5.0
+      }
+      assert(recalls.sum / recalls.length >= 0.8, s"${m.name} recall low")
+      assert(g.search(vs(3), 1, 16).head._1 == 3, s"${m.name} self-search")
+    }
+  }
+
   test("single-node and tiny shards don't crash") {
     val p = VamanaParams(maxDegree = 4, buildBeamWidth = 8, metric = "l2")
     val g1 = new VamanaGraph(Array(1f, 2f), 2, 1, p).build()
