@@ -718,7 +718,63 @@ object TextAnalysis {
       |FROM pdg p JOIN ds USING (gram)
       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------- pii
+  // Structured-identifier and long-digit-run patterns. Kept to syntax
+  // that Java regex (Spark) and RE2 (DuckDB) interpret identically —
+  // no backrefs, no lookaround, ASCII classes only.
+  private val PiiNameRe = "Customer#[0-9]+"
+  private val PiiNumRe = "[0-9]{3,}"
+
+  /** PII scrub — the pre-training redaction stage (detect structured
+    * identifiers / long digit runs, count them, and rewrite the text
+    * with placeholder tags). The corpus is rendered inside the query
+    * from the customer table's real columns (the synthetic documents
+    * table carries no PII-shaped spans), so the patterns genuinely
+    * fire: every row yields one name-tag hit and at least one numeric
+    * hit from the cents rendering.
+    *
+    * Scale shape: stateless per-row projection — codegen'd regex over
+    * a column-pruned scan, no shuffle, no UDF. The numeric pass runs
+    * on the output of the name pass so a span is counted exactly once.
+    * Amounts are rendered as integer cents (`round(bal*100)`) because
+    * double→string formatting is the one step whose output Spark and
+    * DuckDB do not guarantee to print identically. */
+  def qTextPii(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_custkey",
+        concat_ws(" ", $"c_name", lit("balance"),
+          expr("cast(cast(round(c_acctbal * 100) as bigint) as string)"),
+          lit("cents segment"), $"c_mktsegment").as("text"))
+      .withColumn("pass1", expr(s"regexp_replace(text, '$PiiNameRe', '[NAME]')"))
+      .select($"c_custkey",
+        (size(expr(s"regexp_extract_all(text, '$PiiNameRe', 0)")) +
+          size(expr(s"regexp_extract_all(pass1, '$PiiNumRe', 0)")))
+          .cast("long").as("n_pii"),
+        expr(s"regexp_replace(pass1, '$PiiNumRe', '[NUM]')").as("redacted"))
+      .orderBy($"c_custkey")
+  }
+
+  val qTextPiiSql: String =
+    """WITH t AS (
+      |  SELECT c_custkey,
+      |    c_name || ' balance ' ||
+      |    CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) ||
+      |    ' cents segment ' || c_mktsegment AS text
+      |  FROM customer
+      |), r AS (
+      |  SELECT c_custkey, text,
+      |    regexp_replace(text, 'Customer#[0-9]+', '[NAME]', 'g') AS pass1
+      |  FROM t
+      |)
+      |SELECT c_custkey,
+      |  CAST(len(regexp_extract_all(text, 'Customer#[0-9]+'))
+      |     + len(regexp_extract_all(pass1, '[0-9]{3,}')) AS BIGINT) AS n_pii,
+      |  regexp_replace(pass1, '[0-9]{3,}', '[NUM]', 'g') AS redacted
+      |FROM r ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_pii" -> (qTextPii(_, _)),
     "q_text_boilerplate" -> (qTextBoilerplate(_, _)),
     "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_tfidf_terms" -> (qTfidfTerms(_, _)),
@@ -734,6 +790,7 @@ object TextAnalysis {
     "q_text_entropy" -> (qTextEntropy(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_text_pii" -> qTextPiiSql,
     "q_text_boilerplate" -> qTextBoilerplateSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_tfidf_terms" -> qTfidfTermsSql,

@@ -145,6 +145,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_text_pii: stateless codegen'd projection — one scan, no join/agg/window") {
+    // the redaction stage must stay a per-row rewrite: any Join,
+    // aggregate, or Window in this plan is a scale bug (the only
+    // exchange allowed is the final presentation sort)
+    val p = planOf(operators.TextAnalysis.qTextPii(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"customer scanned more than once:\n$p")
+  }
+
   test("q_get_vector: id filter prunes before any vector math") {
     val p = planOf(index.VamanaIndex.qGetVector(spark, sf))
     // the modulo-id predicate must sit in a Filter over the cached
