@@ -54,6 +54,41 @@ object Bench {
     (if (f.length > 7) f(7) else 0L, f.sum)
   } catch { case _: Throwable => (0L, 0L) }
 
+  /** Fixed CPU workload for host-capacity calibration: xorshift64*
+    * mixing, ~60 M steps — deterministic, allocation-free, JIT-stable
+    * after one warm pass. */
+  private def calWork(): Long = {
+    var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0
+    while (i < 60_000_000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x * 0x2545F4914F6CDD1DL; i += 1
+    }
+    acc
+  }
+
+  /** Host-capacity calibration: single-thread seconds for [[calWork]]
+    * and the effective parallel core count (nThreads × 1t/par wall).
+    * CPU steal shows in steal_pct, but this box's hypervisor has also
+    * been observed capping PARALLEL capacity with near-zero steal
+    * (r6: ~13 effective cores of 32 → every query ~2× its baseline
+    * median while steal read 0.2%). Reporting measured capacity lets
+    * a reader normalize a starved run instead of mis-reading it as a
+    * uniform code regression. */
+  private def calibrate(nThreads: Int): (Double, Double) = try {
+    calWork() // JIT warm
+    val t1 = System.nanoTime(); calWork()
+    val single = (System.nanoTime() - t1) / 1e9
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val tp = System.nanoTime()
+    val fs = (1 to nThreads).map(_ => pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = calWork()
+    }))
+    fs.foreach(_.get())
+    val par = (System.nanoTime() - tp) / 1e9
+    pool.shutdown()
+    (single, nThreads * single / par)
+  } catch { case _: Throwable => (-1.0, -1.0) }
+
   /** Time one full run: DataFrame CONSTRUCTION + materialization.
     * Construction is inside the timer because several operators do
     * real driver-coordinated work there (Lloyd iterations, label
@@ -172,11 +207,13 @@ object Bench {
     val stealPct =
       if (jiffies1._2 <= jiffies0._2) -1.0
       else 100.0 * (jiffies1._1 - jiffies0._1) / (jiffies1._2 - jiffies0._2)
+    val (cal1t, calCores) = calibrate(cpus.toInt)
     val core = Seq(
       "qps" -> qps, "recall" -> recall, "recall100" -> recall100,
       "latency_p50" -> p50, "latency_p95" -> p95, "latency_p99" -> p99,
-      "steal_pct" -> stealPct)
+      "steal_pct" -> stealPct, "cal_cores" -> calCores)
     val extra = Seq(
+      "cal_1t" -> cal1t,
       "qps_overlap" -> qpsOverlap, "recall_overlap" -> recallOverlap,
       "qps_full" -> qpsFull, "recall_full" -> recallFull, "build_s" -> buildS)
     try java.nio.file.Files.write(

@@ -21,7 +21,8 @@ class BenchFormatSpec extends AnyFunSuite {
   private val scalars = Seq(
     "qps" -> 154.48194508680504, "recall" -> 0.6875, "recall100" -> 0.6517,
     "latency_p50" -> 0.149634805, "latency_p95" -> 1.089050957,
-    "latency_p99" -> 1.119355698, "steal_pct" -> 63.123456789)
+    "latency_p99" -> 1.119355698, "steal_pct" -> 63.123456789,
+    "cal_cores" -> 13.123456789)
   private val sfDir = "/root/testdata/sf0.1"
 
   private def compactLine =
