@@ -207,7 +207,11 @@ object Bench {
     val stealPct =
       if (jiffies1._2 <= jiffies0._2) -1.0
       else 100.0 * (jiffies1._1 - jiffies0._1) / (jiffies1._2 - jiffies0._2)
-    val (cal1t, calCores) = calibrate(cpus.toInt)
+    // cpus can be any local[...] token (e.g. "*"); never let parsing
+    // it crash the bench after all measurements are already taken
+    val calThreads = scala.util.Try(cpus.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val (cal1t, calCores) = calibrate(calThreads)
     val core = Seq(
       "qps" -> qps, "recall" -> recall, "recall100" -> recall100,
       "latency_p50" -> p50, "latency_p95" -> p95, "latency_p99" -> p99,

@@ -206,7 +206,12 @@ object PqCodebook {
   * them ONLY in the distance used to steer it. */
 object PqSearch {
 
-  /** @param adj     adjacency accessor (local row → out-neighbors)
+  /** @param adjFill fill-style adjacency accessor: writes row's
+    *                out-neighbors into the caller's buffer, returns
+    *                the count — allocation-free on the hot path (the
+    *                traversal visits hundreds of rows per query; an
+    *                Array-returning accessor was pure GC pressure)
+    * @param maxDegree sizes the reused neighbor buffer
     * @param entry   start node (the index's medoid)
     * @param lutArr  the query's ADC table ([[PqCodebook.lut]])
     * @param codes   resident n·m code array
@@ -215,7 +220,7 @@ object PqSearch {
     * @return top-k (local row, EXACT distance) ascending by (dist, id)
     */
   def search(
-      adj: Int => Array[Int], entry: Int,
+      adjFill: (Int, Array[Int]) => Int, maxDegree: Int, entry: Int,
       lutArr: Array[Double], codes: Array[Byte], cb: PqCodebook,
       exact: Int => Double, k: Int, beamWidth: Int): Array[(Int, Double)] = {
     val bw = math.max(beamWidth, k)
@@ -234,6 +239,7 @@ object PqSearch {
       wLen = newLen
     }
 
+    val nbrBuf = new Array[Int](maxDegree)
     val visited = new java.util.HashSet[Integer](bw * 4)
     val frontier = new java.util.PriorityQueue[Array[Double]](64,
       (a: Array[Double], b: Array[Double]) => {
@@ -250,19 +256,17 @@ object PqSearch {
       if (wLen >= bw && top(0) >= worstD) done = true
       else {
         frontier.poll()
-        val nbrs = adj(top(1).toInt)
-        if (nbrs != null) {
-          var t = 0
-          while (t < nbrs.length) {
-            val nb = nbrs(t)
-            if (visited.add(nb)) {
-              val d = cb.adc(lutArr, codes, nb)
-              if (wLen < bw || d < worstD || (d == worstD && nb < wIds(wLen - 1))) {
-                wInsert(nb, d); frontier.add(Array(d, nb.toDouble))
-              }
+        val cnt = adjFill(top(1).toInt, nbrBuf)
+        var t = 0
+        while (t < cnt) {
+          val nb = nbrBuf(t)
+          if (visited.add(nb)) {
+            val d = cb.adc(lutArr, codes, nb)
+            if (wLen < bw || d < worstD || (d == worstD && nb < wIds(wLen - 1))) {
+              wInsert(nb, d); frontier.add(Array(d, nb.toDouble))
             }
-            t += 1
           }
+          t += 1
         }
       }
     }

@@ -57,13 +57,19 @@ object SingleFileIndex {
     "l2" -> "anndists::dist::distances::DistL2",
     "cosine" -> "anndists::dist::distances::DistCosine",
     "dot" -> "anndists::dist::distances::DistDot",
-    "hamming" -> "anndists::dist::distances::DistHamming")
+    "hamming" -> "anndists::dist::distances::DistHamming",
+    "l1" -> "anndists::dist::distances::DistL1",
+    "linf" -> "anndists::dist::distances::DistLinf")
 
-  private[index] def nameToMetric(name: String): String =
+  private[graft] def nameToMetric(name: String): String =
     MetricToName.collectFirst { case (m, n) if n == name => m }
-      .orElse(Seq("L2", "Cosine", "Dot", "Hamming")
+      // Linf before L1 before L2: longest-substring first so DistLinf
+      // can never be claimed by a shorter Dist* pattern
+      .orElse(Seq("Linf", "L1", "L2", "Cosine", "Dot", "Hamming")
         .collectFirst { case s if name.contains("Dist" + s) => s.toLowerCase })
-      .getOrElse("l2")
+      .getOrElse(throw new IllegalArgumentException(
+        s"unrecognized distance_name '$name' in single-file metadata — " +
+          "refusing to silently serve with l2"))
 
   private def serializeMeta(m: FileMeta): Array[Byte] = {
     val name = m.distanceName.getBytes(StandardCharsets.UTF_8)
@@ -342,7 +348,18 @@ object SingleFileIndex {
     val dim = g.dim
     val maxDeg = math.max(params.maxDegree, g.graph.map(_.length).max)
     val adjacencyOffset = VectorsOffset + 4L * n * dim
-    val raf = new RandomAccessFile(path, "rw")
+    // Task side effects must survive retry/speculation: a second
+    // attempt truncating the SAME visible file while a zombie attempt
+    // still runs would let a later reader mmap a half-written index.
+    // So each attempt writes to an attempt-unique temp name and
+    // atomically renames over the target — attempts are deterministic
+    // (identical bytes), so last-rename-wins is safe. A killed
+    // attempt can orphan its .tmp-*, which is litter, never served.
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId().toString)
+      .getOrElse(java.util.UUID.randomUUID().toString.take(8))
+    val tmpPath = s"$path.tmp-$attempt"
+    val raf = new RandomAccessFile(tmpPath, "rw")
     try {
       raf.setLength(0)
       val ch = raf.getChannel
@@ -386,9 +403,19 @@ object SingleFileIndex {
     else {
       val bb = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
       sorted.foreach(r => bb.putLong(r.vec_id))
-      Files.write(Paths.get(sidecarPath(path)), bb.array())
+      val sideTmp = Paths.get(sidecarPath(tmpPath))
+      Files.write(sideTmp, bb.array())
+      atomicMove(sideTmp, Paths.get(sidecarPath(path)))
     }
+    atomicMove(Paths.get(tmpPath), Paths.get(path))
   }
+
+  private def atomicMove(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+    try Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(from, to, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
 
   /** Distributed export of a sharded index into ONE reference-layout
     * file PER SHARD plus a routing manifest — the serving-tier form
@@ -488,17 +515,22 @@ object SingleFileIndex {
     * encoded once on the driver (one sequential file pass) and
     * torrent-broadcast; queries scale with their partitioning alone,
     * exactly like [[serve]]. */
-  /** PQ state per (file, m, ksub, iters) and JVM — trained once,
-    * served many times (the same build-once contract as every index
-    * cache here; the state is immutable, keyed by the file path). */
+  /** PQ state per (file identity, m, ksub, iters) and JVM — trained
+    * once, served many times (the same build-once contract as every
+    * index cache here). File identity includes mtime+size so a
+    * re-export to the same path invalidates the entry: without that,
+    * a rebuilt same-cardinality file would pass the codes-length
+    * check and be steered by the OLD corpus's codebook. */
   private val pqStateCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), (PqCodebook, Array[Byte])]
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long, Int, Int, Int), (PqCodebook, Array[Byte])]
 
   def servePq(queries: DataFrame, path: String, k: Int, beamWidth: Int,
       m: Int = 8, ksub: Int = 16, iters: Int = 5): DataFrame = {
     val s = queries.sparkSession
     import s.implicits._
-    val state = pqStateCache.getOrElseUpdate((path, m, ksub, iters), {
+    val f = new java.io.File(path)
+    val state = pqStateCache.getOrElseUpdate(
+      (path, f.lastModified(), f.length(), m, ksub, iters), {
       val mm = new MmapIndex(path)
       try mm.buildPqState(m, ksub, iters) finally mm.close()
     })
@@ -963,17 +995,19 @@ final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong)
     (cb, codes)
   }
 
-  /** Out-neighbors of row `cur` (padding stripped) off the mapping. */
-  private def adjacencyOf(cur: Int): Array[Int] = {
+  /** Out-neighbors of row `cur` (padding stripped) read off the
+    * mapping into the caller's buffer — allocation-free, the same
+    * inline-read discipline as [[search]]'s own adjacency loop. */
+  private def adjacencyInto(cur: Int, out: Array[Int]): Int = {
     val ab = adjMap.bufOf(cur); val aOff = adjMap.offOf(cur)
-    val lst = new scala.collection.mutable.ArrayBuffer[Int](meta.maxDegree)
+    var cnt = 0
     var t = 0
     while (t < meta.maxDegree) {
       val nb = ab.getInt(aOff + 4 * t)
-      if (nb != -1) lst += nb
+      if (nb != -1) { out(cnt) = nb; cnt += 1 }
       t += 1
     }
-    lst.toArray
+    cnt
   }
 
   /** Two-tier beam search (the DiskANN serving split): traversal is
@@ -995,7 +1029,7 @@ final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong)
         val inv = 1.0 / qNorm
         Array.tabulate(dim)(i => (q(i) * inv).toFloat)
       }
-    PqSearch.search(adjacencyOf, meta.medoidId, cb.lut(qSteer), codes, cb,
+    PqSearch.search(adjacencyInto, meta.maxDegree, meta.medoidId, cb.lut(qSteer), codes, cb,
         j => distQ(q, qNorm, j), k, math.max(beamWidth, k))
       .map { case (rowId, d) => (ids(rowId), d) }
   }

@@ -85,24 +85,30 @@ object VamanaIndex {
     * storage and build compute — the trade 100 TB deployments take,
     * because storage is the cheap axis and recall the product one.
     *
-    * Seed vectors (id < numShards) stay primary-only so each shard's
-    * lowest id remains its own assignment centroid and the standing
+    * Seed vectors (the numShards lowest ids) stay primary-only so each
+    * shard's lowest id remains its own assignment centroid and the standing
     * lowest-id routing rule reproduces the exact routing table.
     * Serving merges with the id-distinct TopK (replicas of a neighbor
     * arrive from several shards with bit-identical distances). */
   def shardAssignOverlapped(emb: DataFrame, numShards: Int, overlap: Int): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val cents: Array[Array[Float]] = emb.orderBy($"vec_id").limit(numShards)
+    val seedRows = emb.orderBy($"vec_id").limit(numShards)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-      .collect().sortBy(_._1).map(_._2)
-    val bc = s.sparkContext.broadcast(cents)
+      .collect().sortBy(_._1)
+    val cents: Array[Array[Float]] = seedRows.map(_._2)
+    // seeds are identified by their ACTUAL ids, not by `id < numShards`
+    // — vec_ids need not be dense or 0-based, and a corpus whose ids
+    // start above numShards would otherwise replicate every seed,
+    // breaking the lowest-id routing rule (two shards sharing a seed)
+    val seedIds: Set[Long] = seedRows.map(_._1).toSet
+    val bc = s.sparkContext.broadcast((cents, seedIds))
     emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val cv = bc.value
+        val (cv, seeds) = bc.value
         val nCells = cv.length
         it.flatMap { case (id, v) =>
-          val reps = if (id < nCells) 1 else math.min(overlap, nCells)
+          val reps = if (seeds(id)) 1 else math.min(overlap, nCells)
           Array.tabulate(nCells)(c => (Metric.L2.eval(v, 0, cv(c), 0, v.length), c))
             .sortBy(identity).iterator.take(reps).map { case (_, c) => (id, v, c) }
         }
@@ -118,41 +124,86 @@ object VamanaIndex {
     * quality (seeded or Lloyd-trained) can never bound the largest
     * cell: k-means minimizes variance, not balance, and a dense-ball
     * corpus legitimately wants most of its mass in one cell. So the
-    * bound comes from splitting, not clustering: after the normal
-    * assignment, any cell whose count exceeds `cap = capFactor·n/
-    * numShards` is split deterministically by xxhash64(vec_id) into
-    * ceil(count/cap) sub-shards. The largest build task and serving
-    * shard are then ≤ cap REGARDLESS of the data distribution — the
-    * same philosophy as Dedup's salted-bucket skew guard. Sub-shards
-    * of a dense cell carry near-identical routing seeds, so probed
-    * serving naturally probes siblings of a hot region. Costs one
-    * k-row count aggregate over the assignment; everything stays
-    * deterministic. */
+    * bound comes from splitting, not clustering: any cell whose count
+    * exceeds `cap = capFactor·n/numShards` is split into sub-shards
+    * by packing MEASURED fine-grained hash slices — not by a bare
+    * `hash mod k`, whose binomial spread routinely pushes one
+    * sub-shard past the cap when a cell sits near a cap multiple.
+    * Each oversized cell is sliced into 64·ceil(n/cap) xxhash64
+    * buckets, their true counts are aggregated, and the driver packs
+    * buckets first-fit-decreasing into bins of capacity `cap` — so
+    * the bound rests on measured sizes and holds for ANY distribution
+    * of cell counts. The one residual assumption (a single 1/64·cap-
+    * expected slice exceeding cap, i.e. 64× hash skew on distinct
+    * ids) fails loudly via `require` instead of silently overflowing.
+    * Sub-shards of a dense cell carry near-identical routing seeds,
+    * so probed serving naturally probes siblings of a hot region.
+    *
+    * Cost: the k-row count aggregate, a histogram aggregate over
+    * oversized cells only, and a zero-shuffle re-tag; `assigned` is
+    * persisted across those passes so the argmin assignment runs
+    * once (build-once contract, same as the serving caches). */
   def buildCapped(emb: DataFrame, params: VamanaParams, numShards: Int,
       capFactor: Double = 1.5): Dataset[IndexRow] = {
     val s = emb.sparkSession
     import s.implicits._
     val assigned = shardAssign(emb, numShards)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = assigned.groupBy($"shard").agg(count(lit(1)).as("n"))
       .as[(Int, Long)].collect().toMap
     val total = counts.values.sum
     val cap = math.max(1L, math.ceil(capFactor * total.toDouble / numShards).toLong)
-    val splitOf: Map[Int, Int] = counts.map { case (sh, n) =>
-      sh -> math.max(1, math.ceil(n.toDouble / cap).toInt)
-    }
-    val maxSplit = splitOf.values.max
-    val bc = s.sparkContext.broadcast(splitOf)
+    val oversized = counts.filter(_._2 > cap).keys.toSet
+    // (cell, slice) → sub-shard map from measured slice sizes
+    val subOf: Map[(Int, Int), Int] =
+      if (oversized.isEmpty) Map.empty
+      else {
+        val slicesOf: Map[Int, Int] = oversized.map { sh =>
+          sh -> 64 * math.ceil(counts(sh).toDouble / cap).toInt
+        }.toMap
+        val bcSlices = s.sparkContext.broadcast(slicesOf)
+        val hist = assigned
+          .filter($"shard".isInCollection(oversized))
+          .select($"shard", xxhash64($"vec_id").as("h"))
+          .as[(Int, Long)]
+          .mapPartitions { it =>
+            val sl = bcSlices.value
+            it.map { case (sh, h) => (sh, math.floorMod(h, sl(sh).toLong).toInt) }
+          }
+          .toDF("shard", "slice")
+          .groupBy($"shard", $"slice").agg(count(lit(1)).as("n"))
+          .as[(Int, Int, Long)].collect()
+        hist.groupBy(_._1).flatMap { case (sh, rows) =>
+          // first-fit-decreasing: bins stay ≤ cap because every item is
+          val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+          rows.sortBy(r => (-r._3, r._2)).map { case (_, slice, n) =>
+            require(n <= cap,
+              s"hash slice of cell $sh holds $n > cap $cap rows — " +
+                "pathological xxhash64 skew; raise capFactor or slices")
+            val i = bins.indexWhere(_ + n <= cap)
+            val bin = if (i >= 0) { bins(i) += n; i }
+              else { bins += n; bins.length - 1 }
+            (sh, slice) -> bin
+          }
+        }
+      }
+    val maxSplit = math.max(1, if (subOf.isEmpty) 1 else subOf.values.max + 1)
+    val bcSub = s.sparkContext.broadcast(subOf)
+    val bcSlices2 = s.sparkContext.broadcast(
+      oversized.map(sh => sh -> 64 * math.ceil(counts(sh).toDouble / cap).toInt).toMap)
     // zero-shuffle re-tag kernel (same shape as shardAssign's argmin
-    // pass — no UDF boxing, no exchange): sub-shard = a deterministic
-    // hash-split of the oversized cell
+    // pass — no UDF boxing, no exchange)
     val recapped = assigned.select($"vec_id", $"embedding", $"shard",
         xxhash64($"vec_id").as("h"))
       .as[(Long, Array[Float], Int, Long)]
       .mapPartitions { it =>
-        val splits = bc.value
+        val sub = bcSub.value; val sl = bcSlices2.value
         it.map { case (id, v, shard, h) =>
-          val k = splits.getOrElse(shard, 1)
-          (id, v, shard * maxSplit + math.floorMod(h, k.toLong).toInt)
+          val bin = sl.get(shard) match {
+            case Some(k) => sub((shard, math.floorMod(h, k.toLong).toInt))
+            case None => 0
+          }
+          (id, v, shard * maxSplit + bin)
         }
       }
       .toDF("vec_id", "embedding", "shard")

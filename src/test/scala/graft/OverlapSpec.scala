@@ -10,8 +10,10 @@ import graft.index.VamanaIndex
   *    every non-seed id in exactly 2 shards, seeds in exactly 1;
   *  - the routing table is IDENTICAL to the plain build's (seeds stay
   *    primary-only, lowest-id rule);
-  *  - probed recall at equal nprobe ≥ the plain index's — boundary
-  *    replication can only add reachable true neighbors;
+  *  - probed recall at equal nprobe clears an absolute floor above
+  *    the plain operating point (per-query dominance over plain is
+  *    empirical — replication changes each shard's build — so it is
+  *    not pinned as an invariant);
   *  - no duplicate (q_id, neighbor_id) pairs survive the merge, and
   *    ranks stay dense 1..k.
   */
@@ -39,12 +41,40 @@ class OverlapSpec extends AnyFunSuite {
     }
   }
 
-  test("probed recall at nprobe=4 is >= the plain index's, results dedup'd") {
+  test("sparse non-0-based vec_ids: seeds stay primary-only, accounting holds") {
+    // ids start far above numShards — the regression this pins: seed
+    // identification by actual id membership, not `id < numShards`
+    val rnd = new java.util.Random(7)
+    val n = 120; val shards = 4
+    val emb = (0 until n).map { i =>
+      (100000L + i * 37L, Array.fill(8)(rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val assigned = VamanaIndex.shardAssignOverlapped(emb, shards, overlap = 2)
+    assert(assigned.count() == 2L * n - shards)
+    val perId = assigned.groupBy($"vec_id")
+      .agg(org.apache.spark.sql.functions.countDistinct($"shard").as("s"))
+      .as[(Long, Long)].collect().toMap
+    val seedIds = (0 until shards).map(i => 100000L + i * 37L).toSet
+    assert(perId.filter(kv => seedIds(kv._1)).values.forall(_ == 1L),
+      "seed vectors must stay primary-only under sparse ids")
+    assert(perId.filter(kv => !seedIds(kv._1)).values.forall(_ == 2L))
+    // each shard's lowest id must be one of the seeds (routing rule)
+    val lows = assigned.groupBy($"shard")
+      .agg(org.apache.spark.sql.functions.min($"vec_id").as("lo"))
+      .as[(Int, Long)].collect()
+    assert(lows.forall(l => seedIds(l._2)), s"non-seed lowest id: ${lows.mkString(",")}")
+  }
+
+  test("probed recall at nprobe=4 clears an absolute floor above plain's, results dedup'd") {
     val dir = SparkSpecBase.sf001
-    val plainRecall = VamanaIndex.probedRecall(spark, dir)
+    // NOT pinned as >= plain's recall: replication changes each
+    // shard's build (different candidate sets → different α-pruned
+    // edges), so per-query dominance is empirical, not guaranteed.
+    // Pin absolute floors instead, like the other recall specs: the
+    // overlap tier exists to lift routed recall well above plain's
+    // observed ~0.69, so require a margin over that operating point.
     val overRecall = VamanaIndex.probedRecallOverlap(spark, dir)
-    assert(overRecall >= plainRecall - 1e-9,
-      s"overlap recall $overRecall < plain $plainRecall")
+    assert(overRecall >= 0.8, s"overlap recall $overRecall below 0.8 floor")
     val res = VamanaIndex.qOverlapServe(spark, dir)
     val rows = res.select($"q_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect()
     val dup = rows.groupBy(r => (r._1, r._3)).values.filter(_.length > 1)

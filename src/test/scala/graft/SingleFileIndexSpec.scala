@@ -53,6 +53,29 @@ class SingleFileIndexSpec extends AnyFunSuite {
     assert(g.graph.forall(_.length <= 16))
   }
 
+  test("l1 and linf indexes round-trip the file metric — never silently served as l2") {
+    // regression: Metric.byName gained l1/linf before the single-file
+    // metric maps did, so an exported l1 index reopened as l2
+    for (m <- Seq("l1", "linf")) {
+      val p = VamanaParams(maxDegree = 8, buildBeamWidth = 16, metric = m)
+      val vecs = Tables.embeddings(spark, SparkSpecBase.sf001).limit(80)
+      val idx = VamanaIndex.build(vecs, p, numShards = 1)
+      val file = s"/tmp/graft_single_$m.idx"
+      SingleFileIndex.export(idx, p, file)
+      val (_, _, p2) = SingleFileIndex.importLocal(file)
+      assert(p2.metric == m, s"metric $m reopened as ${p2.metric}")
+      val mm = new MmapIndex(file)
+      try assert(mm.meta.distanceName.contains("Dist" + m.capitalize))
+      finally mm.close()
+    }
+  }
+
+  test("unknown distance_name in file metadata fails loudly instead of defaulting to l2") {
+    intercept[IllegalArgumentException] {
+      SingleFileIndex.nameToMetric("anndists::dist::distances::DistJaccard")
+    }
+  }
+
   test("export refuses an index beyond the driver-heap guard with a clear message") {
     val vecs = Tables.embeddings(spark, SparkSpecBase.sf001)
     val idx = VamanaIndex.build(vecs, params, numShards = 1)
