@@ -140,8 +140,18 @@ object HnswIndex {
     import spark.implicits._
     val raw = spark.read.parquet(s"$path/graph")
       .select("vec_id", "embedding", "shard", "layers").as[HnswRow]
-    // re-cluster so each shard's graph is whole within a task
-    val nShards = raw.select("shard").distinct().count().toInt
+    // re-cluster so each shard's graph is whole within a task. The
+    // shard count comes from metadata.json — save() recorded it, so
+    // open is O(metadata); recomputing it here cost a full scan +
+    // shuffle of the adjacency table per open. Fall back to the scan
+    // only for a foreign directory without usable metadata.
+    val nShards = scala.util.Try {
+      val meta = loadMeta(path)
+      spark.read.json(spark.createDataset(Seq(meta))(
+          org.apache.spark.sql.Encoders.STRING))
+        .selectExpr("CAST(num_shards AS INT)").head().getInt(0)
+    }.filter(_ > 0)
+      .getOrElse(raw.select("shard").distinct().count().toInt)
     raw.repartition(math.max(1, nShards), $"shard").as[HnswRow]
   }
 

@@ -562,6 +562,14 @@ object SingleFileIndex {
     require(meta.elemSize == 1 && metricName == "l2",
       s"importLocalU8 serves u8/L2 files; this one is elem_size " +
         s"${meta.elemSize} with distance ${meta.distanceName}")
+    // U8Graph's exact integer accumulation holds only for dim ≤ 8192
+    // (8192·255² < 2³¹) — checked HERE, before the full code read and
+    // any medoid fallback scan, instead of crashing in the U8Graph
+    // constructor after both. MmapIndex makes the same cut.
+    require(meta.dim <= 8192,
+      s"importLocalU8 requires dim <= 8192 for exact integer " +
+        s"distances (file dim ${meta.dim}) — use importLocal's " +
+        "widened-f32 path for larger dims")
     val n = meta.numVectors
     val dim = meta.dim
     val raf = new RandomAccessFile(path, "r")
@@ -779,6 +787,35 @@ final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong)
   private val byteScratch = if (u8L2) new Array[Byte](dim) else null
   private var qIntValid = false
 
+  /** Serving entry point: the file's stored medoid when valid. A
+    * foreign file carrying the reference's 0xFFFFFFFF no-medoid
+    * sentinel (or an out-of-range id) gets the same deterministic
+    * pivot-medoid fallback as [[SingleFileIndex.importLocalU8]],
+    * computed once off the mapping — previously such a file crashed
+    * every search with a negative mmap read. Same pivot rule and
+    * per-row pivot-ascending sum order as the u8 importer, so both
+    * paths elect the same entry. */
+  lazy val entryPoint: Int =
+    if (meta.medoidId >= 0 && meta.medoidId < n) meta.medoidId
+    else {
+      val np = math.min(64, n)
+      val step = math.max(1, n / np)
+      val pivots = (0 until np).map(_ * step % n).distinct.toArray
+      val pvecs = pivots.map(vector)
+      var best = 0; var bestScore = Double.MaxValue
+      var i = 0
+      while (i < n) {
+        var s = 0.0; var p = 0
+        while (p < pvecs.length) {
+          val qn = prepQuery(pvecs(p))
+          s += distQ(pvecs(p), qn, i); p += 1
+        }
+        if (s < bestScore) { bestScore = s; best = i }
+        i += 1
+      }
+      best
+    }
+
   /** Copy row `i` into a fresh array (reference get_vector, lib.rs:724);
     * packed rows come back bit-per-slot. */
   def vector(i: Int): Array[Float] = {
@@ -896,6 +933,10 @@ final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong)
     * ascending. */
   def search(q: Array[Float], k: Int, beamWidth: Int): Array[(Long, Double)] = {
     val bw = math.max(beamWidth, k)
+    // force the (possibly fallback-computed) entry BEFORE prepQuery:
+    // the fallback scan preps pivot queries and would clobber the
+    // cached query state prepQuery is about to set
+    val entry = entryPoint
     val qNorm = prepQuery(q)
 
     val wIds = new Array[Int](bw)
@@ -920,7 +961,6 @@ final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong)
         if (c != 0) c else java.lang.Double.compare(a(1), b(1))
       })
 
-    val entry = meta.medoidId
     val d0 = distQ(q, qNorm, entry)
     visited.add(entry); wInsert(entry, d0); frontier.add(Array(d0, entry.toDouble))
 
@@ -1022,6 +1062,7 @@ final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong)
       cb: PqCodebook, codes: Array[Byte]): Array[(Long, Double)] = {
     require(codes.length == n.toLong * cb.m,
       s"codes length ${codes.length} != n($n)·m(${cb.m}) — state from another file?")
+    val entry = entryPoint // force before prepQuery (see search)
     val qNorm = prepQuery(q)
     val qSteer =
       if (!isCos) q
@@ -1029,7 +1070,7 @@ final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong)
         val inv = 1.0 / qNorm
         Array.tabulate(dim)(i => (q(i) * inv).toFloat)
       }
-    PqSearch.search(adjacencyInto, meta.maxDegree, meta.medoidId, cb.lut(qSteer), codes, cb,
+    PqSearch.search(adjacencyInto, meta.maxDegree, entry, cb.lut(qSteer), codes, cb,
         j => distQ(q, qNorm, j), k, math.max(beamWidth, k))
       .map { case (rowId, d) => (ids(rowId), d) }
   }

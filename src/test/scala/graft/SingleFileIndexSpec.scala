@@ -245,6 +245,15 @@ class SingleFileIndexSpec extends AnyFunSuite {
     val a = g8.search(q, 5, 32).map { case (p, d) => (ids8(p), d) }.toSeq
     val b = gf.search(q, 5, 32).map { case (p, d) => (ids8(p), d) }.toSeq
     assert(a == b, s"$a vs $b")
+    // the MMAP serving path must elect the same fallback entry and
+    // return the same rows (it used to crash on the -1 sentinel with
+    // a negative mapping read)
+    val mm = new MmapIndex(patched)
+    try {
+      assert(mm.entryPoint == g8.entry, s"${mm.entryPoint} vs ${g8.entry}")
+      val c = mm.search(q, 5, 32).toSeq
+      assert(c == a, s"$c vs $a")
+    } finally mm.close()
   }
 
   test("segmented mmap (tiny maxSegBytes) serves identically to one segment") {
