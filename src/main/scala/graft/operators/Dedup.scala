@@ -517,14 +517,33 @@ object Dedup {
     * hyperplane hash is locality-sensitive for cosine. */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
+    // ONE scan through the saltedPairs skew guard (same as simhash /
+    // jaccard) instead of a raw bucket self-join: the join shape
+    // materialized every collision as a row carrying BOTH 64-float
+    // vectors before the cosine filter ran — the module's documented
+    // row-plumbing pathology — and re-evaluated the 6-plane LSH hash
+    // on each join side; a hot bucket pinned one task on O(b²) wide
+    // rows. The emitted pair set is provably unchanged (saltExplode),
+    // and the JVM cosine mirrors CosineDistance.evalVectors term for
+    // term, so the doubles reaching round() are bit-identical to the
+    // old expression plan's.
+    val rows = Tables.embeddings(s, dir)
       .withColumn("bucket", graft.functions.VectorExprs.lshBucket($"embedding", 6))
-    val a = e.select($"vec_id".as("id_a"), $"bucket", $"embedding".as("va"))
-    val b = e.select($"vec_id".as("id_b"), $"bucket", $"embedding".as("vb"))
-    a.join(b, "bucket").filter($"id_a" < $"id_b")
-      .withColumn("cos_sim", lit(1.0) - cosineDist($"va", $"vb"))
-      .filter($"cos_sim" >= CosineTau)
-      .select($"id_a", $"id_b", round($"cos_sim", 4).as("cos_sim"))
+      .select($"bucket".cast("string").as("block"), $"vec_id", $"embedding")
+      .as[(String, Long, Array[Float])]
+    saltedPairs(rows) { case ((ida, va), (idb, vb)) =>
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      val n = math.min(va.length, vb.length)
+      while (i < n) {
+        val xi = va(i).toDouble; val yi = vb(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      val sim = if (nx == 0.0 || ny == 0.0) 0.0
+        else dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (sim >= CosineTau) Some((ida, idb, sim)) else None
+    }
+      .toDF("id_a", "id_b", "sim")
+      .select($"id_a", $"id_b", round($"sim", 4).as("cos_sim"))
       .orderBy($"id_a", $"id_b")
   }
 

@@ -126,7 +126,8 @@ object Relational {
       .withColumn("ts_us", unix_micros($"ts"))
       .withColumn("prev_us", lag($"ts_us", 1).over(wOrd))
       .withColumn("is_new",
-        when($"prev_us".isNull || $"ts_us" - $"prev_us" > 1800000000L, 1).otherwise(0))
+        when($"prev_us".isNull ||
+          $"ts_us" - $"prev_us" > graft.streaming.StreamOps.GapUs, 1).otherwise(0))
       .withColumn("session_id",
         sum($"is_new").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"session_id")
@@ -138,13 +139,13 @@ object Relational {
   }
 
   val sessionizeSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
       |  FROM events
       |), m AS (
       |  SELECT user_id, event_id, ts_us,
-      |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > ${graft.streaming.StreamOps.GapUs} THEN 1 ELSE 0 END AS is_new
       |  FROM e
       |), sflag AS (
       |  SELECT user_id, ts_us,

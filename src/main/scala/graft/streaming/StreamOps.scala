@@ -109,7 +109,7 @@ object StreamOps {
   def streamingSelect(docs: DataFrame): Dataset[SelectOut] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.operators.TextAnalysis.scoreForSelect(docs)
+    val scored = graft.operators.TextAnalysis.scoreForSelect(docs)
       .as[(Long, String, Double, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Long, SelectOut](
@@ -124,12 +124,30 @@ object StreamOps {
             SelectOut(id, q, l, dup, !dup && l == "en" && q >= 0.5)
           }
       }
+    // scoreForSelect (via withQualityCols) drops empty/whitespace-only
+    // docs from scoring; the flagged-not-dropped contract still owes
+    // downstream a verdict row for them — rejected, stateless (an
+    // empty doc can never be a keeper or selected)
+    val empties = docs
+      .where(expr("size(filter(split(text, ' '), w -> w != '')) = 0"))
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(id => SelectOut(id, 0.0, "und", is_dup = false, selected = false))
+    scored.union(empties)
   }
 
   /** Stateful sessionizer: 30-minute inactivity gap. A session is
     * emitted when a newer event of the same user arrives past the gap;
-    * late events inside the current session extend it monotonically
-    * (min start, max last), so state never moves backwards.
+    * late events within one gap of the current session extend it
+    * (min start, max last). An event arriving more than the gap
+    * BEFORE the open session's start is emitted immediately as its
+    * own singleton session — it can never belong to the open one.
+    * Streaming therefore equals the batch operator exactly whenever
+    * cross-batch lateness stays within the gap (the StreamingSpec
+    * pin); for later-than-gap stragglers batch may merge the
+    * singleton with even-earlier events streaming already flushed —
+    * the bounded, documented deviation of eager emission (the
+    * alternative, watermark-buffered emission, holds every event
+    * until the watermark passes).
     *
     * Known contract: the LAST session of a user who never returns is
     * held open in state (no timeout flush). A processing-time-timeout
@@ -154,6 +172,16 @@ object StreamOps {
               case s if e.ts_us - s.last_us > GapUs =>
                 out += SessionOut(user, s.start_us, s.last_us, s.n)
                 SessionState(e.ts_us, e.ts_us, 1)
+              case s if s.start_us - e.ts_us > GapUs =>
+                // out-of-order event more than the gap BEFORE the open
+                // session: merging would stretch the live session
+                // across a silence longer than the gap (the batch
+                // operator would never produce that). It is by
+                // definition its own earlier session — emit it
+                // immediately as a singleton; the open session's
+                // state is untouched.
+                out += SessionOut(user, e.ts_us, e.ts_us, 1)
+                s
               case s => SessionState(math.min(s.start_us, e.ts_us),
                 math.max(s.last_us, e.ts_us), s.n + 1)
             }

@@ -44,6 +44,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0L, 10 * m, 2L), (1L, 50 * m, 50 * m, 1L)))
   }
 
+  test("out-of-order event beyond the gap becomes its own session, not a merge") {
+    // regression: a straggler arriving more than the gap BEFORE the
+    // open session used to merge into it, stretching the live session
+    // across a >gap silence the batch operator would never produce
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessoo").start()
+    val m = 60L * 1000000
+    mem.addData(Ev(1, 0 * m, "click", 1.0), Ev(1, 50 * m, "click", 1.0))
+    q.processAllAvailable() // session [0,0] closed; [50m] open
+    mem.addData(Ev(1, 10 * m, "late", 1.0)) // >gap before open start
+    q.processAllAvailable()
+    mem.addData(Ev(1, 120 * m, "click", 1.0)) // closes the 50m session
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sessoo").as[(Long, Long, Long, Long)].collect().sorted
+    // the straggler is a singleton; the open session stayed [50m,50m]
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 1L), (1L, 10 * m, 10 * m, 1L), (1L, 50 * m, 50 * m, 1L)),
+      out.toSeq.toString)
+  }
+
+  test("streaming select emits a rejected verdict for empty docs, not silence") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingSelect(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("selempty").start()
+    mem.addData((1L, "the quick brown fox " * 30), (2L, "   "), (3L, ""))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("selempty")
+      .select($"doc_id", $"selected").as[(Long, Boolean)].collect().sorted
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), out.toSeq.toString)
+    assert(!out.find(_._1 == 2L).get._2 && !out.find(_._1 == 3L).get._2)
+  }
+
   test("streaming sessionizer == batch q_sessionize on closed sessions") {
     // the REAL events table through the stateful sessionizer: every
     // session the stream closes must match the batch window-lag
