@@ -60,12 +60,18 @@ case class SimHash62(child: Expression)
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<bigint>, got ${t.simpleString}")
   }
 
+  // a null ELEMENT yields a null code (the SQL aggregate this pins
+  // equivalence to propagates NULL), so the result can be null even
+  // for a non-null array
+  override def nullable: Boolean = true
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val counts = new Array[Int](62)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val h = arr.getLong(i)
       var b = 0
       while (b < 62) {
@@ -183,14 +189,17 @@ case class WordShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Distinct character n-grams, sorted in UTF8 binary (= Unicode code
-  * point) order — the SAME collation [[SortedIntersectCount]] merges
-  * in and Spark's `array_sort` sorts strings in, so sortedness is
-  * consistent for ALL inputs including surrogate-range text (JVM
-  * String order would diverge there: UTF-16 code units place
-  * supplementary characters below U+E000..U+FFFF). Consumers merging
-  * the decoded JVM strings must compare code points
-  * ([[SharedHash.codePointCompare]]), not String.compareTo. */
+/** Distinct character n-grams — n counts CODE POINTS (grams step by
+  * code point, matching the oracle's character-based substring; UTF-16
+  * unit stepping would split surrogate pairs on non-BMP text) —
+  * sorted in UTF8 binary (= Unicode code point) order: the SAME
+  * collation [[SortedIntersectCount]] merges in and Spark's
+  * `array_sort` sorts strings in, so sortedness is consistent for ALL
+  * inputs including surrogate-range text (JVM String order would
+  * diverge there: UTF-16 code units place supplementary characters
+  * below U+E000..U+FFFF). Consumers merging the decoded JVM strings
+  * must compare code points ([[SharedHash.codePointCompare]]), not
+  * String.compareTo. */
 case class CharNGramsSorted(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "graft_char_ngrams_sorted"
@@ -203,11 +212,26 @@ case class CharNGramsSorted(child: Expression, n: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString
+    // grams advance by CODE POINT, not UTF-16 unit: unit-stepping
+    // splits surrogate pairs (lone surrogates get replaced by
+    // UTF8String.fromString) and disagrees with the oracle's
+    // character-based substring for any non-BMP text
+    val starts = {
+      val b = new Array[Int](s.length)
+      var cnt = 0; var i = 0
+      while (i < s.length) {
+        b(cnt) = i; cnt += 1
+        i += Character.charCount(s.codePointAt(i))
+      }
+      (b, cnt)
+    }
+    val (off, cp) = starts
     val set = new java.util.TreeSet[UTF8String]()
-    var i = 0
-    while (i + n <= s.length) {
-      set.add(UTF8String.fromString(s.substring(i, i + n)))
-      i += 1
+    var g = 0
+    while (g + n <= cp) {
+      val end = if (g + n < cp) off(g + n) else s.length
+      set.add(UTF8String.fromString(s.substring(off(g), end)))
+      g += 1
     }
     val arr = new Array[AnyRef](set.size)
     val it = set.iterator(); var k = 0

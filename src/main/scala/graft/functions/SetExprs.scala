@@ -36,11 +36,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
     val na = a.numElements(); val nb = b.numElements()
-    while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+    var done = false
+    while (!done && i < na && j < nb) {
+      val ua = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      val ub = if (b.isNullAt(j)) null else b.getUTF8String(j)
+      // SQL semantics: NULL equals nothing. array_sort places nulls
+      // last, so once either side reaches a null element nothing
+      // further can match — stop instead of NPE-ing on compareTo.
+      if (ua == null || ub == null) done = true
+      else {
+        val cmp = ua.compareTo(ub)
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -50,11 +59,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val ua = ctx.freshName("ua"); val ub = ctx.freshName("ub")
       s"""
          |int $i = 0, $j = 0, $c = 0;
          |final int $na = $a.numElements(), $nb = $b.numElements();
          |while ($i < $na && $j < $nb) {
-         |  final int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  final UTF8String $ua = $a.isNullAt($i) ? null : $a.getUTF8String($i);
+         |  final UTF8String $ub = $b.isNullAt($j) ? null : $b.getUTF8String($j);
+         |  if ($ua == null || $ub == null) break; // nulls sort last; nothing further matches
+         |  final int $cmp = $ua.compareTo($ub);
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) $i++;
          |  else $j++;

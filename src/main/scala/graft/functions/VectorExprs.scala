@@ -351,6 +351,8 @@ case class NearestCell(child: Expression, cells: Array[Int], cents: Array[Array[
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(cells.length == cents.length && cells.nonEmpty,
     s"NearestCell: ${cells.length} cell ids vs ${cents.length} centroids")
+  require(cents.forall(_.length == cents(0).length),
+    "NearestCell: centroids have inconsistent dimensions")
   override def prettyName: String = "graft_nearest_cell"
   override def dataType: DataType = IntegerType
 
@@ -363,6 +365,12 @@ case class NearestCell(child: Expression, cells: Array[Int], cents: Array[Array[
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // explicit dim check like every sibling distance expression: a
+    // longer vector would index past the centroid (raw AIOOBE), a
+    // shorter one would silently assign by a partial-dim distance
+    if (n != cents(0).length)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dim $n != centroid dim ${cents(0).length}")
     var best = -1; var bestD = Double.MaxValue
     var c = 0
     while (c < cents.length) {
@@ -386,6 +394,10 @@ case class NearestCell(child: Expression, cells: Array[Int], cents: Array[Array[
       val dist = ctx.freshName("dist"); val row = ctx.freshName("row")
       s"""
          |final int $n = $v.numElements();
+         |if ($n != $cv[0].length) {
+         |  throw new IllegalArgumentException(
+         |    "graft_nearest_cell: vector dim " + $n + " != centroid dim " + $cv[0].length);
+         |}
          |int $best = -1;
          |double $bestD = Double.MAX_VALUE;
          |for (int $c = 0; $c < $cv.length; $c++) {
@@ -505,6 +517,8 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("graft_l2_distance", es => L2Distance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine_distance", es => CosineDistance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_l1_distance", es => L1Distance(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_linf_distance", es => LinfDistance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_int_sql2_distance", es => IntSqL2Distance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_pq_adc_distance",
       es => PqAdcDistance(es.head, es(1), es(2).eval(null).asInstanceOf[Number].intValue), "scala_udf")

@@ -90,6 +90,13 @@ case class KnnJoinExec(
         while (qi < nq) {
           if (excl && qs(qi)._1 == id) { qi += 1 }
           else {
+          // explicit dim check (same contract as the VectorExprs
+          // expressions): a longer query would silently drop its
+          // extra dims, a shorter one would AIOOBE deep in Metric
+          if (qs(qi)._2.length != vec.length)
+            throw new IllegalArgumentException(
+              s"knn join: query dim ${qs(qi)._2.length} != corpus dim " +
+                s"${vec.length} (corpus id $id)")
           val d = m.eval(qs(qi)._2, 0, vec, 0, vec.length)
           val sz = sizes(qi)
           val di = dists(qi); val ii = ids(qi)

@@ -246,8 +246,9 @@ object AnnHdf5 {
       spark.sparkContext.hadoopConfiguration)
     val parts = math.min(spark.sparkContext.defaultParallelism.toLong, math.max(1L, meta.rows)).toInt
     spark.range(0, meta.rows, 1, parts).mapPartitions { it =>
-      val rowIds = it.toArray
-      if (rowIds.isEmpty) Iterator.empty
+      // stream straight off the id iterator — materializing the ids
+      // (it.toArray) boxed ~rows/parts Longs per task for no benefit
+      if (!it.hasNext) Iterator.empty
       else {
         val p = new HPath(path)
         val fs = p.getFileSystem(org.apache.spark.sql.graft.bridge.hadoopConfOf(conf))
@@ -258,7 +259,7 @@ object AnnHdf5 {
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
         val rowBytes = meta.cols * meta.elemSize
         val buf = new Array[Byte](rowBytes)
-        rowIds.iterator.map { row =>
+        it.map { row =>
           in.readFully(meta.dataAddr + row * rowBytes.toLong, buf)
           val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
           val arr = new Array[Float](meta.cols)
@@ -282,8 +283,7 @@ object AnnHdf5 {
       spark.sparkContext.hadoopConfiguration)
     val parts = math.min(spark.sparkContext.defaultParallelism.toLong, math.max(1L, meta.rows)).toInt
     spark.range(0, meta.rows, 1, parts).mapPartitions { it =>
-      val rowIds = it.toArray
-      if (rowIds.isEmpty) Iterator.empty
+      if (!it.hasNext) Iterator.empty
       else {
         val p = new HPath(path)
         val fs = p.getFileSystem(org.apache.spark.sql.graft.bridge.hadoopConfOf(conf))
@@ -292,7 +292,7 @@ object AnnHdf5 {
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
         val rowBytes = meta.cols * meta.elemSize
         val buf = new Array[Byte](rowBytes)
-        rowIds.iterator.map { row =>
+        it.map { row =>
           in.readFully(meta.dataAddr + row * rowBytes.toLong, buf)
           val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
           val arr = new Array[Long](meta.cols)

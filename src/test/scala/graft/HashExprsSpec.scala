@@ -66,6 +66,16 @@ class HashExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngrams step by code point, not UTF-16 unit (no split surrogates)") {
+    // "ab😀cd" = 5 code points but 6 UTF-16 units; unit-stepping would
+    // emit 4 grams including two lone-surrogate strings — the oracle's
+    // character-based substring yields exactly these 3
+    val grams = Seq("ab😀cd").toDF("text")
+      .select(HashExprs.charNGramsSorted($"text", 3).as("g"))
+      .collect()(0).getSeq[String](0)
+    assert(grams == Seq("ab😀", "b😀c", "😀cd"), grams.toString)
+  }
+
   test("native SimHash62 == SQL fragment on token hashes") {
     val df = Seq("the quick brown fox", "spark spark spark streams", "one")
       .toDF("text")

@@ -76,10 +76,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("Functions [partial"), p)
   }
 
-  test("q_dedup_embed: bucket equi-join, never a cartesian product") {
+  test("q_dedup_embed: salted bucket-local pairs — no join, no cartesian, one scan") {
+    // the salted pair kernel replaced the bucket self-join: pair
+    // generation is a grouped in-task loop, so the plan must carry NO
+    // join of any kind and read the embeddings exactly once
     val p = planOf(operators.Dedup.qDedupEmbed(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("Join"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("MapGroups"), p)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"embeddings scanned more than once:\n$p")
   }
 
   test("q_knn_u8: cached codes, broadcast queries, native int distance in the pair loop") {

@@ -84,6 +84,21 @@ class VectorExprsSpec extends AnyFunSuite {
     df.createOrReplaceTempView("vex")
     val n = spark.sql("SELECT graft_cosine_distance(a, b) AS d FROM vex").count()
     assert(n == 3)
+    // l1/linf were the only expressions missing from the registry
+    assert(spark.sql("SELECT graft_l1_distance(a, b) FROM vex").count() == 3)
+    assert(spark.sql("SELECT graft_linf_distance(a, b) FROM vex").count() == 3)
+  }
+
+  test("NearestCell rejects a vector whose dim differs from the centroids'") {
+    import spark.implicits._
+    val cents = Array((0, Array(0f, 0f)), (1, Array(1f, 1f)))
+    val bad = Seq(Tuple1(Array(0.5f, 0.5f, 0.5f))).toDF("v")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.VectorExprs.nearestCell($"v", cents)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("centroid dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("centroid dim")),
+      s"unexpected: $e")
   }
 
   test("native LshBucket == interpreted SQL HOF fragment on real embeddings") {
