@@ -26,7 +26,7 @@ object GraftANN {
   final class Handle private[GraftANN] (
       val spark: SparkSession,
       val path: String,
-      val params: VamanaParams) extends Serializable {
+      val params: VamanaParams) {
 
     lazy val index: Dataset[IndexRow] = VamanaIndex.load(spark, path)
 
@@ -139,7 +139,7 @@ object GraftANN {
   final class HnswHandle private[GraftANN] (
       val spark: SparkSession,
       val path: String,
-      val params: HnswParams) extends Serializable {
+      val params: HnswParams) {
 
     lazy val index: Dataset[HnswRow] = HnswIndex.load(spark, path)
 

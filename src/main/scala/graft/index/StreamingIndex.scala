@@ -35,11 +35,21 @@ object StreamingIndex {
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** Existence check through the Hadoop filesystem of the path — a
+    * bare java.io.File test silently answers false for every
+    * non-local scheme (hdfs://, s3://…), which would serve deleted
+    * vectors again and skip the compaction drop with no error. */
+  private def tombstoneLogExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** The accumulated tombstone set (empty when none recorded). */
   def tombstones(spark: org.apache.spark.sql.SparkSession,
       path: String): Set[Long] = {
     import spark.implicits._
-    if (!new java.io.File(s"$path/tombstones").exists()) Set.empty
+    if (!tombstoneLogExists(spark, path)) Set.empty
     else spark.read.parquet(s"$path/tombstones")
       .select($"vec_id").as[Long].collect().toSet
   }
@@ -58,7 +68,11 @@ object StreamingIndex {
     * of the segment-per-batch design — run it when small streaming
     * segments accumulate). `capFactor > 0` routes through
     * [[VamanaIndex.buildCapped]] so a skewed accumulated stream cannot
-    * produce an oversized merged shard. */
+    * produce an oversized merged shard.
+    *
+    * The activate/rollback swap below uses LOCAL-filesystem renames;
+    * on an object store, compact to a fresh path and repoint serving
+    * instead (renameTo fails loudly there, never silently). */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -73,15 +87,20 @@ object StreamingIndex {
     // broadcasting through the driver; the log itself retires with
     // the old directory in the swap below
     val vectors =
-      if (!new java.io.File(s"$path/tombstones").exists()) all
+      if (!tombstoneLogExists(spark, path)) all
       else all.join(spark.read.parquet(s"$path/tombstones").select(col("vec_id")),
         Seq("vec_id"), "left_anti")
     val rebuilt =
       if (capFactor > 0) VamanaIndex.buildCapped(vectors, params, numShards, capFactor)
       else VamanaIndex.build(vectors, params, numShards)
-    // write to a temp location first: build reads lazily from `path`
+    // write to a temp location first: build reads lazily from `path`.
+    // On save failure (e.g. every vector tombstoned → empty index)
+    // remove the partial temp dir so retries start clean.
     val tmp = new java.io.File(s"$path-compacting")
-    VamanaIndex.save(rebuilt, params, tmp.getPath)
+    try VamanaIndex.save(rebuilt, params, tmp.getPath)
+    catch { case e: Throwable =>
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp); throw e
+    }
     // two-step swap, each rename checked: the old index survives at
     // `-old` until the new one is in place, so no failure mode loses
     // the data silently
@@ -91,8 +110,14 @@ object StreamingIndex {
     if (!live.renameTo(old))
       throw new java.io.IOException(s"compact: could not move $path aside; new index left at $tmp")
     if (!tmp.renameTo(live)) {
-      old.renameTo(live) // roll back
-      throw new java.io.IOException(s"compact: could not activate $tmp; original restored at $path")
+      // roll back, and tell the operator the truth about where the
+      // data actually is — an unchecked rollback used to claim
+      // "restored" even when the restore rename itself failed
+      val restored = old.renameTo(live)
+      throw new java.io.IOException(
+        if (restored) s"compact: could not activate $tmp; original restored at $path"
+        else s"compact: could not activate $tmp AND rollback failed — " +
+          s"original index is at $old, nothing is live at $path")
     }
     org.apache.commons.io.FileUtils.deleteDirectory(old)
   }
@@ -140,7 +165,16 @@ object StreamingIndex {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val base = (batchId * ShardsPerBatchBase).toInt
+          // shard ids are Int: past ~2.1M batches the base would wrap
+          // negative and alias earlier batches' shard ids — appending
+          // unrelated segments into one shard partition, which load()
+          // would then stitch into a corrupt graph. Fail loudly first;
+          // the remedy is a compact() (resets segment numbering).
+          val baseL = batchId * ShardsPerBatchBase
+          require(baseL + ShardsPerBatchBase <= Int.MaxValue,
+            s"ingest: batchId $batchId overflows the Int shard-id space — " +
+              "run compact() to reset segment numbering")
+          val base = baseL.toInt
           VamanaIndex.build(batch, params, shardsPerBatch)
             .map(r => r.copy(shard = r.shard + base))
             .write.mode("append").partitionBy("shard")

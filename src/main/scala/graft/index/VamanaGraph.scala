@@ -356,17 +356,24 @@ final class VamanaGraph(
     val bw = math.max(beamWidth, k)
     val wIds = new Array[Int](bw)
     val wDists = new Array[Double](bw)
-    val qNorm = if (isCosine) {
-      var acc = 0.0; var i = 0
-      while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
-      math.max(math.sqrt(acc), java.lang.Double.MIN_NORMAL)
-    } else 0.0
+    val qNorm = queryNorm(q)
     val wLen = beamSearch(-1, q, qNorm, medoid, bw, s, collect = false, wIds, wDists)
     val out = new Array[(Int, Double)](math.min(k, wLen))
     var i = 0
     while (i < out.length) { out(i) = (wIds(i), wDists(i)); i += 1 }
     out
   }
+
+  /** Cosine query norm with the MIN_NORMAL floor (NaN guard) — ONE
+    * definition shared by search and searchFiltered so the guard can
+    * never drift between the two serving paths. */
+  @inline private def queryNorm(q: Array[Float]): Double =
+    if (!isCosine) 0.0
+    else {
+      var acc = 0.0; var i = 0
+      while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
+      math.max(math.sqrt(acc), java.lang.Double.MIN_NORMAL)
+    }
 
   /** Filtered serving search (the Filtered-DiskANN serving pattern,
     * Gollapudi et al. WWW'23 — predicated top-k without per-label
@@ -383,11 +390,7 @@ final class VamanaGraph(
     val bw = math.max(beamWidth, k)
     val wIds = new Array[Int](bw)
     val wDists = new Array[Double](bw)
-    val qNorm = if (isCosine) {
-      var acc = 0.0; var i = 0
-      while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
-      math.max(math.sqrt(acc), java.lang.Double.MIN_NORMAL)
-    } else 0.0
+    val qNorm = queryNorm(q)
     beamSearch(-1, q, qNorm, medoid, bw, s, collect = true, wIds, wDists)
     // compact the allowed prefix of the visited log in place (the log
     // is duplicate-free — epoch marks — and reset by the next search)

@@ -154,13 +154,16 @@ object VamanaIndex {
     val total = counts.values.sum
     val cap = math.max(1L, math.ceil(capFactor * total.toDouble / numShards).toLong)
     val oversized = counts.filter(_._2 > cap).keys.toSet
+    // ONE slice-count derivation, shared by the histogram pass and the
+    // re-tag kernel — two independent copies of this formula would let
+    // an edit desynchronize histogram keys from re-tag keys
+    val slicesOf: Map[Int, Int] = oversized.map { sh =>
+      sh -> 64 * math.ceil(counts(sh).toDouble / cap).toInt
+    }.toMap
     // (cell, slice) → sub-shard map from measured slice sizes
     val subOf: Map[(Int, Int), Int] =
       if (oversized.isEmpty) Map.empty
       else {
-        val slicesOf: Map[Int, Int] = oversized.map { sh =>
-          sh -> 64 * math.ceil(counts(sh).toDouble / cap).toInt
-        }.toMap
         val bcSlices = s.sparkContext.broadcast(slicesOf)
         val hist = assigned
           .filter($"shard".isInCollection(oversized))
@@ -189,8 +192,7 @@ object VamanaIndex {
       }
     val maxSplit = math.max(1, if (subOf.isEmpty) 1 else subOf.values.max + 1)
     val bcSub = s.sparkContext.broadcast(subOf)
-    val bcSlices2 = s.sparkContext.broadcast(
-      oversized.map(sh => sh -> 64 * math.ceil(counts(sh).toDouble / cap).toInt).toMap)
+    val bcSlices2 = s.sparkContext.broadcast(slicesOf)
     // zero-shuffle re-tag kernel (same shape as shardAssign's argmin
     // pass — no UDF boxing, no exchange)
     val recapped = assigned.select($"vec_id", $"embedding", $"shard",
@@ -207,7 +209,16 @@ object VamanaIndex {
         }
       }
       .toDF("vec_id", "embedding", "shard")
-    buildAssigned(recapped, params, numShards * maxSplit)
+    // materialize the built index eagerly so the persisted assignment
+    // can be RELEASED here — otherwise every buildCapped call pins a
+    // full corpus copy in executor storage for the JVM lifetime. The
+    // checkpoint holds the final index instead, and is freed when the
+    // caller's reference is garbage-collected (a cache entry with an
+    // owner, vs. an ownerless leak).
+    val built = buildAssigned(recapped, params, numShards * maxSplit)
+      .localCheckpoint(true)
+    assigned.unpersist()
+    built
   }
 
   /** Shared build tail: one repartition by shard, then per-shard
@@ -265,6 +276,11 @@ object VamanaIndex {
     // an unpersisted lazily-built index isn't rebuilt each time
     val wasPersisted = index.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     if (!wasPersisted) index.persist()
+    // a zero-row index used to die cryptically at head()/getInt —
+    // reachable through a legitimate delete-everything-then-compact
+    require(!index.isEmpty,
+      s"cannot save an empty index to $path — if every vector was " +
+        "tombstoned, delete the index directory instead of compacting it")
     index.write.mode("overwrite").partitionBy("shard").parquet(s"$path/graph")
     val stats = index.agg(
       count(lit(1)), max(size(col("neighbors"))), countDistinct(col("shard"))).head()
@@ -433,8 +449,16 @@ object VamanaIndex {
     val s = index.sparkSession
     import s.implicits._
     val qB = s.sparkContext.broadcast(queries)
-    val perShard = index.join(labels.select(col("vec_id"), col("label")), "vec_id")
-      .select(col("vec_id"), col("embedding"), col("shard"), col("neighbors"), col("label"))
+    // LEFT join: a vector without a label row must STAY IN THE GRAPH
+    // (sentinel label that matches no target) — an inner join removed
+    // unlabeled vectors from the traversal itself, fragmenting the
+    // shard graphs and collapsing recall whenever the labels frame
+    // covers only part of the corpus (a natural way to call this API)
+    val Unlabeled = Int.MinValue
+    val perShard = index
+      .join(labels.select(col("vec_id"), col("label")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"), col("shard"), col("neighbors"),
+        coalesce(col("label"), lit(Unlabeled)).as("label"))
       .repartition(col("shard"))
       .as[(Long, Array[Float], Int, Array[Long], Int)]
       .mapPartitions { it =>

@@ -50,6 +50,24 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"filtered recall@10 $recall below 0.8 floor")
   }
 
+  test("labels frame covering ONLY the target rows keeps the graph whole") {
+    // regression: the inner label join dropped unlabeled vectors from
+    // the traversal itself, fragmenting the shard graphs — a partial
+    // labels frame is a natural way to call this API and must behave
+    // like the full frame (unlabeled rows traverse, never match)
+    val full = Tables.embeddings(spark, dir).select($"vec_id", $"label")
+    val partial = full.filter($"label" === Target)
+    val queries = vecs.filter(_._1 % 50 == 0).map(v => (v._1, v._2))
+    val p = index.VamanaIndex.qParams
+    val idx = index.VamanaIndex.cachedIndex(spark, dir)
+    val a = VamanaIndex.searchFiltered(idx, full, queries, 10, 64, p, Target)
+      .select($"q_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect().sorted
+    val b = VamanaIndex.searchFiltered(idx, partial, queries, 10, 64, p, Target)
+      .select($"q_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect().sorted
+    assert(a.nonEmpty && a.sameElements(b),
+      s"partial labels diverged: ${a.length} vs ${b.length} rows")
+  }
+
   test("filtered search is deterministic") {
     val a = VamanaIndex.qVamanaFiltered(spark, dir).collect().toSeq
     val b = VamanaIndex.qVamanaFiltered(spark, dir).collect().toSeq
