@@ -39,7 +39,14 @@ object SharedHash {
   }
 
   private def codePointCompareSlow(a: String, b: String, from: Int): Int = {
-    var i = from; var j = from
+    // if the shared unit just before the first difference is a high
+    // surrogate, it pairs in one string and dangles in the other —
+    // decoding must start AT that unit or the comparison inverts
+    // (e.g. U+10000 vs lone U+D800 followed by U+E000)
+    val start =
+      if (from > 0 && Character.isHighSurrogate(a.charAt(from - 1))) from - 1
+      else from
+    var i = start; var j = start
     while (i < a.length && j < b.length) {
       val ca = a.codePointAt(i); val cb = b.codePointAt(j)
       if (ca != cb) return Integer.compare(ca, cb)

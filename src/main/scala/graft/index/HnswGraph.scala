@@ -77,6 +77,12 @@ final class HnswGraph(
     x ^ (x >>> 31)
   }
 
+  require(params.m >= 2,
+    s"HNSW m must be >= 2 (got ${params.m}): m = 1 makes the level " +
+      "multiplier 1/ln(1) infinite — every node would draw the 31-level cap")
+  require(params.efConstruction >= 1,
+    s"efConstruction must be >= 1, got ${params.efConstruction}")
+
   private val mL = 1.0 / math.log(params.m.toDouble)
 
   /** level(i) = floor(-ln(u)·mL), u uniform in (0,1] from the (seed,
@@ -121,8 +127,6 @@ final class HnswGraph(
     cur
   }
 
-  /** Beam (ef) search at one layer from `ep`; returns up to `ef`
-    * (dist, id) pairs sorted ascending by (dist, id). */
   /** (dist, id) ascending — ids break distance ties for determinism. */
   private val nearFirst = new java.util.Comparator[Array[Double]] {
     def compare(a: Array[Double], b: Array[Double]): Int = {
@@ -131,6 +135,8 @@ final class HnswGraph(
     }
   }
 
+  /** Beam (ef) search at one layer from `ep`; returns up to `ef`
+    * (dist, id) pairs sorted ascending by (dist, id). */
   private def searchLayer(
       q: Array[Float], qNorm: Double, ep: Int, ef: Int, lev: Int,
       visitLog: scala.collection.mutable.ArrayBuffer[(Double, Int)] = null)
@@ -155,9 +161,14 @@ final class HnswGraph(
           if (visited.add(nb)) {
             val d = distQ(q, qNorm, nb)
             if (visitLog != null) visitLog += ((d, nb))
-            if (res.size() < ef || nearFirst.compare(Array(d, nb.toDouble), res.peek()) < 0) {
-              cand.add(Array(d, nb.toDouble))
-              res.add(Array(d, nb.toDouble))
+            // scalar compare + ONE shared entry array per accepted
+            // candidate: the rejected-neighbor path (the common one
+            // at ef << visited) allocates nothing
+            val w = if (res.size() < ef) null else res.peek()
+            if (w == null || d < w(0) || (d == w(0) && nb.toDouble < w(1))) {
+              val e = Array(d, nb.toDouble)
+              cand.add(e)
+              res.add(e)
               if (res.size() > ef) res.poll()
             }
           }

@@ -121,6 +121,10 @@ object HnswIndex {
   def save(index: Dataset[HnswRow], hp: HnswParams, path: String): Unit = {
     val wasPersisted = index.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     if (!wasPersisted) index.persist()
+    // same guard as VamanaIndex.save: a zero-row index would die
+    // cryptically at head() after half-writing the directory
+    require(!index.isEmpty,
+      s"cannot save an empty HNSW index to $path")
     index.write.mode("overwrite").partitionBy("shard").parquet(s"$path/graph")
     val stats = index.agg(
       count(lit(1)), max(size(col("layers"))), countDistinct(col("shard"))).head()

@@ -162,12 +162,10 @@ object PqCodebook {
           var best = 0; var bestD = Double.MaxValue
           var j = 0
           while (j < ksub) {
-            val cOff = (sub * ksub + j) * subDim
-            var acc = 0.0; var i = 0
-            while (i < subDim) {
-              val d = vecs(base + i).toDouble - cents(cOff + i).toDouble
-              acc += d * d; i += 1
-            }
+            // the ONE subspace distance kernel (same accumulation
+            // order as encode) — an inline copy here could drift and
+            // break the train/encode consistency invariant
+            val acc = cb.subSqL2(vecs, row * dim, sub, j)
             if (acc < bestD) { bestD = acc; best = j }
             j += 1
           }

@@ -49,6 +49,12 @@ class TopKAgg(k: Int, distinctIds: Boolean = false)
 
   override def reduce(b: TopKBuf, a: KnnCand): TopKBuf = {
     val n = b.ids.length
+    // O(1) reject FIRST, before any distinct-id scan: with a full
+    // buffer, a candidate not better than the last entry is a no-op
+    // even in distinct mode — if its id is resident, the resident
+    // pair is necessarily at least as good. The common path at
+    // |candidates| >> k pays no linear scan.
+    if (n >= k && !better(a.dist, a.id, b.dists(n - 1), b.ids(n - 1))) return b
     if (distinctIds) {
       // buffers are ≤ k entries, so a linear id scan is cheaper than
       // any auxiliary structure that would have to shuffle with it
@@ -63,7 +69,6 @@ class TopKAgg(k: Int, distinctIds: Boolean = false)
         p += 1
       }
     }
-    if (n >= k && !better(a.dist, a.id, b.dists(n - 1), b.ids(n - 1))) return b
     // binary search for insertion point by (dist, id)
     var lo = 0; var hi = n
     while (lo < hi) {
