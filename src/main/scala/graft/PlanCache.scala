@@ -1,0 +1,71 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Registry for the per-family cached inputs (shingle sets, token
+  * counts, quantized codes, …) that several queries — and repeated
+  * bench reps — share.
+  *
+  * Two problems this solves over ad-hoc `.cache()` calls:
+  *
+  *  1. **Bounded lifetime.** BENCH_r06 showed an ensemble collapse:
+  *     by the time the bench reached the allocation-heavy text
+  *     queries, the storage pool pinned every earlier family's warmed
+  *     caches and the run GC-thrashed (q_pipeline_select 83–167 s in
+  *     full-bench context vs 1.9 s standalone, judge-reproduced).
+  *     Registering each cache under its owning family lets the bench
+  *     `release(family)` the moment the family's reps complete — the
+  *     `assigned.unpersist()` discipline of `VamanaIndex.buildCapped`
+  *     applied everywhere.
+  *
+  *  2. **One entry per (session, dir), guaranteed.** CacheManager
+  *     keys entries by canonicalized plan, which matches pure-DSL
+  *     plans but NOT plans whose closures capture a fresh `Broadcast`
+  *     (each call builds a new closure instance, so `sameResult` is
+  *     false and every call registered a brand-new corpus-sized
+  *     entry — `PQ.codesDf` leaked one per bench rep this way).
+  *     Memoizing the Dataset object itself sidesteps plan matching.
+  *
+  * Keys carry the session's identity so a restarted session (test
+  * suites) never hands out a Dataset bound to a stopped context;
+  * entries of dead sessions are unreachable driver-side objects, not
+  * executor storage.
+  */
+object PlanCache {
+
+  private val entries = TrieMap.empty[(Int, String, String), Dataset[_]]
+
+  /** Memoized `build.cache()` under (session, family, key). `key`
+    * should include the sf dir plus any knobs the plan depends on.
+    * The call materializes nothing — callers decide when the first
+    * action runs (e.g. `Dedup.warm`). */
+  def getOrBuild[T](s: SparkSession, family: String, key: String)(
+      build: => Dataset[T]): Dataset[T] =
+    entries.getOrElseUpdate(
+      (System.identityHashCode(s), family, key), build.cache())
+      .asInstanceOf[Dataset[T]]
+
+  /** Unpersist (blocking — the bench times the NEXT family against a
+    * drained storage pool, so the free must complete first) and drop
+    * every entry registered under `family` for this session. */
+  def release(s: SparkSession, family: String): Unit = {
+    val sess = System.identityHashCode(s)
+    entries.keys.filter(k => k._1 == sess && k._2 == family).foreach { k =>
+      entries.remove(k).foreach { ds =>
+        try ds.unpersist(blocking = true) catch { case _: Throwable => }
+      }
+    }
+  }
+
+  /** All families of this session — bench end-of-run hygiene. */
+  def releaseAll(s: SparkSession): Unit = {
+    val sess = System.identityHashCode(s)
+    entries.keys.filter(_._1 == sess).foreach { k =>
+      entries.remove(k).foreach { ds =>
+        try ds.unpersist(blocking = true) catch { case _: Throwable => }
+      }
+    }
+  }
+}

@@ -177,6 +177,95 @@ case class LinfDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Generalized (weighted) Jaccard distance over non-negative
+  * vectors: 1 − Σ min(x,y) / Σ max(x,y). Reference: anndists
+  * DistJaccard (the reference is generic over any
+  * `anndists::Distance<T>`, lib.rs:7-8; anndists defines Jaccard over
+  * unsigned integer weights — this is the same formula widened to
+  * float). Both-zero vectors → 0 (identical), never NaN. Callers feed
+  * non-negative data (counts, quantized codes, abs of embeddings);
+  * negative inputs would make Σ max non-monotone and are the caller's
+  * contract to avoid, matching the unsigned domain of the original. */
+case class JaccardDistance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "graft_jaccard_distance"
+
+  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+    s"""
+       |double smin = 0.0; double smax = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  double xi = (double) $a.getFloat(i);
+       |  double yi = (double) $b.getFloat(i);
+       |  smin += Math.min(xi, yi); smax += Math.max(xi, yi);
+       |}
+       |$res = (smax == 0.0) ? 0.0 : 1.0 - smin / smax;
+     """.stripMargin
+
+  override protected def evalVectors(x: ArrayData, y: ArrayData): Double = {
+    var smin = 0.0; var smax = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
+      smin += math.min(xi, yi); smax += math.max(xi, yi); i += 1
+    }
+    if (smax == 0.0) 0.0 else 1.0 - smin / smax
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Hellinger distance: √(1 − Σ √(p·q)) over probability
+  * distributions. Reference: anndists DistHellinger, which requires
+  * inputs already L1-normalized; this form self-normalizes (p_i =
+  * |x_i| / Σ|x|) so it agrees exactly with anndists on its own domain
+  * (Σ|x| = 1 makes the division a no-op) and extends to raw
+  * non-negative weight vectors. The Bhattacharyya sum is clamped to
+  * [0,1] before the outer sqrt so float noise can never yield NaN.
+  * Both-zero vectors → 0 (no distribution to distinguish). */
+case class HellingerDistance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "graft_hellinger_distance"
+
+  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+    s"""
+       |double sa = 0.0; double sb = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  sa += Math.abs((double) $a.getFloat(i));
+       |  sb += Math.abs((double) $b.getFloat(i));
+       |}
+       |if (sa == 0.0 || sb == 0.0) { $res = (sa == sb) ? 0.0 : 1.0; }
+       |else {
+       |  double bc = 0.0;
+       |  for (int i = 0; i < $n; i++) {
+       |    bc += Math.sqrt((Math.abs((double) $a.getFloat(i)) / sa)
+       |        * (Math.abs((double) $b.getFloat(i)) / sb));
+       |  }
+       |  $res = Math.sqrt(Math.max(0.0, Math.min(1.0, 1.0 - bc)));
+       |}
+     """.stripMargin
+
+  override protected def evalVectors(x: ArrayData, y: ArrayData): Double = {
+    var sa = 0.0; var sb = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) {
+      sa += math.abs(x.getFloat(i).toDouble)
+      sb += math.abs(y.getFloat(i).toDouble); i += 1
+    }
+    if (sa == 0.0 || sb == 0.0) { if (sa == sb) 0.0 else 1.0 }
+    else {
+      var bc = 0.0; i = 0
+      while (i < n) {
+        bc += math.sqrt((math.abs(x.getFloat(i).toDouble) / sa)
+          * (math.abs(y.getFloat(i).toDouble) / sb))
+        i += 1
+      }
+      math.sqrt(math.max(0.0, math.min(1.0, 1.0 - bc)))
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Inner product: Σ x·y. Reference: anndists DistDot (ranking by −dot). */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {
@@ -498,6 +587,8 @@ object VectorExprs {
   def linfDist(a: Column, b: Column): Column = col2(LinfDistance)(a, b)
   def cosineDist(a: Column, b: Column): Column = col2(CosineDistance)(a, b)
   def dotProduct(a: Column, b: Column): Column = col2(DotProduct)(a, b)
+  def jaccardDist(a: Column, b: Column): Column = col2(JaccardDistance)(a, b)
+  def hellingerDist(a: Column, b: Column): Column = col2(HellingerDistance)(a, b)
   def intSqL2Dist(a: Column, b: Column): Column = col2(IntSqL2Distance)(a, b)
   def pqAdcDist(lut: Column, codes: Column, ksub: Int): Column =
     bridge.column(PqAdcDistance(bridge.expression(lut), bridge.expression(codes), ksub))

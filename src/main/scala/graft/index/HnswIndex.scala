@@ -194,6 +194,16 @@ object HnswIndex {
       idx
     })
 
+  /** Unpersist and drop every cached HNSW index — the bench calls
+    * this after the family's reps so the comparison family's storage
+    * doesn't stay pinned under later allocation-heavy queries. */
+  def release(): Unit =
+    cache.keys.foreach { k =>
+      cache.remove(k).foreach { ds =>
+        try ds.unpersist(blocking = true) catch { case _: Throwable => }
+      }
+    }
+
   private def benchQueries(s: SparkSession, dir: String): Array[(Long, Array[Float])] = {
     import s.implicits._
     graft.Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0)

@@ -59,13 +59,16 @@ object SingleFileIndex {
     "dot" -> "anndists::dist::distances::DistDot",
     "hamming" -> "anndists::dist::distances::DistHamming",
     "l1" -> "anndists::dist::distances::DistL1",
-    "linf" -> "anndists::dist::distances::DistLinf")
+    "linf" -> "anndists::dist::distances::DistLinf",
+    "jaccard" -> "anndists::dist::distances::DistJaccard",
+    "hellinger" -> "anndists::dist::distances::DistHellinger")
 
   private[graft] def nameToMetric(name: String): String =
     MetricToName.collectFirst { case (m, n) if n == name => m }
       // Linf before L1 before L2: longest-substring first so DistLinf
       // can never be claimed by a shorter Dist* pattern
-      .orElse(Seq("Linf", "L1", "L2", "Cosine", "Dot", "Hamming")
+      .orElse(Seq("Linf", "L1", "L2", "Cosine", "Dot", "Hamming",
+          "Jaccard", "Hellinger")
         .collectFirst { case s if name.contains("Dist" + s) => s.toLowerCase })
       .getOrElse(throw new IllegalArgumentException(
         s"unrecognized distance_name '$name' in single-file metadata — " +
@@ -117,6 +120,14 @@ object SingleFileIndex {
     if (!Files.exists(p)) Array.tabulate(n)(_.toLong)
     else {
       val bytes = Files.readAllBytes(p)
+      // a sidecar that doesn't cover exactly this file's rows is a
+      // torn install (crash between the main rename and the sidecar
+      // rename) — fail loudly; silently falling back to identity ids
+      // would serve wrong vec_ids with no error
+      require(bytes.length == 8L * n,
+        s"id sidecar ${sidecarPath(path)} holds ${bytes.length / 8} ids " +
+          s"but the index file has $n rows — torn sidecar install; " +
+          "re-export the index (or delete the sidecar if ids are dense)")
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       Array.fill(n)(bb.getLong)
     }
@@ -290,13 +301,17 @@ object SingleFileIndex {
       raf.setLength(endOfData) // file ends exactly at the adjacency end
     } finally raf.close()
 
-    // id sidecar only when ids are sparse
+    // id sidecar only when ids are sparse — staged + atomic rename so
+    // a crash mid-write can never leave a truncated sidecar next to a
+    // complete index file (loadIds hard-errors on length mismatch)
     val dense = ids.zipWithIndex.forall { case (id, p) => id == p.toLong }
     if (dense) Files.deleteIfExists(Paths.get(sidecarPath(path)))
     else {
       val bb = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
       ids.foreach(bb.putLong)
-      Files.write(Paths.get(sidecarPath(path)), bb.array())
+      val st = Paths.get(sidecarPath(path) + ".tmp")
+      Files.write(st, bb.array())
+      atomicMove(st, Paths.get(sidecarPath(path)))
     }
   }
 
@@ -398,16 +413,28 @@ object SingleFileIndex {
       while (head.hasRemaining) ch.write(head)
       raf.setLength(endOfData)
     } finally raf.close()
+    // Swap order: MAIN FILE FIRST, then the .ids sidecar. A crash
+    // between the two renames leaves the new main paired with the OLD
+    // sidecar — which loadIds rejects loudly when the row count
+    // changed (length != 8·n is a hard error, never silent identity
+    // ids). The previous order (sidecar first / delete first) could
+    // pair the old main with a missing sidecar, which loadIds can only
+    // interpret as identity ids — silently wrong search results.
     val dense = sorted.zipWithIndex.forall { case (r, p) => r.vec_id == p.toLong }
-    if (dense) Files.deleteIfExists(Paths.get(sidecarPath(path)))
-    else {
-      val bb = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
-      sorted.foreach(r => bb.putLong(r.vec_id))
-      val sideTmp = Paths.get(sidecarPath(tmpPath))
-      Files.write(sideTmp, bb.array())
-      atomicMove(sideTmp, Paths.get(sidecarPath(path)))
-    }
+    val sideTmp =
+      if (dense) None
+      else {
+        val bb = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
+        sorted.foreach(r => bb.putLong(r.vec_id))
+        val st = Paths.get(sidecarPath(tmpPath))
+        Files.write(st, bb.array())
+        Some(st)
+      }
     atomicMove(Paths.get(tmpPath), Paths.get(path))
+    sideTmp match {
+      case Some(st) => atomicMove(st, Paths.get(sidecarPath(path)))
+      case None => Files.deleteIfExists(Paths.get(sidecarPath(path)))
+    }
   }
 
   private def atomicMove(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
@@ -624,13 +651,39 @@ object SingleFileIndex {
     } finally raf.close()
   }
 
+  /** Resolve the serving metric for a file: the caller's override if
+    * given (validated, with a warning on mismatch — the reference's
+    * `open_index_with` contract, lib.rs:450: the caller's distance
+    * wins, the stored name is advisory), else the stored metric. */
+  private[graft] def resolveMetric(
+      path: String, stored: String, override0: Option[String]): String =
+    override0 match {
+      case Some(m) =>
+        Metric.byName(m) // fail fast on an unknown metric name
+        if (m != stored)
+          System.err.println(
+            s"graft: serving $path with caller metric '$m' over the " +
+              s"file's stored '$stored' (open_index_with override)")
+        m
+      case None => stored
+    }
+
   /** Load a single-file index fully into a local [[VamanaGraph]] plus
     * the id mapping — the heap-resident serving mode (for the
-    * disk-resident mode see [[MmapIndex]]). */
-  def importLocal(path: String): (VamanaGraph, Array[Long], VamanaParams) = {
+    * disk-resident mode see [[MmapIndex]]).
+    *
+    * `metricOverride` serves the file with the caller's metric
+    * instead of the stored one (warn on mismatch) — the heap-side
+    * analog of the reference's `open_index_with` (lib.rs:450). File
+    * LAYOUT decisions (packed-hamming word decode) always follow the
+    * stored name: the override changes the distance evaluated, never
+    * how bytes are interpreted. */
+  def importLocal(path: String, metricOverride: Option[String] = None)
+      : (VamanaGraph, Array[Long], VamanaParams) = {
     val meta = readMeta(path)
-    val metricName = nameToMetric(meta.distanceName)
-    val packed = meta.elemSize == 8 && metricName == "hamming"
+    val storedMetric = nameToMetric(meta.distanceName)
+    val metricName = resolveMetric(path, storedMetric, metricOverride)
+    val packed = meta.elemSize == 8 && storedMetric == "hamming"
     val u8 = meta.elemSize == 1
     require(meta.elemSize == 4 || u8 || packed,
       s"graft serves f32, u8, or packed-u64 hamming indexes; file has " +
@@ -698,6 +751,15 @@ object SingleFileIndex {
       (g, loadIds(path, n), params)
     } finally raf.close()
   }
+
+  /** Open a single-file index for disk-resident serving with the
+    * caller's metric — the reference's `open_index_with` entry point
+    * (lib.rs:450): the stored distance name is advisory; on mismatch
+    * a warning is emitted and the index serves with `metric`. Use a
+    * plain `new MmapIndex(path)` to serve with the stored metric. */
+  def openIndexWith(path: String, metric: String,
+      maxSegBytes: Long = Int.MaxValue.toLong): MmapIndex =
+    new MmapIndex(path, maxSegBytes, Some(metric))
 }
 
 /** Disk-resident serving over a reference-layout index file: the file
@@ -723,15 +785,21 @@ object SingleFileIndex {
   * index. `maxSegBytes` exists for tests (tiny segments on small
   * files must serve identically).
   */
-final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong)
+final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong,
+    metricOverride: Option[String] = None)
     extends AutoCloseable {
   import SingleFileIndex.FileMeta
 
   val meta: FileMeta = SingleFileIndex.readMeta(path)
-  private val metricName0 = SingleFileIndex.nameToMetric(meta.distanceName)
+  private val storedMetric = SingleFileIndex.nameToMetric(meta.distanceName)
+  /** serving metric: caller override (open_index_with) or stored. */
+  private val metricName0 =
+    SingleFileIndex.resolveMetric(path, storedMetric, metricOverride)
   /** packed u64 hamming file (reference DiskANN<u64, DistHamming>):
-    * file dim counts words; queries/vectors are bit-per-slot. */
-  private val packed = meta.elemSize == 8 && metricName0 == "hamming"
+    * file dim counts words; queries/vectors are bit-per-slot. Layout
+    * follows the STORED metric — an override changes the distance
+    * evaluated, never how the bytes are decoded. */
+  private val packed = meta.elemSize == 8 && storedMetric == "hamming"
   /** u8 file (reference generic T = u8, examples/bigann.rs): slots are
     * unsigned bytes read straight off the mapping — no widened copy of
     * the vector region ever exists on the heap. */

@@ -72,13 +72,23 @@ object StreamingIndex {
     *
     * The activate/rollback swap below uses LOCAL-filesystem renames;
     * on an object store, compact to a fresh path and repoint serving
-    * instead (renameTo fails loudly there, never silently). */
+    * instead (renameTo fails loudly there, never silently).
+    *
+    * `filesDir`, when set, additionally exports the compacted index
+    * to the sharded-files serving tier ([[SingleFileIndex
+    * .exportSharded]]: one reference-layout file per shard plus a
+    * routing manifest) — the ingest → compact → serve lifecycle can
+    * then end at the disk-resident path ([[SingleFileIndex
+    * .serveSharded]]) instead of the parquet tier. The export reads
+    * the JUST-ACTIVATED parquet back (not the pre-swap lineage), so
+    * the files tier derives from exactly what `path` now serves. */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       params: VamanaParams,
       numShards: Int,
-      capFactor: Double = 0.0): Unit = {
+      capFactor: Double = 0.0,
+      filesDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val all = VamanaIndex.load(spark, path)
       .select(col("vec_id"), col("embedding"))
@@ -120,6 +130,9 @@ object StreamingIndex {
           s"original index is at $old, nothing is live at $path")
     }
     org.apache.commons.io.FileUtils.deleteDirectory(old)
+    filesDir.foreach { fd =>
+      SingleFileIndex.exportSharded(VamanaIndex.load(spark, path), params, fd)
+    }
   }
 
   /** Online serving of a QUERY stream: each micro-batch of

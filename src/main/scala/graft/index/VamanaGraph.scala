@@ -75,9 +75,47 @@ object Metric {
       m
     }
   }
+  /** Generalized (weighted) Jaccard: 1 − Σmin/Σmax over non-negative
+    * weights — the anndists DistJaccard formula widened to float;
+    * mirrors the JaccardDistance SQL expression. */
+  case object Jaccard extends Metric {
+    val name = "jaccard"
+    def eval(a: Array[Float], ao: Int, b: Array[Float], bo: Int, dim: Int): Double = {
+      var smin = 0.0; var smax = 0.0; var i = 0
+      while (i < dim) {
+        val xi = a(ao + i).toDouble; val yi = b(bo + i).toDouble
+        smin += math.min(xi, yi); smax += math.max(xi, yi); i += 1
+      }
+      if (smax == 0.0) 0.0 else 1.0 - smin / smax
+    }
+  }
+  /** Hellinger over self-L1-normalized |x| — the anndists
+    * DistHellinger formula (which assumes pre-normalized input)
+    * extended to raw weight vectors; mirrors HellingerDistance. */
+  case object Hellinger extends Metric {
+    val name = "hellinger"
+    def eval(a: Array[Float], ao: Int, b: Array[Float], bo: Int, dim: Int): Double = {
+      var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < dim) {
+        sa += math.abs(a(ao + i).toDouble); sb += math.abs(b(bo + i).toDouble)
+        i += 1
+      }
+      if (sa == 0.0 || sb == 0.0) { if (sa == sb) 0.0 else 1.0 }
+      else {
+        var bc = 0.0; i = 0
+        while (i < dim) {
+          bc += math.sqrt((math.abs(a(ao + i).toDouble) / sa)
+            * (math.abs(b(bo + i).toDouble) / sb))
+          i += 1
+        }
+        math.sqrt(math.max(0.0, math.min(1.0, 1.0 - bc)))
+      }
+    }
+  }
   def byName(n: String): Metric = n match {
     case "l2" => L2; case "cosine" => Cosine; case "dot" => Dot
     case "hamming" => Hamming; case "l1" => L1; case "linf" => Linf
+    case "jaccard" => Jaccard; case "hellinger" => Hellinger
     case other => throw new IllegalArgumentException(s"unknown metric $other")
   }
 }

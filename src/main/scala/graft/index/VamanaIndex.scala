@@ -448,6 +448,10 @@ object VamanaIndex {
       params: VamanaParams, target: Int): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
+    // Int.MinValue is the reserved unlabeled sentinel below; a caller
+    // targeting it would silently match every unlabeled vector
+    require(target != Int.MinValue,
+      "label Int.MinValue is reserved as the unlabeled sentinel")
     val qB = s.sparkContext.broadcast(queries)
     // LEFT join: a vector without a label row must STAY IN THE GRAPH
     // (sentinel label that matches no target) — an inner join removed
@@ -605,6 +609,21 @@ object VamanaIndex {
 
   def cachedOverlapRouting(s: SparkSession, dir: String): Array[(Int, Array[Float])] =
     overlapRoutingCache.getOrElseUpdate(dir, routingTable(cachedOverlapIndex(s, dir)))
+
+  /** Unpersist and drop the in-memory index caches (plain + overlap)
+    * and their routing tables — bench end-of-run hygiene after the
+    * serving probes complete. The sharded-files export is disk, not
+    * storage memory, and keeps its TempCleanup lifetime. */
+  def releaseCaches(): Unit = {
+    Seq(cache, overlapCache).foreach { c =>
+      c.keys.foreach { k =>
+        c.remove(k).foreach { ds =>
+          try ds.unpersist(blocking = true) catch { case _: Throwable => }
+        }
+      }
+    }
+    routingCache.clear(); overlapRoutingCache.clear()
+  }
 
   private def queriesArr(s: SparkSession, dir: String): Array[(Long, Array[Float])] = {
     import s.implicits._

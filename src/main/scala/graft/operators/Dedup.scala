@@ -27,6 +27,10 @@ import graft.functions.VectorExprs._
 object Dedup {
   import SharedHash._
 
+  /** PlanCache family tag — the bench releases every dedup cache in
+    * one call after the family's reps complete. */
+  private[graft] val Family = "dedup"
+
   private val MinhashPerms = perms(4)
   private val MinhashTau = 0.01
   private val SimhashMaxHamming = 3
@@ -191,9 +195,14 @@ object Dedup {
     * pair query, the cluster query, and repeated invocations all reuse
     * ONE bounded entry per sf dir): the cluster query previously
     * replayed this whole band-join + verify chain from scratch. */
-  private[graft] def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(s, Family, s"verifiedPairs:$dir")(
+      verifiedPairsPlan(s, dir))
+
+  private def verifiedPairsPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sets = shingleSets(s, dir).cache()
+    val sets = graft.PlanCache.getOrBuild(s, Family, s"shingleSets:$dir")(
+      shingleSets(s, dir))
     val sigCols = MinhashPerms.zipWithIndex.map { case (p, j) =>
       expr(sparkMinhash("sh_set", p)).as(s"sig_$j")
     }
@@ -212,7 +221,6 @@ object Dedup {
       .withColumn("jac", $"inter" / (size($"set_a") + size($"set_b") - $"inter"))
       .filter($"jac" >= MinhashTau)
       .select($"doc_a", $"doc_b", $"jac")
-      .cache()
   }
 
   /** MinHash + LSH near-dup: 4 permutations as 4 single-row bands →
@@ -266,7 +274,8 @@ object Dedup {
     * self-joins. */
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sets = shingleSets(s, dir)
+    val sets = graft.PlanCache.getOrBuild(s, Family, s"shingleSets:$dir")(
+      shingleSets(s, dir))
     val benchSh = sets.filter($"doc_id" % 97 === 0)
       .select(explode($"sh_set").as("sh")).distinct()
     sets.filter($"doc_id" % 97 =!= 0)
@@ -376,12 +385,12 @@ object Dedup {
     * for hamming ≤ 3); verify by popcount of xor. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val coded = Tables.documents(s, dir)
-      .withColumn("th", graft.functions.HashExprs.tokenHashes($"text"))
-      .filter(size($"th") >= 1)
-      .withColumn("code", graft.functions.HashExprs.simHash62($"th"))
-      .select($"doc_id", $"code")
-      .cache()
+    val coded = graft.PlanCache.getOrBuild(s, Family, s"simhashCodes:$dir")(
+      Tables.documents(s, dir)
+        .withColumn("th", graft.functions.HashExprs.tokenHashes($"text"))
+        .filter(size($"th") >= 1)
+        .withColumn("code", graft.functions.HashExprs.simHash62($"th"))
+        .select($"doc_id", $"code"))
     val bandExprs = (0 until 4).map(b => s"$b, shiftright(code, ${16 * b}) & 65535").mkString(", ")
     val bands = coded.selectExpr("doc_id", "code", s"stack(4, $bandExprs) AS (b, band)")
     // Bucket-local pair generation: one shuffle of 4·N band rows, then
@@ -453,12 +462,12 @@ object Dedup {
     // sorted gram arrays are the dominant projection cost; cached per
     // sf dir (plan-keyed) like the minhash shingle sets so repeated
     // bench reps / composed queries don't re-tokenize the corpus
-    val grams = Tables.documents(s, dir)
-      .filter(length($"text") >= 3)
-      .withColumn("bucket", floor($"n_chars" / 100).cast("long"))
-      .withColumn("g3", graft.functions.HashExprs.charNGramsSorted($"text", 3))
-      .select($"doc_id", $"lang", $"bucket", $"g3", size($"g3").as("ng"))
-      .cache()
+    val grams = graft.PlanCache.getOrBuild(s, Family, s"jaccardGrams:$dir")(
+      Tables.documents(s, dir)
+        .filter(length($"text") >= 3)
+        .withColumn("bucket", floor($"n_chars" / 100).cast("long"))
+        .withColumn("g3", graft.functions.HashExprs.charNGramsSorted($"text", 3))
+        .select($"doc_id", $"lang", $"bucket", $"g3", size($"g3").as("ng")))
     // Block-nested-loop within each (lang, bucket) block: each doc's
     // sorted gram set crosses the shuffle ONCE; pair verification is a
     // local two-pointer merge, and only pairs over the threshold leave
@@ -524,9 +533,11 @@ object Dedup {
     // row-plumbing pathology — and re-evaluated the 6-plane LSH hash
     // on each join side; a hot bucket pinned one task on O(b²) wide
     // rows. The emitted pair set is provably unchanged (saltExplode),
-    // and the JVM cosine mirrors CosineDistance.evalVectors term for
-    // term, so the doubles reaching round() are bit-identical to the
-    // old expression plan's.
+    // and the JVM cosine accumulates dot/nx/ny left-to-right in
+    // doubles — the same direct-similarity arithmetic as the oracle's
+    // list_cosine_similarity (the previous 1-(1-c) expression plan
+    // could differ from the direct form by an ulp at a round()/tau
+    // boundary; this form is the one the oracle replays).
     val rows = Tables.embeddings(s, dir)
       .withColumn("bucket", graft.functions.VectorExprs.lshBucket($"embedding", 6))
       .select($"bucket".cast("string").as("block"), $"vec_id", $"embedding")
@@ -571,6 +582,13 @@ object Dedup {
     * its warm cost in BENCH_r03). */
   def warm(s: SparkSession, dir: String): Unit =
     verifiedPairs(s, dir).queryExecution.toRdd.count(): Unit
+
+  /** Drop every dedup cache (shingle sets, verified pairs, simhash
+    * codes, jaccard grams) — the bench calls this once the family's
+    * reps complete so later allocation-heavy families run against a
+    * drained storage pool instead of GC-thrashing over pinned blocks
+    * (the BENCH_r06 ensemble collapse). */
+  def release(s: SparkSession): Unit = graft.PlanCache.release(s, Family)
 
   // ---------------------------------------------------------------- registry
 

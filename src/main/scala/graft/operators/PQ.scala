@@ -32,6 +32,12 @@ import graft.functions.VectorExprs._
   */
 object PQ {
 
+  /** PlanCache family tag (corpus PQ codes). */
+  private[graft] val Family = "pq"
+
+  /** Drop the family's caches — see [[graft.PlanCache]]. */
+  def release(s: SparkSession): Unit = graft.PlanCache.release(s, Family)
+
   private[graft] val M = 8       // subspaces
   private[graft] val SubDim = 8  // dims per subspace (dim 64 / M)
   private[graft] val Ksub = 16   // codebook entries per subspace
@@ -97,18 +103,23 @@ object PQ {
   /** (vec_id, codes) for the whole corpus — broadcast codebooks +
     * zero-shuffle mapPartitions, cached so the encode runs once per
     * (plan, JVM) across bench repetitions and the query subset. */
-  private def codesDf(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val bc = s.sparkContext.broadcast(codebooks(s, dir))
-    Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cb = bc.value
-        it.map { case (id, v) => (id, encodeOne(v, cb)._1) }
-      }
-      .toDF("vec_id", "codes")
-      .cache()
-  }
+  private def codesDf(s: SparkSession, dir: String): DataFrame =
+    // memoized via PlanCache, NOT plan-keyed `.cache()`: the
+    // mapPartitions closure captures a fresh Broadcast each call, so
+    // canonicalized-plan matching never reused the entry and every
+    // bench rep registered a new corpus-sized copy (the r6 ensemble-
+    // collapse accumulation, one leak per invocation)
+    graft.PlanCache.getOrBuild(s, Family, s"codes:$dir") {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(codebooks(s, dir))
+      Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cb = bc.value
+          it.map { case (id, v) => (id, encodeOne(v, cb)._1) }
+        }
+        .toDF("vec_id", "codes")
+    }
 
   /** `q_pq_encode`: PQ codes + per-subspace squared quantization error
     * for every vector — one row per (vector, subspace), fully

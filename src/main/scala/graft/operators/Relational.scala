@@ -26,6 +26,12 @@ import graft.Tables
   */
 object Relational {
 
+  /** PlanCache family tag (percentile ranged input). */
+  private[graft] val Family = "relational"
+
+  /** Drop the family's caches — see [[graft.PlanCache]]. */
+  def release(s: SparkSession): Unit = graft.PlanCache.release(s, Family)
+
   /** TPC-H Q1-style pricing summary (filter pushdown + hash agg). */
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -185,12 +191,12 @@ object Relational {
     * ValuePctlSpec pins equivalence. */
   def valuePctl(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ranged = Tables.events(s, dir)
-      .select($"event_type", $"value", $"event_id")
-      .repartitionByRange($"event_type", $"value", $"event_id")
-      .sortWithinPartitions($"event_type", $"value", $"event_id")
-      .as[(String, Double, Long)]
-      .cache()
+    val ranged = graft.PlanCache.getOrBuild(s, Family, s"pctlRanged:$dir")(
+      Tables.events(s, dir)
+        .select($"event_type", $"value", $"event_id")
+        .repartitionByRange($"event_type", $"value", $"event_id")
+        .sortWithinPartitions($"event_type", $"value", $"event_id")
+        .as[(String, Double, Long)])
     val counts: Array[(Int, String, Long)] = ranged.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]

@@ -16,6 +16,14 @@ import graft.functions.SharedHash._
   */
 object TextAnalysis {
 
+  /** PlanCache family tag — the bench releases every text-analysis
+    * cache in one call after the family's reps complete. */
+  private[graft] val Family = "text"
+
+  /** Drop the family's caches (bigram c12, pack-chunks ranged input,
+    * tfidf tf) — see [[graft.PlanCache]]. */
+  def release(s: SparkSession): Unit = graft.PlanCache.release(s, Family)
+
   /** Language stopword marker lists (tiny, deterministic heuristic). */
   private val langWords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it"),
@@ -195,7 +203,8 @@ object TextAnalysis {
     // from it by summation (identical counts, no extra pass), so the
     // corpus is tokenized twice (the LM build + the per-doc score),
     // never three times
-    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12")).cache()
+    val c12 = graft.PlanCache.getOrBuild(s, Family, s"bigramC12:$dir")(
+      bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12")))
     val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
     bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .withColumn("lp", log($"c12".cast("double") / $"c1".cast("double")))
@@ -348,14 +357,14 @@ object TextAnalysis {
 
   def qPackChunks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ranged = Tables.documents(s, dir)
-      .withColumn("n_tokens",
-        size(expr("filter(split(text, ' '), w -> w != '')")).cast("long"))
-      .select($"doc_id", $"source", $"n_tokens")
-      .repartitionByRange($"source", $"doc_id")
-      .sortWithinPartitions($"source", $"doc_id")
-      .as[(Long, String, Long)]
-      .cache()
+    val ranged = graft.PlanCache.getOrBuild(s, Family, s"packRanged:$dir")(
+      Tables.documents(s, dir)
+        .withColumn("n_tokens",
+          size(expr("filter(split(text, ' '), w -> w != '')")).cast("long"))
+        .select($"doc_id", $"source", $"n_tokens")
+        .repartitionByRange($"source", $"doc_id")
+        .sortWithinPartitions($"source", $"doc_id")
+        .as[(Long, String, Long)])
     val subtotals: Array[(Int, String, Long)] = ranged.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         // LinkedHashMap: sources within a partition stay in encounter
@@ -619,19 +628,33 @@ object TextAnalysis {
     // documents removes a full corpus pass at scale (a source counts
     // iff it contributed a token, which is also the right idf
     // semantic)
-    val tf = tok.groupBy($"source", $"word").agg(count(lit(1)).as("tf")).cache()
+    val tf = graft.PlanCache.getOrBuild(s, Family, s"tfidfTf:$dir")(
+      tok.groupBy($"source", $"word").agg(count(lit(1)).as("tf")))
     val dfCounts = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     val sCount = tf.agg(countDistinct($"source").as("n_sources"))
-    val w = Window.partitionBy($"source").orderBy($"score".desc, $"word")
+    // Per-source ranking through the bounded TermTopKAgg instead of a
+    // rank window: the window form shuffles AND sorts the full
+    // vocab-sized scored set per source, while the partial aggregate
+    // carries at most 5 terms per (source, input partition) into the
+    // exchange — k·partitions rows, independent of vocabulary size.
+    // Ordering (score DESC, word ASC) matches the oracle's
+    // row_number() ORDER BY exactly; scores are rounded BEFORE the
+    // aggregate so ties resolve on the same values in both engines.
+    val top = TopK.termTopk(5)($"word", $"tf", $"df", $"score")
     tf.join(dfCounts, Seq("word"))
       .crossJoin(broadcast(sCount))
       .withColumn("score",
         round($"tf".cast("double") *
           log($"n_sources".cast("double") / $"df".cast("double")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
-      .select($"source", $"rank", $"word", $"tf".cast("long").as("tf"),
-        $"df".cast("int").as("df"), $"score")
+      .select($"source", $"word", $"tf".cast("long").as("tf"),
+        $"df".cast("long").as("df"), $"score")
+      .groupBy($"source").agg(top.as("t"))
+      .select($"source", posexplode(arrays_zip(
+        $"t.words".as("word"), $"t.tfs".as("tf"),
+        $"t.dfs".as("df"), $"t.scores".as("score"))))
+      .select($"source", ($"pos" + 1).cast("int").as("rank"),
+        $"col.word".as("word"), $"col.tf".as("tf"),
+        $"col.df".cast("int").as("df"), $"col.score".as("score"))
       .orderBy($"source", $"rank")
   }
 

@@ -130,6 +130,92 @@ class TopKAgg(k: Int, distinctIds: Boolean = false)
   override def outputEncoder = Encoders.product[TopKBuf]
 }
 
+/** A scored term candidate for per-group top-k term selection —
+  * (word, tf, df) is the payload, ordering is (score DESC, word ASC). */
+case class TermCand(word: String, tf: Long, df: Long, score: Double)
+
+/** Top-k term buffer: parallel arrays kept sorted by (score DESC,
+  * word ASC), capped at k. */
+case class TermTopKBuf(
+    words: Array[String], tfs: Array[Long], dfs: Array[Long],
+    scores: Array[Double])
+
+/** Bounded top-k-terms aggregator — the [[TopKAgg]] shape with a
+  * (score DESC, word ASC) ordering and a carried (tf, df) payload.
+  *
+  * Replaces the rank-window form of per-source term selection: a
+  * window must shuffle and SORT the full vocab-sized input per
+  * source, while this partial aggregate carries at most k terms per
+  * (source, partition) into the exchange — k·partitions rows instead
+  * of the vocabulary, independent of corpus size. The same
+  * allocation-pressure argument as TopKAgg: at 100 TB the vocab
+  * window is a full-vocabulary shuffle; this is not. */
+class TermTopKAgg(k: Int) extends Aggregator[TermCand, TermTopKBuf, TermTopKBuf] {
+
+  override def zero: TermTopKBuf = TermTopKBuf(
+    Array.empty[String], Array.emptyLongArray, Array.emptyLongArray,
+    Array.emptyDoubleArray)
+
+  // score DESC then word ASC; Double.compare gives NaN a total order
+  // (sorted last under DESC) like the SQL ORDER BY both engines use
+  private def better(s1: Double, w1: String, s2: Double, w2: String): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && w1 < w2)
+  }
+
+  override def reduce(b: TermTopKBuf, a: TermCand): TermTopKBuf = {
+    val n = b.words.length
+    if (n >= k && !better(a.score, a.word, b.scores(n - 1), b.words(n - 1))) return b
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (better(b.scores(mid), b.words(mid), a.score, a.word)) lo = mid + 1 else hi = mid
+    }
+    val outN = math.min(n + 1, k)
+    val words = new Array[String](outN); val tfs = new Array[Long](outN)
+    val dfs = new Array[Long](outN); val scores = new Array[Double](outN)
+    System.arraycopy(b.words, 0, words, 0, lo)
+    System.arraycopy(b.tfs, 0, tfs, 0, lo)
+    System.arraycopy(b.dfs, 0, dfs, 0, lo)
+    System.arraycopy(b.scores, 0, scores, 0, lo)
+    words(lo) = a.word; tfs(lo) = a.tf; dfs(lo) = a.df; scores(lo) = a.score
+    val tail = outN - lo - 1
+    if (tail > 0) {
+      System.arraycopy(b.words, lo, words, lo + 1, tail)
+      System.arraycopy(b.tfs, lo, tfs, lo + 1, tail)
+      System.arraycopy(b.dfs, lo, dfs, lo + 1, tail)
+      System.arraycopy(b.scores, lo, scores, lo + 1, tail)
+    }
+    TermTopKBuf(words, tfs, dfs, scores)
+  }
+
+  override def merge(b1: TermTopKBuf, b2: TermTopKBuf): TermTopKBuf = {
+    val n1 = b1.words.length; val n2 = b2.words.length
+    val cap = math.min(n1 + n2, k)
+    val words = new Array[String](cap); val tfs = new Array[Long](cap)
+    val dfs = new Array[Long](cap); val scores = new Array[Double](cap)
+    var i = 0; var j = 0; var o = 0
+    while (o < cap) {
+      val takeLeft = j >= n2 ||
+        (i < n1 && better(b1.scores(i), b1.words(i), b2.scores(j), b2.words(j)))
+      if (takeLeft) {
+        words(o) = b1.words(i); tfs(o) = b1.tfs(i); dfs(o) = b1.dfs(i)
+        scores(o) = b1.scores(i); i += 1
+      } else {
+        words(o) = b2.words(j); tfs(o) = b2.tfs(j); dfs(o) = b2.dfs(j)
+        scores(o) = b2.scores(j); j += 1
+      }
+      o += 1
+    }
+    TermTopKBuf(words, tfs, dfs, scores)
+  }
+
+  override def finish(b: TermTopKBuf): TermTopKBuf = b
+
+  override def bufferEncoder = Encoders.product[TermTopKBuf]
+  override def outputEncoder = Encoders.product[TermTopKBuf]
+}
+
 object TopK {
   /** Untyped column form: `topk(k)(col("id"), col("dist"))` aggregates to
     * a struct(ids: array<long>, dists: array<double>) sorted ascending. */
@@ -142,5 +228,14 @@ object TopK {
   def topkDistinct(k: Int): (Column, Column) => Column = {
     val u = functions.udaf(new TopKAgg(k, distinctIds = true), Encoders.product[KnnCand])
     (id: Column, dist: Column) => u(id, dist)
+  }
+
+  /** Per-group top-k terms by (score DESC, word ASC):
+    * `termTopk(k)(word, tf, df, score)` aggregates to a
+    * struct(words, tfs, dfs, scores) of parallel arrays in rank
+    * order. */
+  def termTopk(k: Int): (Column, Column, Column, Column) => Column = {
+    val u = functions.udaf(new TermTopKAgg(k), Encoders.product[TermCand])
+    (word: Column, tf: Column, df: Column, score: Column) => u(word, tf, df, score)
   }
 }

@@ -26,6 +26,12 @@ import graft.functions.VectorExprs._
   */
 object VectorQueries {
 
+  /** PlanCache family tag (u8 codes, normalized vectors). */
+  private[graft] val Family = "vector"
+
+  /** Drop the family's caches — see [[graft.PlanCache]]. */
+  def release(s: SparkSession): Unit = graft.PlanCache.release(s, Family)
+
   private val K = 10
   private val NCELLS = 16
   private val NPROBE = 4
@@ -80,6 +86,59 @@ object VectorQueries {
   def qDistDot(s: SparkSession, dir: String): DataFrame = distPairs(s, dir, dotProduct)
   val qDistDotSql: String =
     distPairsSql("list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")
+
+  /** Generalized Jaccard over |embedding| (the metric's domain is
+    * non-negative weights — anndists defines DistJaccard over unsigned
+    * ints; abs maps the synthetic embeddings into it). */
+  def qDistJaccard(s: SparkSession, dir: String): DataFrame =
+    distPairs(s, dir, (a, b) =>
+      jaccardDist(transform(a, x => abs(x)), transform(b, x => abs(x))))
+  val qDistJaccardSql: String =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         a.embedding AS va, b.embedding AS vb
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |), s AS (
+      |  SELECT id_a, id_b,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, len(va) + 1),
+      |        i -> least(abs(va[i]::DOUBLE), abs(vb[i]::DOUBLE)))),
+      |      (acc, x) -> acc + x) AS smin,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, len(va) + 1),
+      |        i -> greatest(abs(va[i]::DOUBLE), abs(vb[i]::DOUBLE)))),
+      |      (acc, x) -> acc + x) AS smax
+      |  FROM pairs
+      |)
+      |SELECT id_a, id_b,
+      |  round(CASE WHEN smax = 0 THEN 0.0 ELSE 1.0 - smin / smax END, 4) AS dist
+      |FROM s ORDER BY id_a""".stripMargin
+
+  /** Hellinger between the L1-normalized |embedding| distributions —
+    * the expression self-normalizes, so raw embeddings go in as-is. */
+  def qDistHellinger(s: SparkSession, dir: String): DataFrame =
+    distPairs(s, dir, hellingerDist)
+  val qDistHellingerSql: String =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         a.embedding AS va, b.embedding AS vb
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |), sums AS (
+      |  SELECT id_a, id_b, va, vb,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(va, x -> abs(x::DOUBLE))), (acc, x) -> acc + x) AS sa,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(vb, x -> abs(x::DOUBLE))), (acc, x) -> acc + x) AS sb
+      |  FROM pairs
+      |)
+      |SELECT id_a, id_b,
+      |  round(CASE WHEN sa = 0 OR sb = 0
+      |    THEN CASE WHEN sa = sb THEN 0.0 ELSE 1.0 END
+      |    ELSE sqrt(greatest(0.0, least(1.0, 1.0 - list_reduce(
+      |      list_prepend(0.0::DOUBLE, list_transform(range(1, len(va) + 1),
+      |        i -> sqrt((abs(va[i]::DOUBLE) / sa) * (abs(vb[i]::DOUBLE) / sb)))),
+      |      (acc, x) -> acc + x)))) END, 4) AS dist
+      |FROM sums ORDER BY id_a""".stripMargin
 
   /** Sign-bit binarization (62 bits — bits 62/63 unused so the packed
     * code stays positive in both engines) + Hamming distance, the
@@ -508,13 +567,13 @@ object VectorQueries {
     // (CacheManager keys by canonicalized plan, so bench repetitions
     // and the query subset below share one materialization instead of
     // re-running transform() on both join sides per row).
-    val codes = Tables.embeddings(s, dir)
-      .withColumn("scale",
-        expr("greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30d)"))
-      .withColumn("codes",
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT) + 128)"))
-      .select($"vec_id", $"codes")
-      .cache()
+    val codes = graft.PlanCache.getOrBuild(s, Family, s"u8Codes:$dir")(
+      Tables.embeddings(s, dir)
+        .withColumn("scale",
+          expr("greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30d)"))
+        .withColumn("codes",
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT) + 128)"))
+        .select($"vec_id", $"codes"))
     val q = codes.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"codes".as("qc"))
     // Distance is the native codegen'd integer kernel — the
@@ -562,13 +621,13 @@ object VectorQueries {
     * cached); the pair loop uses the native codegen'd dot product. */
   def qEmbedNormalize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val normed = Tables.embeddings(s, dir)
-      .select($"vec_id", expr(
-        """transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
-          |  greatest(sqrt(aggregate(transform(embedding,
-          |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
-          |    0D, (a, e) -> a + e)), 1e-30D) AS FLOAT))""".stripMargin).as("nv"))
-      .cache()
+    val normed = graft.PlanCache.getOrBuild(s, Family, s"normed:$dir")(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", expr(
+          """transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
+            |  greatest(sqrt(aggregate(transform(embedding,
+            |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+            |    0D, (a, e) -> a + e)), 1e-30D) AS FLOAT))""".stripMargin).as("nv")))
     val q = normed.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"nv".as("qv"))
     val d = normed.select($"vec_id".as("nid"), $"nv".as("v"))
@@ -690,6 +749,8 @@ object VectorQueries {
     "q_dist_cosine" -> (qDistCosine(_, _)),
     "q_dist_dot" -> (qDistDot(_, _)),
     "q_dist_hamming" -> (qDistHamming(_, _)),
+    "q_dist_jaccard" -> (qDistJaccard(_, _)),
+    "q_dist_hellinger" -> (qDistHellinger(_, _)),
     "q_medoid" -> (qMedoid(_, _)),
     "q_knn_exact" -> (qKnnExact(_, _)),
     "q_knn_custom" -> (qKnnCustom(_, _)),
@@ -711,6 +772,8 @@ object VectorQueries {
     "q_dist_cosine" -> qDistCosineSql,
     "q_dist_dot" -> qDistDotSql,
     "q_dist_hamming" -> qDistHammingSql,
+    "q_dist_jaccard" -> qDistJaccardSql,
+    "q_dist_hellinger" -> qDistHellingerSql,
     "q_medoid" -> qMedoidSql,
     "q_knn_exact" -> qKnnExactSql,
     "q_knn_custom" -> qKnnExactSql,

@@ -127,9 +127,13 @@ object StreamOps {
     // scoreForSelect (via withQualityCols) drops empty/whitespace-only
     // docs from scoring; the flagged-not-dropped contract still owes
     // downstream a verdict row for them — rejected, stateless (an
-    // empty doc can never be a keeper or selected)
+    // empty doc can never be a keeper or selected). NULL text must be
+    // caught explicitly: split(NULL) is NULL and size(NULL) is -1, so
+    // a `= 0` predicate would drop null-text docs from BOTH branches
+    // (no verdict row at all) — `<= 0` gives them their rejected row.
     val empties = docs
-      .where(expr("size(filter(split(text, ' '), w -> w != '')) = 0"))
+      .where(expr(
+        "text IS NULL OR size(filter(split(text, ' '), w -> w != '')) <= 0"))
       .select(col("doc_id").cast("long")).as[Long]
       .map(id => SelectOut(id, 0.0, "und", is_dup = false, selected = false))
     scored.union(empties)

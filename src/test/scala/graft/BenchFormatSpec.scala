@@ -16,13 +16,17 @@ class BenchFormatSpec extends AnyFunSuite {
   // three-digit QPS, the real sf path the driver passes.
   private val results =
     SparkEntry.queries.keys.toSeq.sorted.map(_ -> 12.345678901)
-  // the stdout scalar set — the secondary operating points
-  // (overlap/full/build) go only to BENCH_LOCAL.json
+  // the stdout scalar set — headline pair is the overlap operating
+  // point, with the plain-routed pair alongside; the remaining
+  // secondary points (full/build) go only to BENCH_LOCAL.json
   private val scalars = Seq(
-    "qps" -> 154.48194508680504, "recall" -> 0.6875, "recall100" -> 0.6517,
+    "qps" -> 154.48194508680504, "recall" -> 0.9075,
+    "qps_routed" -> 201.12345678, "recall_routed" -> 0.6875,
+    "recall100" -> 0.6517,
     "latency_p50" -> 0.149634805, "latency_p95" -> 1.089050957,
     "latency_p99" -> 1.119355698, "steal_pct" -> 63.123456789,
-    "cal_cores" -> 13.123456789)
+    "cal_cores" -> 13.123456789, "cal_lo" -> 11.123456789,
+    "cal_hi" -> 29.123456789, "gc_s" -> 123.123456789)
   private val sfDir = "/root/testdata/sf0.1"
 
   private def compactLine =
@@ -45,12 +49,27 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.indexOf("\"queries\":") < line.indexOf("\"qps\":"))
   }
 
-  test("compact query values are 10ms-resolution, full form keeps precision") {
-    assert(compactLine.contains("\"q1_agg\":12.35"))
-    assert(compactLine.contains("\"recall\":0.688")) // scalars keep 3 places
+  test("compact query values are 10ms-resolution under 10s, 1s above") {
+    assert(compactLine.contains("\"q1_agg\":12,")) // ≥10 s: whole seconds
+    val small = Bench.renderLine(Seq("q_x" -> 1.234567), scalars, 3, Nil,
+      sfDir, compact = true)
+    assert(small.contains("\"q_x\":1.23")) // <10 s: 2 decimals
+    assert(compactLine.contains("\"recall\":0.908")) // scalars keep 3 places
     val full = Bench.renderLine(results, scalars, 3, Nil, sfDir, compact = false)
     assert(full.contains("\"q1_agg\":12.345678901"))
     assert(full.contains("\"qps\":154.48194508680504"))
+  }
+
+  test("full form carries the per-query gc_ms and cal_series aux maps") {
+    val full = Bench.renderLine(results, scalars, 3, Nil, sfDir,
+      compact = false,
+      aux = Seq("gc_ms" -> Seq("q1_agg" -> 321.0),
+        "cal_series" -> Seq("text" -> 17.8)))
+    assert(full.contains("\"gc_ms\":{\"q1_agg\":321.0}"))
+    assert(full.contains("\"cal_series\":{\"text\":17.8}"))
+    // aux maps sit between queries and the trailing scalars
+    assert(full.indexOf("\"queries\":") < full.indexOf("\"gc_ms\":"))
+    assert(full.indexOf("\"cal_series\":") < full.indexOf("\"metric\":"))
   }
 
   test("negative sentinel values print as-is and errors are listed") {

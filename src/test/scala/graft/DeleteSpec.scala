@@ -86,4 +86,32 @@ class DeleteSpec extends AnyFunSuite {
       .select($"neighbor_id").as[Long].collect()
     assert(got.head == 1L)
   }
+
+  test("compact with filesDir ends the lifecycle at the sharded-files tier, row-identical") {
+    // ingest → delete → compact(filesDir) → serveSharded: the disk-
+    // resident tier built by compaction must serve the SAME rows as
+    // the in-memory tier over the just-compacted parquet
+    path
+    val fd = "/tmp/graft_delete_spec_files"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fd))
+    StreamingIndex.compact(spark, path, params, numShards = 2, filesDir = Some(fd))
+    assert(new java.io.File(s"$fd/manifest.json").exists(), "no manifest emitted")
+    // tombstoned rows (dropped by the earlier compact test) must not
+    // resurface in the files tier
+    val fileIds = graft.index.SingleFileIndex.readManifest(spark, fd).flatMap {
+      case (_, f, _) =>
+        val (_, ids, _) = graft.index.SingleFileIndex.importLocal(s"$fd/$f")
+        ids
+    }.toSet
+    assert(fileIds == all.keySet.diff(tombs), "files tier ids != compacted live set")
+    val qs = Seq(1L, 7L, 13L, 101L).map(id => (id, all(id)))
+    val qdf = qs.toDF("q_id", "qv")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+      df.as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val files = rows(graft.index.SingleFileIndex.serveSharded(qdf, fd, k, beam))
+    val mem = rows(VamanaIndex.search(
+      VamanaIndex.load(spark, path), qs.toArray, k, beam, params))
+    assert(files == mem,
+      s"first diff: ${files.zip(mem).find { case (a, b) => a != b }}")
+  }
 }

@@ -149,6 +149,13 @@ class PlanSpec extends AnyFunSuite {
     // shuffled cartesian
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // per-source ranking is the bounded TermTopKAgg partial aggregate,
+    // NOT a rank window: a window would shuffle + sort the full
+    // vocab-sized scored set (a full-vocabulary exchange at 100 TB);
+    // the aggregate carries ≤5 terms per (source, partition)
+    assert(!p.contains("Window"), s"vocab-wide rank window crept back:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the TermTopKAgg object aggregate:\n$p")
   }
 
   test("q_text_pii: stateless codegen'd projection — one scan, no join/agg/window") {

@@ -53,10 +53,10 @@ class SingleFileIndexSpec extends AnyFunSuite {
     assert(g.graph.forall(_.length <= 16))
   }
 
-  test("l1 and linf indexes round-trip the file metric — never silently served as l2") {
+  test("l1/linf/jaccard/hellinger indexes round-trip the file metric — never silently served as l2") {
     // regression: Metric.byName gained l1/linf before the single-file
     // metric maps did, so an exported l1 index reopened as l2
-    for (m <- Seq("l1", "linf")) {
+    for (m <- Seq("l1", "linf", "jaccard", "hellinger")) {
       val p = VamanaParams(maxDegree = 8, buildBeamWidth = 16, metric = m)
       val vecs = Tables.embeddings(spark, SparkSpecBase.sf001).limit(80)
       val idx = VamanaIndex.build(vecs, p, numShards = 1)
@@ -72,7 +72,7 @@ class SingleFileIndexSpec extends AnyFunSuite {
 
   test("unknown distance_name in file metadata fails loudly instead of defaulting to l2") {
     intercept[IllegalArgumentException] {
-      SingleFileIndex.nameToMetric("anndists::dist::distances::DistJaccard")
+      SingleFileIndex.nameToMetric("anndists::dist::distances::DistHausdorff")
     }
   }
 
@@ -377,6 +377,42 @@ class SingleFileIndexSpec extends AnyFunSuite {
       val recall = recallSum / queries.length
       assert(recall >= 0.85, s"PQ-guided recall@10 $recall below 0.85 floor")
     } finally mm.close()
+  }
+
+  test("openIndexWith: a cosine file served with dot after normalization equals the cosine order") {
+    // the open_index_with contract (reference lib.rs:450): the
+    // caller's metric wins over the stored name. For an L2-normalized
+    // corpus, cosine distance = 1 + dotEval pointwise — an increasing
+    // affine map — so the dot-override beam traversal must visit and
+    // rank IDENTICALLY to the stored-cosine serving of the same file.
+    val normed = Tables.embeddings(spark, SparkSpecBase.sf001).limit(300)
+      .select($"vec_id", org.apache.spark.sql.functions.expr(
+        """transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
+          |  greatest(sqrt(aggregate(transform(embedding,
+          |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+          |    0D, (a, e) -> a + e)), 1e-30D) AS FLOAT))""".stripMargin)
+          .as("embedding"))
+    val p = VamanaParams(maxDegree = 12, buildBeamWidth = 24, metric = "cosine")
+    val idx = VamanaIndex.build(normed, p, numShards = 1)
+    val file = "/tmp/graft_openwith.idx"
+    SingleFileIndex.export(idx, p, file)
+
+    // heap path: importLocal with the override reports the caller's
+    // metric in params
+    val (_, _, pDot) = SingleFileIndex.importLocal(file, Some("dot"))
+    assert(pDot.metric == "dot")
+
+    val mmCos = new MmapIndex(file)
+    val mmDot = SingleFileIndex.openIndexWith(file, "dot")
+    try {
+      val (g, _, _) = SingleFileIndex.importLocal(file)
+      for (qi <- Seq(0, 7, 50, 150)) {
+        val qv = g.vecs.slice(qi * g.dim, (qi + 1) * g.dim)
+        val cos = mmCos.search(qv, 10, 24).map(_._1).toSeq
+        val dot = mmDot.search(qv, 10, 24).map(_._1).toSeq
+        assert(cos == dot, s"q $qi: cosine order $cos vs dot-override $dot")
+      }
+    } finally { mmCos.close(); mmDot.close() }
   }
 
   test("distributed servePq matches driver-side PQ-guided search") {

@@ -17,4 +17,5 @@ object SparkSpecBase {
   }
   val sf001 = "/root/testdata/sf0.001"
   val sf01 = "/root/testdata/sf0.01"
+  val sf1 = "/root/testdata/sf0.1"
 }
