@@ -28,44 +28,54 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *     entry — `PQ.codesDf` leaked one per bench rep this way).
   *     Memoizing the Dataset object itself sidesteps plan matching.
   *
-  * Keys carry the session's identity so a restarted session (test
-  * suites) never hands out a Dataset bound to a stopped context;
-  * entries of dead sessions are unreachable driver-side objects, not
-  * executor storage.
+  * Keys carry the session OBJECT (reference identity — SparkSession
+  * has no value equality), so a restarted session (test suites) can
+  * never be handed a Dataset bound to a different, stopped context.
+  * Entries of stopped sessions are swept on every access: a cached
+  * Dataset strongly references its whole SessionState, so leaving
+  * dead-session entries in the map would retain stopped sessions for
+  * the life of the JVM (long test runs create and stop several).
   */
 object PlanCache {
 
-  private val entries = TrieMap.empty[(Int, String, String), Dataset[_]]
+  private val entries = TrieMap.empty[(SparkSession, String, String), Dataset[_]]
+
+  /** Drop every entry whose owning session has been stopped — their
+    * executor storage died with the context; the map entry would only
+    * pin driver heap. */
+  private def sweepStopped(): Unit =
+    entries.keys.filter(_._1.sparkContext.isStopped).foreach(entries.remove)
 
   /** Memoized `build.cache()` under (session, family, key). `key`
     * should include the sf dir plus any knobs the plan depends on.
     * The call materializes nothing — callers decide when the first
     * action runs (e.g. `Dedup.warm`). */
   def getOrBuild[T](s: SparkSession, family: String, key: String)(
-      build: => Dataset[T]): Dataset[T] =
-    entries.getOrElseUpdate(
-      (System.identityHashCode(s), family, key), build.cache())
+      build: => Dataset[T]): Dataset[T] = {
+    sweepStopped()
+    entries.getOrElseUpdate((s, family, key), build.cache())
       .asInstanceOf[Dataset[T]]
+  }
 
   /** Unpersist (blocking — the bench times the NEXT family against a
     * drained storage pool, so the free must complete first) and drop
     * every entry registered under `family` for this session. */
   def release(s: SparkSession, family: String): Unit = {
-    val sess = System.identityHashCode(s)
-    entries.keys.filter(k => k._1 == sess && k._2 == family).foreach { k =>
+    entries.keys.filter(k => (k._1 eq s) && k._2 == family).foreach { k =>
       entries.remove(k).foreach { ds =>
         try ds.unpersist(blocking = true) catch { case _: Throwable => }
       }
     }
+    sweepStopped()
   }
 
   /** All families of this session — bench end-of-run hygiene. */
   def releaseAll(s: SparkSession): Unit = {
-    val sess = System.identityHashCode(s)
-    entries.keys.filter(_._1 == sess).foreach { k =>
+    entries.keys.filter(_._1 eq s).foreach { k =>
       entries.remove(k).foreach { ds =>
         try ds.unpersist(blocking = true) catch { case _: Throwable => }
       }
     }
+    sweepStopped()
   }
 }

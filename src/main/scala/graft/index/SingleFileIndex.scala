@@ -115,19 +115,79 @@ object SingleFileIndex {
 
   private def sidecarPath(path: String) = path + ".ids"
 
+  /** v2 sidecar trailer magic ("GRFTIDS2" little-endian). */
+  private val IdsMagic = 0x3253444954465247L
+
+  /** Pairing hash binding a sidecar to ITS main file: FNV-1a over
+    * (n, the 8·n id bytes, the first 4 KiB of the main file's vector
+    * region, the last 4 KiB of the file). Closes the
+    * same-row-count torn-install window the length check alone cannot
+    * see: a crash between the main-file rename and the sidecar rename
+    * pairs a new main with a stale sidecar of identical length when n
+    * didn't change — but replaced vector/adjacency content changes
+    * the samples, so the stale pairing fails loudly at load. (The
+    * sample is a probabilistic guard; identical n AND bit-identical
+    * first/last 4 KiB with different ids is not a real failure mode
+    * for exported graphs.) */
+  private def pairingHash(mainPath: String, n: Int, idBytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(b: Byte): Unit = { h ^= (b & 0xffL); h *= 0x100000001b3L }
+    var nv = n.toLong
+    var k = 0
+    while (k < 8) { mix((nv & 0xff).toByte); nv >>>= 8; k += 1 }
+    var i = 0
+    while (i < 8 * n) { mix(idBytes(i)); i += 1 }
+    val meta = readMeta(mainPath)
+    val raf = new RandomAccessFile(mainPath, "r")
+    try {
+      val len = raf.length()
+      val s1 = new Array[Byte](
+        math.min(4096L, math.max(0L, len - meta.vectorsOffset)).toInt)
+      raf.seek(meta.vectorsOffset); raf.readFully(s1); s1.foreach(mix)
+      val start2 = math.max(meta.vectorsOffset, len - 4096)
+      val s2 = new Array[Byte]((len - start2).toInt)
+      raf.seek(start2); raf.readFully(s2); s2.foreach(mix)
+    } finally raf.close()
+    h
+  }
+
+  /** Serialize ids + the v2 pairing trailer for the main file at
+    * `mainPath` (which must already hold its final bytes — staged tmp
+    * or installed, both work: the hash samples content, not name). */
+  private def sidecarBytes(mainPath: String, ids: Array[Long]): Array[Byte] = {
+    val n = ids.length
+    val bb = ByteBuffer.allocate(8 * n + 16).order(ByteOrder.LITTLE_ENDIAN)
+    ids.foreach(bb.putLong)
+    bb.putLong(IdsMagic)
+    bb.putLong(pairingHash(mainPath, n, bb.array()))
+    bb.array()
+  }
+
   private[index] def loadIds(path: String, n: Int): Array[Long] = {
     val p = Paths.get(sidecarPath(path))
     if (!Files.exists(p)) Array.tabulate(n)(_.toLong)
     else {
       val bytes = Files.readAllBytes(p)
+      val hasTrailer = bytes.length == 8L * n + 16 &&
+        ByteBuffer.wrap(bytes, 8 * n, 8).order(ByteOrder.LITTLE_ENDIAN)
+          .getLong == IdsMagic
       // a sidecar that doesn't cover exactly this file's rows is a
       // torn install (crash between the main rename and the sidecar
       // rename) — fail loudly; silently falling back to identity ids
-      // would serve wrong vec_ids with no error
-      require(bytes.length == 8L * n,
+      // would serve wrong vec_ids with no error. Bare 8·n sidecars
+      // (v1 / foreign) stay readable but get only the length check.
+      require(hasTrailer || bytes.length == 8L * n,
         s"id sidecar ${sidecarPath(path)} holds ${bytes.length / 8} ids " +
           s"but the index file has $n rows — torn sidecar install; " +
           "re-export the index (or delete the sidecar if ids are dense)")
+      if (hasTrailer) {
+        val stored = ByteBuffer.wrap(bytes, 8 * n + 8, 8)
+          .order(ByteOrder.LITTLE_ENDIAN).getLong
+        require(stored == pairingHash(path, n, bytes),
+          s"id sidecar ${sidecarPath(path)} does not pair with $path " +
+            "(same row count, different content) — torn sidecar " +
+            "install; re-export the index")
+      }
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       Array.fill(n)(bb.getLong)
     }
@@ -303,14 +363,13 @@ object SingleFileIndex {
 
     // id sidecar only when ids are sparse — staged + atomic rename so
     // a crash mid-write can never leave a truncated sidecar next to a
-    // complete index file (loadIds hard-errors on length mismatch)
+    // complete index file; the v2 pairing trailer binds it to THIS
+    // main file's content (loadIds hard-errors on either mismatch)
     val dense = ids.zipWithIndex.forall { case (id, p) => id == p.toLong }
     if (dense) Files.deleteIfExists(Paths.get(sidecarPath(path)))
     else {
-      val bb = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
-      ids.foreach(bb.putLong)
       val st = Paths.get(sidecarPath(path) + ".tmp")
-      Files.write(st, bb.array())
+      Files.write(st, sidecarBytes(path, ids))
       atomicMove(st, Paths.get(sidecarPath(path)))
     }
   }
@@ -424,10 +483,10 @@ object SingleFileIndex {
     val sideTmp =
       if (dense) None
       else {
-        val bb = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
-        sorted.foreach(r => bb.putLong(r.vec_id))
+        // trailer hashed against the STAGED main (same bytes the
+        // rename installs), so the pair is bound before either rename
         val st = Paths.get(sidecarPath(tmpPath))
-        Files.write(st, bb.array())
+        Files.write(st, sidecarBytes(tmpPath, sorted.map(_.vec_id)))
         Some(st)
       }
     atomicMove(Paths.get(tmpPath), Paths.get(path))
@@ -800,6 +859,16 @@ final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong,
     * follows the STORED metric — an override changes the distance
     * evaluated, never how the bytes are decoded. */
   private val packed = meta.elemSize == 8 && storedMetric == "hamming"
+  // The mmap hot loop evaluates packed rows with a popcount kernel
+  // that IS the hamming distance — a different serving metric would
+  // be silently ignored (or, for cosine, misread packed words as
+  // floats in the norm precompute). importLocal decodes packed files
+  // bit-per-slot, so the override is honored there; send callers that
+  // way instead of serving wrong distances.
+  require(!packed || metricName0 == storedMetric,
+    s"cannot serve packed-u64 hamming file $path with metric " +
+      s"'$metricName0' off the mapping; use importLocal(path, " +
+      "Some(metric)) — its bit-per-slot decode honors the override")
   /** u8 file (reference generic T = u8, examples/bigann.rs): slots are
     * unsigned bytes read straight off the mapping — no widened copy of
     * the vector region ever exists on the heap. */

@@ -91,7 +91,12 @@ class OverlapSpec extends AnyFunSuite {
     // search are fully deterministic (seeded pivots, id-ordered
     // ties), so the measured 0.9075 reproduces exactly; 0.9 leaves
     // margin only for intentional parameter retunes.
-    val r = VamanaIndex.probedRecallOverlap(spark, SparkSpecBase.sf1)
-    assert(r >= 0.9, s"sf0.1 overlap recall@10 $r below the 0.9 headline floor")
+    // release the bench-scale cached index before the next suite —
+    // leaving it pinned would recreate in the test JVM the very
+    // cross-family storage pressure the bench's family releases fix
+    try {
+      val r = VamanaIndex.probedRecallOverlap(spark, SparkSpecBase.sf1)
+      assert(r >= 0.9, s"sf0.1 overlap recall@10 $r below the 0.9 headline floor")
+    } finally VamanaIndex.releaseCaches()
   }
 }

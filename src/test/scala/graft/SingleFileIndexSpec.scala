@@ -415,6 +415,33 @@ class SingleFileIndexSpec extends AnyFunSuite {
     } finally { mmCos.close(); mmDot.close() }
   }
 
+  test("a stale same-length sidecar is rejected by the pairing trailer, not served") {
+    // the torn-install window the length check alone cannot see:
+    // main file replaced (rename landed), crash before the sidecar
+    // rename, row count unchanged — the stale sidecar must fail
+    // loudly instead of silently serving old vec_ids
+    val p = VamanaParams(maxDegree = 8, buildBeamWidth = 16, metric = "l2")
+    def exportOne(mod: Int, dir: String): String = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val vecs = Tables.embeddings(spark, SparkSpecBase.sf001)
+        .filter($"vec_id" % mod === 0).limit(60)
+      SingleFileIndex.exportSharded(
+        VamanaIndex.build(vecs, p, numShards = 1), p, dir)
+      val man = SingleFileIndex.readManifest(spark, dir)
+      s"$dir/${man.head._2}"
+    }
+    val a = exportOne(2, "/tmp/graft_pair_a")   // sparse ids → sidecar
+    val b = exportOne(3, "/tmp/graft_pair_b")
+    assert(Files.exists(Paths.get(a + ".ids")) && Files.exists(Paths.get(b + ".ids")))
+    // both load cleanly when intact
+    new MmapIndex(a).close(); new MmapIndex(b).close()
+    // simulate the torn install: b's main lands where a's sidecar lives
+    Files.copy(Paths.get(b), Paths.get(a),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val e = intercept[IllegalArgumentException] { new MmapIndex(a) }
+    assert(e.getMessage.contains("does not pair"), e.getMessage)
+  }
+
   test("distributed servePq matches driver-side PQ-guided search") {
     val (g, ids, _) = SingleFileIndex.importLocal(path)
     val qs = Seq(4, 120, 404).map { i =>

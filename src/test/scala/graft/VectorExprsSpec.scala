@@ -56,6 +56,47 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(r(1L) == 0.0 && r(2L) == 32.0 && r(3L) == 3.0)
   }
 
+  test("jaccard and hellinger distances: hand values, kernel parity, zero vectors") {
+    // generalized Jaccard: 1 − Σmin/Σmax over non-negative weights
+    val j = df.select($"id", jaccardDist($"a", $"b").as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(j(1L) == 1.0)                        // disjoint support
+    assert(math.abs(j(2L) - (1.0 - 6.0 / 15.0)) < 1e-12)
+    assert(j(3L) == 0.0)                        // identical
+    // Hellinger over self-normalized |x|: identical DISTRIBUTIONS
+    // (row 3, and row 2's (1,2,3) vs (4,5,6) are NOT proportional)
+    val h = df.select($"id", hellingerDist($"a", $"b").as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h(1L) == 1.0)                        // disjoint support
+    assert(h(3L) == 0.0)                        // same distribution
+    val bc2 = math.sqrt((1.0 / 6) * (4.0 / 15)) +
+      math.sqrt((2.0 / 6) * (5.0 / 15)) + math.sqrt((3.0 / 6) * (6.0 / 15))
+    assert(math.abs(h(2L) - math.sqrt(1.0 - bc2)) < 1e-12)
+    // proportional vectors are the same distribution → distance 0
+    val prop = Seq((Array(1f, 2f, 1f), Array(2f, 4f, 2f))).toDF("a", "b")
+    assert(prop.select(hellingerDist($"a", $"b")).as[Double].head() < 1e-7)
+    // zero vectors: both-zero → 0; one-zero → jaccard 1 (disjoint),
+    // hellinger 1 (no distribution vs a distribution) — never NaN
+    val z = Seq(
+      (1L, Array(0f, 0f), Array(0f, 0f)),
+      (2L, Array(0f, 0f), Array(1f, 2f))).toDF("id", "a", "b")
+    val zj = z.select($"id", jaccardDist($"a", $"b")).as[(Long, Double)].collect().toMap
+    val zh = z.select($"id", hellingerDist($"a", $"b")).as[(Long, Double)].collect().toMap
+    assert(zj(1L) == 0.0 && zj(2L) == 1.0)
+    assert(zh(1L) == 0.0 && zh(2L) == 1.0)
+    // graph-kernel Metric members mirror the expressions exactly
+    import graft.index.Metric
+    for ((_, a, b) <- Seq((1L, Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+        (2L, Array(1f, 2f, 3f), Array(4f, 5f, 6f)))) {
+      assert(Metric.Jaccard.eval(a, 0, b, 0, 3) ==
+        Seq((a, b)).toDF("a", "b").select(jaccardDist($"a", $"b")).as[Double].head())
+      assert(Metric.Hellinger.eval(a, 0, b, 0, 3) ==
+        Seq((a, b)).toDF("a", "b").select(hellingerDist($"a", $"b")).as[Double].head())
+    }
+    assert(Metric.byName("jaccard") eq Metric.Jaccard)
+    assert(Metric.byName("hellinger") eq Metric.Hellinger)
+  }
+
   test("interpreted eval matches codegen") {
     // force interpreted path via filter on the expression vs projected value
     val proj = df.select(l2Dist($"a", $"b").as("d")).as[Double].collect().sorted
