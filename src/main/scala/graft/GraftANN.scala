@@ -109,13 +109,21 @@ object GraftANN {
     new Handle(vectors.sparkSession, path, params)
   }
 
-  /** Open an existing index (reference `open_index_with`: the caller
-    * supplies the metric/params, validated against stored metadata). */
+  /** Open an existing index with the CALLER's metric/params — the
+    * reference `open_index_with` contract (lib.rs:450-482): the
+    * stored distance name is advisory; on mismatch a warning is
+    * emitted and searches evaluate the caller's metric over the
+    * stored vectors. Hard errors are reserved for structural
+    * mismatches (not a graft index), mirroring the reference's
+    * elem-size-only rejection. */
   def openIndex(spark: SparkSession, path: String, params: VamanaParams): Handle = {
     val meta = VamanaIndex.loadMeta(path)
     require(meta.contains("\"format\":\"graft-vamana-v1\""), s"not a graft index: $path")
-    require(meta.contains(s""""metric":"${params.metric}""""),
-      s"index at $path was built with a different metric than ${params.metric}")
+    if (!meta.contains(s""""metric":"${params.metric}""""))
+      System.err.println(
+        s"graft: index at $path records a different metric than " +
+          s"'${params.metric}' — serving with the caller's metric " +
+          "(open_index_with override)")
     new Handle(spark, path, params)
   }
 

@@ -688,6 +688,27 @@ object VamanaIndex {
       .agg(round(avg($"recall"), 4).as("mean_recall"), count(lit(1)).as("n_queries"))
   }
 
+  /** THRESHOLD recall: the fraction of returned neighbors whose
+    * distance is within the true k-th distance — the tie-tolerant
+    * recall flavor the reference reports NEXT TO id recall
+    * (examples/diskann_skewed.rs:146-185 computes both; with distance
+    * ties, a returned neighbor at exactly the k-th distance counts
+    * even when its id differs from the ground-truth set's pick).
+    * Both inputs are (q_id, …, dist) result frames; `exact` defines
+    * the per-query threshold. ≥ id recall by construction. */
+  def thresholdRecallDf(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val s = approx.sparkSession
+    import s.implicits._
+    val kth = exact.groupBy($"q_id")
+      .agg(max($"dist").as("gt_kth"), count(lit(1)).as("total"))
+    approx.select($"q_id", $"dist").join(kth, Seq("q_id"))
+      .groupBy($"q_id", $"total")
+      .agg(sum(when($"dist" <= $"gt_kth", 1L).otherwise(0L)).as("hits"))
+      .select($"q_id", (least($"hits", $"total") / $"total").as("recall"))
+      .agg(round(avg($"recall"), 4).as("threshold_recall"),
+        count(lit(1)).as("n_queries"))
+  }
+
   /** Label-filtered top-k through the graph (target label 3, ~10% of
     * the corpus; beam widened 4× for the selectivity) — rows-only,
     * recall floors pinned in FilteredSearchSpec. */
@@ -732,9 +753,16 @@ object VamanaIndex {
       nprobe = 4)
   }
 
-  /** recall@10 of the full (unrouted) beam search vs brute force. */
-  def qVamanaRecall(s: SparkSession, dir: String): DataFrame =
-    recallDf(qVamanaSearch(s, dir), VectorQueries.qKnnExact(s, dir))
+  /** recall@10 of the full (unrouted) beam search vs brute force —
+    * both flavors the reference evaluates side by side
+    * (diskann_skewed.rs:182-189): id recall and tie-tolerant
+    * threshold recall in one row. */
+  def qVamanaRecall(s: SparkSession, dir: String): DataFrame = {
+    val approx = qVamanaSearch(s, dir)
+    val exact = VectorQueries.qKnnExact(s, dir)
+    recallDf(approx, exact).crossJoin(
+      thresholdRecallDf(approx, exact).select(col("threshold_recall")))
+  }
 
   /** recall@10 of the PROBED serving config (what Bench pairs with its
     * QPS figure, matching the reference's recall+QPS reporting). */

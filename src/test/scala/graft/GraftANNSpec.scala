@@ -22,9 +22,19 @@ class GraftANNSpec extends AnyFunSuite {
     assert(h.metadataJson.contains("graft-vamana-v1"))
   }
 
-  test("openIndex rejects a metric mismatch (reference open_index_with check)") {
-    intercept[IllegalArgumentException] {
-      GraftANN.openIndex(spark, path, params.copy(metric = "l2"))
+  test("openIndex with a different metric warns and serves it (open_index_with contract)") {
+    // the reference warns and serves with the caller's distance
+    // (lib.rs:476-482); only structural mismatches hard-error. The
+    // l2-override handle must search with L2 semantics over the
+    // cosine-built graph: self-match still holds (d(x,x)=0 in both).
+    val h = GraftANN.openIndex(spark, path, params.copy(metric = "l2"))
+    assert(h.params.metric == "l2")
+    val q = h.getVector(5L)
+    val nn = h.searchVector(q, k = 3, beamWidth = 32)
+    assert(nn.head._1 == 5L && nn.head._2 < 1e-9)
+    // a non-index directory still hard-errors
+    intercept[Exception] {
+      GraftANN.openIndex(spark, "/tmp/definitely_not_an_index", params)
     }
   }
 

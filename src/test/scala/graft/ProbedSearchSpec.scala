@@ -37,6 +37,22 @@ class ProbedSearchSpec extends AnyFunSuite {
     assert(r8 == 1.0, s"nprobe=all recall $r8")
   }
 
+  test("threshold recall >= id recall, both 1.0 for the full search (reference dual evaluation)") {
+    // the reference reports id recall AND tie-tolerant threshold
+    // recall side by side (diskann_skewed.rs:182-189); the threshold
+    // flavor can only be more generous, and the exact-vs-itself case
+    // must saturate both
+    val dir = SparkSpecBase.sf001
+    val row = VamanaIndex.qVamanaRecall(spark, dir).head()
+    val idRecall = row.getDouble(0)
+    val thr = row.getDouble(row.fieldIndex("threshold_recall"))
+    assert(thr >= idRecall - 1e-9, s"threshold $thr < id $idRecall")
+    assert(idRecall == 1.0 && thr == 1.0, s"full-search recalls $idRecall / $thr")
+    val exact = graft.operators.VectorQueries.qKnnExact(spark, dir)
+    val self = VamanaIndex.thresholdRecallDf(exact, exact).head().getDouble(0)
+    assert(self == 1.0, s"exact-vs-exact threshold recall $self")
+  }
+
   test("routing table persists in metadata.json and serves identically") {
     val dir = SparkSpecBase.sf001
     val idx = VamanaIndex.cachedIndex(spark, dir)

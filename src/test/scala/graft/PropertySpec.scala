@@ -102,6 +102,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard/hellinger metric laws: identity, symmetry, [0,1] bounds, scale behavior") {
+    import graft.index.Metric
+    // non-negative weight vectors (the metrics' domain), including
+    // zeros and ties; fixed dim so eval's offset form is exercised
+    val vec = Gen.listOfN(6, Gen.chooseNum(0, 8).map(_.toFloat)).map(_.toArray)
+    for (s <- 1 to 300) {
+      val a = sample(vec, 7000L + s)
+      val b = sample(vec, 8000L + s)
+      // Jaccard identity is exact (min=max termwise); Hellinger's
+      // outer sqrt amplifies the ~1e-16 Bhattacharyya-sum rounding to
+      // ~1e-8, so its identity is near-zero, not zero (round(,4) in
+      // the query layer absorbs it; the oracle replays the same
+      // arithmetic)
+      assert(Metric.Jaccard.eval(a, 0, a, 0, 6) == 0.0, s"jaccard identity, seed $s")
+      assert(Metric.Hellinger.eval(a, 0, a, 0, 6) < 3e-8, s"hellinger identity, seed $s")
+      for (m <- Seq(Metric.Jaccard, Metric.Hellinger)) {
+        val dab = m.eval(a, 0, b, 0, 6)
+        assert(dab == m.eval(b, 0, a, 0, 6), s"$m symmetry, seed $s")
+        assert(dab >= 0.0 && dab <= 1.0, s"$m bounds $dab, seed $s")
+      }
+      // Hellinger is scale-invariant (distributions); Jaccard is not
+      // (weights): pin both so the distinction never silently flips
+      val a2 = a.map(_ * 4f)
+      val hd = Metric.Hellinger.eval(a2, 0, b, 0, 6) -
+        Metric.Hellinger.eval(a, 0, b, 0, 6)
+      assert(math.abs(hd) < 1e-9, s"hellinger scale-invariance, seed $s")
+      if (a.exists(_ > 0f) && b.exists(_ > 0f) && !a.sameElements(Array.fill(6)(0f))) {
+        // scaling one side of a non-equal pair changes weighted Jaccard
+        val j1 = Metric.Jaccard.eval(a, 0, b, 0, 6)
+        val j2 = Metric.Jaccard.eval(a2, 0, b, 0, 6)
+        if (j1 == 0.0) assert(j2 > 0.0, s"jaccard scale sensitivity, seed $s")
+      }
+    }
+  }
+
   test("two-pointer intersect count == set intersection size") {
     val strs = Gen.listOf(Gen.oneOf("aa", "ab", "ba", "bb", "ca", "cb", "cc"))
     for (s <- 1 to 300) {
