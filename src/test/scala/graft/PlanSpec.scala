@@ -38,6 +38,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("label"), s"label column should be pruned:\n$p")
   }
 
+  test("q_dist_jaccard/hellinger: native expressions in the pair projection, pruned scan") {
+    // the DISTANCE itself is the native codegen expression, never an
+    // interpreted aggregate-HOF chain; hellinger needs no lambda at
+    // all (|x| and L1 normalization live inside the expression),
+    // jaccard's only lambda is the query-side abs() domain mapping
+    val pj = planOf(operators.VectorQueries.qDistJaccard(spark, sf))
+    assert(pj.contains("graft_jaccard_distance"), pj)
+    assert(!pj.contains("label"), s"label column should be pruned:\n$pj")
+    assert(!pj.toLowerCase.contains("aggregate(transform"), pj)
+    val ph = planOf(operators.VectorQueries.qDistHellinger(spark, sf))
+    assert(ph.contains("graft_hellinger_distance"), ph)
+    assert(!ph.contains("label"), s"label column should be pruned:\n$ph")
+    assert(!ph.toLowerCase.contains("lambdafunction"), ph)
+  }
+
   test("q_knn_exact: queries broadcast; top-k is a partial object aggregate") {
     val p = planOf(operators.VectorQueries.qKnnExact(spark, sf))
     assert(p.contains("Broadcast"), p)
