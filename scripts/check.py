@@ -68,7 +68,14 @@ for name, sql in sorted(oracle.items()):
             bad = c
             break
     if bad:
-        diff = (g[bad] != x[bad])
+        # NaN-aware diff mask (plain != flags both-NaN pairs, inflating
+        # the count and burying the genuinely differing rows)
+        a, b = g[bad], x[bad]
+        if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
+            diff = ~((a == b) | (a.isna() & b.isna()))
+        else:
+            diff = ~(a.astype(object).where(pd.notna(a), None)
+                     == b.astype(object).where(pd.notna(b), None))
         print(f"FAIL {name}: col {bad} mismatch ({int(diff.sum())} rows); e.g.")
         idx = diff[diff].index[:3]
         for i in idx:
@@ -86,7 +93,19 @@ for d in sorted(glob.glob(f"{outdir}/*/")):
             n = len(pd.read_parquet(glob.glob(f"{d}/*.parquet")[0]))
             print(f"ROWS {name}: {n}")
         except Exception as e:
-            print(f"ROWS {name}: unreadable ({e})")
+            print(f"ROWS {name}: unreadable ({e})"); n_fail += 1
+
+# completeness: every registered query must have produced a dump dir —
+# a rows-only query that CRASHES in Verify has no oracle entry and no
+# dir, which the two loops above would silently skip
+try:
+    inventory = json.load(open(f"{outdir}/queries.json"))
+except Exception:
+    inventory = []  # pre-inventory dump; length checks above still apply
+dumped = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{outdir}/*/")}
+for name in sorted(set(inventory) - dumped):
+    print(f"FAIL {name}: no output dumped (query threw in Verify)")
+    n_fail += 1
 
 print(f"\n{n_pass} pass, {n_fail} fail")
 sys.exit(1 if n_fail else 0)

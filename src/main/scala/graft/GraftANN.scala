@@ -40,14 +40,22 @@ object GraftANN {
       try VamanaIndex.loadRouting(spark, path)
       catch { case _: Exception => VamanaIndex.routingTable(index) }
 
-    def numVectors: Long = index.count()
+    // dim and count come from metadata.json, not a cluster job: the
+    // same "serving must never rescan the index" rule as `routing`
+    // (head()/count() launched a scan of the graph parquet per call).
+    // Indexes saved before these fields existed fall back to one scan.
+    def numVectors: Long =
+      metaLong("num_vectors").getOrElse(index.count())
 
-    def dim: Int = index.head().embedding.length
+    def dim: Int =
+      metaLong("dim").map(_.toInt).getOrElse(index.head().embedding.length)
 
-    private def collectQueries(queries: DataFrame): Array[(Long, Array[Float])] = {
-      import spark.implicits._
-      queries.select(col("q_id"), col("qv")).as[(Long, Array[Float])].collect()
-    }
+    private def metaLong(field: String): Option[Long] =
+      s""""$field":\\s*(-?\\d+)""".r.findFirstMatchIn(metadataJson)
+        .map(_.group(1).toLong)
+
+    private def collectQueries(queries: DataFrame): Array[(Long, Array[Float])] =
+      GraftANN.collectQueries(queries)
 
     /** Batch search for a DataFrame of (q_id: long, qv: array<float>).
       * Returns (q_id, rank, neighbor_id, dist). */
@@ -157,11 +165,8 @@ object GraftANN {
 
     /** Batch search for a DataFrame of (q_id: long, qv: array<float>).
       * Returns (q_id, rank, neighbor_id, dist). */
-    def search(queries: DataFrame, k: Int, ef: Int): DataFrame = {
-      import spark.implicits._
-      val qs = queries.select(col("q_id"), col("qv")).as[(Long, Array[Float])].collect()
-      HnswIndex.search(index, qs, k, ef, params)
-    }
+    def search(queries: DataFrame, k: Int, ef: Int): DataFrame =
+      HnswIndex.search(index, GraftANN.collectQueries(queries), k, ef, params)
 
     /** Single-vector search, reference `search_with_dists` analog. */
     def searchVector(q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
@@ -171,6 +176,17 @@ object GraftANN {
         .select(col("neighbor_id"), col("dist"))
         .as[(Long, Double)].collect()
     }
+  }
+
+  /** The query-frame contract shared by every handle: (q_id: long,
+    * qv: array<float>), collected to the driver as the broadcast-side
+    * batch (query batches are small by contract; the corpus never
+    * collects). One definition so the two index families' facades
+    * cannot drift. */
+  private def collectQueries(queries: DataFrame): Array[(Long, Array[Float])] = {
+    val s = queries.sparkSession
+    import s.implicits._
+    queries.select(col("q_id"), col("qv")).as[(Long, Array[Float])].collect()
   }
 
   /** Build + persist + open an HNSW index (hnsw_sift.rs's

@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -14,12 +18,19 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // start from an EMPTY dump dir: a failing query must leave a
+    // missing directory, never a stale one from a previous run that a
+    // comparator would read as a false PASS
+    val outFile = new java.io.File(outDir)
+    if (outFile.exists()) org.apache.commons.io.FileUtils.deleteDirectory(outFile)
+    outFile.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // e.toString, not getMessage: an NPE's message is null and
+        // "[verify] q failed: null" is undiagnosable in the dev loop
+        System.err.println(s"[verify] $name failed: ${e.toString}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +48,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full query inventory, so the comparator can detect a query that
+    // produced NO dump at all (rows-only queries are not in
+    // oracle_sql.json — without this list their crash is invisible)
+    val inventory = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), inventory)
     spark.stop()
   }
 }

@@ -49,11 +49,10 @@ object StreamOps {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the file source needs a directory; glob-filter to the events file
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      // integer ns→µs division — see Tables.nsToMicros for why `/` is wrong
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.nsToMicros(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Watermarked tumbling-window counts per event type — the streaming
