@@ -40,10 +40,13 @@ object Multimodal {
 
   // ---------------------------------------------------------------- metadata
 
-  /** Binary payload + typed metadata decode (STUB decode, real schema):
-    * media_type from source id, width/height/fps/frames from "header"
-    * bytes. */
-  def qMmMeta(s: SparkSession, dir: String): DataFrame = {
+  /** The UNSORTED metadata projection every q_mm_* query composes on.
+    * Factored out of [[qMmMeta]] so downstream consumers never inherit
+    * its presentation `orderBy`: Catalyst's EliminateSorts cannot
+    * recurse through a Generate node, so composing q_mm_frames on the
+    * sorted frame left a wasted full range-partition exchange + sort
+    * of the meta rows below the explode. */
+  private def metaFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .withColumn("payload", expr(payloadCol))
@@ -58,23 +61,44 @@ object Multimodal {
           .otherwise(lit(1)))
       .select($"doc_id", $"media_type", $"width", $"height", $"n_frames",
         length($"payload").cast("int").as("payload_bytes"))
-      .orderBy($"doc_id")
   }
 
-  val qMmMetaSql: String =
-    s"""WITH h AS (SELECT doc_id, md5(text) AS hex FROM documents),
-       |m AS (
-       |  SELECT doc_id, hex,
+  /** Binary payload + typed metadata decode (STUB decode, real schema):
+    * media_type from source id, width/height/fps/frames from "header"
+    * bytes. */
+  def qMmMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    metaFrame(s, dir).orderBy($"doc_id")
+  }
+
+  /** The ONE oracle-side metadata CTE chain every q_mm_* oracle
+    * interpolates — the SQL twin of [[metaFrame]], so a stub-header
+    * change can never be applied to one oracle and missed in another.
+    * payload_bytes derives from the same synthesized payload as the
+    * Spark side (a NULL text yields NULL in both engines, never a
+    * hardcoded 16). */
+  private val metaCte: String =
+    s"""h AS (SELECT doc_id, md5(text) AS hex,
+       |  octet_length(unhex(md5(text)))::INTEGER AS payload_bytes
+       |  FROM documents),
+       |m0 AS (
+       |  SELECT doc_id, hex, payload_bytes,
        |    ['image', 'audio', 'video'][(${duckHexToInt("substring(hex, 1, 2)")} % 3 + 1)::INTEGER] AS media_type,
        |    (${duckHexToInt("substring(hex, 3, 2)")} % 64 + 16)::INTEGER AS width,
        |    (${duckHexToInt("substring(hex, 5, 2)")} % 64 + 16)::INTEGER AS height
        |  FROM h
-       |)
-       |SELECT doc_id, media_type, width, height,
-       |  CASE WHEN media_type = 'video'
-       |       THEN (${duckHexToInt("substring(hex, 7, 2)")} % 120 + 8)::INTEGER
-       |       ELSE 1 END AS n_frames,
-       |  16 AS payload_bytes
+       |),
+       |m AS (
+       |  SELECT doc_id, hex, payload_bytes, media_type, width, height,
+       |    CASE WHEN media_type = 'video'
+       |         THEN (${duckHexToInt("substring(hex, 7, 2)")} % 120 + 8)::INTEGER
+       |         ELSE 1 END AS n_frames
+       |  FROM m0
+       |)""".stripMargin
+
+  val qMmMetaSql: String =
+    s"""WITH $metaCte
+       |SELECT doc_id, media_type, width, height, n_frames, payload_bytes
        |FROM m ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- frames
@@ -84,7 +108,7 @@ object Multimodal {
     * (doc, frame) work-list a downstream batched decoder consumes. */
   def qMmFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    qMmMeta(s, dir)
+    metaFrame(s, dir)
       .filter($"media_type" === "video")
       .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1, 8)")))
       .select($"doc_id", $"frame_idx".cast("int").as("frame_idx"),
@@ -93,15 +117,8 @@ object Multimodal {
   }
 
   val qMmFramesSql: String =
-    s"""WITH h AS (SELECT doc_id, md5(text) AS hex FROM documents),
-       |m AS (
-       |  SELECT doc_id,
-       |    ['image', 'audio', 'video'][(${duckHexToInt("substring(hex, 1, 2)")} % 3 + 1)::INTEGER] AS media_type,
-       |    (${duckHexToInt("substring(hex, 3, 2)")} % 64 + 16)::INTEGER AS width,
-       |    (${duckHexToInt("substring(hex, 5, 2)")} % 64 + 16)::INTEGER AS height,
-       |    (${duckHexToInt("substring(hex, 7, 2)")} % 120 + 8)::INTEGER AS n_frames
-       |  FROM h
-       |), v AS (SELECT * FROM m WHERE media_type = 'video')
+    s"""WITH $metaCte,
+       |v AS (SELECT * FROM m WHERE media_type = 'video')
        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
        |  f::BIGINT * width * height * 3 AS byte_offset
        |FROM v, unnest(range(0, n_frames, 8)) AS t(f)
@@ -123,11 +140,16 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // one codec call per batch (stub: per-payload mean byte)
           batch.map { case (id, bytes) =>
-            var sum = 0L
-            bytes.foreach(b => sum += (b & 0xff))
+            // null (e.g. a NULL-text doc's unhex(md5(NULL)) payload)
+            // and empty payloads are DEFINED inputs → 0.0, never an
+            // NPE or NaN; the oracle's CASE mirrors the same rule
             val brightness =
-              if (bytes.isEmpty) 0.0 // empty payload: defined, not NaN
-              else math.round(sum.toDouble / bytes.length / 255.0 * 10000) / 10000.0
+              if (bytes == null || bytes.isEmpty) 0.0
+              else {
+                var sum = 0L
+                bytes.foreach(b => sum += (b & 0xff))
+                math.round(sum.toDouble / bytes.length / 255.0 * 10000) / 10000.0
+              }
             (id, brightness)
           }
         }
@@ -143,15 +165,18 @@ object Multimodal {
   }
 
   val qMmFeaturesSql: String =
-    s"""WITH h AS (SELECT doc_id, md5(text) AS hex FROM documents),
+    s"""WITH $metaCte,
        |b AS (
        |  SELECT doc_id,
-       |    list_transform(range(0, 16),
-       |      i -> ${duckHexToInt("substring(hex, 2*i + 1, 2)")}) AS bytes
-       |  FROM h
+       |    CASE WHEN hex IS NULL THEN NULL
+       |         ELSE list_transform(range(0, 16),
+       |           i -> ${duckHexToInt("substring(hex, 2*i + 1, 2)")}) END AS bytes
+       |  FROM m
        |)
        |SELECT doc_id,
-       |  round(CAST(list_sum(bytes) AS DOUBLE) / 16.0 / 255.0, 4) AS brightness
+       |  CASE WHEN bytes IS NULL THEN 0.0
+       |       ELSE round(CAST(list_sum(bytes) AS DOUBLE) / len(bytes) / 255.0, 4)
+       |       END AS brightness
        |FROM b ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- resize
@@ -170,7 +195,7 @@ object Multimodal {
 
   def qMmResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    qMmMeta(s, dir)
+    metaFrame(s, dir)
       .filter($"media_type" =!= "audio")
       .withColumn("scale",
         least(lit(ResizeBox) / $"width", lit(ResizeBox) / $"height", lit(1.0)))
@@ -183,17 +208,8 @@ object Multimodal {
   }
 
   val qMmResizeSql: String =
-    s"""WITH h AS (SELECT doc_id, md5(text) AS hex FROM documents),
-       |m AS (
-       |  SELECT doc_id,
-       |    ['image', 'audio', 'video'][(${duckHexToInt("substring(hex, 1, 2)")} % 3 + 1)::INTEGER] AS media_type,
-       |    (${duckHexToInt("substring(hex, 3, 2)")} % 64 + 16)::INTEGER AS width,
-       |    (${duckHexToInt("substring(hex, 5, 2)")} % 64 + 16)::INTEGER AS height,
-       |    CASE WHEN ['image', 'audio', 'video'][(${duckHexToInt("substring(hex, 1, 2)")} % 3 + 1)::INTEGER] = 'video'
-       |         THEN (${duckHexToInt("substring(hex, 7, 2)")} % 120 + 8)::INTEGER
-       |         ELSE 1 END AS n_frames
-       |  FROM h
-       |), r AS (
+    s"""WITH $metaCte,
+       |r AS (
        |  SELECT doc_id, media_type, width, height, n_frames,
        |    least($ResizeBox / width, $ResizeBox / height, 1.0) AS raw_scale
        |  FROM m WHERE media_type <> 'audio'

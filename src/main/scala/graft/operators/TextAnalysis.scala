@@ -41,7 +41,7 @@ object TextAnalysis {
   def qTextTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .withColumn("words", expr(WordsExpr))
       .select(
         $"doc_id",
         size($"words").as("n_ws_tokens"),
@@ -69,15 +69,28 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- quality
 
-  /** Quality scoring: length, word stats, stopword/punct ratios and a
-    * composite score — the usual pre-training corpus filters. */
+  /** THE whitespace tokenization, as one SQL fragment — every text
+    * operator and the streaming select's empties branch build on this
+    * exact expression, so the scored/empty partition of a corpus can
+    * never depend on two tokenizers drifting apart. */
+  private[graft] val WordsExpr = "filter(split(text, ' '), w -> w != '')"
+
+  /** Complement of [[withQualityCols]]'s scoreability filter: docs
+    * with NO words (NULL text must be caught explicitly — split(NULL)
+    * is NULL and size(NULL) is -1, so a bare `= 0` would classify
+    * null-text docs into NEITHER branch). */
+  private[graft] val NoWordsPredicate =
+    s"text IS NULL OR size($WordsExpr) <= 0"
+
   /** Tokenization shared by quality / lang / the composed pipeline —
     * one definition so the standalone queries and q_pipeline_select
     * can never drift. */
   private def withWords(df: DataFrame): DataFrame =
-    df.withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+    df.withColumn("words", expr(WordsExpr))
 
-  /** Appends the quality metric columns (incl. `quality_score`) to a
+  /** Quality scoring: length, word stats, stopword/punct ratios and a
+    * composite score — the usual pre-training corpus filters.
+    * Appends the quality metric columns (incl. `quality_score`) to a
     * docs frame that already carries `words`; drops empty docs. */
   private def withQualityCols(df: DataFrame): DataFrame = {
     val en = langWords.head._2
@@ -192,7 +205,7 @@ object TextAnalysis {
   def qTextBigramLL(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bg = Tables.documents(s, dir)
-      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .withColumn("words", expr(WordsExpr))
       .filter(size($"words") >= 2)
       .select($"doc_id", explode(expr(
         """transform(sequence(0, size(words) - 2),
@@ -239,7 +252,7 @@ object TextAnalysis {
   def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .withColumn("words", expr(WordsExpr))
       .withColumn("norm", array_join(array_sort(array_distinct($"words")), " "))
       .select(
         $"doc_id",
@@ -360,7 +373,7 @@ object TextAnalysis {
     val ranged = graft.PlanCache.getOrBuild(s, Family, s"packRanged:$dir")(
       Tables.documents(s, dir)
         .withColumn("n_tokens",
-          size(expr("filter(split(text, ' '), w -> w != '')")).cast("long"))
+          size(expr(WordsExpr)).cast("long"))
         .select($"doc_id", $"source", $"n_tokens")
         .repartitionByRange($"source", $"doc_id")
         .sortWithinPartitions($"source", $"doc_id")
@@ -405,7 +418,7 @@ object TextAnalysis {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     Tables.documents(s, dir)
       .withColumn("n_tokens",
-        size(expr("filter(split(text, ' '), w -> w != '')")).cast("long"))
+        size(expr(WordsExpr)).cast("long"))
       .withColumn("cum_prev", coalesce(sum($"n_tokens").over(w), lit(0L)))
       .select($"doc_id", $"source", $"n_tokens",
         floor($"cum_prev" / ChunkTokens).cast("long").as("chunk_id"),
@@ -437,7 +450,7 @@ object TextAnalysis {
   def qDocStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .withColumn("n_tokens", size(expr("filter(split(text, ' '), w -> w != '')")))
+      .withColumn("n_tokens", size(expr(WordsExpr)))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -545,7 +558,7 @@ object TextAnalysis {
   def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grams = Tables.documents(s, dir)
-      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .withColumn("words", expr(WordsExpr))
       .filter(size($"words") >= 1)
       .select($"doc_id", explode(expr(
         // sequence(0, -1) would generate a DESCENDING range for 1-word
@@ -621,7 +634,7 @@ object TextAnalysis {
     import s.implicits._
     val tok = Tables.documents(s, dir)
       .select($"source",
-        explode(expr("filter(split(text, ' '), w -> w != '')")).as("word"))
+        explode(expr(WordsExpr)).as("word"))
     // tf is vocab-sized and feeds THREE consumers (the join, df, and
     // the source count) — cached so the corpus is scanned exactly
     // once; deriving n_sources from tf instead of re-scanning
@@ -701,7 +714,7 @@ object TextAnalysis {
   def qTextBoilerplate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grams = Tables.documents(s, dir)
-      .withColumn("words", expr("filter(split(text, ' '), w -> w != '')"))
+      .withColumn("words", expr(WordsExpr))
       .filter(size($"words") >= 4)
       .select($"doc_id", explode(
         expr("transform(sequence(1, size(words) - 3), i -> concat_ws(' ', slice(words, i, 4)))"))

@@ -126,31 +126,32 @@ object StreamOps {
     // scoreForSelect (via withQualityCols) drops empty/whitespace-only
     // docs from scoring; the flagged-not-dropped contract still owes
     // downstream a verdict row for them — rejected, stateless (an
-    // empty doc can never be a keeper or selected). NULL text must be
-    // caught explicitly: split(NULL) is NULL and size(NULL) is -1, so
-    // a `= 0` predicate would drop null-text docs from BOTH branches
-    // (no verdict row at all) — `<= 0` gives them their rejected row.
+    // empty doc can never be a keeper or selected). The predicate is
+    // TextAnalysis's own complement expression, so the scored/empties
+    // partition rides ONE tokenizer definition (incl. the NULL-text
+    // rule) and every doc gets exactly one verdict row.
     val empties = docs
-      .where(expr(
-        "text IS NULL OR size(filter(split(text, ' '), w -> w != '')) <= 0"))
+      .where(expr(graft.operators.TextAnalysis.NoWordsPredicate))
       .select(col("doc_id").cast("long")).as[Long]
       .map(id => SelectOut(id, 0.0, "und", is_dup = false, selected = false))
     scored.union(empties)
   }
 
-  /** Stateful sessionizer: 30-minute inactivity gap. A session is
-    * emitted when a newer event of the same user arrives past the gap;
-    * late events within one gap of the current session extend it
-    * (min start, max last). An event arriving more than the gap
-    * BEFORE the open session's start is emitted immediately as its
-    * own singleton session — it can never belong to the open one.
-    * Streaming therefore equals the batch operator exactly whenever
-    * cross-batch lateness stays within the gap (the StreamingSpec
-    * pin); for later-than-gap stragglers batch may merge the
-    * singleton with even-earlier events streaming already flushed —
-    * the bounded, documented deviation of eager emission (the
-    * alternative, watermark-buffered emission, holds every event
-    * until the watermark passes).
+  /** Stateful sessionizer: 30-minute inactivity gap. Each micro-batch
+    * is fully gap-merged WITH the open interval: the group keeps a
+    * sorted list of disjoint (> gap apart) session intervals, every
+    * event extends the interval it falls within one gap of (possibly
+    * bridging two intervals into one), and at batch end every
+    * interval except the latest is emitted — the latest stays open in
+    * state. Within a micro-batch this is EXACTLY the batch operator's
+    * closure (co-batch stragglers that chain within the gap merge
+    * into one session; a run of early events more than the gap before
+    * everything else emits as its own session, not singletons).
+    * The remaining, documented deviation is cross-batch only: an
+    * already-emitted session cannot merge with a straggler arriving
+    * in a LATER batch beyond the gap (the alternative,
+    * watermark-buffered emission, holds every event until the
+    * watermark passes).
     *
     * Known contract: the LAST session of a user who never returns is
     * held open in state (no timeout flush). A processing-time-timeout
@@ -166,30 +167,31 @@ object StreamOps {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => e.ts_us)
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var st = state.getOption.orNull
-          for (e <- sorted) {
-            st = st match {
-              case null => SessionState(e.ts_us, e.ts_us, 1)
-              case s if e.ts_us - s.last_us > GapUs =>
-                out += SessionOut(user, s.start_us, s.last_us, s.n)
-                SessionState(e.ts_us, e.ts_us, 1)
-              case s if s.start_us - e.ts_us > GapUs =>
-                // out-of-order event more than the gap BEFORE the open
-                // session: merging would stretch the live session
-                // across a silence longer than the gap (the batch
-                // operator would never produce that). It is by
-                // definition its own earlier session — emit it
-                // immediately as a singleton; the open session's
-                // state is untouched.
-                out += SessionOut(user, e.ts_us, e.ts_us, 1)
-                s
-              case s => SessionState(math.min(s.start_us, e.ts_us),
-                math.max(s.last_us, e.ts_us), s.n + 1)
-            }
+          val iv = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+          state.getOption.foreach(iv += _)
+          for (e <- evs.toSeq.sortBy(_.ts_us)) {
+            // first interval e could chain to (everything earlier ends
+            // more than a gap before e)
+            var i = 0
+            while (i < iv.length && iv(i).last_us + GapUs < e.ts_us) i += 1
+            if (i == iv.length) iv += SessionState(e.ts_us, e.ts_us, 1)
+            else if (e.ts_us >= iv(i).start_us - GapUs) {
+              // extends iv(i) (inside it or within one gap of it)
+              iv(i) = SessionState(math.min(iv(i).start_us, e.ts_us),
+                math.max(iv(i).last_us, e.ts_us), iv(i).n + 1)
+              // the grown interval may now bridge into its successor
+              while (i + 1 < iv.length &&
+                  iv(i + 1).start_us - iv(i).last_us <= GapUs) {
+                iv(i) = SessionState(iv(i).start_us,
+                  math.max(iv(i).last_us, iv(i + 1).last_us),
+                  iv(i).n + iv(i + 1).n)
+                iv.remove(i + 1)
+              }
+            } else iv.insert(i, SessionState(e.ts_us, e.ts_us, 1))
           }
-          if (st != null) state.update(st)
+          val out = iv.dropRight(1)
+            .map(s => SessionOut(user, s.start_us, s.last_us, s.n))
+          iv.lastOption.foreach(state.update)
           out.iterator
       }
   }

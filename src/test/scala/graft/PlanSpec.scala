@@ -53,6 +53,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!ph.toLowerCase.contains("lambdafunction"), ph)
   }
 
+  test("q_mm_frames: one exchange (presentation sort), no sort below the explode") {
+    // composing on the SORTED qMmMeta used to leave its range
+    // exchange + sort under the Generate (EliminateSorts cannot
+    // recurse through it) — the frames work-list then paid a full
+    // redundant shuffle of the meta rows before exploding
+    val p = planOf(multimodal.Multimodal.qMmFrames(spark, sf))
+    // tree-node form "Exchange (n)" — the details section repeats the
+    // name as "(n) Exchange", which must not double-count
+    assert("""Exchange \(\d+\)""".r.findAllIn(p).length == 1,
+      s"expected exactly the presentation exchange:\n$p")
+  }
+
   test("q_knn_exact: queries broadcast; top-k is a partial object aggregate") {
     val p = planOf(operators.VectorQueries.qKnnExact(spark, sf))
     assert(p.contains("Broadcast"), p)

@@ -67,6 +67,52 @@ class StreamingSpec extends AnyFunSuite {
       out.toSeq.toString)
   }
 
+  test("co-batch stragglers within one gap of each other merge, as batch would") {
+    // regression: two late events in the SAME micro-batch, each more
+    // than the gap before the open session but within the gap of each
+    // other, were emitted as separate singletons; batch sessionizes
+    // them into one session — so must streaming's intra-batch closure
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sesscb").start()
+    val m = 60L * 1000000
+    mem.addData(Ev(1, 100 * m, "click", 1.0))
+    q.processAllAvailable() // open session at 100m
+    // both > gap before 100m; 10 min apart from each other
+    mem.addData(Ev(1, 10 * m, "late", 1.0), Ev(1, 20 * m, "late", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(1, 200 * m, "click", 1.0)) // closes the 100m session
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sesscb").as[(Long, Long, Long, Long)].collect().sorted
+    assert(out.toSeq == Seq(
+      (1L, 10 * m, 20 * m, 2L), (1L, 100 * m, 100 * m, 1L)),
+      out.toSeq.toString)
+  }
+
+  test("a straggler run that chains into the open session merges it whole") {
+    // the bridge case: stragglers 60m,65m (> gap before the open 100m
+    // session) plus 75m (within gap of both 65m and 100m) — batch
+    // produces ONE session [60m,100m]; the interval-merge closure
+    // must bridge identically instead of stranding [60,65]
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessbr").start()
+    val m = 60L * 1000000
+    mem.addData(Ev(1, 100 * m, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(1, 60 * m, "late", 1.0), Ev(1, 65 * m, "late", 1.0),
+      Ev(1, 75 * m, "late", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(1, 200 * m, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sessbr").as[(Long, Long, Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((1L, 60 * m, 100 * m, 4L)), out.toSeq.toString)
+  }
+
   test("streaming select emits a rejected verdict for empty docs, not silence") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
