@@ -66,14 +66,22 @@ object KMeans {
     * each partition — cross-engine parity is guaranteed by rounding
     * at the END (assignment only compares distances, where the
     * summation-order noise is ~1e-13 of the values). */
-  private def recompute(assigned: DataFrame): DataFrame = {
-    val s = assigned.sparkSession
+  private def recompute(assigned: DataFrame): DataFrame =
+    centroidsOf(assigned, "cell")
+
+  /** Per-group mean embedding via the partial vector-sum aggregate —
+    * (keyCol, cv: array<float>). ONE definition of the sum-then-
+    * divide-then-FLOAT-round arithmetic, shared by Lloyd's recompute
+    * and the outlier scorer so the cross-engine parity argument can
+    * never drift between them. */
+  private def centroidsOf(df: DataFrame, keyCol: String): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
     val vsum = org.apache.spark.sql.functions.udaf(new VectorSumAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-    assigned.groupBy($"cell")
+    df.groupBy(col(keyCol))
       .agg(vsum($"embedding").as("sum"), count(lit(1)).as("n"))
-      .select($"cell",
+      .select(col(keyCol),
         transform($"sum", x => (x / $"n").cast("float")).as("cv"))
   }
 
@@ -118,6 +126,14 @@ object KMeans {
     * cents) → a1 → c1 → a2 → c2 (trained cents, FLOAT-rounded like
     * the Spark array<float>) → fin (final assignment). Shared by the
     * assignment oracle and the trained-IVF search oracle. */
+  /** Embedding dimensionality, single-sourced into every oracle SQL
+    * below — the Spark side adapts to the actual array length, but a
+    * DuckDB unnest(range(...)) cannot; if testdata dim ever changes,
+    * change THIS constant (a stale value reads as a false correctness
+    * failure on q_kmeans/q_embed_outlier/q_knn_ivf_trained with no
+    * pointer to the real cause). */
+  private[graft] val Dim = 64
+
   private[graft] val kmeansCtes: String = {
     // centroids round-trip through FLOAT exactly as the Spark side's
     // array<float> columns do, so both engines measure distances to
@@ -134,7 +150,7 @@ object KMeans {
          |  list(avg_v ORDER BY d)::FLOAT[] AS cv
          |FROM (
          |  SELECT cell, d, avg(embedding[d + 1]::DOUBLE) AS avg_v
-         |  FROM $assignRel, unnest(range(0, 64)) AS t(d)
+         |  FROM $assignRel, unnest(range(0, $Dim)) AS t(d)
          |  GROUP BY cell, d
          |) GROUP BY cell""".stripMargin
     s"""c0 AS (
@@ -159,11 +175,7 @@ object KMeans {
   def qEmbedOutlier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val vsum = org.apache.spark.sql.functions.udaf(new VectorSumAgg,
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-    val cents = emb.groupBy($"label")
-      .agg(vsum($"embedding").as("sum"), count(lit(1)).as("n"))
-      .select($"label", transform($"sum", x => (x / $"n").cast("float")).as("cv"))
+    val cents = centroidsOf(emb, "label")
     emb.join(broadcast(cents), "label")
       .select($"vec_id", $"label", round(l2Dist($"embedding", $"cv"), 4).as("centroid_dist"))
       .orderBy($"centroid_dist".desc, $"vec_id")
@@ -171,11 +183,11 @@ object KMeans {
   }
 
   val qEmbedOutlierSql: String =
-    """WITH cents AS (
+    s"""WITH cents AS (
       |  SELECT label, list(avg_v ORDER BY d)::FLOAT[] AS cv
       |  FROM (
       |    SELECT label, d, avg(embedding[d + 1]::DOUBLE) AS avg_v
-      |    FROM embeddings, unnest(range(0, 64)) AS t(d)
+      |    FROM embeddings, unnest(range(0, $Dim)) AS t(d)
       |    GROUP BY label, d
       |  ) GROUP BY label
       |)

@@ -10,14 +10,22 @@ import graft.sources.{AnnHdf5, VecsFormats}
   * formats move losslessly through the engine. */
 object SourceQueries {
 
+  /** Collision-free tmp-file token for an sf dir: the whole path,
+    * sanitized — never just the basename, which is "" for
+    * trailing-slash inputs and would alias distinct dirs. */
+  private def dirToken(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_").stripSuffix("_")
+
   /** embeddings → .fvecs on disk → distributed read-back → per-vector
     * L2 norm. Byte-lossless, so the oracle computes the same norms
     * straight from the parquet table. */
   def qVecsRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sf = dir.replaceAll(".*/", "")
-    // app-unique path: concurrent runs on the same sf must not clobber
-    // each other's file mid-read; deleted at JVM exit
+    // app-unique AND dir-unique path: the basename alone collapses
+    // for trailing-slash dirs (".*/" strips everything), aliasing two
+    // sf dirs onto one tmp file — the eager write then clobbers the
+    // earlier DataFrame's lazily-read data. Sanitize the FULL path.
+    val sf = dirToken(dir)
     val path = graft.TempCleanup.onExit(
       s"/tmp/graft_vecs_${sf}_${s.sparkContext.applicationId}.fvecs")
     VecsFormats.writeFvecs(Tables.embeddings(s, dir), path)
@@ -41,7 +49,7 @@ object SourceQueries {
     * ranges out across executors. */
   def qHdf5Roundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sf = dir.replaceAll(".*/", "")
+    val sf = dirToken(dir)
     val path = graft.TempCleanup.onExit(
       s"/tmp/graft_ann_${sf}_${s.sparkContext.applicationId}.hdf5")
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding").orderBy($"vec_id")

@@ -235,13 +235,17 @@ object AnnHdf5 {
 
   // ------------------------------------------ distributed Spark reads
 
-  /** Float matrix (`train`/`test`/`distances`) →
-    * (vec_id: long, embedding: array<float>). f64 narrows to f32
-    * (graft's vector element type, same as the reference's f32 path). */
-  def readFloatMatrix(spark: SparkSession, path: String, dataset: String): DataFrame = {
-    val meta = datasetOrThrow(spark, path, dataset)
-    require(meta.kind == 'f', s"$dataset holds integers; use readIntMatrix")
-    import spark.implicits._
+  /** The shared distributed row-range read both matrix readers ride:
+    * conf shipping, partition sizing, per-task FS open with
+    * close-on-task-completion (a limit() or mid-read failure must not
+    * leak the handle), and positioned whole-row reads — parameterized
+    * only by the row decode. One definition, so a lifecycle fix can
+    * never be applied to one element type and missed on the other. */
+  private def readMatrix[T](
+      spark: SparkSession, path: String, meta: DatasetMeta)(
+      decode: (ByteBuffer, DatasetMeta) => T)(
+      implicit enc: org.apache.spark.sql.Encoder[(Long, T)])
+      : org.apache.spark.sql.Dataset[(Long, T)] = {
     val conf = org.apache.spark.sql.graft.bridge.serializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val parts = math.min(spark.sparkContext.defaultParallelism.toLong, math.max(1L, meta.rows)).toInt
@@ -253,24 +257,33 @@ object AnnHdf5 {
         val p = new HPath(path)
         val fs = p.getFileSystem(org.apache.spark.sql.graft.bridge.hadoopConfOf(conf))
         val in = fs.open(p)
-        // close on task completion, not on iterator drain — a limit()
-        // or mid-read failure would otherwise leak the handle
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
         val rowBytes = meta.cols * meta.elemSize
         val buf = new Array[Byte](rowBytes)
         it.map { row =>
           in.readFully(meta.dataAddr + row * rowBytes.toLong, buf)
-          val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
-          val arr = new Array[Float](meta.cols)
-          var i = 0
-          while (i < meta.cols) {
-            arr(i) = if (meta.elemSize == 4) bb.getFloat else bb.getDouble.toFloat
-            i += 1
-          }
-          (row.toLong, arr)
+          (row.toLong, decode(ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN), meta))
         }
       }
+    }
+  }
+
+  /** Float matrix (`train`/`test`/`distances`) →
+    * (vec_id: long, embedding: array<float>). f64 narrows to f32
+    * (graft's vector element type, same as the reference's f32 path). */
+  def readFloatMatrix(spark: SparkSession, path: String, dataset: String): DataFrame = {
+    val meta = datasetOrThrow(spark, path, dataset)
+    require(meta.kind == 'f', s"$dataset holds integers; use readIntMatrix")
+    import spark.implicits._
+    readMatrix(spark, path, meta) { (bb, m) =>
+      val arr = new Array[Float](m.cols)
+      var i = 0
+      while (i < m.cols) {
+        arr(i) = if (m.elemSize == 4) bb.getFloat else bb.getDouble.toFloat
+        i += 1
+      }
+      arr
     }.toDF("vec_id", "embedding")
   }
 
@@ -279,31 +292,14 @@ object AnnHdf5 {
     val meta = datasetOrThrow(spark, path, dataset)
     require(meta.kind == 'i', s"$dataset holds floats; use readFloatMatrix")
     import spark.implicits._
-    val conf = org.apache.spark.sql.graft.bridge.serializableHadoopConf(
-      spark.sparkContext.hadoopConfiguration)
-    val parts = math.min(spark.sparkContext.defaultParallelism.toLong, math.max(1L, meta.rows)).toInt
-    spark.range(0, meta.rows, 1, parts).mapPartitions { it =>
-      if (!it.hasNext) Iterator.empty
-      else {
-        val p = new HPath(path)
-        val fs = p.getFileSystem(org.apache.spark.sql.graft.bridge.hadoopConfOf(conf))
-        val in = fs.open(p)
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
-        val rowBytes = meta.cols * meta.elemSize
-        val buf = new Array[Byte](rowBytes)
-        it.map { row =>
-          in.readFully(meta.dataAddr + row * rowBytes.toLong, buf)
-          val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
-          val arr = new Array[Long](meta.cols)
-          var i = 0
-          while (i < meta.cols) {
-            arr(i) = if (meta.elemSize == 4) bb.getInt.toLong else bb.getLong
-            i += 1
-          }
-          (row.toLong, arr)
-        }
+    readMatrix(spark, path, meta) { (bb, m) =>
+      val arr = new Array[Long](m.cols)
+      var i = 0
+      while (i < m.cols) {
+        arr(i) = if (m.elemSize == 4) bb.getInt.toLong else bb.getLong
+        i += 1
       }
+      arr
     }.toDF("query_id", "neighbors")
   }
 

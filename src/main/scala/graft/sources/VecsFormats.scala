@@ -34,40 +34,45 @@ object VecsFormats {
     } finally in.close()
   }
 
-  /** `.fvecs` → (vec_id: long, embedding: array<float>). */
-  def readFvecs(spark: SparkSession, path: String): DataFrame = {
+  /** The shared record scaffolding all four readers ride: fixed-length
+    * `binaryRecords` split + file-order `zipWithIndex` ids + the
+    * per-record uniform-dim check, parameterized only by element width
+    * and decode. One definition, so a framing fix (error text, id
+    * assignment) can never be applied to three of four formats. */
+  private def readRecords[T](spark: SparkSession, path: String, elemBytes: Int)(
+      decode: (ByteBuffer, Int) => T): org.apache.spark.rdd.RDD[(Long, T)] = {
     val dim = headerDim(spark, path)
-    val recLen = 4 + 4 * dim
-    import spark.implicits._
+    val recLen = 4 + elemBytes * dim
     spark.sparkContext.binaryRecords(path, recLen)
       .zipWithIndex()
       .map { case (bytes, idx) =>
         val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
         val d = bb.getInt
         require(d == dim, s"non-uniform dim: $d vs $dim at record $idx")
-        val arr = new Array[Float](dim)
-        var i = 0
-        while (i < dim) { arr(i) = bb.getFloat; i += 1 }
-        (idx, arr)
-      }.toDF("vec_id", "embedding")
+        (idx, decode(bb, dim))
+      }
+  }
+
+  /** `.fvecs` → (vec_id: long, embedding: array<float>). */
+  def readFvecs(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    readRecords(spark, path, elemBytes = 4) { (bb, dim) =>
+      val arr = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { arr(i) = bb.getFloat; i += 1 }
+      arr
+    }.toDF("vec_id", "embedding")
   }
 
   /** `.bvecs` (uint8 vectors, e.g. BigANN) → embedding as floats. */
   def readBvecs(spark: SparkSession, path: String): DataFrame = {
-    val dim = headerDim(spark, path)
-    val recLen = 4 + dim
     import spark.implicits._
-    spark.sparkContext.binaryRecords(path, recLen)
-      .zipWithIndex()
-      .map { case (bytes, idx) =>
-        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        val d = bb.getInt
-        require(d == dim, s"non-uniform dim: $d vs $dim at record $idx")
-        val arr = new Array[Float](dim)
-        var i = 0
-        while (i < dim) { arr(i) = (bb.get() & 0xff).toFloat; i += 1 }
-        (idx, arr)
-      }.toDF("vec_id", "embedding")
+    readRecords(spark, path, elemBytes = 1) { (bb, dim) =>
+      val arr = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { arr(i) = (bb.get() & 0xff).toFloat; i += 1 }
+      arr
+    }.toDF("vec_id", "embedding")
   }
 
   /** `.bvecs` → (vec_id: long, codes: binary) with NO float widening:
@@ -78,17 +83,12 @@ object VecsFormats {
     * [[graft.operators.VectorQueries.qKnnU8]]) or the u8 single-file
     * export path. */
   def readBvecsU8(spark: SparkSession, path: String): DataFrame = {
-    val dim = headerDim(spark, path)
-    val recLen = 4 + dim
     import spark.implicits._
-    spark.sparkContext.binaryRecords(path, recLen)
-      .zipWithIndex()
-      .map { case (bytes, idx) =>
-        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        val d = bb.getInt
-        require(d == dim, s"non-uniform dim: $d vs $dim at record $idx")
-        (idx, java.util.Arrays.copyOfRange(bytes, 4, recLen))
-      }.toDF("vec_id", "codes")
+    readRecords(spark, path, elemBytes = 1) { (bb, dim) =>
+      val arr = new Array[Byte](dim)
+      bb.get(arr)
+      arr
+    }.toDF("vec_id", "codes")
   }
 
   /** Export (vec_id, codes: binary) as `.bvecs` in vec_id order —
@@ -111,20 +111,13 @@ object VecsFormats {
   /** `.ivecs` (int lists — ground-truth neighbors) →
     * (query_id: long, neighbors: array<int>). */
   def readIvecs(spark: SparkSession, path: String): DataFrame = {
-    val dim = headerDim(spark, path)
-    val recLen = 4 + 4 * dim
     import spark.implicits._
-    spark.sparkContext.binaryRecords(path, recLen)
-      .zipWithIndex()
-      .map { case (bytes, idx) =>
-        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        val d = bb.getInt
-        require(d == dim, s"non-uniform dim: $d vs $dim at record $idx")
-        val arr = new Array[Int](dim)
-        var i = 0
-        while (i < dim) { arr(i) = bb.getInt; i += 1 }
-        (idx, arr)
-      }.toDF("query_id", "neighbors")
+    readRecords(spark, path, elemBytes = 4) { (bb, dim) =>
+      val arr = new Array[Int](dim)
+      var i = 0
+      while (i < dim) { arr(i) = bb.getInt; i += 1 }
+      arr
+    }.toDF("query_id", "neighbors")
   }
 
   /** Export (vec_id, embedding) as `.fvecs` in vec_id order. */
