@@ -18,12 +18,20 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // start from an EMPTY dump dir: a failing query must leave a
+    // start from a CLEAN dump state: a failing query must leave a
     // missing directory, never a stale one from a previous run that a
-    // comparator would read as a false PASS
+    // comparator would read as a false PASS. Deletion is surgical —
+    // only this run's query names and the two manifest files — so a
+    // typo'd outDir (a workspace, the sf dir itself) is never
+    // recursively wiped.
     val outFile = new java.io.File(outDir)
-    if (outFile.exists()) org.apache.commons.io.FileUtils.deleteDirectory(outFile)
     outFile.mkdirs()
+    SparkEntry.queries.keys.foreach { name =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outFile, name))
+    }
+    Seq("oracle_sql.json", "queries.json").foreach { f =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outFile, f))
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -168,19 +168,24 @@ object SingleFileIndex {
     if (!Files.exists(p)) Array.tabulate(n)(_.toLong)
     else {
       val bytes = Files.readAllBytes(p)
-      val hasTrailer = bytes.length == 8L * n + 16 &&
-        ByteBuffer.wrap(bytes, 8 * n, 8).order(ByteOrder.LITTLE_ENDIAN)
-          .getLong == IdsMagic
+      // v2 detection keys on the trailing magic, NEVER on the expected
+      // row count: a stale v2 sidecar whose length happens to equal
+      // 8·(n+2) would otherwise alias as a bare v1 file and serve its
+      // magic+hash words as the last two vec_ids
+      val isV2 = bytes.length >= 16 && bytes.length % 8 == 0 &&
+        ByteBuffer.wrap(bytes, bytes.length - 16, 8)
+          .order(ByteOrder.LITTLE_ENDIAN).getLong == IdsMagic
+      val idCount = if (isV2) (bytes.length - 16) / 8 else bytes.length / 8
       // a sidecar that doesn't cover exactly this file's rows is a
       // torn install (crash between the main rename and the sidecar
       // rename) — fail loudly; silently falling back to identity ids
       // would serve wrong vec_ids with no error. Bare 8·n sidecars
       // (v1 / foreign) stay readable but get only the length check.
-      require(hasTrailer || bytes.length == 8L * n,
-        s"id sidecar ${sidecarPath(path)} holds ${bytes.length / 8} ids " +
+      require(idCount == n && (isV2 || bytes.length == 8L * n),
+        s"id sidecar ${sidecarPath(path)} holds $idCount ids " +
           s"but the index file has $n rows — torn sidecar install; " +
           "re-export the index (or delete the sidecar if ids are dense)")
-      if (hasTrailer) {
+      if (isV2) {
         val stored = ByteBuffer.wrap(bytes, 8 * n + 8, 8)
           .order(ByteOrder.LITTLE_ENDIAN).getLong
         require(stored == pairingHash(path, n, bytes),
@@ -364,7 +369,11 @@ object SingleFileIndex {
     // id sidecar only when ids are sparse — staged + atomic rename so
     // a crash mid-write can never leave a truncated sidecar next to a
     // complete index file; the v2 pairing trailer binds it to THIS
-    // main file's content (loadIds hard-errors on either mismatch)
+    // main file's content (loadIds hard-errors on either mismatch).
+    // NOTE: export writes the MAIN file in place and is therefore not
+    // a crash-atomic replace of a live index — that contract belongs
+    // to writeShardFile/exportSharded (staged main + ordered renames);
+    // export targets fresh paths.
     val dense = ids.zipWithIndex.forall { case (id, p) => id == p.toLong }
     if (dense) Files.deleteIfExists(Paths.get(sidecarPath(path)))
     else {
@@ -472,27 +481,31 @@ object SingleFileIndex {
       while (head.hasRemaining) ch.write(head)
       raf.setLength(endOfData)
     } finally raf.close()
-    // Swap order: MAIN FILE FIRST, then the .ids sidecar. A crash
-    // between the two renames leaves the new main paired with the OLD
-    // sidecar — which loadIds rejects loudly when the row count
-    // changed (length != 8·n is a hard error, never silent identity
-    // ids). The previous order (sidecar first / delete first) could
-    // pair the old main with a missing sidecar, which loadIds can only
-    // interpret as identity ids — silently wrong search results.
+    // Swap order chosen so EVERY crash-between-steps state is loudly
+    // rejected by loadIds (the v2 pairing trailer binds a sidecar to
+    // its main file's content):
+    //  - sparse new ids: SIDECAR FIRST, then main. Crash between →
+    //    old main + new sidecar → pairing hash (computed against the
+    //    staged new main) fails against the old content. The reverse
+    //    order had a silent hole when the OLD index was dense: new
+    //    main + no sidecar reads as identity ids with no error.
+    //  - dense new ids: MAIN FIRST, then delete the old sidecar.
+    //    Crash between → new main + old v2 sidecar → count/pairing
+    //    mismatch. (Delete-first would leave old main + no sidecar =
+    //    silent identity ids.)
+    // Residual: a pre-trailer v1 sidecar paired with a same-row-count
+    // new main passes the length check — re-export once to upgrade.
     val dense = sorted.zipWithIndex.forall { case (r, p) => r.vec_id == p.toLong }
-    val sideTmp =
-      if (dense) None
-      else {
-        // trailer hashed against the STAGED main (same bytes the
-        // rename installs), so the pair is bound before either rename
-        val st = Paths.get(sidecarPath(tmpPath))
-        Files.write(st, sidecarBytes(tmpPath, sorted.map(_.vec_id)))
-        Some(st)
-      }
-    atomicMove(Paths.get(tmpPath), Paths.get(path))
-    sideTmp match {
-      case Some(st) => atomicMove(st, Paths.get(sidecarPath(path)))
-      case None => Files.deleteIfExists(Paths.get(sidecarPath(path)))
+    if (dense) {
+      atomicMove(Paths.get(tmpPath), Paths.get(path))
+      Files.deleteIfExists(Paths.get(sidecarPath(path)))
+    } else {
+      // trailer hashed against the STAGED main (same bytes the
+      // rename installs), so the pair is bound before either rename
+      val st = Paths.get(sidecarPath(tmpPath))
+      Files.write(st, sidecarBytes(tmpPath, sorted.map(_.vec_id)))
+      atomicMove(st, Paths.get(sidecarPath(path)))
+      atomicMove(Paths.get(tmpPath), Paths.get(path))
     }
   }
 

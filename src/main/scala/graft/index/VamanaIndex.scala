@@ -701,10 +701,17 @@ object VamanaIndex {
     import s.implicits._
     val kth = exact.groupBy($"q_id")
       .agg(max($"dist").as("gt_kth"), count(lit(1)).as("total"))
-    approx.select($"q_id", $"dist").join(kth, Seq("q_id"))
-      .groupBy($"q_id", $"total")
-      .agg(sum(when($"dist" <= $"gt_kth", 1L).otherwise(0L)).as("hits"))
-      .select($"q_id", (least($"hits", $"total") / $"total").as("recall"))
+    // LEFT join FROM the exact side: a query with ground truth but no
+    // approx rows must average in as recall 0, not vanish — an inner
+    // join would silently overstate the mean and report an n_queries
+    // inconsistent with recallDf's
+    val hits = approx.select($"q_id", $"dist".as("a_dist"))
+      .join(kth.select($"q_id", $"gt_kth"), Seq("q_id"))
+      .groupBy($"q_id")
+      .agg(sum(when($"a_dist" <= $"gt_kth", 1L).otherwise(0L)).as("hits"))
+    kth.join(hits, Seq("q_id"), "left")
+      .select($"q_id",
+        (least(coalesce($"hits", lit(0L)), $"total") / $"total").as("recall"))
       .agg(round(avg($"recall"), 4).as("threshold_recall"),
         count(lit(1)).as("n_queries"))
   }
@@ -756,12 +763,33 @@ object VamanaIndex {
   /** recall@10 of the full (unrouted) beam search vs brute force —
     * both flavors the reference evaluates side by side
     * (diskann_skewed.rs:182-189): id recall and tie-tolerant
-    * threshold recall in one row. */
+    * threshold recall in one row. Both result sets materialize ONCE
+    * (they are query-batch-bounded: nQueries·k rows) and both metrics
+    * compute from the collected arrays — a crossJoin of two
+    * independent aggregations re-executed the uncached beam-search
+    * and brute-force subtrees per branch. */
   def qVamanaRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val approx = qVamanaSearch(s, dir)
+      .select($"q_id", $"neighbor_id", $"dist")
+      .as[(Long, Long, Double)].collect()
     val exact = VectorQueries.qKnnExact(s, dir)
-    recallDf(approx, exact).crossJoin(
-      thresholdRecallDf(approx, exact).select(col("threshold_recall")))
+      .select($"q_id", $"neighbor_id", $"dist")
+      .as[(Long, Long, Double)].collect()
+    val exactByQ = exact.groupBy(_._1)
+    val approxByQ = approx.groupBy(_._1)
+    val perQ = exactByQ.map { case (q, e) =>
+      val a = approxByQ.getOrElse(q, Array.empty[(Long, Long, Double)])
+      val idRecall = (e.map(_._2).toSet intersect a.map(_._2).toSet).size
+        .toDouble / e.length
+      val gtKth = e.map(_._3).max
+      val thr = math.min(a.count(_._3 <= gtKth), e.length).toDouble / e.length
+      (idRecall, thr)
+    }.toSeq
+    val n = perQ.size
+    Seq((math.rint(perQ.map(_._1).sum / n * 1e4) / 1e4, n.toLong,
+      math.rint(perQ.map(_._2).sum / n * 1e4) / 1e4))
+      .toDF("mean_recall", "n_queries", "threshold_recall")
   }
 
   /** recall@10 of the PROBED serving config (what Bench pairs with its

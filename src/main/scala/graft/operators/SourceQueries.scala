@@ -11,10 +11,16 @@ import graft.sources.{AnnHdf5, VecsFormats}
 object SourceQueries {
 
   /** Collision-free tmp-file token for an sf dir: the whole path,
-    * sanitized — never just the basename, which is "" for
-    * trailing-slash inputs and would alias distinct dirs. */
-  private def dirToken(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_").stripSuffix("_")
+    * sanitized, plus a hash of the RAW path — sanitization alone
+    * collapses distinct separators ("/data/sf1" vs "/data_sf1") onto
+    * one token, and the basename alone is "" for trailing-slash
+    * inputs; either aliasing would let a later build's eager write
+    * clobber an earlier DataFrame's lazily-read file. */
+  private def dirToken(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+    f"${safe}_${dir.hashCode & 0xffffffffL}%08x"
+  }
 
   /** embeddings → .fvecs on disk → distributed read-back → per-vector
     * L2 norm. Byte-lossless, so the oracle computes the same norms
