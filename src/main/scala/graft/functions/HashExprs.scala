@@ -60,23 +60,28 @@ case class SimHash62(child: Expression)
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<bigint>, got ${t.simpleString}")
   }
 
-  // a null ELEMENT yields a null code (the SQL aggregate this pins
-  // equivalence to propagates NULL), so the result can be null even
-  // for a non-null array
-  override def nullable: Boolean = true
-
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val counts = new Array[Int](62)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) return null
+      // a null ELEMENT votes −1 on every bit — matching the SQL
+      // fragment this expression pins equivalence to EXACTLY:
+      // `IF((shiftright(NULL, b) & 1) = 1, 1, -1)` takes the else
+      // branch in both Spark and DuckDB (an earlier revision returned
+      // NULL here, which the fragments never do — a silent native-vs-
+      // oracle divergence on arrays with null hashes)
+      if (arr.isNullAt(i)) {
+        var b = 0
+        while (b < 62) { counts(b) -= 1; b += 1 }
+      } else {
       val h = arr.getLong(i)
       var b = 0
       while (b < 62) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
+      }
       }
       i += 1
     }
@@ -141,6 +146,10 @@ case class TokenHashes(child: Expression)
   * shingle strings are materialized. Output sorted ascending. */
 case class WordShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
+  // SQL-registered, so arbitrary n reaches this constructor: n = 0
+  // walks the gram loop off the offsets array (AIOOBE) or emits the
+  // empty-shingle hash — reject it here, loudly
+  require(n >= 1, s"$$prettyName needs n >= 1, got $$n")
   override def prettyName: String = "graft_word_shingle_hashes"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -202,6 +211,10 @@ case class WordShingleHashes(child: Expression, n: Int)
   * String.compareTo. */
 case class CharNGramsSorted(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
+  // SQL-registered, so arbitrary n reaches this constructor: n = 0
+  // walks the gram loop off the offsets array (AIOOBE) or emits the
+  // empty-shingle hash — reject it here, loudly
+  require(n >= 1, s"$$prettyName needs n >= 1, got $$n")
   override def prettyName: String = "graft_char_ngrams_sorted"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

@@ -55,7 +55,14 @@ abstract class VectorBinaryExpression extends BinaryExpression {
          |  throw new IllegalArgumentException("$prettyName: dimension mismatch");
          |}
          |double $res = 0.0;
-         |${loopCode(a, b, n, res)}
+         |{
+         |  // own scope: loopCode templates use fixed local names
+         |  // (acc, dot, …); without braces two sibling distance
+         |  // expressions in one non-nullable-input codegen stage
+         |  // would declare duplicate method-scope locals and Janino
+         |  // would reject the stage (silent interpreted fallback)
+         |  ${loopCode(a, b, n, res)}
+         |}
          |${ev.value} = $res;
        """.stripMargin
     })
@@ -610,16 +617,22 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("graft_dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_l1_distance", es => L1Distance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_linf_distance", es => LinfDistance(es.head, es(1)), "scala_udf")
+    // ONE literal-extraction rule for every int-parameter function —
+    // also turns a non-foldable argument into a named error instead
+    // of a raw NPE/ClassCastException out of eval(null)
+    def litInt(e: Expression): Int =
+      try e.eval(null).asInstanceOf[Number].intValue
+      catch { case _: Exception => throw new IllegalArgumentException(
+        s"expected a foldable integer literal argument, got $e") }
     reg.createOrReplaceTempFunction("graft_int_sql2_distance", es => IntSqL2Distance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_pq_adc_distance",
-      es => PqAdcDistance(es.head, es(1), es(2).eval(null).asInstanceOf[Number].intValue), "scala_udf")
+      es => PqAdcDistance(es.head, es(1), litInt(es(2))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bucket",
-      es => LshBucket(es.head, es(1).eval(null).asInstanceOf[Number].intValue), "scala_udf")
+      es => LshBucket(es.head, litInt(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_roll_hash", es => RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash62", es => SimHash62(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
       es => SortedIntersectCount(es.head, es(1)), "scala_udf")
-    def litInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
     reg.createOrReplaceTempFunction("graft_token_hashes",
       es => TokenHashes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_word_shingle_hashes",

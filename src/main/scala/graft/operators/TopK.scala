@@ -37,6 +37,10 @@ case class TopKBuf(ids: Array[Long], dists: Array[Double])
 class TopKAgg(k: Int, distinctIds: Boolean = false)
     extends Aggregator[KnnCand, TopKBuf, TopKBuf] {
 
+  // fail at construction, not as an AIOOBE(-1) inside an executor's
+  // reduce when a computed k collapses to 0
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+
   override def zero: TopKBuf = TopKBuf(Array.emptyLongArray, Array.emptyDoubleArray)
 
   // NaN-total ordering (Double.compare sorts NaN last, like the SQL
@@ -152,15 +156,21 @@ case class TermTopKBuf(
   * window is a full-vocabulary shuffle; this is not. */
 class TermTopKAgg(k: Int) extends Aggregator[TermCand, TermTopKBuf, TermTopKBuf] {
 
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+
   override def zero: TermTopKBuf = TermTopKBuf(
     Array.empty[String], Array.emptyLongArray, Array.emptyLongArray,
     Array.emptyDoubleArray)
 
   // score DESC then word ASC; Double.compare gives NaN a total order
-  // (sorted last under DESC) like the SQL ORDER BY both engines use
+  // (sorted last under DESC) like the SQL ORDER BY both engines use.
+  // Word ties break in CODE-POINT order, not JVM UTF-16 unit order —
+  // Spark SQL ORDER BY and DuckDB both sort by UTF-8 binary order,
+  // which diverges from String '<' for supplementary-plane words
+  // (the very divergence SharedHash.codePointCompare exists for)
   private def better(s1: Double, w1: String, s2: Double, w2: String): Boolean = {
     val c = java.lang.Double.compare(s1, s2)
-    c > 0 || (c == 0 && w1 < w2)
+    c > 0 || (c == 0 && graft.functions.SharedHash.codePointCompare(w1, w2) < 0)
   }
 
   override def reduce(b: TermTopKBuf, a: TermCand): TermTopKBuf = {

@@ -62,14 +62,34 @@ case class KnnJoinExec(
     excludeSelf: Boolean,
     output: Seq[Attribute]) extends BinaryExecNode {
 
+  /** Positional reads below make schema assumptions — enforce them at
+    * planning time the way checkInputDataTypes does for expressions:
+    * an int id would be read as garbage long bits, a double embedding
+    * as garbage floats, both SILENTLY wrong rather than failing. */
+  private def requireSchema(plan: SparkPlan, side: String): Unit = {
+    val t = plan.output.map(_.dataType)
+    require(t.length >= 2 &&
+        t(0) == org.apache.spark.sql.types.LongType &&
+        t(1).isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        t(1).asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType == org.apache.spark.sql.types.FloatType,
+      s"knn join $side side must be (long id, array<float> vector); " +
+        s"got ${plan.output.map(a => s"${a.name}: ${a.dataType.simpleString}").mkString(", ")}")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
+    require(k >= 1, s"knn join needs k >= 1, got $k")
+    requireSchema(left, "corpus")
+    requireSchema(right, "query")
     val kLoc = k
     val m = metric
     val excl = excludeSelf
-    // query batch: bounded by contract (a serving batch), broadcast once
-    val queries: Array[(Long, Array[Float])] = right.executeCollect().map { r =>
-      (r.getLong(0), r.getArray(1).toFloatArray())
-    }
+    // query batch: bounded by contract (a serving batch), broadcast
+    // once; null ids/vectors cannot join anything — skip them the way
+    // nullSafeEval null-propagates in the expression kernels
+    val queries: Array[(Long, Array[Float])] = right.executeCollect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map { r => (r.getLong(0), r.getArray(1).toFloatArray()) }
     val bc = sparkContext.broadcast(queries)
     left.execute().mapPartitions { it =>
       val qs = bc.value
@@ -84,6 +104,10 @@ case class KnnJoinExec(
       // push-based pipeline); pull-based iteration is stable
       while (it.hasNext) {
         val row = it.next()
+        if (row.isNullAt(0) || row.isNullAt(1)) {
+          // a corpus row with a null id or vector has no distance to
+          // anything — skip it (null-propagation, not an executor NPE)
+        } else {
         val id = row.getLong(0)
         val vec = row.getArray(1).toFloatArray()
         var qi = 0
@@ -117,6 +141,7 @@ case class KnnJoinExec(
           }
           qi += 1
           }
+        }
         }
       }
       // downstream operators require UnsafeRow; project the generic rows

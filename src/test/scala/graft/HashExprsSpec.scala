@@ -86,4 +86,17 @@ class HashExprsSpec extends AnyFunSuite {
       expr(SharedHash.sparkSimhash("th")).as("sql")).collect()
     both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
+
+  test("native SimHash62 == SQL fragment when the hash array holds nulls") {
+    // IF((shiftright(NULL, b) & 1) = 1, 1, -1) takes the else branch
+    // in both engines (a null hash votes -1 per bit); the native
+    // kernel must agree, not return NULL
+    val df = Seq(1).toDF("one")
+      .withColumn("th", expr("array(123456789012L, CAST(NULL AS BIGINT), 9876543210L)"))
+    val r = df.select(
+      HashExprs.simHash62($"th").as("native"),
+      expr(SharedHash.sparkSimhash("th")).as("sql")).head()
+    assert(!r.isNullAt(0), "native returned NULL for a null-bearing array")
+    assert(r.getLong(0) == r.getLong(1), r.toString)
+  }
 }
