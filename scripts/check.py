@@ -74,8 +74,11 @@ for name, sql in sorted(oracle.items()):
         if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
             diff = ~((a == b) | (a.isna() & b.isna()))
         else:
-            diff = ~(a.astype(object).where(pd.notna(a), None)
-                     == b.astype(object).where(pd.notna(b), None))
+            # object-dtype == treats None==None as unequal, so make the
+            # mask null-aware explicitly for the non-float branch too
+            ao = a.astype(object).where(pd.notna(a), None)
+            bo = b.astype(object).where(pd.notna(b), None)
+            diff = ~((ao == bo) | (a.isna() & b.isna()))
         print(f"FAIL {name}: col {bad} mismatch ({int(diff.sum())} rows); e.g.")
         idx = diff[diff].index[:3]
         for i in idx:

@@ -215,6 +215,7 @@ object Bench {
     // perf_test.rs). rows = nQueries × k with k=10.
     val qps = try {
       index.VamanaIndex.cachedIndex(spark, sfDir) // build outside the timer
+      index.VamanaIndex.cachedPivots(spark, sfDir) // routing table too
       val runs = (1 to reps).map { _ =>
         val (sec, rows) = runOnce(index.VamanaIndex.qVamanaProbed(spark, sfDir))
         (rows / 10.0) / sec
@@ -235,13 +236,20 @@ object Bench {
         index.VamanaIndex.qVamanaRecall(spark, sfDir).head().getDouble(0))
     } catch { case _: Throwable => errors += "full_probe"; (-1.0, -1.0) }
     // recall@100 of the same probed config (reference bigann.rs:334-338
-    // evaluates k=10 AND k=100).
+    // evaluates k=10 AND k=100), beam scaled to 2·k per the reference's
+    // beam_width ≥ k contract (lib.rs:640-644) + exploration headroom.
     val recall100 = try index.VamanaIndex.probedRecallAt(spark, sfDir, 100)
       catch { case _: Throwable => errors += "recall100_probe"; -1.0 }
+    // the k=100 HIGH-RECALL operating point: full search at beam 4·k
+    // (floor ≥ 0.9 pinned in ProbedSearchSpec) — reported as a pair
+    // with the routed figure above
+    val recall100Full = try index.VamanaIndex.fullRecallAt(spark, sfDir, 100)
+      catch { case _: Throwable => errors += "recall100_full_probe"; -1.0 }
     // the overlap-2 operating point: same nprobe, boundary-replicated
     // shards (the merged-build DiskANN trade — 2× storage for recall)
     val (qpsOverlap, recallOverlap) = try {
       index.VamanaIndex.cachedOverlapIndex(spark, sfDir) // build outside the timer
+      index.VamanaIndex.cachedOverlapPivots(spark, sfDir) // routing table too
       val runs = (1 to reps).map { _ =>
         val (sec, rows) = runOnce(index.VamanaIndex.qOverlapServe(spark, sfDir))
         (rows / 10.0) / sec
@@ -266,6 +274,13 @@ object Bench {
       val lats = index.VamanaIndex.probedLatencies(spark, sfDir)
       (pctl(lats, 0.50), pctl(lats, 0.95), pctl(lats, 0.99))
     } catch { case _: Throwable => errors += "latency_probe"; (-1.0, -1.0, -1.0) }
+    // single-query latency through the RESIDENT handle (no Spark job
+    // in the query path) — the reference's per-query protocol; the job
+    // path's p50 above is scheduling overhead, this is search cost
+    val (lp50, lp95, lp99) = try {
+      val lats = index.VamanaIndex.localLatencies(spark, sfDir)
+      (pctl(lats, 0.50), pctl(lats, 0.95), pctl(lats, 0.99))
+    } catch { case _: Throwable => errors += "latency_local_probe"; (-1.0, -1.0, -1.0) }
 
     // stdout carries the driver-contract fields plus the serving
     // numbers the judged protocol asks for; the secondary operating
@@ -295,7 +310,10 @@ object Bench {
     val core = Seq(
       "qps" -> qpsOverlap, "recall" -> recallOverlap,
       "qps_routed" -> qps, "recall_routed" -> recall, "recall100" -> recall100,
+      "recall100_full" -> recall100Full,
       "latency_p50" -> p50, "latency_p95" -> p95, "latency_p99" -> p99,
+      "latency_local_p50" -> lp50, "latency_local_p95" -> lp95,
+      "latency_local_p99" -> lp99,
       "steal_pct" -> stealPct, "cal_cores" -> calCores,
       "cal_lo" -> calLo, "cal_hi" -> calHi, "gc_s" -> gcTotalS)
     val extra = Seq(
@@ -347,7 +365,11 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val auxStr = aux.map { case (k, kvs) => "\"" + k + "\":" + obj(kvs) + "," }.mkString
-    val tail = scalars.map { case (k, v) => "\"" + k + "\":" + f(v, 3) }.mkString(",")
+    // latency scalars get 6 places: the resident-handle path is sub-ms,
+    // which 3 places would flatten to 0.000
+    val tail = scalars.map { case (k, v) =>
+      "\"" + k + "\":" + f(v, if (k.startsWith("latency")) 6 else 3)
+    }.mkString(",")
     s"""{"queries":${obj(results)},$auxStr"reps":$reps,"errors":$errs,"sf":"$sfDir",""" +
       tail + s""","metric":"total","value":${f(total, 2)},"unit":"sec"}"""
   }

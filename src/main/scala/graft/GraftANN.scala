@@ -44,6 +44,10 @@ object GraftANN {
     // same "serving must never rescan the index" rule as `routing`
     // (head()/count() launched a scan of the graph parquet per call).
     // Indexes saved before these fields existed fall back to one scan.
+    // StreamingIndex.ingest bumps num_vectors/num_shards in
+    // metadata.json per appended batch, so the fast path cannot go
+    // stale under ingestion (a Handle caches metadataJson lazily —
+    // reopen after ingest for fresh counts).
     def numVectors: Long =
       metaLong("num_vectors").getOrElse(index.count())
 

@@ -149,7 +149,7 @@ case class WordShingleHashes(child: Expression, n: Int)
   // SQL-registered, so arbitrary n reaches this constructor: n = 0
   // walks the gram loop off the offsets array (AIOOBE) or emits the
   // empty-shingle hash — reject it here, loudly
-  require(n >= 1, s"$$prettyName needs n >= 1, got $$n")
+  require(n >= 1, s"$prettyName needs n >= 1, got $n")
   override def prettyName: String = "graft_word_shingle_hashes"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -214,7 +214,7 @@ case class CharNGramsSorted(child: Expression, n: Int)
   // SQL-registered, so arbitrary n reaches this constructor: n = 0
   // walks the gram loop off the offsets array (AIOOBE) or emits the
   // empty-shingle hash — reject it here, loudly
-  require(n >= 1, s"$$prettyName needs n >= 1, got $$n")
+  require(n >= 1, s"$prettyName needs n >= 1, got $n")
   override def prettyName: String = "graft_char_ngrams_sorted"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

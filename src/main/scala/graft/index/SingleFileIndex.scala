@@ -530,18 +530,37 @@ object SingleFileIndex {
     val s = index.sparkSession
     import s.implicits._
     Files.createDirectories(Paths.get(dir))
+    // overlapped index (replicated ids) → pivots must sample PRIMARY
+    // rows only, same rule as the parquet tier's metadata.json
+    // (VamanaIndex.save): the shard files still carry every replica
+    // (serving needs them), only the routing sample filters. The
+    // primary test is the broadcast global-argmin over the seed table.
+    val seedsB =
+      if (VamanaIndex.hasReplicas(index))
+        Some(s.sparkContext.broadcast(VamanaIndex.routingTable(index)))
+      else None
     val entries = index.repartition(org.apache.spark.sql.functions.col("shard"))
       .mapPartitions { it =>
         val rows = it.toArray
         rows.groupBy(_.shard).iterator.map { case (shard, group) =>
           writeShardFile(group, params, s"$dir/shard-$shard.idx")
           val sorted = group.sortBy(_.vec_id)
-          (shard, sorted.length.toLong, sorted.head.embedding)
+          // same pivot kernel as the parquet tier's metadata.json, so
+          // both tiers rank shards identically
+          val pivotRows = seedsB match {
+            case Some(b) => sorted.iterator
+              .filter(r => VamanaIndex.primaryShard(r.embedding, b.value) == r.shard)
+            case None => sorted.iterator
+          }
+          val pivots = VamanaIndex.selectPivots(
+            pivotRows.map(r => (r.vec_id, r.embedding)))
+          (shard, sorted.length.toLong, sorted.head.embedding, pivots)
         }
       }.collect().sortBy(_._1)
     require(entries.nonEmpty, "cannot export an empty index")
-    val shardsJson = entries.map { case (sh, n, seed) =>
-      s"""{"shard":$sh,"file":"shard-$sh.idx","n":$n,"seed":[${seed.mkString(",")}]}"""
+    val shardsJson = entries.map { case (sh, n, seed, pivots) =>
+      s"""{"shard":$sh,"file":"shard-$sh.idx","n":$n,"seed":[${seed.mkString(",")}],""" +
+        s""""pivots":[${pivots.map(_.mkString("[", ",", "]")).mkString(",")}]}"""
     }.mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$dir/manifest.json"),
       s"""{"format":"graft-sharded-v1","num_shards":${entries.length},""" +
@@ -563,6 +582,24 @@ object SingleFileIndex {
       .sortBy(_._1)
   }
 
+  /** Manifest with routing pivots: (shard, file, pivot set). Manifests
+    * written before the pivots field fall back to seed-as-sole-pivot,
+    * so old exports keep serving (with seed routing). */
+  def readManifestPivots(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Array[(Int, String, Array[Array[Float]])] = {
+    import spark.implicits._
+    val meta = Files.readString(Paths.get(s"$dir/manifest.json"))
+    if (!meta.contains("\"pivots\""))
+      return readManifest(spark, dir).map { case (sh, f, seed) => (sh, f, Array(seed)) }
+    spark.read.json(spark.createDataset(Seq(meta)))
+      .selectExpr("explode(shards) AS s")
+      .selectExpr("s.shard", "s.file", "s.pivots")
+      .as[(Long, String, Array[Array[Double]])]
+      .collect()
+      .map { case (sh, f, pv) => (sh.toInt, f, pv.map(_.map(_.toFloat))) }
+      .sortBy(_._1)
+  }
+
   /** Serve queries over the sharded-files tier: each task mmaps only
     * the shard files routed to it, searches its queries, and the
     * bounded TopK merge combines per-shard results — the disk-
@@ -570,15 +607,15 @@ object SingleFileIndex {
     * L2-to-seed routing rule, returning IDENTICAL rows (spec-pinned).
     * `nprobe ≤ 0` probes every shard (== [[VamanaIndex.search]]). */
   def serveSharded(queries: DataFrame, dir: String, k: Int, beamWidth: Int,
-      nprobe: Int = 0): DataFrame = {
+      nprobe: Int = 0, distinctMerge: Boolean = false): DataFrame = {
     val s = queries.sparkSession
     import s.implicits._
-    val man = readManifest(s, dir)
+    val man = readManifestPivots(s, dir)
     val qArr = queries.select("q_id", "qv").as[(Long, Array[Float])].collect().sortBy(_._1)
     val np = if (nprobe <= 0) man.length else nprobe
     val routed: Map[Int, Array[(Long, Array[Float])]] = qArr.flatMap { case (qid, qv) =>
-      man.map { case (shard, _, seed) =>
-        (shard, Metric.L2.eval(qv, 0, seed, 0, qv.length), qid, qv)
+      man.map { case (shard, _, pivots) =>
+        (shard, VamanaIndex.pivotDist(qv, pivots), qid, qv)
       }.sortBy { case (shard, d, _, _) => (d, shard) }
         .take(np)
         .map { case (shard, _, q2, v2) => (shard, (q2, v2)) }
@@ -598,7 +635,61 @@ object SingleFileIndex {
           } finally mm.close()
         }
       }.toDF("q_id", "nid", "dist")
-    graft.operators.VectorQueries.topkExplode(perShard, k)
+    graft.operators.VectorQueries.topkExplode(perShard, k, distinctIds = distinctMerge)
+  }
+
+  /** Resident single-process handle over the sharded-files tier — the
+    * sub-ms serving path. [[serveSharded]] answers a query BATCH with
+    * one Spark job (right for throughput; wrong for one interactive
+    * query, where ~100 ms of job scheduling dwarfs the sub-ms search —
+    * the reference's perf_test.rs measures per-query latency against a
+    * resident handle, examples/perf_test.rs:40-80). This class opens
+    * every shard's mmap ONCE and serves queries in-process: routing on
+    * the manifest pivot sets, per-shard [[MmapIndex.search]], and a
+    * merge with exactly [[graft.operators.TopKAgg]]'s (dist, id)
+    * NaN-total order and the job path's round-half-up-4 — results are
+    * spec-pinned identical to [[serveSharded]] (ShardedFilesSpec).
+    * Spark is used only to parse the manifest at open; the query path
+    * never touches it. */
+  final class LocalSharded(spark: org.apache.spark.sql.SparkSession, dir: String)
+      extends AutoCloseable {
+    private val shards: Array[(Int, Array[Array[Float]], MmapIndex)] =
+      readManifestPivots(spark, dir).map { case (sh, f, pv) =>
+        (sh, pv, new MmapIndex(s"$dir/$f"))
+      }
+
+    /** Top-k (global id, dist) ascending; `nprobe <= 0` = all shards.
+      * `distinctMerge` keeps one entry per id (for overlap-compacted
+      * tiers, where replicas arrive from several probed shards) —
+      * mirrors [[graft.operators.TopKAgg]]'s distinct mode. */
+    def search(q: Array[Float], k: Int, beamWidth: Int, nprobe: Int = 0,
+        distinctMerge: Boolean = false): Array[(Long, Double)] = {
+      val np = if (nprobe <= 0) shards.length else math.min(nprobe, shards.length)
+      val ranked = shards
+        .map { case (sh, pv, mm) => (sh, VamanaIndex.pivotDist(q, pv), mm) }
+        .sortBy { case (sh, d, _) => (d, sh) }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      var i = 0
+      while (i < np) { out ++= ranked(i)._3.search(q, k, beamWidth); i += 1 }
+      val sorted = out.toArray
+        .sortWith { (a, b) =>
+          val c = java.lang.Double.compare(a._2, b._2)
+          c < 0 || (c == 0 && a._1 < b._1)
+        }
+      val merged =
+        if (!distinctMerge) sorted
+        else { // best entry per id comes first in (dist, id) order
+          val seen = new java.util.HashSet[java.lang.Long]()
+          sorted.filter(c => seen.add(c._1))
+        }
+      merged
+        .take(k)
+        .map { case (id, d) =>
+          (id, BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }
+
+    def close(): Unit = shards.foreach(_._3.close())
   }
 
   /** Two-tier distributed serving — the actual DiskANN serving

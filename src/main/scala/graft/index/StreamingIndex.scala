@@ -45,7 +45,9 @@ object StreamingIndex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** The accumulated tombstone set (empty when none recorded). */
+  /** The accumulated tombstone set (empty when none recorded) —
+    * driver-side materialization, for tests/diagnostics only; serving
+    * goes through [[searchLive]], which never collects the log. */
   def tombstones(spark: org.apache.spark.sql.SparkSession,
       path: String): Set[Long] = {
     import spark.implicits._
@@ -56,12 +58,20 @@ object StreamingIndex {
 
   /** Search the index honoring the tombstone log: deleted ids are
     * excluded from results but still traversed, so live-set recall
-    * holds between compactions (pinned in DeleteSpec). */
+    * holds between compactions (pinned in DeleteSpec). The log joins
+    * the index rows as a flag ([[VamanaIndex.searchExcludingDf]]) —
+    * it never materializes on the driver, so the serving path is
+    * safe at any log size between compactions. */
   def searchLive(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: Array[(Long, Array[Float])], k: Int, beamWidth: Int,
-      params: VamanaParams): DataFrame =
-    VamanaIndex.searchExcluding(VamanaIndex.load(spark, path), queries,
-      k, beamWidth, params, tombstones(spark, path))
+      params: VamanaParams): DataFrame = {
+    val idx = VamanaIndex.load(spark, path)
+    if (!tombstoneLogExists(spark, path))
+      VamanaIndex.search(idx, queries, k, beamWidth, params)
+    else
+      VamanaIndex.searchExcludingDf(idx,
+        spark.read.parquet(s"$path/tombstones"), queries, k, beamWidth, params)
+  }
 
   /** Offline compaction: rebuild the accumulated segments into
     * `numShards` fresh, well-clustered shards (the periodic merge step
@@ -81,14 +91,27 @@ object StreamingIndex {
     * then end at the disk-resident path ([[SingleFileIndex
     * .serveSharded]]) instead of the parquet tier. The export reads
     * the JUST-ACTIVATED parquet back (not the pre-swap lineage), so
-    * the files tier derives from exactly what `path` now serves. */
+    * the files tier derives from exactly what `path` now serves.
+    *
+    * `overlap > 1` compacts to the OVERLAPPED build ([[VamanaIndex
+    * .buildOverlapped]]: every non-seed vector in its `overlap`
+    * nearest cells) — the headline recall tier, so an ingested stream
+    * can land on the same 0.9-floor operating point as a batch build
+    * (serve the result with `distinctMerge = true`: replicas arrive
+    * from every probed shard that holds them). Mutually exclusive
+    * with `capFactor` — the capped splitter assumes single
+    * assignment. */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       params: VamanaParams,
       numShards: Int,
       capFactor: Double = 0.0,
-      filesDir: Option[String] = None): Unit = {
+      filesDir: Option[String] = None,
+      overlap: Int = 1): Unit = {
+    require(overlap == 1 || capFactor <= 0.0,
+      "compact: overlap and capFactor cannot combine — the capped " +
+        "splitter assumes each vector lives in exactly one cell")
     import org.apache.spark.sql.functions.col
     val all = VamanaIndex.load(spark, path)
       .select(col("vec_id"), col("embedding"))
@@ -101,7 +124,8 @@ object StreamingIndex {
       else all.join(spark.read.parquet(s"$path/tombstones").select(col("vec_id")),
         Seq("vec_id"), "left_anti")
     val rebuilt =
-      if (capFactor > 0) VamanaIndex.buildCapped(vectors, params, numShards, capFactor)
+      if (overlap > 1) VamanaIndex.buildOverlapped(vectors, params, numShards, overlap)
+      else if (capFactor > 0) VamanaIndex.buildCapped(vectors, params, numShards, capFactor)
       else VamanaIndex.build(vectors, params, numShards)
     // write to a temp location first: build reads lazily from `path`.
     // On save failure (e.g. every vector tombstoned → empty index)
@@ -188,13 +212,37 @@ object StreamingIndex {
             s"ingest: batchId $batchId overflows the Int shard-id space — " +
               "run compact() to reset segment numbering")
           val base = baseL.toInt
-          VamanaIndex.build(batch, params, shardsPerBatch)
-            .map(r => r.copy(shard = r.shard + base))
-            .write.mode("append").partitionBy("shard")
+          val seg = VamanaIndex.build(batch, params, shardsPerBatch)
+            .map(r => r.copy(shard = r.shard + base)).persist()
+          seg.write.mode("append").partitionBy("shard")
             .parquet(s"$path/graph")
+          refreshMeta(path, seg.count(),
+            seg.select("shard").distinct().count().toInt)
+          seg.unpersist()
         }
         ()
       }
       .start()
+  }
+
+  /** Bump `num_vectors`/`num_shards` in metadata.json after an ingest
+    * append (atomic tmp+move), so a Handle's metadata fast path is
+    * never stale relative to the graph directory. An index that has
+    * never been save()d has no metadata.json — nothing to refresh
+    * (load()/count() paths stay authoritative there). */
+  private def refreshMeta(path: String, added: Long, addedShards: Int): Unit = {
+    val metaPath = java.nio.file.Paths.get(s"$path/metadata.json")
+    if (java.nio.file.Files.exists(metaPath)) {
+      val meta = java.nio.file.Files.readString(metaPath)
+      val bump = (field: String, by: Long) =>
+        (m: String) => s""""$field":(-?\\d+)""".r.replaceAllIn(m,
+          mm => s""""$field":${mm.group(1).toLong + by}""")
+      val updated = bump("num_vectors", added)(bump("num_shards", addedShards.toLong)(meta))
+      val tmp = java.nio.file.Paths.get(s"$path/metadata.json.tmp")
+      java.nio.file.Files.writeString(tmp, updated)
+      java.nio.file.Files.move(tmp, metaPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 }

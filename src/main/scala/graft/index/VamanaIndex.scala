@@ -223,7 +223,7 @@ object VamanaIndex {
 
   /** Shared build tail: one repartition by shard, then per-shard
     * in-memory Vamana builds inside `mapPartitions`. */
-  private def buildAssigned(
+  private[graft] def buildAssigned(
       assigned: DataFrame, params: VamanaParams, numShards: Int): Dataset[IndexRow] = {
     val s = assigned.sparkSession
     import s.implicits._
@@ -270,6 +270,137 @@ object VamanaIndex {
       .collect().sortBy(_._1)
   }
 
+  /** shard → ≤m routing PIVOTS (deterministic): per shard, the m
+    * smallest-splitmix64(vec_id) rows — a uniform, order-independent
+    * hash sample of the cell. Routing on min distance over the pivot
+    * SET instead of the single seed tracks the cell's true extent —
+    * an elongated or multi-lobed Voronoi cell no longer looks "far"
+    * just because its seed sits in one lobe — which buys probed
+    * recall with ZERO extra index storage (the pivots ride in
+    * metadata.json, ≤ m·dim floats per shard). The measured sf0.1
+    * shootout (PR-8): seed-only 0.6875 < farthest-point-8 0.5725
+    * (extreme points make every cell look close) < sample-128 0.7825
+    * < sample-256 0.8300 = the min-dist-to-full-shard oracle bound;
+    * mass-count ranking over the same sample ties it, so the simple
+    * min-dist rule wins. Same one narrow shuffle shape as
+    * [[routingTable]]; per-shard state is bounded at m rows. Router
+    * cost is O(shards·m·dim) per query and the table is
+    * O(shards·m·dim) floats driver-side — at 10k+ shards drop m
+    * (recall degrades gracefully with sample sparsity) or quantize
+    * the sample; nprobe stays the recall lever. */
+  def pivotTable(index: Dataset[IndexRow], m: Int = 256): Array[(Int, Array[Array[Float]])] = {
+    val s = index.sparkSession
+    import s.implicits._
+    index
+      .select(col("shard"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        (shard, selectPivots(it.map(t => (t._2, t._3)), m))
+      }
+      .collect().sortBy(_._1)
+  }
+
+  /** Per-shard pivot selection kernel — shared verbatim by
+    * [[pivotTable]] (parquet tier) and [[SingleFileIndex
+    * .exportSharded]] (files-tier manifest), so the two tiers route
+    * identically. Keeps the m smallest-splitmix64(id) rows, ordered by
+    * vec_id — a uniform hash sample, order-independent under any
+    * partitioning, O(m) memory via a bounded max-heap. (A
+    * farthest-point sweep was tried and REJECTED: extreme points of a
+    * cell sit near every other cell's boundary, so min-dist ranking
+    * saw recall 0.5725 — below even single-seed routing.) */
+  private[graft] def selectPivots(rows: Iterator[(Long, Array[Float])],
+      m: Int = 256): Array[Array[Float]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // bounded sample: keep the m smallest hashes via a max-heap of size m
+    val heap = new scala.collection.mutable.PriorityQueue[(Long, Long, Array[Float])]()(
+      Ordering.by[(Long, Long, Array[Float]), (Long, Long)](t => (t._1, t._2)))
+    rows.foreach { case (id, v) =>
+      val h = mix(id)
+      if (heap.size < m) heap.enqueue((h, id, v))
+      else if (Ordering.Tuple2[Long, Long].lt((h, id), (heap.head._1, heap.head._2))) {
+        heap.dequeue(); heap.enqueue((h, id, v))
+      }
+    }
+    require(heap.nonEmpty, "selectPivots: empty shard")
+    heap.toArray.sortBy(_._2).map(_._3) // by vec_id: deterministic order
+  }
+
+  /** [[pivotTable]] for OVERLAPPED indexes: pivots sample each shard's
+    * PRIMARY (Voronoi-cell) rows only. Replicas must not route — a
+    * replica-polluted sample makes every probed-adjacent shard look
+    * close, scrambling the ranking (measured sf0.1: overlap recall@10
+    * 0.8725 polluted vs ≥ 0.9 primary-only at the same nprobe).
+    * Primary test is map-side: a row is primary iff its resident shard
+    * is the global argmin cell — exactly [[shardAssignOverlapped]]'s
+    * first pick (strict `<` argmin = lowest-cell tie-break there too).
+    * Seed table = [[routingTable]] (one narrow pass), broadcast; the
+    * filter+sample pass has the same one-shuffle shape as
+    * [[pivotTable]]. NOT for capped builds (sub-shards of a split cell
+    * share near-identical seeds, so the argmin test would starve
+    * siblings) — capped and overlap never combine (compact requires). */
+  def pivotTablePrimary(index: Dataset[IndexRow], m: Int = 256): Array[(Int, Array[Array[Float]])] = {
+    val s = index.sparkSession
+    import s.implicits._
+    val seeds = routingTable(index)
+    val bc = s.sparkContext.broadcast(seeds)
+    index
+      .select(col("shard"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val sv = bc.value
+        (shard, selectPivots(
+          it.filter { case (sh, _, v) => primaryShard(v, sv) == sh }
+            .map(t => (t._2, t._3)), m))
+      }
+      .collect().sortBy(_._1)
+  }
+
+  /** Global argmin cell of `v` over the seed table — strict `<` with
+    * first-index tie-break, mirroring [[shardAssign]] /
+    * [[shardAssignOverlapped]]. */
+  private[graft] def primaryShard(v: Array[Float], seeds: Array[(Int, Array[Float])]): Int = {
+    var best = seeds(0)._1; var bestD = Double.MaxValue
+    var c = 0
+    while (c < seeds.length) {
+      val d = Metric.L2.eval(v, 0, seeds(c)._2, 0, v.length)
+      if (d < bestD) { bestD = d; best = seeds(c)._1 }
+      c += 1
+    }
+    best
+  }
+
+  /** True iff any vec_id resides in more than one shard — the marker
+    * of an overlapped build ([[save]]/[[SingleFileIndex.exportSharded]]
+    * switch pivot sampling to primary-only on it; plain and capped
+    * builds never replicate ids). One narrow agg. */
+  private[graft] def hasReplicas(index: Dataset[IndexRow]): Boolean = {
+    val s = index.sparkSession
+    import s.implicits._
+    index.groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count() > 0
+  }
+
+  /** Min distance from `q` to any pivot of the set — the pivot-routing
+    * distance [[searchProbed]] ranks shards by. */
+  private[graft] def pivotDist(q: Array[Float], pivots: Array[Array[Float]]): Double = {
+    var best = Double.MaxValue
+    var i = 0
+    while (i < pivots.length) {
+      val d = Metric.L2.eval(q, 0, pivots(i), 0, q.length)
+      if (d < best) best = d
+      i += 1
+    }
+    best
+  }
+
   def save(index: Dataset[IndexRow], params: VamanaParams, path: String): Unit = {
     val s = index.sparkSession
     // save runs four actions (write, stats, head, routing) — persist so
@@ -288,13 +419,19 @@ object VamanaIndex {
     val routingJson = routingTable(index).map { case (shard, seed) =>
       s"""{"shard":$shard,"seed":[${seed.mkString(",")}]}"""
     }.mkString("[", ",", "]")
+    // overlapped indexes (replicated ids) sample pivots from primary
+    // rows only — replica-polluted samples scramble the shard ranking
+    val pivots = if (hasReplicas(index)) pivotTablePrimary(index) else pivotTable(index)
+    val pivotsJson = pivots.map { case (shard, pv) =>
+      s"""{"shard":$shard,"vecs":[${pv.map(_.mkString("[", ",", "]")).mkString(",")}]}"""
+    }.mkString("[", ",", "]")
     val meta =
       s"""{"format":"graft-vamana-v1","dim":$dim,"num_vectors":${stats.getLong(0)},
          |"max_degree_observed":${stats.getInt(1)},"num_shards":${stats.getLong(2)},
          |"metric":"${params.metric}","max_degree":${params.maxDegree},
          |"build_beam_width":${params.buildBeamWidth},"alpha":${params.alpha},
          |"passes":${params.passes},"extra_seeds":${params.extraSeeds},"seed":${params.seed},
-         |"routing":$routingJson}"""
+         |"routing":$routingJson,"pivots":$pivotsJson}"""
         .stripMargin.replace("\n", "")
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(s"$path/metadata.json"), meta)
@@ -314,6 +451,22 @@ object VamanaIndex {
       .as[(Long, Array[Double])]
       .collect()
       .map { case (shard, seed) => (shard.toInt, seed.map(_.toFloat)) }
+      .sortBy(_._1)
+  }
+
+  /** Parse the persisted pivot table back out of metadata.json —
+    * pivot-routing twin of [[loadRouting]]. Indexes saved before the
+    * pivots field existed throw here; callers fall back to one
+    * [[pivotTable]] recompute (Handle does). */
+  def loadPivots(spark: SparkSession, path: String): Array[(Int, Array[Array[Float]])] = {
+    import spark.implicits._
+    val meta = loadMeta(path)
+    spark.read.json(spark.createDataset(Seq(meta)))
+      .selectExpr("explode(pivots) AS p")
+      .selectExpr("p.shard", "p.vecs")
+      .as[(Long, Array[Array[Double]])]
+      .collect()
+      .map { case (shard, vs) => (shard.toInt, vs.map(_.map(_.toFloat))) }
       .sortBy(_._1)
   }
 
@@ -486,10 +639,10 @@ object VamanaIndex {
     * pattern, Singh et al. 2021: deleted nodes keep routing until a
     * consolidation pass rewires around them, so recall on the live
     * set does not degrade between compactions). The set is broadcast
-    * once; each shard kernel runs its filtered beam search with
-    * allow = "not tombstoned". For tombstone sets too large to
-    * broadcast, compact first — a set that big means compaction is
-    * overdue anyway. */
+    * ONCE as a sorted primitive long array (8 B/id, no boxing — 1e5
+    * tombstones = 800 KB) and each kernel consults it by binary
+    * search. For logs too large even as a primitive broadcast, use
+    * [[searchExcludingDf]] — the fully distributed form. */
   def searchExcluding(
       index: Dataset[IndexRow],
       queries: Array[(Long, Array[Float])],
@@ -499,18 +652,60 @@ object VamanaIndex {
     import s.implicits._
     if (excluded.isEmpty) return search(index, queries, k, beamWidth, params)
     val qB = s.sparkContext.broadcast(queries)
-    val exB = s.sparkContext.broadcast(excluded)
+    val exArr = excluded.toArray
+    java.util.Arrays.sort(exArr)
+    val exB = s.sparkContext.broadcast(exArr)
     val perShard = index.mapPartitions { it =>
       val rows = it.toArray
       rows.groupBy(_.shard).iterator.flatMap { case (_, group) =>
         val (g, sorted) = rebuildShardGraph(group, params)
         val ex = exB.value
         qB.value.iterator.flatMap { case (qid, qv) =>
-          g.searchFiltered(qv, k, beamWidth, li => !ex(sorted(li).vec_id))
+          g.searchFiltered(qv, k, beamWidth,
+              li => java.util.Arrays.binarySearch(ex, sorted(li).vec_id) < 0)
             .iterator.map { case (li, d) => (qid, sorted(li).vec_id, d) }
         }
       }
     }.toDF("q_id", "nid", "dist")
+    VectorQueries.topkExplode(perShard, k)
+  }
+
+  /** Distributed twin of [[searchExcluding]]: the tombstone log stays
+    * a DataFrame end-to-end — it LEFT-joins the index rows as a
+    * per-row deleted flag (co-partitioned by shard, the same narrow
+    * join shape as [[searchFiltered]]'s labels), so NOTHING
+    * materializes on the driver and the log can be arbitrarily large
+    * (1e9 deletes between compactions is a join, not an 8 GB driver
+    * set). Traversal still routes through tombstoned nodes; only
+    * result collection excludes them. */
+  def searchExcludingDf(
+      index: Dataset[IndexRow],
+      tombstones: DataFrame,
+      queries: Array[(Long, Array[Float])],
+      k: Int, beamWidth: Int, params: VamanaParams): DataFrame = {
+    val s = index.sparkSession
+    import s.implicits._
+    val qB = s.sparkContext.broadcast(queries)
+    val perShard = index
+      .join(tombstones.select(col("vec_id"), lit(true).as("deleted"))
+        .dropDuplicates("vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"), col("shard"), col("neighbors"),
+        coalesce(col("deleted"), lit(false)).as("deleted"))
+      .repartition(col("shard"))
+      .as[(Long, Array[Float], Int, Array[Long], Boolean)]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        rows.groupBy(_._3).iterator.flatMap { case (_, group) =>
+          val srt = group.sortBy(_._1)
+          val dead = srt.map(_._5)
+          val (g, sorted) = rebuildShardGraph(
+            srt.map(t => IndexRow(t._1, t._2, t._3, t._4)), params)
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            g.searchFiltered(qv, k, beamWidth, li => !dead(li))
+              .iterator.map { case (li, d) => (qid, sorted(li).vec_id, d) }
+          }
+        }
+      }.toDF("q_id", "nid", "dist")
     VectorQueries.topkExplode(perShard, k)
   }
 
@@ -523,7 +718,14 @@ object VamanaIndex {
     *
     * `routing`: pass the build-time table (from [[cachedRouting]] or
     * [[loadRouting]]). The `None` fallback recomputes it with a full
-    * index pass — acceptable only for ad-hoc exploration. */
+    * index pass — acceptable only for ad-hoc exploration.
+    *
+    * `pivots`: when set (from [[pivotTable]]/[[loadPivots]]), shards
+    * rank by min distance over the pivot SET instead of the single
+    * seed — the no-extra-storage recall lever (an elongated cell's
+    * far lobe is represented by its own pivot). Takes precedence
+    * over `routing` for ranking; seed routing remains for indexes
+    * saved before pivots existed. */
   def searchProbed(
       index: Dataset[IndexRow],
       queries: Array[(Long, Array[Float])],
@@ -533,13 +735,15 @@ object VamanaIndex {
       nprobe: Int,
       excludeSelf: Boolean = false,
       routing: Option[Array[(Int, Array[Float])]] = None,
-      distinctMerge: Boolean = false): DataFrame = {
+      distinctMerge: Boolean = false,
+      pivots: Option[Array[(Int, Array[Array[Float]])]] = None): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
-    val seeds: Array[(Int, Array[Float])] = routing.getOrElse(routingTable(index))
+    val table: Array[(Int, Array[Array[Float]])] = pivots.getOrElse(
+      routing.getOrElse(routingTable(index)).map { case (sh, sv) => (sh, Array(sv)) })
     val routed: Map[Int, Array[(Long, Array[Float])]] = queries.flatMap { case (qid, qv) =>
-      seeds.map { case (shard, sv) =>
-        (shard, Metric.L2.eval(qv, 0, sv, 0, qv.length), qid, qv)
+      table.map { case (shard, pv) =>
+        (shard, pivotDist(qv, pv), qid, qv)
       }.sortBy { case (shard, d, _, _) => (d, shard) }
         .take(nprobe)
         .map { case (shard, _, qid2, qv2) => (shard, (qid2, qv2)) }
@@ -594,6 +798,18 @@ object VamanaIndex {
   def cachedRouting(s: SparkSession, dir: String): Array[(Int, Array[Float])] =
     routingCache.getOrElseUpdate(dir, routingTable(cachedIndex(s, dir)))
 
+  /** Build-time pivot table (pivot-set routing), cached like
+    * [[cachedRouting]]. */
+  private val pivotCache = TrieMap.empty[String, Array[(Int, Array[Array[Float]])]]
+
+  def cachedPivots(s: SparkSession, dir: String): Array[(Int, Array[Array[Float]])] =
+    pivotCache.getOrElseUpdate(dir, pivotTable(cachedIndex(s, dir)))
+
+  private val overlapPivotCache = TrieMap.empty[String, Array[(Int, Array[Array[Float]])]]
+
+  def cachedOverlapPivots(s: SparkSession, dir: String): Array[(Int, Array[Array[Float]])] =
+    overlapPivotCache.getOrElseUpdate(dir, pivotTablePrimary(cachedOverlapIndex(s, dir)))
+
   /** Overlap-2 index, cached like [[cachedIndex]]. Routing comes from
     * the overlapped rows themselves (same lowest-id rule; seeds are
     * primary-only so the table is identical to the plain build's). */
@@ -623,6 +839,7 @@ object VamanaIndex {
       }
     }
     routingCache.clear(); overlapRoutingCache.clear()
+    pivotCache.clear(); overlapPivotCache.clear()
   }
 
   private def queriesArr(s: SparkSession, dir: String): Array[(Long, Array[Float])] = {
@@ -649,11 +866,11 @@ object VamanaIndex {
       excludeSelf = true)
 
   /** Routed search at nprobe=4 of 8 shards — the partition-pruned
-    * serving path (rows-only; recall bounds pinned in
-    * ProbedSearchSpec). */
+    * serving path, ranking shards by the pivot SET (rows-only; recall
+    * bounds pinned in ProbedSearchSpec). */
   def qVamanaProbed(s: SparkSession, dir: String): DataFrame =
     searchProbed(cachedIndex(s, dir), queriesArr(s, dir), K, searchBeam, qParams,
-      nprobe = 4, excludeSelf = true, routing = Some(cachedRouting(s, dir)))
+      nprobe = 4, excludeSelf = true, pivots = Some(cachedPivots(s, dir)))
 
   /** Routed search over the OVERLAPPED index — same queries, knobs,
     * and nprobe as [[qVamanaProbed]], so the two rows-only results
@@ -664,7 +881,7 @@ object VamanaIndex {
   def qOverlapServe(s: SparkSession, dir: String): DataFrame =
     searchProbed(cachedOverlapIndex(s, dir), queriesArr(s, dir), K, searchBeam,
       qParams, nprobe = 4, excludeSelf = true,
-      routing = Some(cachedOverlapRouting(s, dir)), distinctMerge = true)
+      pivots = Some(cachedOverlapPivots(s, dir)), distinctMerge = true)
 
   /** recall@10 of the overlapped probed config (Bench's
     * `recall_overlap`, paired with `qps_overlap`). */
@@ -730,10 +947,12 @@ object VamanaIndex {
     * recall floors pinned in DeleteSpec. */
   def qVamanaDeleted(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // tombstones stay a DataFrame end-to-end (searchExcludingDf joins
+    // them in as a deleted flag) — no driver-side id set at any scale
     val tombs = Tables.embeddings(s, dir).select($"vec_id")
-      .filter($"vec_id" % 7 === 0).as[Long].collect().toSet
-    searchExcluding(cachedIndex(s, dir), queriesArr(s, dir), K, searchBeam,
-      qParams, tombs)
+      .filter($"vec_id" % 7 === 0)
+    searchExcludingDf(cachedIndex(s, dir), tombs, queriesArr(s, dir), K,
+      searchBeam, qParams)
   }
 
   /** One sharded-files export per (sf dir, JVM) for [[qShardedServe]]
@@ -758,6 +977,28 @@ object VamanaIndex {
     val qdf = queriesArr(s, dir).toSeq.toDF("q_id", "qv")
     SingleFileIndex.serveSharded(qdf, cachedShardedDir(s, dir), K, searchBeam,
       nprobe = 4)
+  }
+
+  /** Sequential per-query wall latencies (seconds) through the
+    * RESIDENT local handle over the sharded-files tier
+    * ([[SingleFileIndex.LocalSharded]]) — the reference's latency
+    * protocol (perf_test.rs measures sub-ms per query against a
+    * resident index). [[probedLatencies]] times the same work through
+    * a Spark job per query, which measures job-scheduling overhead,
+    * not search cost; this is the honest single-query line. Results
+    * are spec-pinned identical to the job path (ShardedFilesSpec). */
+  def localLatencies(s: SparkSession, dir: String): Array[Double] = {
+    val handle = new SingleFileIndex.LocalSharded(s, cachedShardedDir(s, dir))
+    try {
+      val qs = queriesArr(s, dir)
+      // one warm pass so mmap page faults don't bill the first queries
+      qs.take(32).foreach { case (_, qv) => handle.search(qv, K, searchBeam, nprobe = 4) }
+      qs.map { case (_, qv) =>
+        val t0 = System.nanoTime()
+        handle.search(qv, K, searchBeam, nprobe = 4)
+        (System.nanoTime() - t0) / 1e9
+      }
+    } finally handle.close()
   }
 
   /** recall@10 of the full (unrouted) beam search vs brute force —
@@ -787,8 +1028,12 @@ object VamanaIndex {
       (idRecall, thr)
     }.toSeq
     val n = perQ.size
-    Seq((math.rint(perQ.map(_._1).sum / n * 1e4) / 1e4, n.toLong,
-      math.rint(perQ.map(_._2).sum / n * 1e4) / 1e4))
+    // HALF_UP, matching Spark round() in recallDf/thresholdRecallDf —
+    // one rounding rule for every recall report (math.rint is
+    // half-even and can differ in the last digit at .xxxx5)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((r4(perQ.map(_._1).sum / n), n.toLong, r4(perQ.map(_._2).sum / n)))
       .toDF("mean_recall", "n_queries", "threshold_recall")
   }
 
@@ -800,12 +1045,23 @@ object VamanaIndex {
 
   /** recall@k of the probed config at arbitrary k (the reference's
     * BigANN evaluation reports k=10 AND k=100, examples/bigann.rs:
-    * 334-338). The beam widens to ≥k — a beam narrower than k cannot
-    * return k candidates. */
+    * 334-338). The beam scales to 2·k (the reference's beam_width ≥ k
+    * contract, lib.rs:640-644, plus headroom: a beam equal to k has
+    * zero exploration slack and caps recall well below 1 at large k —
+    * r7 measured 0.65 at k=100 with beam=k). */
   def probedRecallAt(s: SparkSession, dir: String, k: Int): Double = {
     val approx = searchProbed(cachedIndex(s, dir), queriesArr(s, dir), k,
-      math.max(searchBeam, k), qParams, nprobe = 4, excludeSelf = true,
-      routing = Some(cachedRouting(s, dir)))
+      math.max(searchBeam, 2 * k), qParams, nprobe = 4, excludeSelf = true,
+      pivots = Some(cachedPivots(s, dir)))
+    recallDf(approx, VectorQueries.qKnnExactK(s, dir, k)).head().getDouble(0)
+  }
+
+  /** recall@k of the FULL (all-shard) search at beam 4·k — the
+    * high-recall k=100 operating point next to the routed one
+    * (reference bigann.rs reports the k=100 row at full search). */
+  def fullRecallAt(s: SparkSession, dir: String, k: Int): Double = {
+    val approx = search(cachedIndex(s, dir), queriesArr(s, dir), k,
+      math.max(searchBeam, 4 * k), qParams, excludeSelf = true)
     recallDf(approx, VectorQueries.qKnnExactK(s, dir, k)).head().getDouble(0)
   }
 
@@ -816,11 +1072,11 @@ object VamanaIndex {
     * (routing + beam + merge) against the cached index. */
   def probedLatencies(s: SparkSession, dir: String): Array[Double] = {
     val idx = cachedIndex(s, dir)
-    val routing = cachedRouting(s, dir)
+    val pivots = cachedPivots(s, dir)
     queriesArr(s, dir).map { q =>
       val t0 = System.nanoTime()
       searchProbed(idx, Array(q), K, searchBeam, qParams, nprobe = 4,
-        excludeSelf = true, routing = Some(routing))
+        excludeSelf = true, pivots = Some(pivots))
         .queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }

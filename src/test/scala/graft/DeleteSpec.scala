@@ -73,6 +73,32 @@ class DeleteSpec extends AnyFunSuite {
       s"head ${got.head} not in live top-3 ${liveNearest(all(qid), 3)}")
   }
 
+  test("1e5-entry tombstone log: kernel exclusion holds, broadcast and join paths agree") {
+    path
+    // a log far larger than the corpus (absent ids are harmless no-ops
+    // in both paths): the broadcast side carries a sorted primitive
+    // long array, the Df side joins a deleted flag — neither builds a
+    // boxed driver Set, and they must serve identical rows
+    val synthetic = (10_000_000L until 10_000_000L + 100_000L)
+    val bigSet = tombs ++ synthetic
+    assert(bigSet.size >= 100_000)
+    val idx = VamanaIndex.load(spark, path)
+    val qs = Seq(1L, 7L, 13L, tombs.head).map(id => (id, all(id))).toArray
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+      df.as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val viaBroadcast = rows(VamanaIndex.searchExcluding(
+      idx, qs, k, beam, params, bigSet))
+    val viaJoin = rows(VamanaIndex.searchExcludingDf(
+      idx, bigSet.toSeq.toDF("vec_id"), qs, k, beam, params))
+    assert(viaBroadcast == viaJoin,
+      s"first diff: ${viaBroadcast.zip(viaJoin).find { case (a, b) => a != b }}")
+    viaBroadcast.foreach { case (_, _, nid, _) =>
+      assert(!bigSet(nid), s"tombstoned $nid served") }
+    // live queries still self-match through the 1e5-entry exclusion
+    Seq(1L, 7L, 13L).foreach { id =>
+      assert(viaBroadcast.filter(_._1 == id).minBy(_._2)._3 == id) }
+  }
+
   test("compact drops tombstoned rows physically and retires the log") {
     path
     StreamingIndex.delete(spark, path, tombs.toSeq) // idempotent re-log
@@ -113,5 +139,60 @@ class DeleteSpec extends AnyFunSuite {
       VamanaIndex.load(spark, path), qs.toArray, k, beam, params))
     assert(files == mem,
       s"first diff: ${files.zip(mem).find { case (a, b) => a != b }}")
+  }
+
+  test("compact with overlap=2 lands the stream on the headline tier: both tiers row-identical, recall >= plain") {
+    // ingest → delete → compact(overlap=2, filesDir): the stream ends
+    // on the SAME operating point as a batch overlap build — replicas
+    // present, primary-only pivots persisted in both metadata.json and
+    // the files manifest, parquet and files tiers row-identical under
+    // distinctMerge, and routed recall at nprobe=1 at least the plain
+    // compact's (the whole point of paying 2× storage)
+    path
+    val live = all.keySet.diff(tombs)
+    val qs = Seq(1L, 7L, 13L, 101L).map(id => (id, all(id)))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+      df.as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    def recallOf(res: Seq[(Long, Int, Long, Double)]): Double = {
+      val byQ = res.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+      qs.map { case (qid, qv) =>
+        val exact = live.toSeq.sortBy(id => (cosDist(qv, all(id)), id)).take(k).toSet
+        (exact & byQ.getOrElse(qid, Set.empty)).size.toDouble / k
+      }.sum / qs.size
+    }
+    // plain nprobe=1 baseline over the already-compacted index
+    val plainIdx = VamanaIndex.load(spark, path)
+    val plainR = recallOf(rows(VamanaIndex.searchProbed(
+      plainIdx, qs.toArray, k, beam, params, nprobe = 1)))
+    val fd = "/tmp/graft_delete_spec_overlap_files"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fd))
+    StreamingIndex.compact(spark, path, params, numShards = 2,
+      filesDir = Some(fd), overlap = 2)
+    val idx = VamanaIndex.load(spark, path)
+    val nRows = idx.count()
+    val nIds = idx.select($"vec_id").distinct().count()
+    assert(nIds == live.size, "overlap compact changed the live set")
+    assert(nRows > nIds, "overlap compact produced no replicas")
+    // pivots persisted by save() are primary-only and match the files
+    // manifest exactly — the two tiers must route identically
+    val metaPivots = VamanaIndex.loadPivots(spark, path)
+    val manPivots = graft.index.SingleFileIndex.readManifestPivots(spark, fd)
+      .map { case (sh, _, pv) => (sh, pv) }
+    assert(metaPivots.length == manPivots.length)
+    metaPivots.zip(manPivots).foreach { case ((s1, p1), (s2, p2)) =>
+      assert(s1 == s2 && p1.length == p2.length, s"shard $s1 pivot shape drifted")
+      p1.zip(p2).foreach { case (a, b) => assert(a.sameElements(b)) }
+    }
+    val qdf = qs.toDF("q_id", "qv")
+    val files = rows(graft.index.SingleFileIndex.serveSharded(
+      qdf, fd, k, beam, nprobe = 1, distinctMerge = true))
+    val mem = rows(VamanaIndex.searchProbed(idx, qs.toArray, k, beam, params,
+      nprobe = 1, pivots = Some(metaPivots), distinctMerge = true))
+    assert(files == mem,
+      s"first diff: ${files.zip(mem).find { case (a, b) => a != b }}")
+    val overR = recallOf(mem)
+    assert(overR >= plainR - 1e-9,
+      s"overlap-compacted recall $overR below plain-compacted $plainR at nprobe=1")
+    assert(overR >= 0.7, s"overlap-compacted nprobe=1 recall $overR below 0.7")
   }
 }

@@ -63,9 +63,53 @@ class ShardedFilesSpec extends AnyFunSuite {
   test("probed file serving == in-memory probed search (same routing rule)") {
     val qdf = queries.toSeq.toDF("q_id", "qv")
     val files = rows(SingleFileIndex.serveSharded(qdf, dir, k = 5, beamWidth = 32, nprobe = 2))
+    // both tiers route on the shared pivot kernel — the manifest's
+    // pivots must reproduce pivotTable() exactly
     val mem = rows(VamanaIndex.searchProbed(idx, queries, 5, 32, params, nprobe = 2,
-      routing = Some(VamanaIndex.routingTable(idx))))
+      pivots = Some(VamanaIndex.pivotTable(idx))))
     assert(files == mem,
       s"first diff: ${files.zip(mem).find { case (a, b) => a != b }}")
+  }
+
+  test("resident LocalSharded handle == serveSharded job path, row for row") {
+    // the latency_local bench line is only honest if the resident
+    // handle returns EXACTLY what the job path serves — same routing,
+    // same merge order, same rounding — at probed and all-shard configs
+    idx
+    val handle = new SingleFileIndex.LocalSharded(spark, dir)
+    try {
+      for (np <- Seq(2, 0)) {
+        val qdf = queries.toSeq.toDF("q_id", "qv")
+        val job = rows(SingleFileIndex.serveSharded(qdf, dir, k = 5, beamWidth = 32,
+          nprobe = np))
+        val local = queries.flatMap { case (qid, qv) =>
+          handle.search(qv, k = 5, beamWidth = 32, nprobe = np)
+            .zipWithIndex.map { case ((nid, d), i) => (qid, i + 1, nid, d) }
+        }.toSeq
+        assert(local == job,
+          s"nprobe=$np first diff: ${local.zip(job).find { case (a, b) => a != b }}")
+      }
+    } finally handle.close()
+  }
+
+  test("manifest pivots == parquet-tier pivotTable, and seed routing still parses") {
+    idx
+    val manPivots = SingleFileIndex.readManifestPivots(spark, dir)
+    val tablePivots = VamanaIndex.pivotTable(idx)
+    assert(manPivots.length == tablePivots.length)
+    manPivots.zip(tablePivots).foreach { case ((shM, _, pvM), (shT, pvT)) =>
+      assert(shM == shT)
+      assert(pvM.map(_.toSeq).toSeq == pvT.map(_.toSeq).toSeq,
+        s"shard $shM pivot drift between tiers")
+    }
+    // a pivots-free manifest (pre-pivot export) falls back to seed-only
+    val noPivots = Files.readString(Paths.get(s"$dir/manifest.json"))
+      .replaceAll(""","pivots":\[\[[^]]*](,\[[^]]*])*]""", "")
+    val legacyDir = "/tmp/graft_sharded_tier_legacy"
+    Files.createDirectories(Paths.get(legacyDir))
+    Files.writeString(Paths.get(s"$legacyDir/manifest.json"), noPivots)
+    val legacy = SingleFileIndex.readManifestPivots(spark, legacyDir)
+    val seeds = SingleFileIndex.readManifest(spark, dir)
+    assert(legacy.map(_._3.head.toSeq).toSeq == seeds.map(_._3.toSeq).toSeq)
   }
 }
