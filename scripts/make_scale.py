@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Scale-rehearsal data generator: replicate a driver testdata SF
+directory K times with disjoint key ranges, preserving every schema
+detail the gates depend on (TIMESTAMP(NANOS) events.ts in particular —
+Spark 4 cannot WRITE nanos timestamps, hence pyarrow here, not a Spark
+job). The output is gate-compatible: graft.Verify + scripts/check.py
+run on it unchanged, because Spark and the DuckDB oracle read the SAME
+files — parity, not meaningfulness, is what the gate measures.
+
+Replication scheme (replica r in 0..K-1):
+  - every key/id column gets + r*OFFSET with OFFSET = 10^ceil(log10(max+1)),
+    so replica key ranges are disjoint and FK joins stay consistent
+    within a replica (orders.o_custkey and customer.c_custkey shift by
+    the same offset, etc.).
+  - embeddings get a deterministic per-element jitter (hash-seeded,
+    uniform in +-JITTER) so the scaled corpus is a near-duplicate-heavy
+    cloud rather than exact ties — harder for ANN, realistic for dedup.
+  - nation/region (fixed dimension tables) are copied as-is; nationkey
+    references in customer/supplier are left unshifted to match.
+  - events keep their nanos timestamps; user/event ids shift, so
+    sessionize/funnel windows replay identically per replica.
+
+Usage: python3 scripts/make_scale.py SRC_DIR DST_DIR K
+e.g.   python3 scripts/make_scale.py /root/testdata/sf0.1 /tmp/graft_sf1 10
+"""
+import math
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# key columns per table; everything else is copied per replica
+KEYS = {
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+}
+COPY_AS_IS = ["nation", "region"]
+JITTER = 0.05
+
+
+def offset_for(tables, col):
+    """One shared decimal offset per key DOMAIN (o_custkey and
+    c_custkey must shift identically), derived from the max over every
+    table carrying that domain."""
+    dom = col.split("_", 1)[1]  # custkey, orderkey, partkey, suppkey, ...
+    mx = 0
+    for name, keys in KEYS.items():
+        for k in keys:
+            if k.split("_", 1)[1] == dom:
+                mx = max(mx, pc.max(tables[name][k]).as_py() or 0)
+    return 10 ** math.ceil(math.log10(mx + 2))
+
+
+def jittered(embs, r, rng):
+    if r == 0:
+        return embs
+    flat = np.asarray(embs.values, dtype=np.float32)
+    out = flat + rng.uniform(-JITTER, JITTER, size=flat.shape).astype(np.float32)
+    return pa.ListArray.from_arrays(embs.offsets, pa.array(out, type=pa.float32()))
+
+
+def main(src, dst, k):
+    import os
+
+    os.makedirs(dst, exist_ok=True)
+    tables = {
+        name: pq.read_table(f"{src}/{name}.parquet")
+        for name in list(KEYS) + COPY_AS_IS
+    }
+    offsets = {
+        col: offset_for(tables, col) for cols in KEYS.values() for col in cols
+    }
+    for name in COPY_AS_IS:
+        pq.write_table(tables[name], f"{dst}/{name}.parquet")
+        print(f"{name}: copied {tables[name].num_rows} rows")
+    for name, keys in KEYS.items():
+        t = tables[name]
+        replicas = []
+        for r in range(k):
+            cols = {}
+            for field in t.schema:
+                c = t[field.name]
+                if field.name in keys and r > 0:
+                    c = pc.add(c, r * offsets[field.name]).cast(field.type)
+                elif name == "embeddings" and field.name == "embedding":
+                    rng = np.random.default_rng(42_000 + r)
+                    c = jittered(t[field.name].combine_chunks(), r, rng)
+                cols[field.name] = c
+            replicas.append(pa.table(cols, schema=t.schema))
+        out = pa.concat_tables(replicas)
+        pq.write_table(out, f"{dst}/{name}.parquet")
+        print(f"{name}: {t.num_rows} -> {out.num_rows} rows "
+              f"(offsets {[offsets[kk] for kk in keys]})")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))

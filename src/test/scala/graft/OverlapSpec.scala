@@ -99,4 +99,18 @@ class OverlapSpec extends AnyFunSuite {
       assert(r >= 0.9, s"sf0.1 overlap recall@10 $r below the 0.9 headline floor")
     } finally VamanaIndex.releaseCaches()
   }
+
+  test("scale rehearsal: overlap recall@10 floor holds at 10x bench SF (GRAFT_SF1_DIR)") {
+    // the round-8 scale-rehearsal pin: same headline floor, 10× the
+    // corpus (20k vectors, near-duplicate-heavy jittered replicas —
+    // scripts/make_scale.py). Opt-in by env var because the corpus
+    // lives outside the repo and takes minutes to build/search; the
+    // rehearsal protocol in BASELINE.md sets it.
+    val dir = sys.env.get("GRAFT_SF1_DIR")
+    assume(dir.nonEmpty, "GRAFT_SF1_DIR not set — rehearsal corpus absent")
+    try {
+      val r = VamanaIndex.probedRecallOverlap(spark, dir.get)
+      assert(r >= 0.9, s"sf1 overlap recall@10 $r below the 0.9 headline floor")
+    } finally VamanaIndex.releaseCaches()
+  }
 }

@@ -154,4 +154,26 @@ class SourcesSpec extends AnyFunSuite {
     intercept[Exception](AnnHdf5.readFloatMatrix(spark, path, "neighbors"))
     intercept[Exception](AnnHdf5.readFloatMatrix(spark, path, "nope"))
   }
+
+  test("HDF5 superblock v2/v3 (newer h5py) fails loudly, not a silent mis-parse") {
+    // the v2/v3 superblock keeps the version byte at offset 8 (spec
+    // III.A.2), so the v0 parser must detect it and name the version
+    // instead of walking v0 field offsets into garbage
+    for (version <- Seq(2.toByte, 3.toByte)) {
+      val p = s"/tmp/graft_ann_spec_v$version.hdf5"
+      val bytes = new Array[Byte](96)
+      val sig = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
+      System.arraycopy(sig, 0, bytes, 0, 8)
+      bytes(8) = version
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+      val e = intercept[IllegalArgumentException](AnnHdf5.listDatasets(spark, p))
+      assert(e.getMessage.contains(s"superblock v$version"),
+        s"error must name the unsupported version: ${e.getMessage}")
+    }
+    // and a non-HDF5 file is rejected on the signature, before version
+    val junk = "/tmp/graft_ann_spec_junk.hdf5"
+    java.nio.file.Files.write(java.nio.file.Paths.get(junk), new Array[Byte](96))
+    val e = intercept[IllegalArgumentException](AnnHdf5.listDatasets(spark, junk))
+    assert(e.getMessage.contains("not an HDF5 file"))
+  }
 }
