@@ -56,21 +56,39 @@ object StreamingIndex {
       .select($"vec_id").as[Long].collect().toSet
   }
 
+  /** A log at or below this row count serves through the broadcast
+    * path (sorted primitive long array, 8 B/id → ≤ 32 MB broadcast,
+    * ZERO index shuffles); above it, the distributed join path
+    * ([[VamanaIndex.searchExcludingDf]] — two index exchanges, but no
+    * driver/broadcast materialization at ANY log size). The count
+    * comes from parquet footer metadata — a metadata-only Spark
+    * count, no data scan. */
+  val BroadcastTombstoneLimit: Long = 4L * 1000 * 1000
+
   /** Search the index honoring the tombstone log: deleted ids are
     * excluded from results but still traversed, so live-set recall
-    * holds between compactions (pinned in DeleteSpec). The log joins
-    * the index rows as a flag ([[VamanaIndex.searchExcludingDf]]) —
-    * it never materializes on the driver, so the serving path is
-    * safe at any log size between compactions. */
+    * holds between compactions (pinned in DeleteSpec). Path choice is
+    * adaptive on log size ([[BroadcastTombstoneLimit]]) — the same
+    * small-side-broadcast-else-shuffle policy AQE applies to joins;
+    * both paths are spec-pinned row-identical (DeleteSpec). */
   def searchLive(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: Array[(Long, Array[Float])], k: Int, beamWidth: Int,
       params: VamanaParams): DataFrame = {
+    import spark.implicits._
     val idx = VamanaIndex.load(spark, path)
     if (!tombstoneLogExists(spark, path))
       VamanaIndex.search(idx, queries, k, beamWidth, params)
-    else
-      VamanaIndex.searchExcludingDf(idx,
-        spark.read.parquet(s"$path/tombstones"), queries, k, beamWidth, params)
+    else {
+      val log = spark.read.parquet(s"$path/tombstones")
+      if (log.count() <= BroadcastTombstoneLimit) {
+        // collect straight to a primitive array — no boxed Set; dedup
+        // is free in the sorted binary-search representation
+        val ids = log.select($"vec_id").as[Long].collect()
+        java.util.Arrays.sort(ids)
+        VamanaIndex.searchExcludingSorted(idx, queries, k, beamWidth, params, ids)
+      } else
+        VamanaIndex.searchExcludingDf(idx, log, queries, k, beamWidth, params)
+    }
   }
 
   /** Offline compaction: rebuild the accumulated segments into

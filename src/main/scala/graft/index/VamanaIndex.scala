@@ -647,13 +647,23 @@ object VamanaIndex {
       index: Dataset[IndexRow],
       queries: Array[(Long, Array[Float])],
       k: Int, beamWidth: Int, params: VamanaParams,
-      excluded: Set[Long]): DataFrame = {
+      excluded: Set[Long]): DataFrame =
+    searchExcludingSorted(index, queries, k, beamWidth, params,
+      { val a = excluded.toArray; java.util.Arrays.sort(a); a })
+
+  /** [[searchExcluding]] core over an ALREADY-SORTED primitive id
+    * array — the no-boxing entry for callers that collect the log
+    * straight to Array[Long] ([[StreamingIndex.searchLive]]'s
+    * broadcast path). */
+  def searchExcludingSorted(
+      index: Dataset[IndexRow],
+      queries: Array[(Long, Array[Float])],
+      k: Int, beamWidth: Int, params: VamanaParams,
+      exArr: Array[Long]): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
-    if (excluded.isEmpty) return search(index, queries, k, beamWidth, params)
+    if (exArr.isEmpty) return search(index, queries, k, beamWidth, params)
     val qB = s.sparkContext.broadcast(queries)
-    val exArr = excluded.toArray
-    java.util.Arrays.sort(exArr)
     val exB = s.sparkContext.broadcast(exArr)
     val perShard = index.mapPartitions { it =>
       val rows = it.toArray
