@@ -362,22 +362,58 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  val qDedupClusterSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
+  /** Min-label connected components as UNROLLED neighbor-min +
+    * pointer-doubling rounds, NOT a recursive reachability closure.
+    * The closure formulation (`reach(n, m)` = all reachable pairs)
+    * materializes Σ|C|² rows — measured 2.3e9 at the 10× scale
+    * rehearsal, where one loose-threshold component held 48 k docs —
+    * while this propagation is O(E · rounds). Each round takes the
+    * min over neighbors, then jumps each label to its label's label
+    * (pointer doubling), so converged reach after R rounds is ≥ 2^R
+    * hops: 16 rounds cover any component diameter the Spark side's
+    * 64-round guard admits. Labels are always node ids, so the
+    * doubling join is an inner join. If 16 rounds were NOT enough, a
+    * poison row (doc_id -1) is emitted and the hash comparison fails
+    * loudly instead of silently accepting split components — the SQL
+    * twin of qDedupCluster's `require(changed == 0)`. */
+  val qDedupClusterSql: String = {
+    // every multiply-referenced CTE is MATERIALIZED: DuckDB inlines
+    // plain CTEs per reference, so the doubling join (two refs per
+    // round) would otherwise expand the plan 2^rounds-fold — measured
+    // as "too many open files" from exponentially duplicated scans
+    val rounds = 16
+    val roundCtes = (0 until rounds).map { i =>
+      s"""nm$i AS MATERIALIZED (
+         |  SELECT e.s AS n, min(x.l) AS m FROM edges e JOIN lab$i x ON x.n = e.d GROUP BY e.s
+         |), half$i AS MATERIALIZED (
+         |  SELECT l.n, least(l.l, coalesce(nm.m, l.l)) AS l
+         |  FROM lab$i l LEFT JOIN nm$i nm ON nm.n = l.n
+         |), lab${i + 1} AS MATERIALIZED (
+         |  SELECT a.n, least(a.l, b.l) AS l FROM half$i a JOIN half$i b ON b.n = a.l
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashCtes,
        |dup AS (SELECT doc_a, doc_b FROM verified WHERE jac >= $MinhashTau),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS s, doc_b AS d FROM dup
        |  UNION ALL SELECT doc_b, doc_a FROM dup
-       |), reach(n, m) AS (
-       |  SELECT DISTINCT s, s FROM edges
-       |  UNION
-       |  SELECT e.s, r.m FROM edges e JOIN reach r ON r.n = e.d
-       |), lab AS (
-       |  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+       |), lab0 AS MATERIALIZED (
+       |  SELECT DISTINCT s AS n, s AS l FROM edges
+       |),
+       |$roundCtes,
+       |unconverged AS (
+       |  SELECT l.n FROM lab$rounds l
+       |  JOIN edges e ON e.s = l.n JOIN lab$rounds x ON x.n = e.d
+       |  GROUP BY l.n, l.l HAVING min(x.l) < l.l
        |)
-       |SELECT doc_id, cluster_id,
-       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-       |FROM lab ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, cluster_id, cluster_size FROM (
+       |  SELECT n AS doc_id, l AS cluster_id,
+       |    count(*) OVER (PARTITION BY l) AS cluster_size
+       |  FROM lab$rounds
+       |  UNION ALL
+       |  SELECT -1, -1, -1 FROM unconverged
+       |) ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- simhash
 
