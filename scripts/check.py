@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
 """Local driver-mimic correctness check (dev loop only; NOT shipped code).
 
-Usage: python3 scripts/check.py [outdir] [sfdir]
+Usage: python3 scripts/check.py [outdir] [sfdir] [--only a,b | --skip a,b]
 Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` has already run.
+--only/--skip restrict which oracle queries run (resume support for
+long scale-rehearsal gates); the rows-only and completeness passes
+are restricted to the same subset.
 Registers each testdata parquet as a DuckDB view named after the
 table, runs every oracle_sql.json entry, and compares with the Spark
 parquet dump: columns sorted by name, rows sorted, exact value match
@@ -13,8 +16,17 @@ import sys, json, glob, math
 import duckdb
 import pandas as pd
 
-outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
-sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+args = sys.argv[1:]
+only = skip = None
+if "--only" in args:
+    i = args.index("--only"); only = set(args[i + 1].split(",")); del args[i:i + 2]
+if "--skip" in args:
+    i = args.index("--skip"); skip = set(args[i + 1].split(",")); del args[i:i + 2]
+outdir = args[0] if len(args) > 0 else "/tmp/graft_verify"
+sfdir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
+
+def selected(name):
+    return (only is None or name in only) and (skip is None or name not in skip)
 
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
@@ -33,6 +45,8 @@ def norm(df):
 
 n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
+    if not selected(name):
+        continue
     try:
         got = pd.read_parquet(glob.glob(f"{outdir}/{name}/*.parquet")[0])
     except Exception as e:
@@ -91,7 +105,7 @@ for name, sql in sorted(oracle.items()):
 # rows-only queries (no oracle): just report row counts
 for d in sorted(glob.glob(f"{outdir}/*/")):
     name = d.rstrip("/").split("/")[-1]
-    if name not in oracle:
+    if name not in oracle and selected(name):
         try:
             n = len(pd.read_parquet(glob.glob(f"{d}/*.parquet")[0]))
             print(f"ROWS {name}: {n}")
@@ -106,7 +120,7 @@ try:
 except Exception:
     inventory = []  # pre-inventory dump; length checks above still apply
 dumped = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{outdir}/*/")}
-for name in sorted(set(inventory) - dumped):
+for name in sorted(n for n in set(inventory) - dumped if selected(n)):
     print(f"FAIL {name}: no output dumped (query threw in Verify)")
     n_fail += 1
 

@@ -531,18 +531,34 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // Intersections via exploded gram equi-join + count, not per-pair
+  // list_intersect over a blocked self-join: the list_intersect form is
+  // O(candidate pairs × gram-list length) on one thread per pair and
+  // never finished the sf1 rehearsal (59 M candidate pairs); this form
+  // is a hash join + group-by DuckDB vectorizes across cores (~12 min
+  // at sf1). Integer counts in, same doubles out — value-identical at
+  // sf0.01/sf0.1 (checked against the old formulation directly).
   val qDedupJaccardSql: String =
     s"""WITH grams AS (
        |  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
        |    list_distinct(list_transform(range(1, length(text) - 1),
        |      i -> substring(text, i, 3))) AS g3
        |  FROM documents WHERE length(text) >= 3
+       |), ex AS (
+       |  SELECT doc_id, lang, bucket, unnest(g3) AS g FROM grams
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM ex a JOIN ex b
+       |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.g = b.g
+       |       AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), sizes AS (
+       |  SELECT doc_id, len(g3) AS sz FROM grams
        |), pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    len(list_intersect(a.g3, b.g3))::DOUBLE /
-       |      (len(a.g3) + len(b.g3) - len(list_intersect(a.g3, b.g3)))::DOUBLE AS jac
-       |  FROM grams a JOIN grams b
-       |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  SELECT doc_a, doc_b, c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jac
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
        |)
        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
        |FROM pairs WHERE jac >= $JaccardTau
