@@ -31,18 +31,45 @@ object Tables {
     df.withColumn("ts",
       org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * map to TimestampType. Read nanos as long (legacy conf, runtime
-    * settable) and rebuild a microsecond TimestampType column via
-    * [[nsToMicros]] so every downstream operator sees a normal
-    * timestamp. The conf intentionally stays set for the session:
-    * restoring it after the lazy read would risk the scan executing
-    * without it, and graft sessions own their configuration (any
-    * other TIMESTAMP(NANOS) table in the session should come through
-    * a reader like this one anyway). */
+  /** Normalize whatever physical shape `events.ts` arrived in to the
+    * session-UTC microsecond `TimestampType` every downstream operator
+    * expects. The driver's generator has shipped this column as parquet
+    * TIMESTAMP(NANOS) (→ `LongType` under the legacy conf) in some
+    * rounds and TIMESTAMP(MICROS) (→ `TimestampType` or
+    * `TimestampNTZType` depending on isAdjustedToUTC) in others, so the
+    * reader branches on the loaded dtype instead of assuming one:
+    *   - `LongType`   — legacy nanos-as-long read → [[nsToMicros]].
+    *   - `TimestampType` — already session-UTC micros, use directly.
+    *   - `TimestampNTZType` — naive micros; cast reinterprets the wall
+    *     time in the session zone, which graft pins to UTC, so the
+    *     underlying micros are preserved exactly (matches the DuckDB
+    *     oracle's precision-agnostic `epoch_us(ts)`).
+    * Anything else fails loudly rather than silently mis-timestamping. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => nsToMicros(df)
+      case TimestampType    => df
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected INT64 nanos, " +
+            "TIMESTAMP(MICROS) or TIMESTAMP_NTZ(MICROS)")
+    }
+  }
+
+  /** Events reader. `spark.sql.legacy.parquet.nanosAsLong` stays set so
+    * a TIMESTAMP(NANOS) file loads as `LongType` instead of throwing;
+    * the conf is a no-op for micros files. The conf intentionally stays
+    * set for the session: restoring it after the lazy read would risk
+    * the scan executing without it, and graft sessions own their
+    * configuration. Schema differences are then absorbed by
+    * [[normalizeEventsTs]]. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nsToMicros(load(s, d, "events"))
+    normalizeEventsTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

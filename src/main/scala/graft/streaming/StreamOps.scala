@@ -39,17 +39,18 @@ object StreamOps {
 
   val GapUs: Long = 30L * 60 * 1000000
 
-  /** File-based stream of the events table (ns timestamps read as long
-    * then normalized to a µs TimestampType column, as in
-    * [[graft.Tables.events]]). */
+  /** File-based stream of the events table. The stream source needs an
+    * explicit schema, and the driver's generator has shipped `ts` as
+    * both TIMESTAMP(NANOS) (ns-as-long under the legacy conf) and
+    * TIMESTAMP(MICROS) across rounds — so infer the schema with one
+    * batch read of the same glob, then normalize exactly as the batch
+    * reader does ([[graft.Tables.normalizeEventsTs]]). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     // the file source needs a directory; glob-filter to the events file
-    graft.Tables.nsToMicros(
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    graft.Tables.normalizeEventsTs(
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
