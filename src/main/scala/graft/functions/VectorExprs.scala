@@ -31,9 +31,15 @@ abstract class VectorBinaryExpression extends BinaryExpression {
             s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     }
 
-  /** Java loop body: given array vars `a`, `b` and length `n`, assign the
-    * result to `result` (a declared double). */
-  protected def loopCode(a: String, b: String, n: String, result: String): String
+  /** Java loop body: given array vars `a`, `b`, length `n` and loop
+    * index name `i`, assign the result to `result` (a declared double).
+    * `i` MUST be the supplied fresh name, never a literal: outside
+    * whole-stage codegen (`GenerateUnsafeProjection` et al.) the
+    * generated `apply` method's input-row PARAMETER is named `i`
+    * (`CodegenContext.INPUT_ROW`), Java forbids a local shadowing an
+    * enclosing parameter, and the resulting Janino error silently
+    * drops the entire projection to interpreted mode. */
+  protected def loopCode(a: String, b: String, n: String, result: String, i: String): String
 
   protected def evalVectors(x: ArrayData, y: ArrayData): Double
 
@@ -49,6 +55,7 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val res = ctx.freshName("res")
+      val i = ctx.freshName("gi")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -56,12 +63,13 @@ abstract class VectorBinaryExpression extends BinaryExpression {
          |}
          |double $res = 0.0;
          |{
-         |  // own scope: loopCode templates use fixed local names
+         |  // own scope: loopCode templates use fixed ACCUMULATOR names
          |  // (acc, dot, …); without braces two sibling distance
          |  // expressions in one non-nullable-input codegen stage
          |  // would declare duplicate method-scope locals and Janino
-         |  // would reject the stage (silent interpreted fallback)
-         |  ${loopCode(a, b, n, res)}
+         |  // would reject the stage (silent interpreted fallback).
+         |  // The loop INDEX is fresh-named even so — see loopCode.
+         |  ${loopCode(a, b, n, res, i)}
          |}
          |${ev.value} = $res;
        """.stripMargin
@@ -73,11 +81,11 @@ case class L2Distance(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "graft_l2_distance"
 
-  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+  override protected def loopCode(a: String, b: String, n: String, res: String, i: String): String =
     s"""
        |double acc = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
        |  acc += d * d;
        |}
        |$res = Math.sqrt(acc);
@@ -101,12 +109,12 @@ case class CosineDistance(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "graft_cosine_distance"
 
-  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+  override protected def loopCode(a: String, b: String, n: String, res: String, i: String): String =
     s"""
        |double dot = 0.0, nx = 0.0, ny = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  double xi = (double) $a.getFloat(i);
-       |  double yi = (double) $b.getFloat(i);
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double xi = (double) $a.getFloat($i);
+       |  double yi = (double) $b.getFloat($i);
        |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
        |}
        |$res = (nx == 0.0 || ny == 0.0) ? 1.0 : 1.0 - dot / (Math.sqrt(nx) * Math.sqrt(ny));
@@ -134,11 +142,11 @@ case class L1Distance(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "graft_l1_distance"
 
-  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+  override protected def loopCode(a: String, b: String, n: String, res: String, i: String): String =
     s"""
        |double acc = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  acc += Math.abs((double) $a.getFloat(i) - (double) $b.getFloat(i));
+       |for (int $i = 0; $i < $n; $i++) {
+       |  acc += Math.abs((double) $a.getFloat($i) - (double) $b.getFloat($i));
        |}
        |$res = acc;
      """.stripMargin
@@ -160,11 +168,11 @@ case class LinfDistance(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "graft_linf_distance"
 
-  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+  override protected def loopCode(a: String, b: String, n: String, res: String, i: String): String =
     s"""
        |double acc = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  double d = Math.abs((double) $a.getFloat(i) - (double) $b.getFloat(i));
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double d = Math.abs((double) $a.getFloat($i) - (double) $b.getFloat($i));
        |  if (d > acc) acc = d;
        |}
        |$res = acc;
@@ -197,12 +205,12 @@ case class JaccardDistance(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "graft_jaccard_distance"
 
-  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+  override protected def loopCode(a: String, b: String, n: String, res: String, i: String): String =
     s"""
        |double smin = 0.0; double smax = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  double xi = (double) $a.getFloat(i);
-       |  double yi = (double) $b.getFloat(i);
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double xi = (double) $a.getFloat($i);
+       |  double yi = (double) $b.getFloat($i);
        |  smin += Math.min(xi, yi); smax += Math.max(xi, yi);
        |}
        |$res = (smax == 0.0) ? 0.0 : 1.0 - smin / smax;
@@ -233,19 +241,19 @@ case class HellingerDistance(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "graft_hellinger_distance"
 
-  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+  override protected def loopCode(a: String, b: String, n: String, res: String, i: String): String =
     s"""
        |double sa = 0.0; double sb = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  sa += Math.abs((double) $a.getFloat(i));
-       |  sb += Math.abs((double) $b.getFloat(i));
+       |for (int $i = 0; $i < $n; $i++) {
+       |  sa += Math.abs((double) $a.getFloat($i));
+       |  sb += Math.abs((double) $b.getFloat($i));
        |}
        |if (sa == 0.0 || sb == 0.0) { $res = (sa == sb) ? 0.0 : 1.0; }
        |else {
        |  double bc = 0.0;
-       |  for (int i = 0; i < $n; i++) {
-       |    bc += Math.sqrt((Math.abs((double) $a.getFloat(i)) / sa)
-       |        * (Math.abs((double) $b.getFloat(i)) / sb));
+       |  for (int $i = 0; $i < $n; $i++) {
+       |    bc += Math.sqrt((Math.abs((double) $a.getFloat($i)) / sa)
+       |        * (Math.abs((double) $b.getFloat($i)) / sb));
        |  }
        |  $res = Math.sqrt(Math.max(0.0, Math.min(1.0, 1.0 - bc)));
        |}
@@ -278,11 +286,11 @@ case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "graft_dot_product"
 
-  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+  override protected def loopCode(a: String, b: String, n: String, res: String, i: String): String =
     s"""
        |double dot = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |for (int $i = 0; $i < $n; $i++) {
+       |  dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
        |}
        |$res = dot;
      """.stripMargin
