@@ -235,9 +235,11 @@ object Bench {
       (median(runs),
         index.VamanaIndex.qVamanaRecall(spark, sfDir).head().getDouble(0))
     } catch { case _: Throwable => errors += "full_probe"; (-1.0, -1.0) }
-    // recall@100 of the same probed config (reference bigann.rs:334-338
-    // evaluates k=10 AND k=100), beam scaled to 2·k per the reference's
-    // beam_width ≥ k contract (lib.rs:640-644) + exploration headroom.
+    // recall@100 of the ROUTED serving dispatcher (reference
+    // bigann.rs:334-338 evaluates k=10 AND k=100): k>32 routes through
+    // the overlap-2 tier at the same nprobe=4 — large-k recall is
+    // routing-limited, and boundary replication recovers it without
+    // raising probe fan-out (see VamanaIndex.searchRouted).
     val recall100 = try index.VamanaIndex.probedRecallAt(spark, sfDir, 100)
       catch { case _: Throwable => errors += "recall100_probe"; -1.0 }
     // the k=100 HIGH-RECALL operating point: full search at beam 4·k

@@ -899,6 +899,37 @@ object VamanaIndex {
     recallDf(qOverlapServe(s, dir), VectorQueries.qKnnExact(s, dir))
       .head().getDouble(0)
 
+  /** k-aware routed-serving dispatcher — THE documented operating
+    * points for partition-pruned search:
+    *   - k ≤ [[LargeKThreshold]] → plain index, pivot-set routing at
+    *     nprobe=4 (recall@10 0.83–0.94 at sf0.1, zero extra storage).
+    *   - k > [[LargeKThreshold]] → overlap-2 index at the SAME
+    *     nprobe=4: large-k recall is routing-limited, not
+    *     beam-limited (sf0.1: plain recall@100 plateaus at 0.626 for
+    *     beam 2k→4k, while nprobe 4→6→8 gives 0.63→0.83→1.0), and
+    *     boundary replication recovers the cross-cell tail without
+    *     raising probe fan-out: overlap-2 recall@100 = 0.856 at
+    *     nprobe=4 (0.978 at 6). The trade is 2× index storage —
+    *     bounded and predictable — versus scaling PROBE cost with k
+    *     (plain would need 6 of 8 shards per query for the same
+    *     recall, unacceptable at 1000-shard scale where per-query
+    *     shard reads are the serving cost).
+    * Floors pinned in ProbedSearchSpec; measured points recorded in
+    * BASELINE.md. Beam stays max(searchBeam, 2·k) per the reference's
+    * beam_width ≥ k contract (lib.rs:640-644). */
+  val LargeKThreshold = 32
+  def searchRouted(s: SparkSession, dir: String,
+      queries: Array[(Long, Array[Float])], k: Int): DataFrame = {
+    val beam = math.max(searchBeam, 2 * k)
+    if (k <= LargeKThreshold)
+      searchProbed(cachedIndex(s, dir), queries, k, beam, qParams,
+        nprobe = 4, excludeSelf = true, pivots = Some(cachedPivots(s, dir)))
+    else
+      searchProbed(cachedOverlapIndex(s, dir), queries, k, beam, qParams,
+        nprobe = 4, excludeSelf = true,
+        pivots = Some(cachedOverlapPivots(s, dir)), distinctMerge = true)
+  }
+
   /** Mean recall of `approx` against `exact` (both (q_id,
     * neighbor_id) result sets) — the evaluation every reference
     * example runs (examples/diskann_sift.rs:58-98). */
@@ -1060,9 +1091,7 @@ object VamanaIndex {
     * zero exploration slack and caps recall well below 1 at large k —
     * r7 measured 0.65 at k=100 with beam=k). */
   def probedRecallAt(s: SparkSession, dir: String, k: Int): Double = {
-    val approx = searchProbed(cachedIndex(s, dir), queriesArr(s, dir), k,
-      math.max(searchBeam, 2 * k), qParams, nprobe = 4, excludeSelf = true,
-      pivots = Some(cachedPivots(s, dir)))
+    val approx = searchRouted(s, dir, queriesArr(s, dir), k)
     recallDf(approx, VectorQueries.qKnnExactK(s, dir, k)).head().getDouble(0)
   }
 

@@ -104,6 +104,13 @@ class ProbedSearchSpec extends AnyFunSuite {
         s"sf0.1 pivot-routed recall@10 $routed10 below the 0.8 floor")
       val full100 = VamanaIndex.fullRecallAt(spark, SparkSpecBase.sf1, 100)
       assert(full100 >= 0.9, s"sf0.1 full recall@100 $full100 below the 0.9 floor")
+      // large-k ROUTED operating point (searchRouted dispatches k>32
+      // through the overlap-2 tier at unchanged nprobe=4; measured
+      // 0.856 at sf0.1 — plain-index routing plateaus at 0.626 there
+      // because large-k recall is routing-limited, not beam-limited)
+      val routed100 = VamanaIndex.probedRecallAt(spark, SparkSpecBase.sf1, 100)
+      assert(routed100 >= 0.8,
+        s"sf0.1 routed (overlap-tier) recall@100 $routed100 below the 0.8 floor")
     } finally VamanaIndex.releaseCaches()
   }
 
