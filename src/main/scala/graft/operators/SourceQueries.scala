@@ -41,11 +41,18 @@ object SourceQueries {
       .orderBy($"vec_id")
   }
 
+  /** The .fvecs/.hdf5 formats carry NO id field — a vector's identity
+    * is its file POSITION (the reference's own convention: its fvecs
+    * readers number vectors 0..n-1). writeFvecs emits in vec_id order,
+    * so read-back id = rank of vec_id, which the oracle replays with
+    * row_number(). (Equality with raw vec_id at sf0.x was a
+    * coincidence of contiguous ids; the sf1 rehearsal corpus has
+    * replica-offset gaps and exposed the assumption, r9.) */
   val qVecsRoundtripSql: String =
-    """SELECT vec_id,
+    """SELECT row_number() OVER (ORDER BY vec_id) - 1 AS vec_id,
       |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
       |                              CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
-      |FROM embeddings ORDER BY vec_id""".stripMargin
+      |FROM embeddings ORDER BY 1""".stripMargin
 
   /** embeddings → ann-benchmarks HDF5 (`train` f32 dataset) on disk →
     * distributed read-back → per-vector L2 norm. f32 is byte-lossless
