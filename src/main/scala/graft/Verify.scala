@@ -32,6 +32,7 @@ object Verify {
     Seq("oracle_sql.json", "queries.json").foreach { f =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outFile, f))
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -39,8 +40,21 @@ object Verify {
         // e.toString, not getMessage: an NPE's message is null and
         // "[verify] q failed: null" is undiagnosable in the dev loop
         System.err.println(s"[verify] $name failed: ${e.toString}")
+        failed += name
       }
     }
+    // loud end-of-run verdict: a family-wide reader breakage (r8: all
+    // 7 events queries) must be one unmissable line, not 7 stack
+    // traces scrolled past 10k INFO lines. check.py independently
+    // FAILs every inventory entry with no dump, so the gate stays red
+    // even if this line is ignored.
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] RED: ${failed.size}/${SparkEntry.queries.size} queries " +
+          s"produced no dump: ${failed.sorted.mkString(", ")}")
+    else
+      System.err.println(
+        s"[verify] all ${SparkEntry.queries.size} queries dumped")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
