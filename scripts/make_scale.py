@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
 """Scale-rehearsal data generator: replicate a driver testdata SF
 directory K times with disjoint key ranges, preserving every schema
-detail the gates depend on (TIMESTAMP(NANOS) events.ts in particular —
-Spark 4 cannot WRITE nanos timestamps, hence pyarrow here, not a Spark
-job). The output is gate-compatible: graft.Verify + scripts/check.py
-run on it unchanged, because Spark and the DuckDB oracle read the SAME
-files — parity, not meaningfulness, is what the gate measures.
+detail the gates depend on — in particular events.ts keeps whatever
+physical timestamp encoding the source carries (TIMESTAMP(NANOS) in
+early rounds, TIMESTAMP(MICROS) NTZ since round 8; pyarrow copies
+either verbatim, and graft.Tables.events normalizes both). The output
+is gate-compatible: graft.Verify + scripts/check.py run on it
+unchanged, because Spark and the DuckDB oracle read the SAME files —
+parity, not meaningfulness, is what the gate measures.
 
 Replication scheme (replica r in 0..K-1):
   - every key/id column gets + r*OFFSET with OFFSET = 10^ceil(log10(max+1)),
@@ -17,8 +19,8 @@ Replication scheme (replica r in 0..K-1):
     cloud rather than exact ties — harder for ANN, realistic for dedup.
   - nation/region (fixed dimension tables) are copied as-is; nationkey
     references in customer/supplier are left unshifted to match.
-  - events keep their nanos timestamps; user/event ids shift, so
-    sessionize/funnel windows replay identically per replica.
+  - events keep their timestamps byte-for-byte; user/event ids shift,
+    so sessionize/funnel windows replay identically per replica.
 
 Usage: python3 scripts/make_scale.py SRC_DIR DST_DIR K
 e.g.   python3 scripts/make_scale.py /root/testdata/sf0.1 /tmp/graft_sf1 10
