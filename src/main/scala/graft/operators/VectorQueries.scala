@@ -183,17 +183,46 @@ object VectorQueries {
   def qMedoid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Exact medoid is O(n²) by definition, so n is small by contract
-    // (the 100 TB path is `medoidSampled`). The n² pairs stream
-    // through a Spark-managed broadcast nested-loop join straight
-    // into a map-side partial sum — the only shuffle carries one
-    // partial row per (id, partition), and nothing is collected to
-    // the driver (the broadcast side is the framework's torrent
-    // broadcast with its size guardrails, not an unbounded
-    // driver-heap Array).
-    val a = Tables.embeddings(s, dir).select($"vec_id".as("i"), $"embedding".as("va"))
-    val b = Tables.embeddings(s, dir).select($"embedding".as("vb"))
-    a.join(broadcast(b))
-      .groupBy($"i").agg(sum(l2Dist($"va", $"vb")).as("s"))
+    // (the 100 TB path is `medoidSampled`). Earlier rounds ran the n²
+    // pairs through a broadcast nested-loop join into a partial sum;
+    // correct, but the join MATERIALIZES every pair as an UnsafeRow
+    // (two copied 64-float arrays per pair — ~220 GB of row traffic
+    // at the sf1 rehearsal's 20 k vectors, 65 s wall). The corpus
+    // instead rides once to each task as a broadcast primitive
+    // array (n·dim·4 B — 5 MB at 20 k) and a mapPartitions kernel
+    // accumulates Σ_j L2(i,j) in registers: zero pair rows, zero
+    // shuffle (the 1-row orderBy+limit is a driver takeOrdered).
+    // Same double-accumulate/sqrt arithmetic as [[l2Dist]], so the
+    // rounded total matches the DuckDB oracle exactly. The explicit
+    // size guard bounds the driver/broadcast footprint the join
+    // version paid implicitly in BroadcastExchange anyway.
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val corpus = emb.as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
+    require(corpus.length <= 200000,
+      s"qMedoid is the exact O(n²) form (n=${corpus.length}); " +
+        "use medoidSampled for large corpora")
+    val bc = s.sparkContext.broadcast(corpus)
+    // one small parquet file would otherwise land in 1-2 scan
+    // partitions and serialize the O(n²) compute on two cores; the
+    // 20 k-row repartition shuffle is noise next to the pair loop
+    emb.repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val all = bc.value
+        it.map { case (id, v) =>
+          var total = 0.0
+          var j = 0
+          while (j < all.length) {
+            val w = all(j)
+            var acc = 0.0; var d = 0
+            while (d < v.length) {
+              val t = v(d).toDouble - w(d).toDouble; acc += t * t; d += 1
+            }
+            total += math.sqrt(acc); j += 1
+          }
+          (id, total)
+        }
+      }.toDF("i", "s")
       .orderBy($"s", $"i")
       .limit(1)
       .select($"i".as("medoid_id"), round($"s", 4).as("total_dist"))

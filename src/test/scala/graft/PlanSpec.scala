@@ -97,10 +97,19 @@ class PlanSpec extends AnyFunSuite {
     assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1, p)
   }
 
-  test("q_medoid: broadcast pair generation feeding a map-side partial sum") {
+  test("q_medoid: broadcast-corpus kernel — no pair join, no pair rows") {
+    // r9: the BroadcastNestedLoopJoin pair generator materialized every
+    // (i,j) pair as a row (~220 GB of row traffic at sf1, 65 s); the
+    // corpus now broadcasts once as a primitive array and a
+    // mapPartitions kernel accumulates Σ_j in registers (1.8 s at sf1).
+    // Pin: no join of any kind, one scan, one spread-the-compute
+    // exchange, and the 1-row result via TakeOrdered (no agg shuffle).
     val p = planOf(operators.VectorQueries.qMedoid(spark, sf))
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("partial_sum") || p.contains("Functions [partial"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("MapPartitions"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"embeddings scanned more than once:\n$p")
   }
 
   test("q_dedup_embed: salted bucket-local pairs — no join, no cartesian, one scan") {
