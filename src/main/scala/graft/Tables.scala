@@ -72,5 +72,27 @@ object Tables {
     normalizeEventsTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Embeddings reader, schema-adaptive like [[events]]: every vector
+    * operator (distances, index builds, quantizers) contracts on
+    * `array<float>`, and a driver-side regeneration that ships the
+    * column as `array<double>` (pyarrow's default for Python floats)
+    * would otherwise take out the whole ANN family at once — the same
+    * failure class as round 8's events.ts encoding drift. A float
+    * file passes through untouched (no cast node in the plan). */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val df = load(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(DoubleType, _) =>
+        df.withColumn("embedding",
+          org.apache.spark.sql.functions.col("embedding")
+            .cast(ArrayType(FloatType)))
+      case other =>
+        throw new IllegalStateException(
+          s"embeddings.embedding has unsupported type $other; " +
+            "expected array<float> or array<double>")
+    }
+  }
 }

@@ -88,4 +88,25 @@ class EventsReaderSpec extends AnyFunSuite {
       assert(ev.limit(1).count() == 1L)
     }
   }
+
+  test("embeddings reader normalizes array<double> drift to array<float>") {
+    // same failure class as the events.ts drift: a pyarrow
+    // regeneration shipping doubles would break every vector operator
+    val dir = fixtureDir("embdbl")
+    Seq((1L, Array(0.5, -1.25)), (2L, Array(3.0, 4.0)))
+      .toDF("vec_id", "embedding")
+      .repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.embeddings(spark, dir)
+    assert(emb.schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true) ||
+      emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = false))
+    val got = emb.orderBy($"vec_id").as[(Long, Array[Float])].collect()
+    assert(got(0)._2.sameElements(Array(0.5f, -1.25f)) &&
+      got(1)._2.sameElements(Array(3f, 4f)))
+    // and the real float testdata passes through with NO cast node
+    val real = Tables.embeddings(spark, SparkSpecBase.sf001)
+    assert(real.schema("embedding").dataType.isInstanceOf[ArrayType])
+    assert(!real.queryExecution.analyzed.toString.toLowerCase.contains("cast(embedding"),
+      "float-file read must not insert a cast")
+  }
 }
