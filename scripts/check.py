@@ -29,6 +29,11 @@ def selected(name):
     return (only is None or name in only) and (skip is None or name not in skip)
 
 con = duckdb.connect()
+try:  # the sf1 gate's dedup oracles are minutes-long; use the box
+    import os
+    con.sql(f"SET threads={os.cpu_count()}")
+except Exception:
+    pass
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
