@@ -513,18 +513,38 @@ object Dedup {
     val rows = grams.select(concat_ws("|", $"lang", $"bucket").as("block"), $"doc_id", $"g3")
       .as[(String, Long, Array[String])]
     saltedPairs(rows) { case ((ida, ga), (idb, gb)) =>
-      var x = 0; var y = 0; var inter = 0
-      while (x < ga.length && y < gb.length) {
-        // g3 arrays are sorted in code-point (UTF8 binary) order by
-        // CharNGramsSorted; String.compareTo would mis-merge
-        // surrogate-range grams
-        val c = SharedHash.codePointCompare(ga(x), gb(y))
-        if (c == 0) { inter += 1; x += 1; y += 1 }
-        else if (c < 0) x += 1
-        else y += 1
+      // exact upper bound before any merging: |A∩B| ≤ min(|A|,|B|) and
+      // |A∪B| ≥ max(|A|,|B|), so jac ≤ min/max — a pair whose gram
+      // counts already rule out the threshold never runs the merge.
+      // (Length-bucketing blocks by RAW chars; distinct-gram counts
+      // still vary within a bucket, so this prunes real work on
+      // organic corpora. Output is unchanged by construction.)
+      val mn = math.min(ga.length, gb.length)
+      val mx = math.max(ga.length, gb.length)
+      if (mn.toDouble < JaccardTau * mx) None
+      else {
+        var x = 0; var y = 0; var inter = 0
+        var live = true
+        while (live && x < ga.length && y < gb.length) {
+          // g3 arrays are sorted in code-point (UTF8 binary) order by
+          // CharNGramsSorted; String.compareTo would mis-merge
+          // surrogate-range grams
+          val c = SharedHash.codePointCompare(ga(x), gb(y))
+          if (c == 0) { inter += 1; x += 1; y += 1 }
+          else if (c < 0) x += 1
+          else y += 1
+          // abandon the merge once even matching every remaining
+          // element of the shorter side cannot reach the threshold
+          val interMax = inter + math.min(ga.length - x, gb.length - y)
+          if (interMax.toDouble < JaccardTau * (ga.length + gb.length - interMax))
+            live = false
+        }
+        if (!live) None
+        else {
+          val jac = inter.toDouble / (ga.length + gb.length - inter)
+          if (jac >= JaccardTau) Some((ida, idb, jac)) else None
+        }
       }
-      val jac = inter.toDouble / (ga.length + gb.length - inter)
-      if (jac >= JaccardTau) Some((ida, idb, jac)) else None
     }
       .toDF("doc_a", "doc_b", "jac")
       .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))

@@ -114,6 +114,24 @@ class ProbedSearchSpec extends AnyFunSuite {
     } finally VamanaIndex.releaseCaches()
   }
 
+  test("searchRouted small-k path is row-identical to qVamanaProbed") {
+    // the dispatcher must not drift from the pinned k<=32 serving
+    // path: same index, same pivots, same knobs -> same rows
+    val dir = SparkSpecBase.sf001
+    try {
+      import org.apache.spark.sql.functions.col
+      val qs = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 50 === 0)
+        .selectExpr("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+      val a = pairs(VamanaIndex.searchRouted(spark, dir, qs, 10))
+      val b = pairs(VamanaIndex.qVamanaProbed(spark, dir))
+      assert(a == b, s"dispatcher drifted: ${a.diff(b).size} extra, ${b.diff(a).size} missing")
+    } finally VamanaIndex.releaseCaches()
+  }
+
   test("pivot table persists in metadata.json and serves identically") {
     val dir = SparkSpecBase.sf001
     val idx = VamanaIndex.cachedIndex(spark, dir)
