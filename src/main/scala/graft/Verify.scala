@@ -5,11 +5,22 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("usage: graft.Verify <sfDir> <outDir>")
+    if (args.length < 2 || args.length > 3) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [only1,only2,...]")
       sys.exit(2)
     }
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional dev-loop subset (the driver always passes 2 args): run
+    // only the named queries; the dumped inventory shrinks to match so
+    // check.py's completeness pass doesn't flag the skipped ones
+    val subset: Option[Set[String]] =
+      if (args.length == 3) Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    subset.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries in subset: ${unknown.mkString(", ")}")
+    }
+    def selected(name: String): Boolean = subset.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,7 +37,7 @@ object Verify {
     // recursively wiped.
     val outFile = new java.io.File(outDir)
     outFile.mkdirs()
-    SparkEntry.queries.keys.foreach { name =>
+    SparkEntry.queries.keys.filter(selected).foreach { name =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outFile, name))
     }
     Seq("oracle_sql.json", "queries.json").foreach { f =>
@@ -34,13 +45,15 @@ object Verify {
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // e.toString, not getMessage: an NPE's message is null and
-        // "[verify] q failed: null" is undiagnosable in the dev loop
-        System.err.println(s"[verify] $name failed: ${e.toString}")
-        failed += name
+      if (selected(name)) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          // e.toString, not getMessage: an NPE's message is null and
+          // "[verify] q failed: null" is undiagnosable in the dev loop
+          System.err.println(s"[verify] $name failed: ${e.toString}")
+          failed += name
+        }
       }
     }
     // loud end-of-run verdict: a family-wide reader breakage (r8: all
@@ -48,13 +61,13 @@ object Verify {
     // traces scrolled past 10k INFO lines. check.py independently
     // FAILs every inventory entry with no dump, so the gate stays red
     // even if this line is ignored.
+    val nRun = SparkEntry.queries.keys.count(selected)
     if (failed.nonEmpty)
       System.err.println(
-        s"[verify] RED: ${failed.size}/${SparkEntry.queries.size} queries " +
+        s"[verify] RED: ${failed.size}/$nRun queries " +
           s"produced no dump: ${failed.sorted.mkString(", ")}")
     else
-      System.err.println(
-        s"[verify] all ${SparkEntry.queries.size} queries dumped")
+      System.err.println(s"[verify] all $nRun queries dumped")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -68,12 +81,13 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // full query inventory, so the comparator can detect a query that
     // produced NO dump at all (rows-only queries are not in
     // oracle_sql.json — without this list their crash is invisible)
-    val inventory = SparkEntry.queries.keys.toSeq.sorted
+    val inventory = SparkEntry.queries.keys.filter(selected).toSeq.sorted
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/queries.json"), inventory)
     spark.stop()

@@ -211,15 +211,23 @@ object TextAnalysis {
         """transform(sequence(0, size(words) - 2),
           |  i -> struct(element_at(words, i+1) AS w1, element_at(words, i+2) AS w2))""".stripMargin))
         .as("bg"))
-      .select($"doc_id", $"bg.w1", $"bg.w2")
+      // the model never needs the words back, only equality of the
+      // (w1) and (w1,w2) keys — hash both to 64-bit longs so every
+      // downstream exchange (the two model aggregates and the scoring
+      // join) shuffles 16 bytes of key instead of two word strings.
+      // A count merges across a collision only if two bigrams collide
+      // in h12 AND share h1 — ≪ the 64-bit birthday bound, vanishing
+      // even at a 100 TB vocabulary.
+      .select($"doc_id", xxhash64($"bg.w1").as("h1"),
+        xxhash64($"bg.w1", $"bg.w2").as("h12"))
     // c12 is vocab-sized — cached, it feeds both consumers; c1 derives
     // from it by summation (identical counts, no extra pass), so the
     // corpus is tokenized twice (the LM build + the per-doc score),
     // never three times
     val c12 = graft.PlanCache.getOrBuild(s, Family, s"bigramC12:$dir")(
-      bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12")))
-    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
-    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      bg.groupBy($"h1", $"h12").agg(count(lit(1)).as("c12")))
+    val c1 = c12.groupBy($"h1").agg(sum($"c12").as("c1"))
+    bg.join(c12, Seq("h1", "h12")).join(c1, Seq("h1"))
       .withColumn("lp", log($"c12".cast("double") / $"c1".cast("double")))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg($"lp"), 4).as("avg_logp"))
@@ -719,11 +727,17 @@ object TextAnalysis {
       .select($"doc_id", explode(
         expr("transform(sequence(1, size(words) - 3), i -> concat_ws(' ', slice(words, i, 4)))"))
         .as("gram"))
-    val perDocGram = grams.groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
+      // only gram EQUALITY matters downstream (counts in, counts out),
+      // so shuffle the 8-byte xxhash64 of the gram, not the ~30-byte
+      // 4-word string — all three exchanges (both aggregates and the
+      // doc-frequency join) carry the narrow key; 64-bit collisions
+      // are below the birthday bound even at a 100 TB gram table
+      .select($"doc_id", xxhash64($"gram").as("gh"))
+    val perDocGram = grams.groupBy($"doc_id", $"gh").agg(count(lit(1)).as("cnt"))
     // rows of perDocGram are distinct (doc, gram) pairs, so doc
     // frequency is a plain row count — no countDistinct pass
-    val docFreq = perDocGram.groupBy($"gram").agg(count(lit(1)).as("n_docs"))
-    perDocGram.join(docFreq, Seq("gram"))
+    val docFreq = perDocGram.groupBy($"gh").agg(count(lit(1)).as("n_docs"))
+    perDocGram.join(docFreq, Seq("gh"))
       .groupBy($"doc_id")
       .agg(
         sum($"cnt").as("n_grams"),
