@@ -98,8 +98,18 @@ def main(src, dst, k):
                 cols[field.name] = c
             replicas.append(pa.table(cols, schema=t.schema))
         out = pa.concat_tables(replicas)
-        pq.write_table(out, f"{dst}/{name}.parquet")
-        print(f"{name}: {t.num_rows} -> {out.num_rows} rows "
+        # Bounded row groups: pyarrow's default (1 Mi rows) leaves the
+        # smaller tables as ONE row group, and a single-row-group file
+        # is unsplittable — every Spark scan of it runs in one task no
+        # matter how maxSplitBytes bins the byte ranges (observed at
+        # the sf10 rehearsal: the whole exact-kNN distance scan pinned
+        # on one core). 64 Ki-row groups keep each group a few MB, so
+        # Spark's bytesPerCore split logic actually yields parallel
+        # scans — the layout a real multi-file 100 TB corpus has
+        # anyway.
+        pq.write_table(out, f"{dst}/{name}.parquet", row_group_size=65536)
+        print(f"{name}: {t.num_rows} -> {out.num_rows} rows, "
+              f"{-(-out.num_rows // 65536)} row groups "
               f"(offsets {[offsets[kk] for kk in keys]})")
 
 

@@ -122,6 +122,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // ObjectHashAggregate abandons its hash map for a sort-based
+      // external aggregation after 128 distinct keys per task (Spark
+      // default). Every TopK/termTopk partial aggregate carries a
+      // BOUNDED per-group buffer (a k-heap, ≤ ~1.2 KB at k=100), but
+      // the group count is the QUERY-SET size — n/50 queries crosses
+      // 128 somewhere between sf0.1 and sf1, after which the partial
+      // agg silently degenerates into externally sorting the full
+      // candidate stream (at the sf10 rehearsal: one task spilling
+      // 800 M rows for 7+ min while 31 cores idle). 32 Ki bounded
+      // groups ≈ 40 MB/task worst-case — nowhere near executor heap.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "32768")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -26,6 +26,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // hash-agg headroom for query-set-sized TopK groups — see the
+      // rationale at the Bench builder (Bench.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "32768")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -10,6 +10,9 @@ object SparkSpecBase {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // match the mains: hash-agg headroom for query-set-sized TopK
+      // groups (rationale at the Bench builder)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "32768")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
