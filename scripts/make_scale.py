@@ -103,13 +103,16 @@ def main(src, dst, k):
         # is unsplittable — every Spark scan of it runs in one task no
         # matter how maxSplitBytes bins the byte ranges (observed at
         # the sf10 rehearsal: the whole exact-kNN distance scan pinned
-        # on one core). 64 Ki-row groups keep each group a few MB, so
-        # Spark's bytesPerCore split logic actually yields parallel
+        # on one core, then capped at 4-way when 64 Ki rows still gave
+        # the 200 k-row embeddings table only 4 groups). Target ~32
+        # groups per table (one per local core, capped at 64 Ki rows)
+        # so Spark's bytesPerCore split logic actually yields parallel
         # scans — the layout a real multi-file 100 TB corpus has
         # anyway.
-        pq.write_table(out, f"{dst}/{name}.parquet", row_group_size=65536)
+        rg = min(65536, max(4096, out.num_rows // 32))
+        pq.write_table(out, f"{dst}/{name}.parquet", row_group_size=rg)
         print(f"{name}: {t.num_rows} -> {out.num_rows} rows, "
-              f"{-(-out.num_rows // 65536)} row groups "
+              f"{-(-out.num_rows // rg)} row groups "
               f"(offsets {[offsets[kk] for kk in keys]})")
 
 
