@@ -29,9 +29,14 @@ object HnswIndex {
   def build(emb: DataFrame, hp: HnswParams, numShards: Int): Dataset[HnswRow] = {
     val s = emb.sparkSession
     import s.implicits._
-    VamanaIndex.shardAssign(emb, numShards)
-      .repartition(numShards, col("shard"))
-      .as[(Long, Array[Float], Int)]
+    // shard-exact placement, same rationale as VamanaIndex.buildAssigned:
+    // murmur3 repartition stacks multiple graph builds on one task
+    val placed = VamanaIndex.shardAssign(emb, numShards)
+      .as[(Long, Array[Float], Int)].rdd
+      .keyBy(_._3)
+      .partitionBy(new VamanaIndex.ShardIdPartitioner(numShards))
+      .values
+    s.createDataset(placed)
       .mapPartitions { it =>
         val rows = it.toArray
         rows.groupBy(_._3).iterator.flatMap { case (shard, group) =>

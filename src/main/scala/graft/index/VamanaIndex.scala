@@ -221,15 +221,40 @@ object VamanaIndex {
     built
   }
 
-  /** Shared build tail: one repartition by shard, then per-shard
+  /** Exact shard→partition placement for the build shuffles: shard
+    * ids are DENSE ints (0..numShards-1, or sub-shard ids below
+    * numShards·maxSplit from [[buildCapped]]), so identity-mod is a
+    * perfect partitioner. A plain `repartition(n, $"shard")` murmur3-
+    * hashes the id into n buckets, which COLLIDES for small n — at 8
+    * shards it reliably stacks 2-3 graph builds on one straggler task
+    * while other cores idle (observed at the sf10 rehearsal: the
+    * whole build serialized behind one partition). `repartitionByRange`
+    * would fix placement but adds a boundary-sampling pass over the
+    * assignment — a second corpus-wide job at scale. */
+  private[index] class ShardIdPartitioner(override val numPartitions: Int)
+      extends org.apache.spark.Partitioner {
+    def getPartition(key: Any): Int = {
+      val k = key.asInstanceOf[Int] % numPartitions
+      if (k < 0) k + numPartitions else k
+    }
+    override def equals(other: Any): Boolean = other match {
+      case p: ShardIdPartitioner => p.numPartitions == numPartitions
+      case _ => false
+    }
+    override def hashCode: Int = numPartitions
+  }
+
+  /** Shared build tail: one shard-exact repartition, then per-shard
     * in-memory Vamana builds inside `mapPartitions`. */
   private[graft] def buildAssigned(
       assigned: DataFrame, params: VamanaParams, numShards: Int): Dataset[IndexRow] = {
     val s = assigned.sparkSession
     import s.implicits._
-    assigned
-      .repartition(numShards, $"shard")
-      .as[(Long, Array[Float], Int)]
+    val placed = assigned.as[(Long, Array[Float], Int)].rdd
+      .keyBy(_._3)
+      .partitionBy(new ShardIdPartitioner(numShards))
+      .values
+    s.createDataset(placed)
       .mapPartitions { it =>
         val rows = it.toArray
         rows.groupBy(_._3).iterator.flatMap { case (shard, group) =>
