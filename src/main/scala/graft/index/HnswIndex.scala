@@ -30,13 +30,11 @@ object HnswIndex {
     val s = emb.sparkSession
     import s.implicits._
     // shard-exact placement, same rationale as VamanaIndex.buildAssigned:
-    // murmur3 repartition stacks multiple graph builds on one task
-    val placed = VamanaIndex.shardAssign(emb, numShards)
-      .as[(Long, Array[Float], Int)].rdd
-      .keyBy(_._3)
-      .partitionBy(new VamanaIndex.ShardIdPartitioner(numShards))
-      .values
-    s.createDataset(placed)
+    // a plain murmur3 repartition stacks multiple graph builds on one
+    // task; the preimage column keeps placement exact AND the exchange
+    // on the Tungsten path (see VamanaIndex.shardPreimages)
+    VamanaIndex.placeByShard(VamanaIndex.shardAssign(emb, numShards), numShards)
+      .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
         val rows = it.toArray
         rows.groupBy(_._3).iterator.flatMap { case (shard, group) =>

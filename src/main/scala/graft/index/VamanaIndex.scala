@@ -221,27 +221,51 @@ object VamanaIndex {
     built
   }
 
-  /** Exact shard→partition placement for the build shuffles: shard
-    * ids are DENSE ints (0..numShards-1, or sub-shard ids below
-    * numShards·maxSplit from [[buildCapped]]), so identity-mod is a
-    * perfect partitioner. A plain `repartition(n, $"shard")` murmur3-
-    * hashes the id into n buckets, which COLLIDES for small n — at 8
-    * shards it reliably stacks 2-3 graph builds on one straggler task
-    * while other cores idle (observed at the sf10 rehearsal: the
-    * whole build serialized behind one partition). `repartitionByRange`
-    * would fix placement but adds a boundary-sampling pass over the
-    * assignment — a second corpus-wide job at scale. */
-  private[index] class ShardIdPartitioner(override val numPartitions: Int)
-      extends org.apache.spark.Partitioner {
-    def getPartition(key: Any): Int = {
-      val k = key.asInstanceOf[Int] % numPartitions
-      if (k < 0) k + numPartitions else k
+  /** Exact shard→partition placement for the build shuffles. A plain
+    * `repartition(n, $"shard")` murmur3-hashes the id into n buckets,
+    * which COLLIDES for small n — at 8 shards it reliably stacks 2-3
+    * graph builds on one straggler task while other cores idle
+    * (observed at the sf10 rehearsal: the whole 200k-vector build
+    * serialized behind one partition). `repartitionByRange` would fix
+    * placement but adds a boundary-sampling pass over the assignment —
+    * a second corpus-wide job at scale; an RDD `partitionBy` fixes it
+    * too but drops the exchange off the Tungsten path and Java-
+    * serializes every vector through the shuffle — the wrong trade
+    * when the corpus IS the shuffle payload.
+    *
+    * Instead, repartition on a murmur3 PREIMAGE of the shard id:
+    * `preimages(s)` is the smallest non-negative int j with
+    * `pmod(hash(j), n) == s`, where `hash` is Spark's stable
+    * seed-42 Murmur3 (`functions.hash` semantics — the same function
+    * `repartition(n, col)` feeds into `pmod(…, n)` for the partition
+    * id). Routing shard s via column value preimages(s) therefore
+    * lands it on partition s EXACTLY, one shard per task, with the
+    * exchange staying UnsafeRow end-to-end. Expected search length is
+    * n·H(n) ≈ n·ln n candidate ints — microseconds at any realistic
+    * shard count. */
+  private[graft] def shardPreimages(n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var j = 0
+    var remaining = n
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(j, 42)
+      val p = ((h % n) + n) % n
+      if (!found(p)) { found(p) = true; out(p) = j; remaining -= 1 }
+      j += 1
     }
-    override def equals(other: Any): Boolean = other match {
-      case p: ShardIdPartitioner => p.numPartitions == numPartitions
-      case _ => false
-    }
-    override def hashCode: Int = numPartitions
+    out
+  }
+
+  /** Shard-exact repartition of an assignment frame carrying a dense
+    * int `shard` column (0 until numShards), entirely in
+    * DataFrame-land — see [[shardPreimages]]. */
+  private[graft] def placeByShard(assigned: DataFrame, numShards: Int): DataFrame = {
+    val pre = shardPreimages(numShards)
+    assigned
+      .withColumn("__pre", element_at(typedlit(pre.toSeq), col("shard") + 1))
+      .repartition(numShards, col("__pre"))
+      .drop("__pre")
   }
 
   /** Shared build tail: one shard-exact repartition, then per-shard
@@ -250,11 +274,8 @@ object VamanaIndex {
       assigned: DataFrame, params: VamanaParams, numShards: Int): Dataset[IndexRow] = {
     val s = assigned.sparkSession
     import s.implicits._
-    val placed = assigned.as[(Long, Array[Float], Int)].rdd
-      .keyBy(_._3)
-      .partitionBy(new ShardIdPartitioner(numShards))
-      .values
-    s.createDataset(placed)
+    placeByShard(assigned, numShards)
+      .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
         val rows = it.toArray
         rows.groupBy(_._3).iterator.flatMap { case (shard, group) =>
