@@ -49,9 +49,15 @@ object Verify {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // per-query wall time on stderr: the scale-rehearsal loop
+          // greps these to spot nonlinear blowups (a query that runs
+          // 0.3 s at sf0.1 and 400 s at sf10 is a collapse, not load)
+          System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        } catch { case e: Throwable =>
           // e.toString, not getMessage: an NPE's message is null and
           // "[verify] q failed: null" is undiagnosable in the dev loop
           System.err.println(s"[verify] $name failed: ${e.toString}")

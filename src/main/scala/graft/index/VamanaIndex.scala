@@ -120,6 +120,46 @@ object VamanaIndex {
       overlap: Int = 2): Dataset[IndexRow] =
     buildAssigned(shardAssignOverlapped(emb, numShards, overlap), params, numShards)
 
+  /** Parallel build of ONE logical graph — the published merged-build
+    * DiskANN recipe end-to-end (Subramanya et al., NeurIPS'19 §4;
+    * reference lib.rs builds its single graph in-process, which a
+    * driver cannot at corpus scale): overlap-2 shard builds run in
+    * parallel across the cluster, then each vector's ≤2 per-shard
+    * adjacency lists are UNIONed into a single list (≤2·maxDegree —
+    * the paper keeps the union too; the overlap edges are exactly the
+    * cross-cell links a monolithic build would have found). The result
+    * is a single-shard index whose beam searches start at the same
+    * deterministic medoid pivots as a monolithic build, suitable for
+    * [[SingleFileIndex.export]].
+    *
+    * `numShards <= 1` degenerates to the monolithic kernel build —
+    * callers pick shards so each build task stays ~50k rows
+    * (a 2M-vector corpus at numShards=1 is a single-core build that
+    * runs for hours: the exact collapse the sf10 rehearsal caught). */
+  def buildMerged(emb: DataFrame, params: VamanaParams, numShards: Int): Dataset[IndexRow] = {
+    val s = emb.sparkSession
+    import s.implicits._
+    if (numShards <= 1) build(emb, params, 1)
+    else buildOverlapped(emb, params, numShards, overlap = 2)
+      .groupByKey(_.vec_id)
+      .mapGroups { (id, it) =>
+        val reps = it.toArray
+        val seen = new java.util.LinkedHashSet[java.lang.Long]()
+        reps.foreach(_.neighbors.foreach { n => if (n != id) seen.add(n) })
+        val merged = new Array[Long](seen.size)
+        val mIt = seen.iterator(); var i = 0
+        while (mIt.hasNext) { merged(i) = mIt.next(); i += 1 }
+        IndexRow(id, reps(0).embedding, 0, merged)
+      }
+  }
+
+  /** Shard count that keeps each graph-build task at a bounded row
+    * count (~[[MergedShardRows]] with the overlap-2 replication),
+    * so build wall time scales out with cores instead of up with n. */
+  val MergedShardRows = 50000L
+  def mergedShards(n: Long): Int =
+    math.min(512L, math.max(1L, (n + MergedShardRows - 1) / MergedShardRows)).toInt
+
   /** Capacity-capped build — the HARD answer to shard skew. Centroid
     * quality (seeded or Lloyd-trained) can never bound the largest
     * cell: k-means minimizes variance, not balance, and a dense-ball

@@ -281,8 +281,16 @@ object PQ {
       val path = graft.TempCleanup.onExit(
         s"/tmp/graft_pqserve_${sf}_${s.sparkContext.applicationId}.idx")
       val p = graft.index.VamanaParams(metric = "cosine")
-      val idx = graft.index.VamanaIndex.build(
-        Tables.embeddings(s, dir), p, numShards = 1)
+      // merged build, not numShards=1: a monolithic kernel build is a
+      // single task, which the sf10 rehearsal (2M vectors) caught
+      // running one core for hours while 31 idled. buildMerged keeps
+      // every build task ~50k rows and unions the overlap-2 adjacency
+      // into the same single-graph shape this single-file tier needs;
+      // small corpora (n ≤ 50k) still take the monolithic kernel path
+      // byte-for-byte.
+      val emb = Tables.embeddings(s, dir)
+      val shards = graft.index.VamanaIndex.mergedShards(emb.count())
+      val idx = graft.index.VamanaIndex.buildMerged(emb, p, shards)
       graft.index.SingleFileIndex.export(idx, p, path)
       path
     })
