@@ -140,25 +140,41 @@ object VamanaIndex {
     val s = emb.sparkSession
     import s.implicits._
     if (numShards <= 1) build(emb, params, 1)
-    else buildOverlapped(emb, params, numShards, overlap = 2)
-      .groupByKey(_.vec_id)
-      .mapGroups { (id, it) =>
-        val reps = it.toArray
-        val seen = new java.util.LinkedHashSet[java.lang.Long]()
-        reps.foreach(_.neighbors.foreach { n => if (n != id) seen.add(n) })
-        val merged = new Array[Long](seen.size)
-        val mIt = seen.iterator(); var i = 0
-        while (mIt.hasNext) { merged(i) = mIt.next(); i += 1 }
-        IndexRow(id, reps(0).embedding, 0, merged)
-      }
+    else {
+      // capped, not bare, overlapped assignment: the 40-cell sf10 run
+      // showed seeded-centroid Voronoi skew serializing the tail
+      // behind a handful of 300k-row straggler builds — the same
+      // failure buildCapped exists for, so the same FFD re-tag caps
+      // every build task at capFactor·avg regardless of distribution
+      val assigned = shardAssignOverlapped(emb, numShards, overlap = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (recapped, totalShards) = capAssignment(assigned, numShards, capFactor = 1.5)
+      val merged = buildAssigned(recapped, params, totalShards)
+        .groupByKey(_.vec_id)
+        .mapGroups { (id, it) =>
+          val reps = it.toArray
+          val seen = new java.util.LinkedHashSet[java.lang.Long]()
+          reps.foreach(_.neighbors.foreach { n => if (n != id) seen.add(n) })
+          val out = new Array[Long](seen.size)
+          val mIt = seen.iterator(); var i = 0
+          while (mIt.hasNext) { out(i) = mIt.next(); i += 1 }
+          IndexRow(id, reps(0).embedding, 0, out)
+        }
+        // eager checkpoint so the 2n-row persisted assignment can be
+        // released now (same ownership contract as buildCapped)
+        .localCheckpoint(true)
+      assigned.unpersist()
+      merged
+    }
   }
 
-  /** Shard count that keeps each graph-build task at a bounded row
-    * count (~[[MergedShardRows]] with the overlap-2 replication),
-    * so build wall time scales out with cores instead of up with n. */
+  /** Shard count that keeps each merged-build task at a bounded row
+    * count: the overlap-2 assignment carries 2n rows, so target
+    * 2n/[[MergedShardRows]] cells (≈50k rows per build task at the
+    * average; [[capAssignment]] bounds the tail at 1.5×). */
   val MergedShardRows = 50000L
   def mergedShards(n: Long): Int =
-    math.min(512L, math.max(1L, (n + MergedShardRows - 1) / MergedShardRows)).toInt
+    math.min(512L, math.max(1L, (2 * n + MergedShardRows - 1) / MergedShardRows)).toInt
 
   /** Capacity-capped build — the HARD answer to shard skew. Centroid
     * quality (seeded or Lloyd-trained) can never bound the largest
@@ -185,10 +201,32 @@ object VamanaIndex {
     * once (build-once contract, same as the serving caches). */
   def buildCapped(emb: DataFrame, params: VamanaParams, numShards: Int,
       capFactor: Double = 1.5): Dataset[IndexRow] = {
-    val s = emb.sparkSession
-    import s.implicits._
     val assigned = shardAssign(emb, numShards)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (recapped, totalShards) = capAssignment(assigned, numShards, capFactor)
+    // materialize the built index eagerly so the persisted assignment
+    // can be RELEASED here — otherwise every buildCapped call pins a
+    // full corpus copy in executor storage for the JVM lifetime. The
+    // checkpoint holds the final index instead, and is freed when the
+    // caller's reference is garbage-collected (a cache entry with an
+    // owner, vs. an ownerless leak).
+    val built = buildAssigned(recapped, params, totalShards)
+      .localCheckpoint(true)
+    assigned.unpersist()
+    built
+  }
+
+  /** The capping pass of [[buildCapped]], reusable over ANY
+    * (vec_id, embedding, shard) assignment — primary or overlapped
+    * (replicas of a vector always sit in distinct cells, so the
+    * vec_id-hash slicing below never folds two replicas into one
+    * graph). Returns the re-tagged assignment and the new dense shard
+    * id bound. `assigned` should be persisted by the caller (it is
+    * scanned once or twice here and again by the build). */
+  private[graft] def capAssignment(assigned: DataFrame, numShards: Int,
+      capFactor: Double): (DataFrame, Int) = {
+    val s = assigned.sparkSession
+    import s.implicits._
     val counts = assigned.groupBy($"shard").agg(count(lit(1)).as("n"))
       .as[(Int, Long)].collect().toMap
     val total = counts.values.sum
@@ -249,16 +287,7 @@ object VamanaIndex {
         }
       }
       .toDF("vec_id", "embedding", "shard")
-    // materialize the built index eagerly so the persisted assignment
-    // can be RELEASED here — otherwise every buildCapped call pins a
-    // full corpus copy in executor storage for the JVM lifetime. The
-    // checkpoint holds the final index instead, and is freed when the
-    // caller's reference is garbage-collected (a cache entry with an
-    // owner, vs. an ownerless leak).
-    val built = buildAssigned(recapped, params, numShards * maxSplit)
-      .localCheckpoint(true)
-    assigned.unpersist()
-    built
+    (recapped, numShards * maxSplit)
   }
 
   /** Exact shard→partition placement for the build shuffles. A plain

@@ -76,9 +76,9 @@ class MergedBuildSpec extends AnyFunSuite {
 
   test("mergedShards keeps build tasks bounded and small corpora monolithic") {
     assert(VamanaIndex.mergedShards(1000L) == 1)
-    assert(VamanaIndex.mergedShards(VamanaIndex.MergedShardRows) == 1)
-    assert(VamanaIndex.mergedShards(VamanaIndex.MergedShardRows + 1) == 2)
-    assert(VamanaIndex.mergedShards(2000000L) == 40)
-    assert(VamanaIndex.mergedShards(Long.MaxValue / 2) == 512, "shard count is capped")
+    assert(VamanaIndex.mergedShards(VamanaIndex.MergedShardRows / 2) == 1)
+    assert(VamanaIndex.mergedShards(VamanaIndex.MergedShardRows / 2 + 1) == 2)
+    assert(VamanaIndex.mergedShards(2000000L) == 80)
+    assert(VamanaIndex.mergedShards(Long.MaxValue / 4) == 512, "shard count is capped")
   }
 }
