@@ -526,7 +526,8 @@ object SingleFileIndex {
     * [[serve]]). Manifest seeds are each shard's lowest-id vector —
     * the SAME routing rule as [[VamanaIndex.routingTable]], so probed
     * serving over files routes identically to the in-memory tier. */
-  def exportSharded(index: Dataset[IndexRow], params: VamanaParams, dir: String): Unit = {
+  def exportSharded(index: Dataset[IndexRow], params: VamanaParams, dir: String,
+      split: Int = 1): Unit = {
     val s = index.sparkSession
     import s.implicits._
     Files.createDirectories(Paths.get(dir))
@@ -534,10 +535,13 @@ object SingleFileIndex {
     // rows only, same rule as the parquet tier's metadata.json
     // (VamanaIndex.save): the shard files still carry every replica
     // (serving needs them), only the routing sample filters. The
-    // primary test is the broadcast global-argmin over the seed table.
+    // primary test is the broadcast global-argmin over the PARENT seed
+    // table — `split` groups a capped build's sibling sub-shards back
+    // to their parent Voronoi cell (VamanaIndex.pivotTablePrimary).
     val seedsB =
       if (VamanaIndex.hasReplicas(index))
-        Some(s.sparkContext.broadcast(VamanaIndex.routingTable(index)))
+        Some(s.sparkContext.broadcast(
+          VamanaIndex.parentSeeds(VamanaIndex.routingTableWithIds(index), split)))
       else None
     val entries = index.repartition(org.apache.spark.sql.functions.col("shard"))
       .mapPartitions { it =>
@@ -546,14 +550,18 @@ object SingleFileIndex {
           writeShardFile(group, params, s"$dir/shard-$shard.idx")
           val sorted = group.sortBy(_.vec_id)
           // same pivot kernel as the parquet tier's metadata.json, so
-          // both tiers rank shards identically
+          // both tiers rank shards identically; a sub-shard holding
+          // only replicas falls back to sampling all residents (same
+          // fallback as pivotTablePrimary)
           val pivotRows = seedsB match {
-            case Some(b) => sorted.iterator
-              .filter(r => VamanaIndex.primaryShard(r.embedding, b.value) == r.shard)
-            case None => sorted.iterator
+            case Some(b) =>
+              val prim = sorted.filter(r =>
+                VamanaIndex.primaryShard(r.embedding, b.value) == r.shard / split)
+              if (prim.nonEmpty) prim else sorted
+            case None => sorted
           }
           val pivots = VamanaIndex.selectPivots(
-            pivotRows.map(r => (r.vec_id, r.embedding)))
+            pivotRows.iterator.map(r => (r.vec_id, r.embedding)))
           (shard, sorted.length.toLong, sorted.head.embedding, pivots)
         }
       }.collect().sortBy(_._1)

@@ -112,13 +112,17 @@ object StreamingIndex {
     * the files tier derives from exactly what `path` now serves.
     *
     * `overlap > 1` compacts to the OVERLAPPED build ([[VamanaIndex
-    * .buildOverlapped]]: every non-seed vector in its `overlap`
+    * .buildOverlappedCapped]]: every non-seed vector in its `overlap`
     * nearest cells) — the headline recall tier, so an ingested stream
     * can land on the same 0.9-floor operating point as a batch build
     * (serve the result with `distinctMerge = true`: replicas arrive
-    * from every probed shard that holds them). Mutually exclusive
-    * with `capFactor` — the capped splitter assumes single
-    * assignment. */
+    * from every probed shard that holds them). The overlapped build is
+    * capacity-capped too (`capFactor`, defaulting to the standard 1.5
+    * when the caller leaves it 0): an ingested stream's key skew is
+    * exactly the Voronoi-straggler shape the cap exists for, and the
+    * split factor flows into [[VamanaIndex.save]] /
+    * [[SingleFileIndex.exportSharded]] so primary pivot sampling
+    * groups sibling sub-shards by parent cell. */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -127,9 +131,6 @@ object StreamingIndex {
       capFactor: Double = 0.0,
       filesDir: Option[String] = None,
       overlap: Int = 1): Unit = {
-    require(overlap == 1 || capFactor <= 0.0,
-      "compact: overlap and capFactor cannot combine — the capped " +
-        "splitter assumes each vector lives in exactly one cell")
     import org.apache.spark.sql.functions.col
     val all = VamanaIndex.load(spark, path)
       .select(col("vec_id"), col("embedding"))
@@ -141,15 +142,18 @@ object StreamingIndex {
       if (!tombstoneLogExists(spark, path)) all
       else all.join(spark.read.parquet(s"$path/tombstones").select(col("vec_id")),
         Seq("vec_id"), "left_anti")
-    val rebuilt =
-      if (overlap > 1) VamanaIndex.buildOverlapped(vectors, params, numShards, overlap)
-      else if (capFactor > 0) VamanaIndex.buildCapped(vectors, params, numShards, capFactor)
-      else VamanaIndex.build(vectors, params, numShards)
+    val (rebuilt, split) =
+      if (overlap > 1)
+        VamanaIndex.buildOverlappedCapped(vectors, params, numShards, overlap,
+          capFactor = if (capFactor > 0) capFactor else 1.5)
+      else if (capFactor > 0)
+        (VamanaIndex.buildCapped(vectors, params, numShards, capFactor), 1)
+      else (VamanaIndex.build(vectors, params, numShards), 1)
     // write to a temp location first: build reads lazily from `path`.
     // On save failure (e.g. every vector tombstoned → empty index)
     // remove the partial temp dir so retries start clean.
     val tmp = new java.io.File(s"$path-compacting")
-    try VamanaIndex.save(rebuilt, params, tmp.getPath)
+    try VamanaIndex.save(rebuilt, params, tmp.getPath, split = split)
     catch { case e: Throwable =>
       org.apache.commons.io.FileUtils.deleteQuietly(tmp); throw e
     }
@@ -173,7 +177,8 @@ object StreamingIndex {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(old)
     filesDir.foreach { fd =>
-      SingleFileIndex.exportSharded(VamanaIndex.load(spark, path), params, fd)
+      SingleFileIndex.exportSharded(VamanaIndex.load(spark, path), params, fd,
+        split = split)
     }
   }
 

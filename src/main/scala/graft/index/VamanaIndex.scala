@@ -116,9 +116,41 @@ object VamanaIndex {
       .toDF("vec_id", "embedding", "shard")
   }
 
+  /** Overlapped build, capped by default — see [[buildOverlappedCapped]]
+    * for the returned split factor (needed by primary pivot sampling
+    * when a cell was split). */
   def buildOverlapped(emb: DataFrame, params: VamanaParams, numShards: Int,
-      overlap: Int = 2): Dataset[IndexRow] =
-    buildAssigned(shardAssignOverlapped(emb, numShards, overlap), params, numShards)
+      overlap: Int = 2, capFactor: Double = 1.5): Dataset[IndexRow] =
+    buildOverlappedCapped(emb, params, numShards, overlap, capFactor)._1
+
+  /** [[buildOverlapped]] plus the capped-assignment pass of
+    * [[buildCapped]] — the overlap tier is the HEADLINE serving tier,
+    * and seeded-centroid Voronoi skew bites it exactly like the plain
+    * build (the sf10 rehearsal: a handful of 300k-row straggler cells
+    * serialized the whole build). Replicas of a vector always sit in
+    * distinct parent cells, so [[capAssignment]]'s vec_id-hash slicing
+    * never folds two replicas into one sub-shard graph. Returns
+    * (index, split): `split` = sub-shards per parent cell
+    * (capAssignment re-tags shard → shard·split + bin), which
+    * [[pivotTablePrimary]] needs to group sibling sub-shards back to
+    * their parent Voronoi cell for the primary-row test. `split == 1`
+    * (no cell oversized — the common case on balanced corpora) is
+    * byte-identical to the uncapped build. `capFactor <= 0` disables
+    * capping entirely. */
+  def buildOverlappedCapped(emb: DataFrame, params: VamanaParams, numShards: Int,
+      overlap: Int = 2, capFactor: Double = 1.5): (Dataset[IndexRow], Int) =
+    if (capFactor <= 0)
+      (buildAssigned(shardAssignOverlapped(emb, numShards, overlap), params, numShards), 1)
+    else {
+      val assigned = shardAssignOverlapped(emb, numShards, overlap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (recapped, totalShards) = capAssignment(assigned, numShards, capFactor)
+      // eager checkpoint so the persisted 2n-row assignment can be
+      // released now (same ownership contract as buildCapped)
+      val built = buildAssigned(recapped, params, totalShards).localCheckpoint(true)
+      assigned.unpersist()
+      (built, totalShards / numShards)
+    }
 
   /** Parallel build of ONE logical graph — the published merged-build
     * DiskANN recipe end-to-end (Subramanya et al., NeurIPS'19 §4;
@@ -370,7 +402,14 @@ object VamanaIndex {
     * ONCE per built index and persisted in metadata.json; serving must
     * never recompute it per call (at 100 TB that would be a full index
     * scan in front of every query batch). */
-  def routingTable(index: Dataset[IndexRow]): Array[(Int, Array[Float])] = {
+  def routingTable(index: Dataset[IndexRow]): Array[(Int, Array[Float])] =
+    routingTableWithIds(index).map { case (shard, _, seed) => (shard, seed) }
+
+  /** [[routingTable]] keeping each seed's vec_id — [[parentSeeds]]
+    * needs the ids to pick a split cell's original assignment
+    * centroid among its sibling sub-shards. */
+  private[graft] def routingTableWithIds(
+      index: Dataset[IndexRow]): Array[(Int, Long, Array[Float])] = {
     val s = index.sparkSession
     import s.implicits._
     // narrow to (shard, vec_id, embedding) BEFORE the shuffle —
@@ -381,9 +420,24 @@ object VamanaIndex {
       .groupByKey(_._1)
       .reduceGroups((a: (Int, Long, Array[Float]), b: (Int, Long, Array[Float])) =>
         if (a._2 < b._2) a else b)
-      .map { case (shard, row) => (shard, row._3) }
+      .map { case (shard, row) => (shard, row._2, row._3) }
       .collect().sortBy(_._1)
   }
+
+  /** Parent-cell assignment centroids of a capped (split) build: group
+    * the per-sub-shard seed table by parent = shard / split and keep
+    * each parent's LOWEST-ID seed. That row IS the parent cell's
+    * original assignment centroid: [[shardAssignOverlapped]]'s
+    * centroids are the numShards globally-lowest-id rows, each primary
+    * -only in its own cell, so within any parent cell the globally
+    * -lowest id is its centroid row — and the per-sub-shard lowest-id
+    * rule surfaces it as the min-id seed among the siblings. `split
+    * == 1` degenerates to the seed table itself. */
+  private[graft] def parentSeeds(seeds: Array[(Int, Long, Array[Float])],
+      split: Int): Array[(Int, Array[Float])] =
+    seeds.groupBy(_._1 / split).toArray
+      .map { case (parent, g) => (parent, g.minBy(_._2)._3) }
+      .sortBy(_._1)
 
   /** shard → ≤m routing PIVOTS (deterministic): per shard, the m
     * smallest-splitmix64(vec_id) rows — a uniform, order-independent
@@ -427,24 +481,35 @@ object VamanaIndex {
     * saw recall 0.5725 — below even single-seed routing.) */
   private[graft] def selectPivots(rows: Iterator[(Long, Array[Float])],
       m: Int = 256): Array[Array[Float]] = {
-    def mix(z0: Long): Long = {
+    val sampler = new PivotSampler(m)
+    rows.foreach { case (id, v) => sampler.add(id, v) }
+    require(sampler.nonEmpty, "selectPivots: empty shard")
+    sampler.result()
+  }
+
+  /** Streaming form of [[selectPivots]]: bounded max-heap of the m
+    * smallest-splitmix64(id) rows, so one pass over a shard can feed
+    * several samples (primary + all-resident) without buffering the
+    * shard. */
+  private[graft] final class PivotSampler(m: Int) {
+    private def mix(z0: Long): Long = {
       var z = z0 + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
-    // bounded sample: keep the m smallest hashes via a max-heap of size m
-    val heap = new scala.collection.mutable.PriorityQueue[(Long, Long, Array[Float])]()(
+    private val heap = new scala.collection.mutable.PriorityQueue[(Long, Long, Array[Float])]()(
       Ordering.by[(Long, Long, Array[Float]), (Long, Long)](t => (t._1, t._2)))
-    rows.foreach { case (id, v) =>
+    def add(id: Long, v: Array[Float]): Unit = {
       val h = mix(id)
       if (heap.size < m) heap.enqueue((h, id, v))
       else if (Ordering.Tuple2[Long, Long].lt((h, id), (heap.head._1, heap.head._2))) {
         heap.dequeue(); heap.enqueue((h, id, v))
       }
     }
-    require(heap.nonEmpty, "selectPivots: empty shard")
-    heap.toArray.sortBy(_._2).map(_._3) // by vec_id: deterministic order
+    def nonEmpty: Boolean = heap.nonEmpty
+    def result(): Array[Array[Float]] =
+      heap.toArray.sortBy(_._2).map(_._3) // by vec_id: deterministic order
   }
 
   /** [[pivotTable]] for OVERLAPPED indexes: pivots sample each shard's
@@ -455,25 +520,39 @@ object VamanaIndex {
     * Primary test is map-side: a row is primary iff its resident shard
     * is the global argmin cell — exactly [[shardAssignOverlapped]]'s
     * first pick (strict `<` argmin = lowest-cell tie-break there too).
-    * Seed table = [[routingTable]] (one narrow pass), broadcast; the
-    * filter+sample pass has the same one-shuffle shape as
-    * [[pivotTable]]. NOT for capped builds (sub-shards of a split cell
-    * share near-identical seeds, so the argmin test would starve
-    * siblings) — capped and overlap never combine (compact requires). */
-  def pivotTablePrimary(index: Dataset[IndexRow], m: Int = 256): Array[(Int, Array[Array[Float]])] = {
+    * Seed table = [[parentSeeds]] over [[routingTableWithIds]] (one
+    * narrow pass), broadcast; the filter+sample pass has the same
+    * one-shuffle shape as [[pivotTable]].
+    *
+    * `split` handles CAPPED overlapped builds ([[buildOverlappedCapped]]
+    * re-tags an oversized cell's rows across `split` sibling
+    * sub-shards): the argmin test must run against PARENT-cell
+    * centroids and compare parent ids — testing against per-sub-shard
+    * seeds would crown one sibling (near-identical seeds) and starve
+    * the rest of primary rows. A sub-shard that still ends up with no
+    * primary rows (a hash slice landing only replicas) falls back to
+    * sampling ALL its resident rows — those replicas ARE its content,
+    * and an unroutable (empty-pivot) shard would lose them. */
+  def pivotTablePrimary(index: Dataset[IndexRow], m: Int = 256,
+      split: Int = 1): Array[(Int, Array[Array[Float]])] = {
     val s = index.sparkSession
     import s.implicits._
-    val seeds = routingTable(index)
-    val bc = s.sparkContext.broadcast(seeds)
+    val parents = parentSeeds(routingTableWithIds(index), split)
+    val bc = s.sparkContext.broadcast(parents)
     index
       .select(col("shard"), col("vec_id"), col("embedding"))
       .as[(Int, Long, Array[Float])]
       .groupByKey(_._1)
       .mapGroups { (shard, it) =>
-        val sv = bc.value
-        (shard, selectPivots(
-          it.filter { case (sh, _, v) => primaryShard(v, sv) == sh }
-            .map(t => (t._2, t._3)), m))
+        val pv = bc.value
+        val prim = new PivotSampler(m)
+        val all = new PivotSampler(m)
+        it.foreach { case (_, id, v) =>
+          all.add(id, v)
+          if (primaryShard(v, pv) == shard / split) prim.add(id, v)
+        }
+        require(all.nonEmpty, "pivotTablePrimary: empty shard")
+        (shard, if (prim.nonEmpty) prim.result() else all.result())
       }
       .collect().sortBy(_._1)
   }
@@ -516,7 +595,12 @@ object VamanaIndex {
     best
   }
 
-  def save(index: Dataset[IndexRow], params: VamanaParams, path: String): Unit = {
+  /** `split` = sub-shards per parent cell of a CAPPED overlapped
+    * build ([[buildOverlappedCapped]]'s second return) — primary pivot
+    * sampling needs it to group sibling sub-shards; 1 for plain,
+    * capped-primary, and uncapped-overlap indexes. */
+  def save(index: Dataset[IndexRow], params: VamanaParams, path: String,
+      split: Int = 1): Unit = {
     val s = index.sparkSession
     // save runs four actions (write, stats, head, routing) — persist so
     // an unpersisted lazily-built index isn't rebuilt each time
@@ -536,7 +620,9 @@ object VamanaIndex {
     }.mkString("[", ",", "]")
     // overlapped indexes (replicated ids) sample pivots from primary
     // rows only — replica-polluted samples scramble the shard ranking
-    val pivots = if (hasReplicas(index)) pivotTablePrimary(index) else pivotTable(index)
+    val pivots =
+      if (hasReplicas(index)) pivotTablePrimary(index, split = split)
+      else pivotTable(index)
     val pivotsJson = pivots.map { case (shard, pv) =>
       s"""{"shard":$shard,"vecs":[${pv.map(_.mkString("[", ",", "]")).mkString(",")}]}"""
     }.mkString("[", ",", "]")
@@ -546,7 +632,7 @@ object VamanaIndex {
          |"metric":"${params.metric}","max_degree":${params.maxDegree},
          |"build_beam_width":${params.buildBeamWidth},"alpha":${params.alpha},
          |"passes":${params.passes},"extra_seeds":${params.extraSeeds},"seed":${params.seed},
-         |"routing":$routingJson,"pivots":$pivotsJson}"""
+         |"split":$split,"routing":$routingJson,"pivots":$pivotsJson}"""
         .stripMargin.replace("\n", "")
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(s"$path/metadata.json"), meta)
@@ -933,20 +1019,33 @@ object VamanaIndex {
   private val overlapPivotCache = TrieMap.empty[String, Array[(Int, Array[Array[Float]])]]
 
   def cachedOverlapPivots(s: SparkSession, dir: String): Array[(Int, Array[Array[Float]])] =
-    overlapPivotCache.getOrElseUpdate(dir, pivotTablePrimary(cachedOverlapIndex(s, dir)))
+    overlapPivotCache.getOrElseUpdate(dir,
+      pivotTablePrimary(cachedOverlapIndex(s, dir),
+        split = cachedOverlapSplit(s, dir)))
 
   /** Overlap-2 index, cached like [[cachedIndex]]. Routing comes from
     * the overlapped rows themselves (same lowest-id rule; seeds are
-    * primary-only so the table is identical to the plain build's). */
+    * primary-only so the PARENT seed table is identical to the plain
+    * build's). The capped build's split factor is cached alongside —
+    * primary pivot sampling needs it. */
   private val overlapCache = TrieMap.empty[String, Dataset[IndexRow]]
   private val overlapRoutingCache = TrieMap.empty[String, Array[(Int, Array[Float])]]
+  private val overlapSplitCache = TrieMap.empty[String, Int]
 
   def cachedOverlapIndex(s: SparkSession, dir: String): Dataset[IndexRow] =
     overlapCache.getOrElseUpdate(dir, {
-      val idx = buildOverlapped(Tables.embeddings(s, dir), qParams, qShards).persist()
+      val (built, split) =
+        buildOverlappedCapped(Tables.embeddings(s, dir), qParams, qShards)
+      overlapSplitCache(dir) = split
+      val idx = built.persist()
       idx.count()
       idx
     })
+
+  private[graft] def cachedOverlapSplit(s: SparkSession, dir: String): Int = {
+    cachedOverlapIndex(s, dir) // ensure the build (and its split) exists
+    overlapSplitCache.getOrElse(dir, 1)
+  }
 
   def cachedOverlapRouting(s: SparkSession, dir: String): Array[(Int, Array[Float])] =
     overlapRoutingCache.getOrElseUpdate(dir, routingTable(cachedOverlapIndex(s, dir)))
@@ -964,7 +1063,7 @@ object VamanaIndex {
       }
     }
     routingCache.clear(); overlapRoutingCache.clear()
-    pivotCache.clear(); overlapPivotCache.clear()
+    pivotCache.clear(); overlapPivotCache.clear(); overlapSplitCache.clear()
   }
 
   private def queriesArr(s: SparkSession, dir: String): Array[(Long, Array[Float])] = {

@@ -155,4 +155,99 @@ class SkewedCorpusSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"capped-build recall@10 $recall")
     capped.unpersist()
   }
+
+  test("capped OVERLAPPED build: cap holds, parents recover, no sibling pivot starvation") {
+    // the headline overlap-2 tier under the same 80/20 skew that
+    // motivates buildCapped (the sf10 rehearsal: Voronoi stragglers
+    // serialized the merged build for 20+ min until capAssignment was
+    // applied) — r9's scaladoc said "capped and overlap never
+    // combine"; this pins the r10 combination end to end
+    val df = spark.createDataFrame(corpus).toDF("vec_id", "embedding")
+    val capFactor = 1.5
+    val (capped0, split) =
+      VamanaIndex.buildOverlappedCapped(df, params, NumShards, 2, capFactor)
+    val capped = capped0.cache()
+    val totalRows = 2L * N - NumShards // overlap-2, seeds primary-only
+    assert(capped.count() == totalRows, "replication accounting broke under capping")
+    val sizes = capped.groupBy($"shard").count()
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val cap = math.ceil(capFactor * totalRows.toDouble / NumShards).toLong
+    info(s"split=$split, ${sizes.length} sub-shards, " +
+      s"max ${sizes.map(_._2).max} (hard cap $cap)")
+    assert(split > 1,
+      "the dense ball must actually trigger a split — otherwise this test pins nothing")
+    assert(sizes.map(_._2).max <= cap,
+      s"cap violated: ${sizes.map(_._2).max} > $cap")
+
+    // replicas survive the re-tag: every non-seed id in exactly 2
+    // sub-shards of DISTINCT parent cells, seeds in exactly 1
+    val perId = capped.select($"vec_id", $"shard").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2 / split).toSeq).toMap
+    assert(perId.filter(_._1 >= NumShards).forall { case (_, ps) =>
+      ps.length == 2 && ps.distinct.length == 2
+    }, "a non-seed vector lost a replica or both replicas folded into one parent")
+    assert(perId.filter(_._1 < NumShards).forall(_._2.length == 1))
+
+    // parent centroids recover EXACTLY: parentSeeds must surface the
+    // original assignment centroids (the NumShards lowest-id rows)
+    // from the per-sub-shard seed table
+    val parents = VamanaIndex.parentSeeds(VamanaIndex.routingTableWithIds(capped), split)
+    assert(parents.map(_._1).sameElements(0 until NumShards),
+      s"parent ids drifted: ${parents.map(_._1).mkString(",")}")
+    parents.foreach { case (p, v) =>
+      assert(v.sameElements(point(p)), s"parent $p centroid is not seed row $p")
+    }
+
+    // the starvation regression this guards: a per-sub-shard argmin
+    // test would crown ONE sibling per split parent (near-identical
+    // seeds) and leave the rest with empty primary samples; the
+    // parent-grouped test gives EVERY sibling its own primary sample.
+    // (Fallback pivots are all-replica rows, and a replica's argmin is
+    // its OTHER parent — so "all pivots argmin here" identifies a
+    // genuinely primary sample.)
+    val pivots = VamanaIndex.pivotTablePrimary(capped, split = split)
+    assert(pivots.length == sizes.length, "an occupied sub-shard lost its pivots")
+    val splitParents = sizes.map(_._1 / split).groupBy(identity)
+      .filter(_._2.length > 1).keySet
+    assert(splitParents.nonEmpty)
+    splitParents.foreach { p =>
+      val sibs = pivots.filter(_._1 / split == p)
+      val primarySampled = sibs.count { case (_, pv) =>
+        pv.nonEmpty && pv.forall(v => VamanaIndex.primaryShard(v, parents) == p)
+      }
+      assert(primarySampled == sibs.length,
+        s"parent $p: only $primarySampled of ${sibs.length} siblings hold primary pivots")
+    }
+
+    // probed serving through the capped overlap tier keeps the
+    // skewed-corpus floors of the plain probed test above (nprobe=4
+    // now picks among MORE, smaller sub-shards — boundary replication
+    // is what keeps the floor)
+    val qids = (0 until 15).map(_ * 100) ++ (0 until 15).map(2450 + _ * 30)
+    val queries = qids.map(i => (i.toLong, point(i))).toArray
+    val got = VamanaIndex.searchProbed(capped, queries, 10, 64, params, nprobe = 4,
+        excludeSelf = true, pivots = Some(pivots), distinctMerge = true)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(qs: Seq[(Long, Array[Float])]): Double =
+      qs.map { case (id, q) =>
+        val truth = corpus.filter(_._1 != id)
+          .map { case (nid, v) => (l2(q, v), nid) }
+          .sortBy(identity).take(10).map(_._2).toSet
+        (truth & got.getOrElse(id, Set.empty)).size / 10.0
+      }.sum / qs.length
+    val (dq, nq) = queries.partition(_._1 < (N * DenseFrac).toInt)
+    val (dense4, noise4) = (recallOf(dq.toSeq), recallOf(nq.toSeq))
+    info(s"capped-overlap probed recall@10 nprobe=4: dense $dense4, noise $noise4")
+    assert(dense4 >= 0.7, s"dense recall at nprobe=4: $dense4")
+    assert(noise4 >= 0.6, s"noise recall at nprobe=4: $noise4")
+
+    // deterministic: the re-tag is measured-histogram + FFD over
+    // xxhash64 slices — two builds must tag identically
+    val again = VamanaIndex.buildOverlappedCapped(df, params, NumShards, 2, capFactor)
+      ._1.select($"vec_id", $"shard").as[(Long, Int)].collect().sorted
+    val first = capped.select($"vec_id", $"shard").as[(Long, Int)].collect().sorted
+    assert(again.sameElements(first))
+    capped.unpersist()
+  }
 }
