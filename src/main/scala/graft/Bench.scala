@@ -100,6 +100,37 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, rows)
   }
 
+  /** Baseline gate table, parsed from BASELINE.md's
+    * ```json baseline-gate``` fenced block (the normative copy of the
+    * medians table — see BASELINE.md "Self-defending re-measure").
+    * Returns (per-family baseline cal, per-query baseline median).
+    * Absent file or block → None → the self-defense pass is skipped;
+    * parsing must never fail a bench run. */
+  private[graft] def loadBaseline(path: String = "BASELINE.md")
+      : Option[(Map[String, Double], Map[String, Double])] = try {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val marker = "```json baseline-gate"
+    val i = text.indexOf(marker)
+    if (i < 0) None
+    else {
+      val j = text.indexOf("```", i + marker.length)
+      val blob = text.substring(i + marker.length, j)
+      import org.json4s._
+      val jv = org.json4s.jackson.JsonMethods.parse(blob)
+      def obj(field: String): Map[String, Double] = (jv \ field) match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+      val (cal, rows) = (obj("cal"), obj("rows"))
+      if (cal.isEmpty || rows.isEmpty) None else Some((cal, rows))
+    }
+  } catch { case _: Throwable => None }
+
   /** Cumulative stop-the-world GC milliseconds of this JVM. Per-query
     * deltas distinguish "the operator is slow" from "the run is
     * GC-thrashing under accumulated storage" — the r6 ensemble
@@ -194,7 +225,9 @@ object Bench {
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val gcPerQuery = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val calSeries = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val famOf = scala.collection.mutable.Map.empty[String, String]
     for ((fam, qs, warm, release) <- allFamilies) {
+      qs.keys.foreach(famOf(_) = fam)
       val famQs = qs.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_(n)) }
       if (famQs.nonEmpty) {
@@ -218,6 +251,49 @@ object Bench {
         // series makes starvation attributable per query instead of
         // smeared across one end-of-run number
         calSeries += fam -> calibrate(calThreads)._2
+      }
+    }
+
+    // Self-defending re-measure (BASELINE.md "Self-defending
+    // re-measure"): this box's hypervisor caps capacity in EPISODES
+    // that the per-family cal probes can't see WITHIN a family, so a
+    // starved span used to commit as an unexplained >2× row needing a
+    // manual next-round investigation (r8's four rows, r9's six).
+    // Instead, any query whose median exceeds 2× its capacity-scaled
+    // baseline row gets a standalone 5-rep re-measure — worst
+    // offenders first, at most 10 — recorded on the SAME stdout line:
+    // an episode shows up as a flagged row whose standalone median is
+    // back inside the band; a persistent excursion is a real signal.
+    val remeasured = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val remeasureCal = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    loadBaseline().foreach { case (baseCal, baseRows) =>
+      val famCal = calSeries.toMap
+      val flagged = results.toSeq.flatMap { case (name, v) =>
+        for {
+          fam <- famOf.get(name)
+          row <- baseRows.get(name)
+          bc <- baseCal.get(fam)
+          rc <- famCal.get(fam)
+          if v >= 0.2 && rc > 0 && bc > 0
+          scaled = v * rc / bc
+          if scaled > 2 * row
+        } yield (name, fam, scaled / row)
+      }.sortBy(-_._3).take(10)
+      flagged.groupBy(_._2).foreach { case (fam, qs) =>
+        allFamilies.find(_._1 == fam).foreach { case (_, fqs, warm, release) =>
+          try warm() catch { case _: Throwable => }
+          qs.foreach { case (name, _, _) =>
+            val times = (1 to 5).flatMap { _ =>
+              try Some(runOnce(fqs(name)(spark, sfDir))._1)
+              catch { case _: Throwable => None }
+            }
+            if (times.nonEmpty) remeasured += name -> median(times)
+          }
+          try release() catch { case _: Throwable => }
+          // capacity context of the re-measure span itself, so a
+          // reader can capacity-scale the standalone medians too
+          remeasureCal += fam -> calibrate(calThreads)._2
+        }
       }
     }
 
@@ -320,6 +396,10 @@ object Bench {
     // README leads with recall+QPS (examples/diskann_sift.rs:97-99).
     // The plain-routed pair stays alongside as qps_routed/
     // recall_routed; both pairs are on the stdout line.
+    // `ts` identifies the run (epoch seconds): the committed-artifact
+    // rule (BASELINE.md) needs claims and artifacts matchable
+    // run-for-run, so every line carries its own stamp
+    val ts = System.currentTimeMillis() / 1000.0
     val core = Seq(
       "qps" -> qpsOverlap, "recall" -> recallOverlap,
       "qps_routed" -> qps, "recall_routed" -> recall, "recall100" -> recall100,
@@ -328,21 +408,29 @@ object Bench {
       "latency_local_p50" -> lp50, "latency_local_p95" -> lp95,
       "latency_local_p99" -> lp99,
       "steal_pct" -> stealPct, "cal_cores" -> calCores,
-      "cal_lo" -> calLo, "cal_hi" -> calHi, "gc_s" -> gcTotalS)
+      "cal_lo" -> calLo, "cal_hi" -> calHi, "gc_s" -> gcTotalS, "ts" -> ts)
     val extra = Seq(
       "cal_1t" -> cal1t,
       "qps_full" -> qpsFull, "recall_full" -> recallFull, "build_s" -> buildS)
+    // the standalone re-measure medians ride on BOTH forms — the
+    // compact line is the committed artifact the self-defense exists
+    // for; ≤10 entries keep it inside the tail budget (BenchFormatSpec)
+    val remeasureAux =
+      if (remeasured.isEmpty) Nil else Seq("remeasured" -> remeasured.toSeq)
     // full-precision record (committed per round) additionally carries
     // the per-query GC-ms map and the interleaved cal_cores series —
     // the attribution data the compact stdout line has no room for
-    val auxMaps = Seq("gc_ms" -> gcPerQuery.toSeq, "cal_series" -> calSeries.toSeq)
+    val auxMaps = remeasureAux ++
+      Seq("gc_ms" -> gcPerQuery.toSeq, "cal_series" -> calSeries.toSeq) ++
+      (if (remeasureCal.isEmpty) Nil else Seq("remeasure_cal" -> remeasureCal.toSeq))
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (renderLine(results.toSeq, core ++ extra, reps, errors.toSeq, sfDir,
         compact = false, aux = auxMaps) + "\n")
         .getBytes("UTF-8"))
     catch { case _: Throwable => } // read-only cwd must not fail the bench
-    println(renderLine(results.toSeq, core, reps, errors.toSeq, sfDir, compact = true))
+    println(renderCompactFitted(results.toSeq, core, reps, errors.toSeq, sfDir,
+      aux = remeasureAux))
     spark.stop()
   }
 
@@ -357,11 +445,43 @@ object Bench {
     * BENCH_LOCAL.json for offline reading. BenchFormatSpec pins the
     * compact line under the tail window at the current query count.
     */
+  private[graft] val CompactBudget = 1880 // 2000 − sbt chrome − margin
+
+  /** Fit the compact line inside the driver's stdout tail window.
+    * At 77 queries the full map stopped fitting (the r9 artifact's
+    * `parsed: null` — the driver's captured tail began MID-JSON), so
+    * the committed artifact silently degraded to an unparseable
+    * fragment. Keep the SLOWEST query entries — the rows the
+    * BASELINE comparison gate actually interrogates — and drop from
+    * the fastest until the line fits; the dropped count is reported
+    * as `queries_omitted`, `value` still totals ALL queries, and the
+    * full map always lands in BENCH_LOCAL.json. */
+  private[graft] def renderCompactFitted(
+      results: Seq[(String, Double)], scalars: Seq[(String, Double)],
+      reps: Int, errors: Seq[String], sfDir: String,
+      aux: Seq[(String, Seq[(String, Double)])] = Nil,
+      budget: Int = CompactBudget): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val bySlowest = results.sortBy { case (n, v) => (-v, n) }
+    var keep = results.length
+    var line = ""
+    while ({
+      val omitted = results.length - keep
+      val scal2 =
+        if (omitted == 0) scalars
+        else scalars :+ ("queries_omitted" -> omitted.toDouble)
+      line = renderLine(bySlowest.take(keep), scal2, reps, errors, sfDir,
+        compact = true, aux = aux, totalOverride = Some(total))
+      line.length > budget && keep > 0
+    }) keep -= 1
+    line
+  }
   private[graft] def renderLine(
       results: Seq[(String, Double)], scalars: Seq[(String, Double)],
       reps: Int, errors: Seq[String], sfDir: String,
       compact: Boolean,
-      aux: Seq[(String, Seq[(String, Double)])] = Nil): String = {
+      aux: Seq[(String, Seq[(String, Double)])] = Nil,
+      totalOverride: Option[Double] = None): String = {
     def f(d: Double, places: Int): String =
       if (!compact || d < 0) d.toString
       else String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
@@ -376,12 +496,16 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + q(v) }
         .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // totalOverride: renderCompactFitted may OMIT fast query entries,
+    // but "value" must still total every measured query
+    val total = totalOverride.getOrElse(results.map(_._2).filter(_ >= 0).sum)
     val auxStr = aux.map { case (k, kvs) => "\"" + k + "\":" + obj(kvs) + "," }.mkString
     // latency scalars get 6 places: the resident-handle path is sub-ms,
     // which 3 places would flatten to 0.000
     val tail = scalars.map { case (k, v) =>
-      "\"" + k + "\":" + f(v, if (k.startsWith("latency")) 6 else 3)
+      // ts is a whole-second run stamp; latencies are sub-ms
+      "\"" + k + "\":" + f(v, if (k.startsWith("latency")) 6
+        else if (k == "ts") 0 else 3)
     }.mkString(",")
     s"""{"queries":${obj(results)},$auxStr"reps":$reps,"errors":$errs,"sf":"$sfDir",""" +
       tail + s""","metric":"total","value":${f(total, 2)},"unit":"sec"}"""
