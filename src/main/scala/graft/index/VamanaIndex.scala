@@ -632,7 +632,8 @@ object VamanaIndex {
          |"metric":"${params.metric}","max_degree":${params.maxDegree},
          |"build_beam_width":${params.buildBeamWidth},"alpha":${params.alpha},
          |"passes":${params.passes},"extra_seeds":${params.extraSeeds},"seed":${params.seed},
-         |"split":$split,"routing":$routingJson,"pivots":$pivotsJson}"""
+         |"split":$split,"serving":$servingScheduleJson,
+         |"routing":$routingJson,"pivots":$pivotsJson}"""
         .stripMargin.replace("\n", "")
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(s"$path/metadata.json"), meta)
@@ -1113,36 +1114,58 @@ object VamanaIndex {
     recallDf(qOverlapServe(s, dir), VectorQueries.qKnnExact(s, dir))
       .head().getDouble(0)
 
-  /** k-aware routed-serving dispatcher — THE documented operating
-    * points for partition-pruned search:
+  /** k-aware routed-serving dispatcher — THE documented serving
+    * schedule for partition-pruned search (persisted to every saved
+    * index's metadata.json as the `serving` block; floors per point
+    * pinned in ProbedSearchSpec):
     *   - k ≤ [[LargeKThreshold]] → plain index, pivot-set routing at
-    *     nprobe=4 (recall@10 0.83–0.94 at sf0.1, zero extra storage).
+    *     nprobe=[[ServeNprobe]] (recall@10 0.83–0.94 at sf0.1, zero
+    *     extra storage).
     *   - k > [[LargeKThreshold]] → overlap-2 index at the SAME
-    *     nprobe=4: large-k recall is routing-limited, not
-    *     beam-limited (sf0.1: plain recall@100 plateaus at 0.626 for
-    *     beam 2k→4k, while nprobe 4→6→8 gives 0.63→0.83→1.0), and
-    *     boundary replication recovers the cross-cell tail without
-    *     raising probe fan-out: overlap-2 recall@100 = 0.856 at
-    *     nprobe=4 (0.978 at 6). The trade is 2× index storage —
+    *     nprobe=[[ServeNprobe]]: large-k recall is routing-limited,
+    *     not beam-limited (sf0.1: plain recall@100 plateaus at 0.626
+    *     for beam 2k→4k, while nprobe 4→6→8 gives 0.63→0.83→1.0),
+    *     and boundary replication recovers the cross-cell tail
+    *     without raising probe fan-out: overlap-2 recall@100 = 0.856
+    *     at nprobe=4 (0.978 at 6). The trade is 2× index storage —
     *     bounded and predictable — versus scaling PROBE cost with k
     *     (plain would need 6 of 8 shards per query for the same
     *     recall, unacceptable at 1000-shard scale where per-query
     *     shard reads are the serving cost).
-    * Floors pinned in ProbedSearchSpec; measured points recorded in
-    * BASELINE.md. Beam stays max(searchBeam, 2·k) per the reference's
+    *   - `highRecall = true` → [[HighRecallNprobe]]=6 on the
+    *     k-selected tier: the documented step up when a caller wants
+    *     recall ≥ 0.95 at k=100 (overlap recall@100 0.978 measured)
+    *     and accepts 1.5× probe fan-out. nprobe stays THE recall
+    *     lever beyond that — not beam, which the sweep showed
+    *     saturated.
+    * Beam stays max(searchBeam, 2·k) per the reference's
     * beam_width ≥ k contract (lib.rs:640-644). */
   val LargeKThreshold = 32
+  val ServeNprobe = 4
+  val HighRecallNprobe = 6
   def searchRouted(s: SparkSession, dir: String,
-      queries: Array[(Long, Array[Float])], k: Int): DataFrame = {
+      queries: Array[(Long, Array[Float])], k: Int,
+      highRecall: Boolean = false): DataFrame = {
     val beam = math.max(searchBeam, 2 * k)
+    val np = if (highRecall) HighRecallNprobe else ServeNprobe
     if (k <= LargeKThreshold)
       searchProbed(cachedIndex(s, dir), queries, k, beam, qParams,
-        nprobe = 4, excludeSelf = true, pivots = Some(cachedPivots(s, dir)))
+        nprobe = np, excludeSelf = true, pivots = Some(cachedPivots(s, dir)))
     else
       searchProbed(cachedOverlapIndex(s, dir), queries, k, beam, qParams,
-        nprobe = 4, excludeSelf = true,
+        nprobe = np, excludeSelf = true,
         pivots = Some(cachedOverlapPivots(s, dir)), distinctMerge = true)
   }
+
+  /** The serving schedule as persisted JSON — one normative copy,
+    * written into every saved index's metadata.json so an operator
+    * reading the index directory sees the k→(tier, nprobe, beam)
+    * dispatch rule [[searchRouted]] implements, not just its code. */
+  private[graft] def servingScheduleJson: String =
+    s"""{"dispatch_k_threshold":$LargeKThreshold,""" +
+      s""""points":[{"k":"<=$LargeKThreshold","tier":"plain","nprobe":$ServeNprobe,"beam":"max($searchBeam,2k)"},""" +
+      s"""{"k":">$LargeKThreshold","tier":"overlap2","nprobe":$ServeNprobe,"beam":"max($searchBeam,2k)"},""" +
+      s"""{"k":"any","mode":"high_recall","tier":"k-selected","nprobe":$HighRecallNprobe,"beam":"max($searchBeam,2k)"}]}"""
 
   /** Mean recall of `approx` against `exact` (both (q_id,
     * neighbor_id) result sets) — the evaluation every reference
@@ -1304,8 +1327,9 @@ object VamanaIndex {
     * contract, lib.rs:640-644, plus headroom: a beam equal to k has
     * zero exploration slack and caps recall well below 1 at large k —
     * r7 measured 0.65 at k=100 with beam=k). */
-  def probedRecallAt(s: SparkSession, dir: String, k: Int): Double = {
-    val approx = searchRouted(s, dir, queriesArr(s, dir), k)
+  def probedRecallAt(s: SparkSession, dir: String, k: Int,
+      highRecall: Boolean = false): Double = {
+    val approx = searchRouted(s, dir, queriesArr(s, dir), k, highRecall)
     recallDf(approx, VectorQueries.qKnnExactK(s, dir, k)).head().getDouble(0)
   }
 

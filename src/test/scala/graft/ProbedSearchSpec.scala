@@ -111,7 +111,37 @@ class ProbedSearchSpec extends AnyFunSuite {
       val routed100 = VamanaIndex.probedRecallAt(spark, SparkSpecBase.sf1, 100)
       assert(routed100 >= 0.8,
         s"sf0.1 routed (overlap-tier) recall@100 $routed100 below the 0.8 floor")
+      // HIGH-RECALL schedule point (the `serving` block's nprobe=6
+      // mode, r9 sweep: 0.978 at sf0.1): the documented step when a
+      // caller wants >=0.95 at k=100 and accepts 1.5x probe fan-out
+      val hi100 = VamanaIndex.probedRecallAt(spark, SparkSpecBase.sf1, 100,
+        highRecall = true)
+      assert(hi100 >= 0.95,
+        s"sf0.1 high-recall (nprobe=6) recall@100 $hi100 below the 0.95 floor")
+      assert(hi100 >= routed100 - 1e-9, "raising nprobe must never hurt recall")
     } finally VamanaIndex.releaseCaches()
+  }
+
+  test("serving schedule persists in metadata.json") {
+    // one normative copy of the k->(tier, nprobe, beam) dispatch rule
+    // rides with every saved index, matching the searchRouted constants
+    val dir = SparkSpecBase.sf001
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sched").toString
+    try {
+      VamanaIndex.save(VamanaIndex.cachedIndex(spark, dir), VamanaIndex.qParams, tmp)
+      val meta = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$tmp/metadata.json"))
+      assert(meta.contains("\"serving\":"))
+      assert(meta.contains(s""""dispatch_k_threshold":${VamanaIndex.LargeKThreshold}"""))
+      assert(meta.contains(s""""nprobe":${VamanaIndex.ServeNprobe}"""))
+      assert(meta.contains(s""""nprobe":${VamanaIndex.HighRecallNprobe}"""))
+      assert(meta.contains("\"tier\":\"overlap2\""))
+      // still parseable as one JSON document by Spark's reader
+      val parsed = spark.read.json(
+        spark.createDataset(Seq(meta))(org.apache.spark.sql.Encoders.STRING))
+      assert(parsed.select("serving.dispatch_k_threshold").head().getLong(0) ==
+        VamanaIndex.LargeKThreshold.toLong)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
   test("searchRouted small-k path is row-identical to qVamanaProbed") {
