@@ -181,6 +181,255 @@ object HnswIndex {
       metric = row.getString(0))
   }
 
+  // ------------------------------------------------------- file serving tier
+
+  /** Disk-resident HNSW file tier — parity with the reference's
+    * persisted HNSW (examples/hnsw_sift.rs:35-50 dumps
+    * `<base>.hnsw.graph` + `<base>.hnsw.data` and reloads via HnswIo
+    * instead of rebuilding). Same TWO-FILE shape per shard here —
+    * layered adjacency in `.hnsw.graph`, ids+vectors in `.hnsw.data`
+    * — plus a manifest.json naming every shard. The BYTES are graft's
+    * own fixed-width little-endian layout, not hnsw_rs's: the
+    * reference's files are bincode of hnsw_rs-internal structs with
+    * no stability contract, so byte-interop is a non-goal (unlike the
+    * DiskANN single-file layout, which IS a documented contract and
+    * is matched byte-true in [[SingleFileIndex]]). Loading is a heap
+    * load, exactly like the reference's HnswIo (hnsw_rs memory-loads
+    * its dump; only the DiskANN family mmaps).
+    *
+    * `.hnsw.data`:  magic u64 | dim i32 | n i64 | n × (vec_id i64,
+    *                f32×dim)   (rows sorted by vec_id)
+    * `.hnsw.graph`: magic u64 | m i32 | ef_construction i32 |
+    *                seed i64 | n i64 | ids_hash u64 | n × (L i32,
+    *                L × (cnt i32, cnt × global neighbor id i64))
+    *                (same row order)
+    * `ids_hash` (FNV-1a over the data file's id sequence) pairs the
+    * two files: a graph served against the wrong data file would
+    * silently drop every unmatched edge, so pairing fails LOUDLY on
+    * open instead — the same stale-sidecar discipline as
+    * [[SingleFileIndex]]'s ids trailer. */
+  private val DataMagic = 0x3130304448464721L // "!GFHD001" LE
+  private val GraphMagic = 0x3130304748464721L // "!GFHG001" LE
+
+  /** FNV-1a over an id sequence — the graph↔data pairing hash. */
+  private def idsHash(ids: Iterator[Long]): Long = {
+    var h = 0xcbf29ce484222325L
+    ids.foreach { id =>
+      var v = id; var b = 0
+      while (b < 8) { h = (h ^ (v & 0xffL)) * 0x100000001b3L; v >>>= 8; b += 1 }
+    }
+    h
+  }
+
+  private def writeShardFiles(sorted: Array[HnswRow], hp: HnswParams,
+      dataPath: String, graphPath: String): Unit = {
+    val n = sorted.length
+    val dim = if (n == 0) 0 else sorted(0).embedding.length
+    val dOut = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(Paths.get(dataPath)), 1 << 20))
+    try {
+      val hdr = java.nio.ByteBuffer.allocate(8 + 4 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putLong(DataMagic).putInt(dim).putLong(n.toLong)
+      dOut.write(hdr.array())
+      val rowBuf = java.nio.ByteBuffer.allocate(8 + 4 * dim)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      sorted.foreach { r =>
+        rowBuf.clear(); rowBuf.putLong(r.vec_id)
+        r.embedding.foreach(rowBuf.putFloat)
+        dOut.write(rowBuf.array())
+      }
+    } finally dOut.close()
+    val gOut = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(Paths.get(graphPath)), 1 << 20))
+    try {
+      val hdr = java.nio.ByteBuffer.allocate(8 + 4 + 4 + 8 + 8 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putLong(GraphMagic).putInt(hp.m).putInt(hp.efConstruction)
+        .putLong(hp.seed).putLong(n.toLong)
+        .putLong(idsHash(sorted.iterator.map(_.vec_id)))
+      gOut.write(hdr.array())
+      sorted.foreach { r =>
+        val node = java.nio.ByteBuffer.allocate(
+            4 + r.layers.map(4 + 8 * _.length).sum)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        node.putInt(r.layers.length)
+        r.layers.foreach { lvl =>
+          node.putInt(lvl.length); lvl.foreach(node.putLong)
+        }
+        gOut.write(node.array())
+      }
+    } finally gOut.close()
+  }
+
+  /** Export one graph+data file pair per shard plus manifest.json —
+    * the distributed shape of [[SingleFileIndex.exportSharded]]: each
+    * task writes its own shard, so export throughput scales with
+    * shards exactly like the build. */
+  def exportSharded(index: Dataset[HnswRow], hp: HnswParams, dir: String): Unit = {
+    val s = index.sparkSession
+    import s.implicits._
+    Files.createDirectories(Paths.get(dir))
+    val entries = index.repartition(col("shard"))
+      .mapPartitions { it =>
+        val rows = it.toArray
+        rows.groupBy(_.shard).iterator.map { case (shard, group) =>
+          val sorted = group.sortBy(_.vec_id)
+          writeShardFiles(sorted, hp, s"$dir/shard-$shard.hnsw.data",
+            s"$dir/shard-$shard.hnsw.graph")
+          (shard, sorted.length.toLong)
+        }
+      }.collect().sortBy(_._1)
+    require(entries.nonEmpty, "cannot export an empty HNSW index")
+    val shardsJson = entries.map { case (sh, n) =>
+      s"""{"shard":$sh,"data":"shard-$sh.hnsw.data",""" +
+        s""""graph":"shard-$sh.hnsw.graph","n":$n}"""
+    }.mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$dir/manifest.json"),
+      s"""{"format":"graft-hnsw-files-v1","num_shards":${entries.length},""" +
+        s""""metric":"${hp.metric}","m":${hp.m},""" +
+        s""""ef_construction":${hp.efConstruction},"seed":${hp.seed},""" +
+        s""""shards":$shardsJson}""")
+  }
+
+  /** Parse the file-tier manifest: params + (shard, dataFile,
+    * graphFile, n) entries. Fails loudly on a foreign format. */
+  def readManifest(spark: SparkSession, dir: String)
+      : (HnswParams, Array[(Int, String, String, Long)]) = {
+    import spark.implicits._
+    val meta = Files.readString(Paths.get(s"$dir/manifest.json"))
+    require(meta.contains("\"graft-hnsw-files-v1\""),
+      s"$dir/manifest.json is not a graft-hnsw-files-v1 manifest")
+    val df = spark.read.json(spark.createDataset(Seq(meta)))
+    val p = df.selectExpr("metric", "CAST(m AS INT)",
+      "CAST(ef_construction AS INT)", "CAST(seed AS BIGINT)").head()
+    val hp = HnswParams(m = p.getInt(1), efConstruction = p.getInt(2),
+      seed = p.getLong(3), metric = p.getString(0))
+    val entries = df.selectExpr("explode(shards) AS s")
+      .selectExpr("s.shard", "s.data", "s.graph", "s.n")
+      .as[(Long, String, String, Long)].collect()
+      .map { case (sh, d, g, n) => (sh.toInt, d, g, n) }
+      .sortBy(_._1)
+    (hp, entries)
+  }
+
+  /** Heap-load one shard's file pair back into a searchable graph —
+    * the HnswIo reload. Magic and row-count cross-checks fail loudly;
+    * a graph file paired with the wrong data file cannot serve. */
+  private[graft] def loadShardFiles(dataPath: String, graphPath: String,
+      hp: HnswParams): (HnswGraph, Array[Long]) = {
+    val dIn = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(dataPath)), 1 << 20))
+    val (ids, flat, dim) = try {
+      val hdr = new Array[Byte](8 + 4 + 8); dIn.readFully(hdr)
+      val hb = java.nio.ByteBuffer.wrap(hdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(hb.getLong == DataMagic, s"$dataPath: not a graft-hnsw data file")
+      val dim = hb.getInt; val n = hb.getLong.toInt
+      val ids = new Array[Long](n)
+      val flat = new Array[Float](n * dim)
+      val row = new Array[Byte](8 + 4 * dim)
+      var i = 0
+      while (i < n) {
+        dIn.readFully(row)
+        val rb = java.nio.ByteBuffer.wrap(row).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        ids(i) = rb.getLong
+        var d = 0
+        while (d < dim) { flat(i * dim + d) = rb.getFloat; d += 1 }
+        i += 1
+      }
+      (ids, flat, dim)
+    } finally dIn.close()
+    val gIn = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(graphPath)), 1 << 20))
+    try {
+      val hdr = new Array[Byte](8 + 4 + 4 + 8 + 8 + 8); gIn.readFully(hdr)
+      val hb = java.nio.ByteBuffer.wrap(hdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(hb.getLong == GraphMagic, s"$graphPath: not a graft-hnsw graph file")
+      val m = hb.getInt; val ef = hb.getInt; val seed = hb.getLong
+      val n = hb.getLong.toInt
+      val expectHash = hb.getLong
+      require(n == ids.length,
+        s"$graphPath holds $n nodes but $dataPath holds ${ids.length} — mismatched pair")
+      require(expectHash == idsHash(ids.iterator),
+        s"$graphPath was built for a different id sequence than $dataPath — " +
+          "mismatched pair; serving it would silently drop unmatched edges")
+      require(m == hp.m && ef == hp.efConstruction && seed == hp.seed,
+        s"$graphPath params (m=$m, ef=$ef, seed=$seed) differ from the manifest's $hp")
+      val g2l = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+      ids.indices.foreach(i => g2l.put(ids(i), i))
+      val adj = Array.tabulate(n) { _ =>
+        val layerCount = gIn.readIntLE()
+        require(layerCount >= 0 && layerCount < 64, s"$graphPath: corrupt layer count")
+        Array.fill(layerCount) {
+          val cnt = gIn.readIntLE()
+          val out = new scala.collection.mutable.ArrayBuffer[Int](cnt)
+          var t = 0
+          while (t < cnt) {
+            val lo = g2l.get(gIn.readLongLE())
+            if (lo != null) out += lo.intValue()
+            t += 1
+          }
+          out.toArray
+        }
+      }
+      (HnswGraph.fromAdjacency(flat, dim, n, hp, adj), ids)
+    } finally gIn.close()
+  }
+
+  /** Note: DataInputStream read{Int,Long} are big-endian; the node
+    * records above are written little-endian, so the graph-file BODY
+    * is read through this LE wrapper. */
+  private implicit class LEInput(in: java.io.DataInputStream) {
+    def readIntLE(): Int = java.lang.Integer.reverseBytes(in.readInt())
+    def readLongLE(): Long = java.lang.Long.reverseBytes(in.readLong())
+  }
+
+  /** Distributed serving over the exported files — one task per
+    * shard file pair, queries broadcast, bounded TopK merge: the
+    * files-tier twin of [[search]] and of [[SingleFileIndex
+    * .serveSharded]]. `dir` must be shared storage on a real
+    * cluster. */
+  def serveFiles(s: SparkSession, dir: String,
+      queries: Array[(Long, Array[Float])], k: Int, ef: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    import s.implicits._
+    val (hp, entries) = readManifest(s, dir)
+    val qB = s.sparkContext.broadcast(queries)
+    val perShard = s.sparkContext
+      .parallelize(entries.toIndexedSeq, entries.length)
+      .flatMap { case (_, dataFile, graphFile, _) =>
+        val (g, ids) = loadShardFiles(s"$dir/$dataFile", s"$dir/$graphFile", hp)
+        val kLocal = if (excludeSelf) k + 1 else k
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, kLocal, ef).iterator
+            .map { case (li, d) => (qid, ids(li), d) }
+            .filter { case (q, nid, _) => !(excludeSelf && q == nid) }
+        }
+      }.toDF("q_id", "nid", "dist")
+    VectorQueries.topkExplode(perShard, k)
+  }
+
+  /** Driver-resident handle over the exported files — every shard
+    * heap-loaded once, single-query searches with no Spark job in the
+    * path (the reference's reloaded-index usage shape). */
+  final class LocalHnsw private[HnswIndex] (
+      shards: Array[(HnswGraph, Array[Long])], val hp: HnswParams) {
+    def search(q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
+      val merged = new scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      shards.foreach { case (g, ids) =>
+        g.search(q, k, ef).foreach { case (li, d) => merged += ((ids(li), d)) }
+      }
+      merged.sortBy { case (id, d) => (d, id) }.take(k).toArray
+    }
+  }
+
+  def openLocal(s: SparkSession, dir: String): LocalHnsw = {
+    val (hp, entries) = readManifest(s, dir)
+    new LocalHnsw(entries.map { case (_, d, g, _) =>
+      loadShardFiles(s"$dir/$d", s"$dir/$g", hp)
+    }, hp)
+  }
+
   // ---------------------------------------------------------------- queries
 
   private val qHp = HnswParams(m = 16, efConstruction = 64, seed = 42L, metric = "cosine")
@@ -233,7 +482,10 @@ object HnswIndex {
   /** Persistence round-trip: save → load → metadata + integrity row —
     * the HNSW twin of [[VamanaIndex.qIndexMeta]], so the save/load
     * path is exercised by the driver's gate every round, not only by
-    * the spec. */
+    * the spec. Also drives the FILE tier end to end (export →
+    * serveFiles vs in-memory parity on a query subset), mirroring the
+    * reference's dump-and-reload HNSW lifecycle
+    * (examples/hnsw_sift.rs:35-50). */
   def qHnswMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sf = dir.replaceAll(".*/", "")
@@ -242,12 +494,26 @@ object HnswIndex {
     save(cachedIndex(s, dir), qHp, path)
     val re = load(s, path)
     val meta = loadMeta(path)
+    // file tier: export once per JVM+sf, then prove the reloaded
+    // files serve row-identically to the in-memory graphs
+    val filesDir = graft.TempCleanup.onExit(
+      s"/tmp/graft_hnswf_${sf}_${s.sparkContext.applicationId}")
+    if (!Files.exists(Paths.get(s"$filesDir/manifest.json")))
+      exportSharded(cachedIndex(s, dir), qHp, filesDir)
+    val subset = benchQueries(s, dir).take(32)
+    def pairs(df: DataFrame): Set[(Long, Long)] = df.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    val filesMatch = pairs(serveFiles(s, filesDir, subset, K, searchEf,
+      excludeSelf = true)) ==
+      pairs(search(cachedIndex(s, dir), subset, K, searchEf, qHp,
+        excludeSelf = true))
     re.agg(
       count(lit(1)).as("num_vectors"),
       countDistinct(col("shard")).as("num_shards"),
       max(size(col("layers"))).as("max_layers"))
       .withColumn("meta_format",
         lit(if (meta.contains("graft-hnsw-v1")) "graft-hnsw-v1" else "corrupt"))
+      .withColumn("files_match", lit(filesMatch))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

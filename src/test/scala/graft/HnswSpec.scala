@@ -131,4 +131,77 @@ class HnswSpec extends AnyFunSuite {
       GraftANN.openHnswIndex(spark, dir.toString)
     }
   }
+
+  test("file tier: export → serveFiles and the local handle match in-memory, row for row") {
+    // the reference persists HNSW as <base>.hnsw.graph/.hnsw.data and
+    // reloads instead of rebuilding (examples/hnsw_sift.rs:35-50) —
+    // same two-file-per-shard lifecycle here, one task per shard
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_files").toString
+    val hp = HnswParams(m = 8, efConstruction = 32, seed = 7L, metric = "cosine")
+    val vecs = Tables.embeddings(spark, SparkSpecBase.sf001)
+    val mem = HnswIndex.build(vecs, hp, numShards = 3).cache()
+    try {
+      HnswIndex.exportSharded(mem, hp, dir)
+      // one data+graph pair per shard, named like the reference's dump
+      val files = new java.io.File(dir).list().sorted
+      assert(files.count(_.endsWith(".hnsw.data")) == 3, files.mkString(","))
+      assert(files.count(_.endsWith(".hnsw.graph")) == 3, files.mkString(","))
+      assert(files.contains("manifest.json"))
+      val qs = vecs.filter($"vec_id" % 40 === 0)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+      def pairs(df: org.apache.spark.sql.DataFrame) = df
+        .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      val fromMem = pairs(HnswIndex.search(mem, qs, 5, 32, hp, excludeSelf = true))
+      val fromFiles = pairs(HnswIndex.serveFiles(spark, dir, qs, 5, 32,
+        excludeSelf = true))
+      assert(fromMem == fromFiles,
+        s"${fromMem.diff(fromFiles).size} missing, ${fromFiles.diff(fromMem).size} extra")
+      // resident handle (no Spark job in the query path): same rows,
+      // self hit first at distance ~0
+      val handle = HnswIndex.openLocal(spark, dir)
+      assert(handle.hp == hp)
+      qs.take(10).foreach { case (id, q) =>
+        val local = handle.search(q, 6, 32).filter(_._1 != id).take(5)
+        val viaMem = fromMem.filter(_._1 == id).map(_._2)
+        assert(local.map(_._1).toSet == viaMem,
+          s"handle drift for q=$id: ${local.toSeq} vs $viaMem")
+      }
+    } finally {
+      mem.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("file tier fails loudly on foreign bytes and mismatched pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_badfiles").toString
+    val hp = HnswParams(m = 8, efConstruction = 32, seed = 7L, metric = "cosine")
+    val vecs = Tables.embeddings(spark, SparkSpecBase.sf001).limit(60)
+    try {
+      HnswIndex.exportSharded(HnswIndex.build(vecs, hp, numShards = 2), hp, dir)
+      val (mhp, entries) = HnswIndex.readManifest(spark, dir)
+      assert(mhp == hp && entries.length == 2)
+      // a graph file from shard A paired with shard B's data file
+      // must be rejected by the row-count cross-check, not served
+      val (_, dataA, _, _) = entries(0)
+      val (_, _, graphB, _) = entries(1)
+      intercept[IllegalArgumentException] {
+        HnswIndex.loadShardFiles(s"$dir/$dataA", s"$dir/$graphB", hp)
+      }
+      // foreign magic fails loudly
+      val bogus = s"$dir/bogus.hnsw.data"
+      java.nio.file.Files.write(java.nio.file.Paths.get(bogus),
+        Array.fill[Byte](64)(0x41))
+      intercept[IllegalArgumentException] {
+        HnswIndex.loadShardFiles(bogus, s"$dir/$graphB", hp)
+      }
+      // a directory with a foreign manifest is refused at the format
+      val foreign = java.nio.file.Files.createTempDirectory("graft_foreign_manifest")
+      java.nio.file.Files.writeString(foreign.resolve("manifest.json"),
+        """{"format":"graft-sharded-v1"}""")
+      try intercept[IllegalArgumentException] {
+        HnswIndex.readManifest(spark, foreign.toString)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(foreign.toFile)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
