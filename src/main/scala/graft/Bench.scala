@@ -144,6 +144,12 @@ object Bench {
     acc
   }
 
+
+  /** One stderr line per failed probe — see the family-loop twin. */
+  private def probeErr(tag: String, e: Throwable): Unit =
+    System.err.println(s"[bench] $tag failed: " +
+      s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -161,9 +167,11 @@ object Bench {
       // 128 somewhere between sf0.1 and sf1, after which the partial
       // agg silently degenerates into externally sorting the full
       // candidate stream (at the sf10 rehearsal: one task spilling
-      // 800 M rows for 7+ min while 31 cores idle). 32 Ki bounded
-      // groups ≈ 40 MB/task worst-case — nowhere near executor heap.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "32768")
+      // 800 M rows for 7+ min while 31 cores idle). The headroom must
+      // sit ABOVE the largest rehearsed query set: sf10's 2M vectors
+      // give n/50 = 40k groups, past the old 32 Ki cap. 128 Ki bounded
+      // groups ≈ 160 MB/task worst-case — still nowhere near heap.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -236,7 +244,15 @@ object Bench {
           val gc0 = gcMillis()
           val times = (1 to reps).flatMap { _ =>
             try Some(runOnce(fn(spark, sfDir))._1) // fn call lazily inside the timer
-            catch { case _: Throwable => None }
+            catch { case e: Throwable =>
+              // one stderr line per failed rep: a query erroring at a
+              // rehearsal SF must be diagnosable from the log, not
+              // reduced to a bare name in `errors` (r10: an sf10 probe
+              // failure was opaque until this line existed)
+              System.err.println(s"[bench] $name rep failed: " +
+                s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+              None
+            }
           }
           if (times.isEmpty) errors += name
           results += name -> (if (times.isEmpty) -1.0 else median(times))
@@ -308,9 +324,9 @@ object Bench {
         (rows / 10.0) / sec
       }
       median(runs)
-    } catch { case _: Throwable => errors += "qps_probe"; -1.0 }
+    } catch { case e: Throwable => probeErr("qps_probe", e); errors += "qps_probe"; -1.0 }
     val recall = try index.VamanaIndex.probedRecall(spark, sfDir)
-      catch { case _: Throwable => errors += "recall_probe"; -1.0 }
+      catch { case e: Throwable => probeErr("recall_probe", e); errors += "recall_probe"; -1.0 }
     // the high-recall operating point next to the routed one: full
     // (all-shard) search, whose recall@10 is spec-pinned at 1.0 — the
     // two pairs bracket the routing QPS/recall trade
@@ -321,19 +337,19 @@ object Bench {
       }
       (median(runs),
         index.VamanaIndex.qVamanaRecall(spark, sfDir).head().getDouble(0))
-    } catch { case _: Throwable => errors += "full_probe"; (-1.0, -1.0) }
+    } catch { case e: Throwable => probeErr("full_probe", e); errors += "full_probe"; (-1.0, -1.0) }
     // recall@100 of the ROUTED serving dispatcher (reference
     // bigann.rs:334-338 evaluates k=10 AND k=100): k>32 routes through
     // the overlap-2 tier at the same nprobe=4 — large-k recall is
     // routing-limited, and boundary replication recovers it without
     // raising probe fan-out (see VamanaIndex.searchRouted).
     val recall100 = try index.VamanaIndex.probedRecallAt(spark, sfDir, 100)
-      catch { case _: Throwable => errors += "recall100_probe"; -1.0 }
+      catch { case e: Throwable => probeErr("recall100_probe", e); errors += "recall100_probe"; -1.0 }
     // the k=100 HIGH-RECALL operating point: full search at beam 4·k
     // (floor ≥ 0.9 pinned in ProbedSearchSpec) — reported as a pair
     // with the routed figure above
     val recall100Full = try index.VamanaIndex.fullRecallAt(spark, sfDir, 100)
-      catch { case _: Throwable => errors += "recall100_full_probe"; -1.0 }
+      catch { case e: Throwable => probeErr("recall100_full_probe", e); errors += "recall100_full_probe"; -1.0 }
     // the overlap-2 operating point: same nprobe, boundary-replicated
     // shards (the merged-build DiskANN trade — 2× storage for recall)
     val (qpsOverlap, recallOverlap) = try {
@@ -344,7 +360,7 @@ object Bench {
         (rows / 10.0) / sec
       }
       (median(runs), index.VamanaIndex.probedRecallOverlap(spark, sfDir))
-    } catch { case _: Throwable => errors += "overlap_probe"; (-1.0, -1.0) }
+    } catch { case e: Throwable => probeErr("overlap_probe", e); errors += "overlap_probe"; (-1.0, -1.0) }
     // Fresh index-build wall time (the reference's benchmark tables
     // lead with build time, README "DiskANN, sift1m" — this is the
     // uncached cost the per-query medians deliberately exclude).
@@ -355,21 +371,21 @@ object Bench {
           index.VamanaIndex.qShards)
         .queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
-    } catch { case _: Throwable => errors += "build_probe"; -1.0 }
+    } catch { case e: Throwable => probeErr("build_probe", e); errors += "build_probe"; -1.0 }
     // Sequential per-query latency percentiles (reference
     // perf_test.rs:100) — one pass, not repped: the sample is already
     // |queries| measurements.
     val (p50, p95, p99) = try {
       val lats = index.VamanaIndex.probedLatencies(spark, sfDir)
       (pctl(lats, 0.50), pctl(lats, 0.95), pctl(lats, 0.99))
-    } catch { case _: Throwable => errors += "latency_probe"; (-1.0, -1.0, -1.0) }
+    } catch { case e: Throwable => probeErr("latency_probe", e); errors += "latency_probe"; (-1.0, -1.0, -1.0) }
     // single-query latency through the RESIDENT handle (no Spark job
     // in the query path) — the reference's per-query protocol; the job
     // path's p50 above is scheduling overhead, this is search cost
     val (lp50, lp95, lp99) = try {
       val lats = index.VamanaIndex.localLatencies(spark, sfDir)
       (pctl(lats, 0.50), pctl(lats, 0.95), pctl(lats, 0.99))
-    } catch { case _: Throwable => errors += "latency_local_probe"; (-1.0, -1.0, -1.0) }
+    } catch { case e: Throwable => probeErr("latency_local_probe", e); errors += "latency_local_probe"; (-1.0, -1.0, -1.0) }
 
     // stdout carries the driver-contract fields plus the serving
     // numbers the judged protocol asks for; the secondary operating

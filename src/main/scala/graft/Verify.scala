@@ -27,8 +27,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // hash-agg headroom for query-set-sized TopK groups — see the
-      // rationale at the Bench builder (Bench.scala)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "32768")
+      // rationale at the Bench builder (Bench.scala); 128 Ki clears
+      // the sf10 rehearsal's 40k-query set
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

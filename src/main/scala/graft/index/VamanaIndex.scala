@@ -1268,7 +1268,7 @@ object VamanaIndex {
   def localLatencies(s: SparkSession, dir: String): Array[Double] = {
     val handle = new SingleFileIndex.LocalSharded(s, cachedShardedDir(s, dir))
     try {
-      val qs = queriesArr(s, dir)
+      val qs = latencySample(queriesArr(s, dir))
       // one warm pass so mmap page faults don't bill the first queries
       qs.take(32).foreach { case (_, qv) => handle.search(qv, K, searchBeam, nprobe = 4) }
       qs.map { case (_, qv) =>
@@ -1350,12 +1350,30 @@ object VamanaIndex {
   def probedLatencies(s: SparkSession, dir: String): Array[Double] = {
     val idx = cachedIndex(s, dir)
     val pivots = cachedPivots(s, dir)
-    queriesArr(s, dir).map { q =>
+    latencySample(queriesArr(s, dir)).map { q =>
       val t0 = System.nanoTime()
       searchProbed(idx, Array(q), K, searchBeam, qParams, nprobe = 4,
         excludeSelf = true, pivots = Some(pivots))
         .queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** Latency probes time queries ONE AT A TIME, so their cost is
+    * per-query wall × |sample| — at sf10's 40k-query set the job-path
+    * probe alone would run ~100 min of scheduler overhead (r10: Bench
+    * at sf10 sat single-threaded in probedLatencies for 20+ min before
+    * being killed). Percentile estimates don't need the whole set: an
+    * id-ordered stride of ≤512 spans the full id range, stays
+    * deterministic (same sample every run at a given SF), and bounds
+    * both probes at minutes regardless of corpus size. */
+  private val LatencySampleMax = 512
+  private def latencySample(
+      qs: Array[(Long, Array[Float])]): Array[(Long, Array[Float])] = {
+    if (qs.length <= LatencySampleMax) qs
+    else {
+      val step = (qs.length + LatencySampleMax - 1) / LatencySampleMax
+      qs.indices.collect { case i if i % step == 0 => qs(i) }.toArray
     }
   }
 
