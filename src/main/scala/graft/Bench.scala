@@ -282,18 +282,25 @@ object Bench {
     // back inside the band; a persistent excursion is a real signal.
     val remeasured = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val remeasureCal = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    loadBaseline().foreach { case (baseCal, baseRows) =>
+    val baseline = loadBaseline()
+    // capacity-scaled observed/baseline ratio per query — drives BOTH
+    // the >2× re-measure trigger and the compact line's keep order
+    val gateRatio: Map[String, Double] = baseline.map { case (baseCal, baseRows) =>
       val famCal = calSeries.toMap
-      val flagged = results.toSeq.flatMap { case (name, v) =>
+      results.toSeq.flatMap { case (name, v) =>
         for {
           fam <- famOf.get(name)
           row <- baseRows.get(name)
           bc <- baseCal.get(fam)
           rc <- famCal.get(fam)
-          if v >= 0.2 && rc > 0 && bc > 0
-          scaled = v * rc / bc
-          if scaled > 2 * row
-        } yield (name, fam, scaled / row)
+          if v >= 0 && rc > 0 && bc > 0 && row > 0
+        } yield name -> (v * rc / bc / row)
+      }.toMap
+    }.getOrElse(Map.empty)
+    if (baseline.nonEmpty) {
+      val flagged = results.toSeq.flatMap { case (name, v) =>
+        gateRatio.get(name).filter(r => v >= 0.2 && r > 2)
+          .flatMap(r => famOf.get(name).map(fam => (name, fam, r)))
       }.sortBy(-_._3).take(10)
       flagged.groupBy(_._2).foreach { case (fam, qs) =>
         allFamilies.find(_._1 == fam).foreach { case (_, fqs, warm, release) =>
@@ -301,9 +308,16 @@ object Bench {
           qs.foreach { case (name, _, _) =>
             val times = (1 to 5).flatMap { _ =>
               try Some(runOnce(fqs(name)(spark, sfDir))._1)
-              catch { case _: Throwable => None }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] $name re-measure rep failed: " +
+                  s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+                None
+              }
             }
             if (times.nonEmpty) remeasured += name -> median(times)
+            // a flagged row whose EVERY re-measure rep failed must not
+            // silently stay a bare >2× entry — surface it in `errors`
+            else errors += s"${name}_remeasure"
           }
           try release() catch { case _: Throwable => }
           // capacity context of the re-measure span itself, so a
@@ -446,7 +460,7 @@ object Bench {
         .getBytes("UTF-8"))
     catch { case _: Throwable => } // read-only cwd must not fail the bench
     println(renderCompactFitted(results.toSeq, core, reps, errors.toSeq, sfDir,
-      aux = remeasureAux))
+      aux = remeasureAux, rank = gateRatio))
     spark.stop()
   }
 
@@ -467,18 +481,23 @@ object Bench {
     * At 77 queries the full map stopped fitting (the r9 artifact's
     * `parsed: null` — the driver's captured tail began MID-JSON), so
     * the committed artifact silently degraded to an unparseable
-    * fragment. Keep the SLOWEST query entries — the rows the
-    * BASELINE comparison gate actually interrogates — and drop from
-    * the fastest until the line fits; the dropped count is reported
-    * as `queries_omitted`, `value` still totals ALL queries, and the
-    * full map always lands in BENCH_LOCAL.json. */
+    * fragment. Keep order: highest capacity-scaled baseline RATIO
+    * first (`rank` — the gate interrogates every row, and an
+    * absolute-seconds order would drop exactly the fast-baseline
+    * query whose 3× regression the gate exists to catch, r10 review),
+    * absolute seconds as the tiebreak and the no-baseline fallback;
+    * drop from the bottom until the line fits. The dropped count is
+    * reported as `queries_omitted`, `value` still totals ALL queries,
+    * and the full map always lands in BENCH_LOCAL.json. */
   private[graft] def renderCompactFitted(
       results: Seq[(String, Double)], scalars: Seq[(String, Double)],
       reps: Int, errors: Seq[String], sfDir: String,
       aux: Seq[(String, Seq[(String, Double)])] = Nil,
-      budget: Int = CompactBudget): String = {
+      budget: Int = CompactBudget,
+      rank: Map[String, Double] = Map.empty): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
-    val bySlowest = results.sortBy { case (n, v) => (-v, n) }
+    val bySlowest = results.sortBy { case (n, v) =>
+      (-rank.getOrElse(n, 0.0), -v, n) }
     var keep = results.length
     var line = ""
     while ({

@@ -362,6 +362,12 @@ object HnswIndex {
         require(layerCount >= 0 && layerCount < 64, s"$graphPath: corrupt layer count")
         Array.fill(layerCount) {
           val cnt = gIn.readIntLE()
+          // same fail-loud discipline as layerCount: a corrupt or
+          // truncated file must not drive a negative/huge count into
+          // the read loop (garbage edges, desynchronized records, or
+          // an oversized allocation instead of a clear error)
+          require(cnt >= 0 && cnt <= n,
+            s"$graphPath: corrupt neighbor count $cnt (n=$n)")
           val out = new scala.collection.mutable.ArrayBuffer[Int](cnt)
           var t = 0
           while (t < cnt) {
@@ -501,7 +507,13 @@ object HnswIndex {
     if (!Files.exists(Paths.get(s"$filesDir/manifest.json")))
       exportSharded(cachedIndex(s, dir), qHp, filesDir)
     val subset = benchQueries(s, dir).take(32)
-    def pairs(df: DataFrame): Set[(Long, Long)] = df.collect()
+    // compare (q_id, NEIGHBOR) sets — selecting by NAME, not ordinal:
+    // topkExplode's column order is (q_id, rank, neighbor_id, dist),
+    // and an ordinal (0, 1) read compares (q_id, rank), which is
+    // IDENTICAL for any two searches returning k rows per query —
+    // a vacuously-true parity check (caught in r10 review)
+    def pairs(df: DataFrame): Set[(Long, Long)] = df
+      .select(col("q_id"), col("neighbor_id")).collect()
       .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
     val filesMatch = pairs(serveFiles(s, filesDir, subset, K, searchEf,
       excludeSelf = true)) ==

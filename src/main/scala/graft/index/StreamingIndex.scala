@@ -117,8 +117,10 @@ object StreamingIndex {
     * can land on the same 0.9-floor operating point as a batch build
     * (serve the result with `distinctMerge = true`: replicas arrive
     * from every probed shard that holds them). The overlapped build is
-    * capacity-capped too (`capFactor`, defaulting to the standard 1.5
-    * when the caller leaves it 0): an ingested stream's key skew is
+    * capacity-capped too (`capFactor`: 0, the default, means the
+    * standard 1.5; a negative value disables capping entirely —
+    * [[VamanaIndex.buildOverlappedCapped]]'s uncapped mode): an
+    * ingested stream's key skew is
     * exactly the Voronoi-straggler shape the cap exists for, and the
     * split factor flows into [[VamanaIndex.save]] /
     * [[SingleFileIndex.exportSharded]] so primary pivot sampling
@@ -144,8 +146,13 @@ object StreamingIndex {
         Seq("vec_id"), "left_anti")
     val (rebuilt, split) =
       if (overlap > 1)
+        // capFactor contract here: > 0 explicit cap, == 0 (the
+        // default) the standard 1.5, < 0 UNCAPPED — without the
+        // negative escape, buildOverlappedCapped's documented
+        // "capFactor <= 0 disables capping" would be unreachable
+        // through the compaction path (r10 review)
         VamanaIndex.buildOverlappedCapped(vectors, params, numShards, overlap,
-          capFactor = if (capFactor > 0) capFactor else 1.5)
+          capFactor = if (capFactor == 0) 1.5 else capFactor)
       else if (capFactor > 0)
         (VamanaIndex.buildCapped(vectors, params, numShards, capFactor), 1)
       else (VamanaIndex.build(vectors, params, numShards), 1)

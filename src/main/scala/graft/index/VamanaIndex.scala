@@ -116,14 +116,15 @@ object VamanaIndex {
       .toDF("vec_id", "embedding", "shard")
   }
 
-  /** Overlapped build, capped by default — see [[buildOverlappedCapped]]
-    * for the returned split factor (needed by primary pivot sampling
-    * when a cell was split). */
-  def buildOverlapped(emb: DataFrame, params: VamanaParams, numShards: Int,
-      overlap: Int = 2, capFactor: Double = 1.5): Dataset[IndexRow] =
-    buildOverlappedCapped(emb, params, numShards, overlap, capFactor)._1
+  // NOTE: there is deliberately NO index-only `buildOverlapped`
+  // convenience wrapper: the capped build's split factor is REQUIRED
+  // downstream (save/pivotTablePrimary group split sub-shards by
+  // parent cell), and a wrapper that discards it invites exactly the
+  // silent-recall-degradation bug an r10 review caught — a capped
+  // index saved with split=1 starves every split cell's siblings of
+  // primary pivots. Callers take the (index, split) pair.
 
-  /** [[buildOverlapped]] plus the capped-assignment pass of
+  /** The overlapped assignment plus the capped-assignment pass of
     * [[buildCapped]] — the overlap tier is the HEADLINE serving tier,
     * and seeded-centroid Voronoi skew bites it exactly like the plain
     * build (the sf10 rehearsal: a handful of 300k-row straggler cells
