@@ -159,6 +159,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // ObjectHashAggregate abandons its hash map for a sort-based
       // external aggregation after 128 distinct keys per task (Spark
       // default). Every TopK/termTopk partial aggregate carries a

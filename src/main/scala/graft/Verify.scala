@@ -26,6 +26,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // hash-agg headroom for query-set-sized TopK groups — see the
       // rationale at the Bench builder (Bench.scala); 128 Ki clears
       // the sf10 rehearsal's 40k-query set

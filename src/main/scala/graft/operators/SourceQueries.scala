@@ -83,10 +83,36 @@ object SourceQueries {
 
   val qHdf5RoundtripSql: String = qVecsRoundtripSql
 
+  /** The fully DISTRIBUTED fvecs loop: executor-parallel sharded
+    * export ([[VecsFormats.writeFvecsSharded]] — range-partitioned so
+    * lexical shard order is global vec_id order) → DataSource V2
+    * read-back (`spark.read.format("fvecs")`,
+    * [[graft.sources.FvecsDataSource]]): short-name service lookup,
+    * multi-file file-order ids, record-aligned splitting, and V2
+    * column pruning all on the hot path. Neither direction touches
+    * the driver with row data — unlike [[qVecsRoundtrip]]'s
+    * single-file interop writer. A small `maxBytesPerPartition`
+    * forces a genuinely multi-split scan (the splitting code, not
+    * just the single-split fast path, is what the oracle hash
+    * certifies). Same positional-id oracle as [[qVecsRoundtrip]]. */
+  def qVecsDsv2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sf = dirToken(dir)
+    val shardDir = graft.TempCleanup.onExit(
+      s"/tmp/graft_dsv2_${sf}_${s.sparkContext.applicationId}.fvecs.d")
+    VecsFormats.writeFvecsSharded(Tables.embeddings(s, dir), shardDir, shards = 8)
+    s.read.format("fvecs").option("maxBytesPerPartition", 1L << 18).load(shardDir)
+      .select($"vec_id",
+        round(sqrt(dotProduct($"embedding", $"embedding")), 4).as("l2_norm"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vecs_roundtrip" -> (qVecsRoundtrip(_, _)),
+    "q_vecs_dsv2" -> (qVecsDsv2(_, _)),
     "q_hdf5_roundtrip" -> (qHdf5Roundtrip(_, _)))
   val oracles: Map[String, String] = Map(
     "q_vecs_roundtrip" -> qVecsRoundtripSql,
+    "q_vecs_dsv2" -> qVecsRoundtripSql,
     "q_hdf5_roundtrip" -> qHdf5RoundtripSql)
 }

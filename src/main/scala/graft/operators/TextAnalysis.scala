@@ -823,7 +823,43 @@ object TextAnalysis {
       |  regexp_replace(pass1, '[0-9]{3,}', '[NUM]', 'g') AS redacted
       |FROM r ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------- SQL surface
+
+  /** The text/hash function surface driven PURELY through `spark.sql`
+    * — registered names ([[graft.plans.GraftFunctions]]), no Column
+    * API: per-doc rolling-hash fingerprint, token hashes, and the
+    * 62-bit SimHash code, exactly the fingerprint/dedup primitives a
+    * SQL-only pipeline would call. The oracle replays the shared
+    * hash fragments (SharedHash) in DuckDB. */
+  def qSqlText(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.registerAll(s)
+    Tables.documents(s, dir).createOrReplaceTempView("graft_sql_documents")
+    s.sql("""
+      SELECT doc_id,
+        graft_roll_hash(text) AS fp,
+        graft_simhash62(graft_token_hashes(text)) AS code,
+        size(graft_token_hashes(text)) AS n_tokens
+      FROM graft_sql_documents
+      WHERE size(graft_token_hashes(text)) >= 1
+      ORDER BY doc_id""")
+  }
+
+  val qSqlTextSql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, text,
+       |    list_transform(list_filter(string_split(text, ' '), w -> w != ''),
+       |      w -> ${duckRoll("w")}) AS th
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  ${duckRoll("text")} AS fp,
+       |  ${duckSimhash("th")} AS code,
+       |  CAST(len(th) AS INTEGER) AS n_tokens
+       |FROM th WHERE len(th) >= 1
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_text" -> (qSqlText(_, _)),
     "q_text_pii" -> (qTextPii(_, _)),
     "q_text_boilerplate" -> (qTextBoilerplate(_, _)),
     "q_text_repetition" -> (qTextRepetition(_, _)),
@@ -840,6 +876,7 @@ object TextAnalysis {
     "q_text_entropy" -> (qTextEntropy(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_text" -> qSqlTextSql,
     "q_text_pii" -> qTextPiiSql,
     "q_text_boilerplate" -> qTextBoilerplateSql,
     "q_text_repetition" -> qTextRepetitionSql,

@@ -769,6 +769,43 @@ object VectorQueries {
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------- SQL surface
+
+  /** The vector function surface driven PURELY through `spark.sql`:
+    * no Column API, no Dataset combinators — the query text names the
+    * registered graft functions ([[graft.plans.GraftFunctions]])
+    * directly, as a user porting reference-library calls into plain
+    * SQL would. Exercises the distance kernels AND the codegen'd LSH
+    * bucketing through the SQL parser → FunctionRegistry → codegen
+    * path end to end; the oracle replays the same math in DuckDB. */
+  def qSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.registerAll(s)
+    Tables.embeddings(s, dir).createOrReplaceTempView("graft_sql_embeddings")
+    s.sql("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(graft_l2_distance(a.embedding, b.embedding), 4) AS l2,
+        round(graft_cosine_distance(a.embedding, b.embedding), 4) AS cosine,
+        round(graft_dot_product(a.embedding, b.embedding), 4) AS dot,
+        graft_lsh_bucket(a.embedding, 16) AS bucket
+      FROM graft_sql_embeddings a JOIN graft_sql_embeddings b
+        ON b.vec_id = a.vec_id + 1
+      ORDER BY id_a""")
+  }
+
+  val qSqlSurfaceSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    ${duckLshBucketN(16)} AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_distance(a.v, b.v), 4) AS l2,
+       |  round(1 - list_cosine_similarity(a.v, b.v), 4) AS cosine,
+       |  round(list_dot_product(a.v, b.v), 4) AS dot,
+       |  a.bucket AS bucket
+       |FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+       |ORDER BY id_a""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -792,7 +829,8 @@ object VectorQueries {
     "q_knn_lsh" -> (qKnnLsh(_, _)),
     "q_quantize_sq8" -> (qQuantizeSq8(_, _)),
     "q_knn_u8" -> (qKnnU8(_, _)),
-    "q_embed_normalize" -> (qEmbedNormalize(_, _)))
+    "q_embed_normalize" -> (qEmbedNormalize(_, _)),
+    "q_sql_surface" -> (qSqlSurface(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_dist_l2" -> qDistL2Sql,
@@ -815,5 +853,6 @@ object VectorQueries {
     "q_knn_lsh" -> qKnnLshSql,
     "q_quantize_sq8" -> qQuantizeSq8Sql,
     "q_knn_u8" -> qKnnU8Sql,
-    "q_embed_normalize" -> qEmbedNormalizeSql)
+    "q_embed_normalize" -> qEmbedNormalizeSql,
+    "q_sql_surface" -> qSqlSurfaceSql)
 }

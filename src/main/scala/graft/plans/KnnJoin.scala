@@ -168,12 +168,17 @@ object GraftStrategy extends SparkStrategy {
   }
 }
 
-/** `SparkSession.builder().withExtensions(new GraftExtensions)` — the
-  * static registration path; `KnnJoin.ensureRegistered` is the lazy
-  * runtime path for sessions graft didn't build. */
+/** `SparkSession.builder().withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`) — the static
+  * registration path for BOTH the kNN planner strategy and the SQL
+  * function surface ([[GraftFunctions]]); `KnnJoin.ensureRegistered`
+  * / `GraftFunctions.registerAll` are the lazy runtime paths for
+  * sessions graft didn't build. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => GraftStrategy)
+    GraftFunctions.inject(e)
+  }
 }
 
 object KnnJoin {

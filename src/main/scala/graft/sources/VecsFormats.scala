@@ -120,6 +120,52 @@ object VecsFormats {
     }.toDF("query_id", "neighbors")
   }
 
+  /** DISTRIBUTED `.fvecs` export: one shard file per task, written in
+    * parallel straight from the executors — the scale path the
+    * single-file [[writeFvecs]] (a driver-side `toLocalIterator`
+    * stream, kept for byte-true single-file interop) cannot be.
+    *
+    * Shards are `part-%05d.fvecs`, range-partitioned and sorted by
+    * `vec_id`, so LEXICAL FILENAME ORDER == GLOBAL vec_id ORDER —
+    * exactly the order in which the DSv2 multi-file reader
+    * ([[VecsDataSourceBase]]) assigns positional ids on read-back.
+    * Empty range partitions (possible under skewed sampling) are
+    * skipped rather than emitted as headerless zero-byte files; the
+    * order argument is unaffected because skipping never reorders.
+    * Returns (shard file, records) in shard order. */
+  def writeFvecsSharded(df: DataFrame, dir: String, shards: Int): Seq[(String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val conf = org.apache.spark.sql.graft.bridge
+      .serializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(root)
+    df.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .repartitionByRange(shards, $"vec_id")
+      .sortWithinPartitions($"vec_id")
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.fvecs")
+          val fs = p.getFileSystem(org.apache.spark.sql.graft.bridge.hadoopConfOf(conf))
+          val out = new BufferedOutputStream(fs.create(p, true), 1 << 20)
+          var n = 0L
+          try {
+            it.foreach { case (_, v) =>
+              val bb = ByteBuffer.allocate(4 + 4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+              bb.putInt(v.length)
+              v.foreach(bb.putFloat)
+              out.write(bb.array())
+              n += 1
+            }
+          } finally out.close()
+          Iterator.single((p.toString, n))
+        }
+      }
+      .collect().sortBy(_._1).toSeq
+  }
+
   /** Export (vec_id, embedding) as `.fvecs` in vec_id order. */
   def writeFvecs(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession

@@ -10,6 +10,7 @@ object SparkSpecBase {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // match the mains: hash-agg headroom for query-set-sized TopK
       // groups (rationale at the Bench builder)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "32768")
