@@ -834,13 +834,19 @@ object TextAnalysis {
   def qSqlText(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.registerAll(s)
     Tables.documents(s, dir).createOrReplaceTempView("graft_sql_documents")
+    // th computed ONCE in the inner projection and referenced three
+    // times — CollapseProject keeps non-cheap function calls in their
+    // own Project instead of inlining one tokenization per reference
     s.sql("""
       SELECT doc_id,
         graft_roll_hash(text) AS fp,
-        graft_simhash62(graft_token_hashes(text)) AS code,
-        size(graft_token_hashes(text)) AS n_tokens
-      FROM graft_sql_documents
-      WHERE size(graft_token_hashes(text)) >= 1
+        graft_simhash62(th) AS code,
+        size(th) AS n_tokens
+      FROM (
+        SELECT doc_id, text, graft_token_hashes(text) AS th
+        FROM graft_sql_documents
+      )
+      WHERE size(th) >= 1
       ORDER BY doc_id""")
   }
 

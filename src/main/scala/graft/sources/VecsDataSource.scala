@@ -146,10 +146,13 @@ private[sources] class VecsScanBuilder(format: String, fullSchema: StructType, e
       // lexical path order defines the global id space, matching how a
       // sharded export names its parts
       val files = VecsScanBuilder.resolveFiles(conf, VecsTable.paths(options))
+      // one 4-byte header probe per file, parallelized: a 100k-shard
+      // corpus would otherwise serialize 100k driver round-trips here
+      // (the same reason parquet reads footers concurrently)
+      val dims = VecsScanBuilder.headerDims(conf, files.map(_._1))
       var nextId = 0L
       val parts = Array.newBuilder[InputPartition]
-      files.foreach { case (p, len) =>
-        val dim = VecsScanBuilder.headerDim(conf, p)
+      files.zip(dims).foreach { case ((p, len), dim) =>
         val recLen = 4L + elemBytes.toLong * dim
         require(len % recLen == 0,
           s"$p: length $len is not a whole number of $recLen-byte records — truncated file?")
@@ -201,6 +204,20 @@ private[sources] object VecsScanBuilder {
       java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
     } finally in.close()
   }
+
+  /** [[headerDim]] for many files on a bounded worker pool, input
+    * order preserved. */
+  def headerDims(conf: org.apache.hadoop.conf.Configuration, files: Seq[Path]): Seq[Int] = {
+    if (files.lengthCompare(2) < 0) return files.map(headerDim(conf, _))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.length))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[Int]] =
+        files.map(p => (() => headerDim(conf, p)): java.util.concurrent.Callable[Int])
+      pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+    } finally pool.shutdown()
+  }
 }
 
 private[sources] class VecsPartitionReaderFactory(format: String, required: StructType,
@@ -225,15 +242,17 @@ private[sources] class VecsPartitionReader(format: String, required: StructType,
   private val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
   private var i = 0L
   private var row: InternalRow = _
-  private var positioned = false
+  // buffered sequential reads after one seek: a bare FSDataInputStream
+  // would pay a filesystem call per ~260-byte record
+  private var data: java.io.DataInputStream = _
 
   override def next(): Boolean = {
-    if (!positioned) {
+    if (data == null) {
       in.seek(part.inFileStartByte)
-      positioned = true
+      data = new java.io.DataInputStream(new java.io.BufferedInputStream(in, 1 << 20))
     }
     if (i >= part.numRecords) return false
-    in.readFully(buf, 0, part.recLen)
+    data.readFully(buf, 0, part.recLen)
     bb.position(0)
     val d = bb.getInt
     require(d == part.dim,
