@@ -532,6 +532,11 @@ case class NearestCell(child: Expression, cells: Array[Int], cents: Array[Array[
   * on the 64-dim corpus (dims beyond 64 are ignored). */
 case class LshBucket(child: Expression, planes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // SQL registration lets arbitrary literals reach this constructor:
+  // planes > 64 would silently alias onto low bits (1L << p wraps),
+  // planes < 1 would crash coefs — fail at construction instead
+  require(planes >= 1 && planes <= 64,
+    s"graft_lsh_bucket: planes must be in [1, 64], got $planes")
   override def prettyName: String = "graft_lsh_bucket"
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 

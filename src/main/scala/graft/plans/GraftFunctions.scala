@@ -33,7 +33,10 @@ object GraftFunctions {
 
   private def intLit(fn: String, arg: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    case Literal(v: Long, LongType) =>
+      // a bigint literal like 2^32+k must not silently truncate to k
+      require(v.isValidInt, s"$fn: $arg literal $v is out of Int range")
+      v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal (it parameterizes codegen), got $other")
   }

@@ -100,8 +100,14 @@ private[sources] class VecsTable(format: String, tableSchema: StructType, elemBy
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new VecsScanBuilder(format, tableSchema, elemBytes, options)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // scan-time options override table-construction options (today the
+    // DataFrameReader path duplicates them; a catalog-registered table
+    // would supply read options only here)
+    val merged = new java.util.HashMap[String, String](options)
+    merged.putAll(caseInsensitiveOptions)
+    new VecsScanBuilder(format, tableSchema, elemBytes, new CaseInsensitiveStringMap(merged))
+  }
 }
 
 private[sources] object VecsTable {
@@ -153,6 +159,7 @@ private[sources] class VecsScanBuilder(format: String, fullSchema: StructType, e
       var nextId = 0L
       val parts = Array.newBuilder[InputPartition]
       files.zip(dims).foreach { case ((p, len), dim) =>
+        require(dim > 0, s"$p: bad dim header $dim — not a ${description()} file?")
         val recLen = 4L + elemBytes.toLong * dim
         require(len % recLen == 0,
           s"$p: length $len is not a whole number of $recLen-byte records — truncated file?")
@@ -189,7 +196,17 @@ private[sources] object VecsScanBuilder {
         .getOrElse(throw new java.io.FileNotFoundException(s))
       require(matched.nonEmpty, s"no files match $s")
       matched.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile) else Seq(st)
+        if (!st.isDirectory) Seq(st)
+        else {
+          val children = fs.listStatus(st.getPath).toSeq
+          // ids are POSITIONAL: silently skipping a nested directory
+          // would shift every later vector's id — refuse instead
+          val dirs = children.filter(_.isDirectory)
+          require(dirs.isEmpty,
+            s"${st.getPath} contains subdirectories (${dirs.map(_.getPath.getName).mkString(", ")}); " +
+              "vecs directories must be flat — positional ids cannot skip nested content silently")
+          children
+        }
       }
     }
     all.map(st => (st.getPath, st.getLen)).sortBy(_._1.toString)
@@ -258,37 +275,47 @@ private[sources] class VecsPartitionReader(format: String, required: StructType,
     require(d == part.dim,
       s"${part.path}: non-uniform dim $d vs ${part.dim} at record ${part.firstId + i}")
     val id = part.firstId + i
-    val values = new Array[Any](required.fields.length)
+    val values = new Array[Any](decoders.length)
     var fIdx = 0
-    while (fIdx < required.fields.length) {
-      values(fIdx) = required.fields(fIdx).name match {
-        case "vec_id" | "query_id" => id
-        case "embedding" if elemBytes == 4 =>
-          val arr = new Array[Float](part.dim)
-          var j = 0
-          while (j < part.dim) { arr(j) = bb.getFloat; j += 1 }
-          UnsafeArrayData.fromPrimitiveArray(arr)
-        case "embedding" => // widened u8
-          val arr = new Array[Float](part.dim)
-          var j = 0
-          while (j < part.dim) { arr(j) = (bb.get() & 0xff).toFloat; j += 1 }
-          UnsafeArrayData.fromPrimitiveArray(arr)
-        case "codes" =>
-          val arr = new Array[Byte](part.dim)
-          bb.get(arr)
-          arr
-        case "neighbors" =>
-          val arr = new Array[Int](part.dim)
-          var j = 0
-          while (j < part.dim) { arr(j) = bb.getInt; j += 1 }
-          UnsafeArrayData.fromPrimitiveArray(arr)
-        case other => throw new IllegalStateException(s"unexpected column $other")
-      }
+    while (fIdx < decoders.length) {
+      values(fIdx) = decoders(fIdx)(id)
       fIdx += 1
     }
     row = new GenericInternalRow(values)
     i += 1
     true
+  }
+
+  // per-field decoders resolved ONCE from the pruned schema — the
+  // per-record loop above must not re-dispatch on column-name strings
+  private val decoders: Array[Long => Any] = required.fields.map { f =>
+    f.name match {
+      case "vec_id" | "query_id" => (id: Long) => id
+      case "embedding" if elemBytes == 4 => (_: Long) => {
+        val arr = new Array[Float](part.dim)
+        var j = 0
+        while (j < part.dim) { arr(j) = bb.getFloat; j += 1 }
+        UnsafeArrayData.fromPrimitiveArray(arr)
+      }
+      case "embedding" => (_: Long) => { // widened u8
+        val arr = new Array[Float](part.dim)
+        var j = 0
+        while (j < part.dim) { arr(j) = (bb.get() & 0xff).toFloat; j += 1 }
+        UnsafeArrayData.fromPrimitiveArray(arr)
+      }
+      case "codes" => (_: Long) => {
+        val arr = new Array[Byte](part.dim)
+        bb.get(arr)
+        arr
+      }
+      case "neighbors" => (_: Long) => {
+        val arr = new Array[Int](part.dim)
+        var j = 0
+        while (j < part.dim) { arr(j) = bb.getInt; j += 1 }
+        UnsafeArrayData.fromPrimitiveArray(arr)
+      }
+      case other => throw new IllegalStateException(s"unexpected column $other")
+    }
   }
 
   override def get(): InternalRow = row

@@ -132,6 +132,16 @@ object VecsFormats {
     * Empty range partitions (possible under skewed sampling) are
     * skipped rather than emitted as headerless zero-byte files; the
     * order argument is unaffected because skipping never reorders.
+    *
+    * Re-run safe and attempt safe: the target dir's stale
+    * `part-*.fvecs` are deleted up front (range boundaries are
+    * sampled, so a re-run can produce a DIFFERENT empty-partition
+    * set — a leftover shard from a previous run would silently fold
+    * into the positional-id read-back), and each task writes a
+    * task-attempt temp file renamed into place on success, so a
+    * speculative duplicate attempt never interleaves bytes into the
+    * final path (per-partition content is deterministic; whichever
+    * attempt renames last wins with identical bytes).
     * Returns (shard file, records) in shard order. */
   def writeFvecsSharded(df: DataFrame, dir: String, shards: Int): Seq[(String, Long)] = {
     val spark = df.sparkSession
@@ -139,17 +149,23 @@ object VecsFormats {
     val conf = org.apache.spark.sql.graft.bridge
       .serializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
-    root.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(root)
+    val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rootFs.mkdirs(root)
+    Option(rootFs.globStatus(new org.apache.hadoop.fs.Path(root, "part-*.fvecs*")))
+      .foreach(_.foreach(st => rootFs.delete(st.getPath, false)))
     df.select("vec_id", "embedding").as[(Long, Array[Float])]
       .repartitionByRange(shards, $"vec_id")
       .sortWithinPartitions($"vec_id")
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.fvecs")
-          val fs = p.getFileSystem(org.apache.spark.sql.graft.bridge.hadoopConfOf(conf))
-          val out = new BufferedOutputStream(fs.create(p, true), 1 << 20)
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val fin = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.fvecs")
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            f"part-$pid%05d.fvecs.attempt-${tc.taskAttemptId()}")
+          val fs = fin.getFileSystem(org.apache.spark.sql.graft.bridge.hadoopConfOf(conf))
+          val out = new BufferedOutputStream(fs.create(tmp, true), 1 << 20)
           var n = 0L
           try {
             it.foreach { case (_, v) =>
@@ -159,8 +175,13 @@ object VecsFormats {
               out.write(bb.array())
               n += 1
             }
-          } finally out.close()
-          Iterator.single((p.toString, n))
+          } catch {
+            case e: Throwable => out.close(); fs.delete(tmp, false); throw e
+          }
+          out.close()
+          fs.delete(fin, false) // rename-over is not portable across FS impls
+          require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")
+          Iterator.single((fin.toString, n))
         }
       }
       .collect().sortBy(_._1).toSeq

@@ -92,6 +92,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(adc === 1.0 + 10.0)
   }
 
+  test("codegen parameters are range-checked: oversized planes and bigint truncation fail loudly") {
+    def failsWith(sql: String, needle: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(needle)), s"for [$sql] got: $e")
+    }
+    // planes > 64 would silently alias onto low bits without the guard
+    failsWith("SELECT graft_lsh_bucket(array(1.0F), 80)", "planes must be in [1, 64]")
+    // 2^32 parses as a bigint literal; truncation would yield planes=0
+    failsWith("SELECT graft_lsh_bucket(array(1.0F), 4294967296)", "out of Int range")
+  }
+
   test("codegen parameters must be literals — a column argument fails loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_lsh_bucket(array(1.0F), CAST(id AS INT)) FROM range(1)").collect()

@@ -123,6 +123,39 @@ class VecsDataSourceSpec extends AnyFunSuite {
     back.zip(expect).foreach { case ((_, v), e) => assert(v.toSeq === e.toSeq) }
   }
 
+  test("a directory with nested subdirectories is refused, not silently skipped") {
+    val dir = Files.createTempDirectory("graft_dsv2_nested")
+    writeFvecsFile(s"$dir/a.fvecs", Seq(Array(1f, 2f)))
+    Files.createDirectory(dir.resolve("nested"))
+    val e = intercept[Exception] { spark.read.format("fvecs").load(dir.toString).count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("subdirectories")), s"unexpected: $e")
+  }
+
+  test("a garbage dim header fails loudly at planning") {
+    val path = "/tmp/graft_dsv2_baddim.fvecs"
+    val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(-1); bb.putInt(42)
+    Files.write(Paths.get(path), bb.array())
+    val e = intercept[Exception] { spark.read.format("fvecs").load(path).count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bad dim header")), s"unexpected: $e")
+  }
+
+  test("sharded export re-run with fewer shards leaves no stale part files behind") {
+    import spark.implicits._
+    val src = Tables.embeddings(spark, SparkSpecBase.sf001)
+    val dir = Files.createTempDirectory("graft_dsv2_rerun").toString
+    VecsFormats.writeFvecsSharded(src, dir, shards = 6)
+    VecsFormats.writeFvecsSharded(src, dir, shards = 2)
+    // a leftover part-00003+ from the first run would fold duplicate
+    // vectors into the positional-id read-back
+    val back = spark.read.format("fvecs").load(dir).count()
+    assert(back === src.count())
+  }
+
   test("a truncated file fails loudly at planning, not with silent row loss") {
     val path = "/tmp/graft_dsv2_trunc.fvecs"
     writeFvecsFile(path, Seq(Array(1f, 2f), Array(3f, 4f)))
