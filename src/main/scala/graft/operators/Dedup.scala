@@ -31,7 +31,9 @@ object Dedup {
     * one call after the family's reps complete. */
   private[graft] val Family = "dedup"
 
-  private val MinhashPerms = perms(4)
+  // shared with the streaming twin (StreamOps.streamingNearDedup) so
+  // the two forms band identically
+  private[graft] val MinhashPerms = perms(4)
   private val MinhashTau = 0.01
   private val SimhashMaxHamming = 3
   private val JaccardTau = 0.6

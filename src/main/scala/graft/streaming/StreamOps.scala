@@ -20,6 +20,14 @@ case class SelectOut(
     doc_id: Long, quality_score: Double, pred_lang: String,
     is_dup: Boolean, selected: Boolean)
 
+/** One near-dup candidate pair from the streaming MinHash operator:
+  * `doc_id` arrived at or after `matched_id` and collided with it in
+  * minhash band `band` with bottom-k-estimated Jaccard `est_jac`. */
+case class NearDupOut(doc_id: Long, matched_id: Long, band: Int, est_jac: Double)
+
+/** One (band, signature)-keyed arrival for [[StreamOps.streamingNearDedup]]. */
+private[streaming] case class BandRow(doc_id: Long, j: Int, sig: Long, sketch: Array[Long])
+
 /** In-flight session state. */
 case class SessionState(start_us: Long, last_us: Long, n: Long)
 
@@ -90,6 +98,102 @@ object StreamOps {
           state.update(keeper)
           ids.iterator.map(id => DedupOut(id, keeper, id != keeper))
       }
+  }
+
+  /** Bottom-k sketch size for [[streamingNearDedup]] — 32 longs of
+    * state per keeper, independent of document length. */
+  val SketchK = 32
+
+  /** Keepers retained per (band, signature) state slot. Bounds state
+    * at `MaxKeepers` sketches per distinct band value; an overflowing
+    * slot stops ACCEPTING new keepers but keeps flagging arrivals
+    * against the ones it holds (recall loss on pathological
+    * collisions, never unbounded state). */
+  val MaxKeepers = 8
+
+  /** Streaming MinHash near-dedup — the ingest-time form of
+    * [[graft.operators.Dedup.qDedupMinhash]]: each arriving doc is
+    * shingled (word-3-grams) and banded with the SAME four minhash
+    * permutations as the batch operator
+    * ([[graft.operators.Dedup.MinhashPerms]] — shared constant, so
+    * the two forms band identically); state per (band, signature)
+    * remembers up to [[MaxKeepers]] first-seen docs as bottom-k
+    * shingle sketches ([[SketchK]] smallest hashes — bounded,
+    * length-independent state, unlike the full shingle sets the batch
+    * verify step uses), and every later arrival colliding in a band
+    * is emitted as a candidate PAIR when its bottom-k-estimated
+    * Jaccard clears `tau`.
+    *
+    * Output is the candidate-pair stream, not a per-doc verdict: a
+    * pair colliding in several bands emits once per band (Structured
+    * Streaming cannot chain a per-doc aggregation behind
+    * `flatMapGroupsWithState` without event-time windows), and
+    * downstream sinks `dropDuplicates(doc_id, matched_id)` — the same
+    * contract as the batch operator's band-candidate stage, where the
+    * first-matching-band rule does the dedup instead. Within a batch,
+    * docs process in id order, so co-batch pairs emit (later, earlier)
+    * exactly like the batch `doc_a < doc_b` rule. Estimated (not
+    * exact) Jaccard is the streaming trade: exact verification needs
+    * the full shingle sets, whose state would grow with document
+    * length; the bottom-k estimator's error is O(1/√k).
+    * No state timeout (synchronous-drain friendly) — at-scale
+    * deployments put a TTL on slots, same contract as
+    * [[streamingDedup]]. */
+  def streamingNearDedup(docs: DataFrame, tau: Double = 0.35): Dataset[NearDupOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.SharedHash
+    val perms = graft.operators.Dedup.MinhashPerms
+    val sigCols = perms.zipWithIndex
+      .map { case (p, j) => s"${SharedHash.sparkMinhash("sh", p)} AS sig_$j" }
+    val stackArgs = perms.indices.map(j => s"$j, sig_$j").mkString(", ")
+    docs
+      .withColumn("sh", graft.functions.HashExprs.wordShingleHashes(col("text"), 3))
+      .filter(size(col("sh")) >= 1)
+      // WordShingleHashes emits DISTINCT hashes, so the k smallest of
+      // the sorted array ARE the bottom-k sketch
+      .withColumn("sketch", slice(array_sort(col("sh")), 1, SketchK))
+      .selectExpr(Seq("doc_id", "sketch") ++ sigCols: _*)
+      .selectExpr("doc_id", "sketch", s"stack(${perms.size}, $stackArgs) AS (j, sig)")
+      .select($"doc_id", $"j", $"sig", $"sketch").as[BandRow]
+      .groupByKey(r => (r.j, r.sig))
+      .flatMapGroupsWithState[List[(Long, Array[Long])], NearDupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[BandRow],
+         state: GroupState[List[(Long, Array[Long])]]) =>
+          val arrivals = rows.toArray.sortBy(_.doc_id)
+          var keepers = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[NearDupOut]
+          arrivals.foreach { r =>
+            keepers.foreach { case (kid, ksk) =>
+              if (kid != r.doc_id) {
+                val est = bottomKJaccard(ksk, r.sketch)
+                if (est >= tau) out += NearDupOut(r.doc_id, kid, key._1, est)
+              }
+            }
+            if (keepers.size < MaxKeepers) keepers = keepers :+ ((r.doc_id, r.sketch))
+          }
+          state.update(keepers)
+          out.result().iterator
+      }
+  }
+
+  /** Bottom-k Jaccard estimate over two ascending-sorted distinct
+    * bottom-k sketches: among the k smallest hashes of the UNION,
+    * the fraction present in both sets. Exact when both sets have
+    * ≤ k elements; O(1/√k) error otherwise. */
+  private[graft] def bottomKJaccard(a: Array[Long], b: Array[Long]): Double = {
+    val k = SketchK
+    var ia = 0; var ib = 0; var taken = 0; var shared = 0
+    while (taken < k && (ia < a.length || ib < b.length)) {
+      val va = if (ia < a.length) a(ia) else Long.MaxValue
+      val vb = if (ib < b.length) b(ib) else Long.MaxValue
+      if (va == vb) { shared += 1; ia += 1; ib += 1 }
+      else if (va < vb) ia += 1
+      else ib += 1
+      taken += 1
+    }
+    if (taken == 0) 0.0 else shared.toDouble / taken
   }
 
   /** Ingest-time training-set selection — the streaming form of

@@ -127,6 +127,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.find(_._1 == 2L).get._2 && !out.find(_._1 == 3L).get._2)
   }
 
+  test("streaming near-dedup flags exact and near duplicates across batches, not unrelated docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingNearDedup(mem.toDS().toDF("doc_id", "text"), tau = 0.35)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup").start()
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"token$i").mkString(" ")
+    val other = (1 to 60).map(i => s"word$i").mkString(" ")
+    mem.addData((1L, base), (2L, other))
+    q.processAllAvailable()
+    // batch 2: exact dup of 1, near dup of 1, and a fresh unrelated doc
+    mem.addData((3L, base), (4L, near), (5L, "completely different content entirely"))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("neardup")
+      .select($"doc_id", $"matched_id", $"est_jac")
+      .as[(Long, Long, Double)].collect().toSet
+    // exact duplicate: estimate is exactly 1.0, matched to the earlier doc
+    assert(pairs.exists { case (d, m, e) => d == 3L && m == 1L && e == 1.0 },
+      s"missing exact-dup pair in $pairs")
+    // one-word edit of a 60-word doc: shingle Jaccard ≈ (58-3)/61 high;
+    // the bottom-k estimate must clear tau and point at doc 1
+    assert(pairs.exists { case (d, m, e) => d == 4L && m == 1L && e >= 0.35 },
+      s"missing near-dup pair in $pairs")
+    // unrelated docs never pair up
+    assert(!pairs.exists { case (d, m, _) => Set(d, m).contains(2L) || Set(d, m).contains(5L) },
+      s"false positive in $pairs")
+  }
+
+  test("near-dedup bottom-k estimator: exact on small sets, in order, symmetric") {
+    def sk(xs: Long*): Array[Long] = xs.toArray.distinct.sorted
+    assert(StreamOps.bottomKJaccard(sk(1, 2, 3), sk(1, 2, 3)) === 1.0)
+    assert(StreamOps.bottomKJaccard(sk(1, 2, 3, 4), sk(5, 6, 7, 8)) === 0.0)
+    // |A∩B|=2, |A∪B|=4 → 0.5, exact below k
+    assert(StreamOps.bottomKJaccard(sk(1, 2, 3), sk(2, 3, 9)) === 0.5)
+    val a = sk((1L to 100L): _*)
+    val b = sk((51L to 150L): _*)
+    // true jac = 50/150 ≈ 0.333; k=32 smallest of union are 1..32, 14 shared? no:
+    // union bottom-32 = 1..32, shared = 0 of those... estimator is rank-based:
+    // shared among union bottom-k = |{51..100} ∩ {1..32}| = 0 → biased low here
+    // by construction (disjoint low ranks) — assert only bounds + symmetry
+    val e1 = StreamOps.bottomKJaccard(a, b)
+    assert(e1 >= 0.0 && e1 <= 1.0 && e1 === StreamOps.bottomKJaccard(b, a))
+  }
+
   test("streaming sessionizer == batch q_sessionize on closed sessions") {
     // the REAL events table through the stateful sessionizer: every
     // session the stream closes must match the batch window-lag
