@@ -156,6 +156,43 @@ class VecsDataSourceSpec extends AnyFunSuite {
     assert(back === src.count())
   }
 
+  test("seeded random shapes: dim/count/split/shard combinations all round-trip with exact ids") {
+    import spark.implicits._
+    // deterministic LCG over (dim, count, splitBytes, nFiles) shapes —
+    // covers 1-record files, dim 1, splits that don't divide evenly,
+    // and multi-file boundaries in one sweep
+    var seed = 0x9e3779b97f4a7c15L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (case_ <- 0 until 12) {
+      val dim = 1 + nextInt(17)
+      val nFiles = 1 + nextInt(3)
+      val dir = Files.createTempDirectory(s"graft_dsv2_prop$case_").toString
+      val all = Seq.newBuilder[Array[Float]]
+      var id = 0
+      for (f <- 0 until nFiles) {
+        val count = 1 + nextInt(40)
+        val vecs = (0 until count).map { _ =>
+          val v = Array.tabulate(dim)(j => (id * 31 + j).toFloat); id += 1; v
+        }
+        all ++= vecs
+        writeFvecsFile(f"$dir/part-$f%02d.fvecs", vecs)
+      }
+      val recLen = 4 + 4 * dim
+      val splitBytes = recLen * (1 + nextInt(7)) + nextInt(recLen) // may not divide evenly
+      val rows = spark.read.format("fvecs")
+        .option("maxBytesPerPartition", splitBytes.toString).load(dir)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val expect = all.result()
+      assert(rows.length === expect.length, s"case $case_ dim $dim files $nFiles")
+      rows.foreach { case (rid, v) =>
+        assert(v.toSeq === expect(rid.toInt).toSeq, s"case $case_ id $rid")
+      }
+    }
+  }
+
   test("a truncated file fails loudly at planning, not with silent row loss") {
     val path = "/tmp/graft_dsv2_trunc.fvecs"
     writeFvecsFile(path, Seq(Array(1f, 2f), Array(3f, 4f)))
