@@ -4,6 +4,7 @@ import java.io.{BufferedOutputStream, DataInputStream, FileInputStream, FileOutp
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Readers/writers for the classic ANN benchmark vector formats the
   * reference's examples consume (examples/bigann.rs, diskann_sift.rs:
@@ -146,14 +147,42 @@ object VecsFormats {
   def writeFvecsSharded(df: DataFrame, dir: String, shards: Int): Seq[(String, Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
+    writeSharded[Array[Float]](df, "embedding", dir, shards, "fvecs") { v =>
+      val bb = ByteBuffer.allocate(4 + 4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(v.length)
+      v.foreach(bb.putFloat)
+      bb.array()
+    }
+  }
+
+  /** DISTRIBUTED `.bvecs` export of (vec_id, codes: binary) — the
+    * sharded twin of [[writeBvecs]], same contract as
+    * [[writeFvecsSharded]]: native u8 end to end, no float widening. */
+  def writeBvecsSharded(df: DataFrame, dir: String, shards: Int): Seq[(String, Long)] =
+    writeSharded[Array[Byte]](df, "codes", dir, shards, "bvecs")(
+      { v =>
+        val bb = ByteBuffer.allocate(4 + v.length).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(v.length)
+        bb.put(v)
+        bb.array()
+      })(org.apache.spark.sql.Encoders.BINARY)
+
+  private def writeSharded[T: org.apache.spark.sql.Encoder](df: DataFrame, payloadCol: String,
+      dir: String, shards: Int, ext: String)(encode: T => Array[Byte]): Seq[(String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val conf = org.apache.spark.sql.graft.bridge
       .serializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
     val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     rootFs.mkdirs(root)
-    Option(rootFs.globStatus(new org.apache.hadoop.fs.Path(root, "part-*.fvecs*")))
+    Option(rootFs.globStatus(new org.apache.hadoop.fs.Path(root, s"part-*.$ext*")))
       .foreach(_.foreach(st => rootFs.delete(st.getPath, false)))
-    df.select("vec_id", "embedding").as[(Long, Array[Float])]
+    implicit val pairEnc: org.apache.spark.sql.Encoder[(Long, T)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        implicitly[org.apache.spark.sql.Encoder[T]])
+    df.select(col("vec_id"), col(payloadCol)).as[(Long, T)]
       .repartitionByRange(shards, $"vec_id")
       .sortWithinPartitions($"vec_id")
       .mapPartitions { it =>
@@ -161,20 +190,14 @@ object VecsFormats {
         else {
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()
-          val fin = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.fvecs")
+          val fin = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.$ext")
           val tmp = new org.apache.hadoop.fs.Path(dir,
-            f"part-$pid%05d.fvecs.attempt-${tc.taskAttemptId()}")
+            f"part-$pid%05d.$ext.attempt-${tc.taskAttemptId()}")
           val fs = fin.getFileSystem(org.apache.spark.sql.graft.bridge.hadoopConfOf(conf))
           val out = new BufferedOutputStream(fs.create(tmp, true), 1 << 20)
           var n = 0L
           try {
-            it.foreach { case (_, v) =>
-              val bb = ByteBuffer.allocate(4 + 4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
-              bb.putInt(v.length)
-              v.foreach(bb.putFloat)
-              out.write(bb.array())
-              n += 1
-            }
+            it.foreach { case (_, v) => out.write(encode(v)); n += 1 }
           } catch {
             case e: Throwable => out.close(); fs.delete(tmp, false); throw e
           }

@@ -144,6 +144,18 @@ class VecsDataSourceSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("bad dim header")), s"unexpected: $e")
   }
 
+  test("sharded u8 export round-trips native binary codes through the DSv2 reader") {
+    import spark.implicits._
+    val codes = (0 until 40).map(i => (i.toLong, Array.tabulate(8)(j => ((i * 13 + j) % 256).toByte)))
+    val dir = Files.createTempDirectory("graft_dsv2_bshards").toString
+    val shards = VecsFormats.writeBvecsSharded(codes.toDF("vec_id", "codes"), dir, shards = 3)
+    assert(shards.map(_._2).sum === 40L)
+    val back = spark.read.format("bvecs").load(dir)
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    assert(back.length === 40)
+    back.foreach { case (id, c) => assert(c.toSeq === codes(id.toInt)._2.toSeq) }
+  }
+
   test("sharded export re-run with fewer shards leaves no stale part files behind") {
     import spark.implicits._
     val src = Tables.embeddings(spark, SparkSpecBase.sf001)
