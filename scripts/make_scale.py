@@ -25,7 +25,7 @@ Replication scheme (replica r in 0..K-1):
 Usage: python3 scripts/make_scale.py SRC_DIR DST_DIR K
 e.g.   python3 scripts/make_scale.py /root/testdata/sf0.1 /tmp/graft_sf1 10
 sf10:  python3 scripts/make_scale.py /root/testdata/sf0.1 /tmp/graft_sf10 100
-       (2M vectors / 60M lineitem, ~1.9 GB, ~3 min — the index-build
+       (200k vectors / 60M lineitem, ~1.9 GB, ~3 min — the index-build
        stress gate; see BASELINE.md "Scale rehearsal - sf10" for the
        Verify/check.py subset recipe and recorded figures)
 """

@@ -169,8 +169,9 @@ object Bench {
       // agg silently degenerates into externally sorting the full
       // candidate stream (at the sf10 rehearsal: one task spilling
       // 800 M rows for 7+ min while 31 cores idle). The headroom must
-      // sit ABOVE the largest rehearsed query set: sf10's 2M vectors
-      // give n/50 = 40k groups, past the old 32 Ki cap. 128 Ki bounded
+      // sit ABOVE any rehearsal's query set: sf10 (200k vectors) gives
+      // n/50 = 4k groups — inside the old 32 Ki cap — but a ×1000
+      // corpus (2M vectors → 40k groups) crosses it. 128 Ki bounded
       // groups ≈ 160 MB/task worst-case — still nowhere near heap.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false")

@@ -29,7 +29,7 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // hash-agg headroom for query-set-sized TopK groups — see the
       // rationale at the Bench builder (Bench.scala); 128 Ki clears
-      // the sf10 rehearsal's 40k-query set
+      // a ×1000 rehearsal's 40k-query set (see the Bench builder)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
