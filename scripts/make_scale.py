@@ -22,7 +22,11 @@ Replication scheme (replica r in 0..K-1):
   - events keep their timestamps byte-for-byte; user/event ids shift,
     so sessionize/funnel windows replay identically per replica.
 
-Usage: python3 scripts/make_scale.py SRC_DIR DST_DIR K
+Usage: python3 scripts/make_scale.py SRC_DIR DST_DIR K [tables]
+       [tables] = optional comma list restricting which tables are
+       replicated (e.g. "embeddings" for the x1000 vector-only
+       rehearsal — replicating 600M lineitem rows to scale one
+       vector table 1000x would be all cost, no signal).
 e.g.   python3 scripts/make_scale.py /root/testdata/sf0.1 /tmp/graft_sf1 10
 sf10:  python3 scripts/make_scale.py /root/testdata/sf0.1 /tmp/graft_sf10 100
        (200k vectors / 60M lineitem, ~1.9 GB, ~3 min — the index-build
@@ -73,10 +77,17 @@ def jittered(embs, r, rng):
     return pa.ListArray.from_arrays(embs.offsets, pa.array(out, type=pa.float32()))
 
 
-def main(src, dst, k):
+def main(src, dst, k, only=None):
     import os
 
     os.makedirs(dst, exist_ok=True)
+    keep = set(only.split(",")) if only else None
+    global KEYS, COPY_AS_IS
+    if keep is not None:
+        # offsets still derive from full domains when the tables are
+        # present; a restricted run reads only what it replicates
+        KEYS = {n: c for n, c in KEYS.items() if n in keep}
+        COPY_AS_IS = [n for n in COPY_AS_IS if n in keep]
     tables = {
         name: pq.read_table(f"{src}/{name}.parquet")
         for name in list(KEYS) + COPY_AS_IS
@@ -121,4 +132,5 @@ def main(src, dst, k):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]),
+         sys.argv[4] if len(sys.argv) > 4 else None)
