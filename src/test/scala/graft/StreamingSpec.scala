@@ -156,6 +156,36 @@ class StreamingSpec extends AnyFunSuite {
       s"false positive in $pairs")
   }
 
+  test("streaming near-dedup catches every strong batch-verified pair on the real documents table") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch authority: the minhash operator's exact-Jaccard verified
+    // pairs at sf0.001. Strong pairs (jac >= 0.5) MUST surface from
+    // the streaming twin fed the same corpus as one batch: the banding
+    // is the shared constant, so any band collision batch saw, the
+    // stream sees; tau sits at 0.2 so the bottom-k estimate of a
+    // jac-0.5 pair clears it with ~3 sigma of estimator margin
+    // (k=32 -> sigma ~ 0.09).
+    val strong = operators.Dedup.verifiedPairs(spark, SparkSpecBase.sf001)
+      .filter($"jac" >= 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assume(strong.nonEmpty, "no strong near-dup pairs at sf0.001 — corpus changed?")
+    val docs = Tables.documents(spark, SparkSpecBase.sf001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingNearDedup(mem.toDS().toDF("doc_id", "text"), tau = 0.2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_vs_batch").start()
+    mem.addData(docs)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("neardup_vs_batch")
+      .select($"doc_id", $"matched_id").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val missed = strong.filterNot { case (a, b) => streamed((a, b)) }
+    assert(missed.isEmpty,
+      s"${missed.length}/${strong.length} strong batch pairs missed by the stream: ${missed.take(5).toSeq}")
+    operators.Dedup.release(spark)
+  }
+
   test("near-dedup bottom-k estimator: exact on small sets, in order, symmetric") {
     def sk(xs: Long*): Array[Long] = xs.toArray.distinct.sorted
     assert(StreamOps.bottomKJaccard(sk(1, 2, 3), sk(1, 2, 3)) === 1.0)

@@ -65,6 +65,19 @@ class VecsDataSourceSpec extends AnyFunSuite {
     assert(rows.map(_._2.head.toLong).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("fvecs: multi-path load(p1, p2) concatenates in lexical path order") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2_multipath").toString
+    writeFvecsFile(s"$dir/b.fvecs", Seq(Array(2f, 2f)))
+    writeFvecsFile(s"$dir/a.fvecs", Seq(Array(0f, 0f), Array(1f, 1f)))
+    // passed b-then-a: ids must still follow LEXICAL order, not
+    // argument order — the same rule the directory listing uses
+    val rows = spark.read.format("fvecs").load(s"$dir/b.fvecs", s"$dir/a.fvecs")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(rows.map(_._2.head.toLong).toSeq === Seq(0L, 1L, 2L))
+  }
+
   test("fvecs: column pruning reaches the reader (payload never decoded)") {
     val path = "/tmp/graft_dsv2_prune.fvecs"
     writeFvecsFile(path, (0 until 10).map(_ => Array(1f, 2f, 3f)))
