@@ -80,21 +80,30 @@ def jittered(embs, r, rng):
 def main(src, dst, k, only=None):
     import os
 
+    global KEYS, COPY_AS_IS
     os.makedirs(dst, exist_ok=True)
     keep = set(only.split(",")) if only else None
-    global KEYS, COPY_AS_IS
+    # offsets ALWAYS derive from the full key domains: a key domain
+    # spans tables (vec_id/doc_id/event_id/user_id all share "id";
+    # o_custkey and c_custkey share "custkey"), so deriving from a
+    # restricted subset would shift ids differently than a full run —
+    # the restricted corpus's keys would neither match a full corpus
+    # nor stay disjoint from unreplicated tables if outputs combine.
+    # Reading the extra source tables costs ~the sf0.1 dir (tens of MB).
+    all_tables = {
+        name: pq.read_table(f"{src}/{name}.parquet") for name in KEYS
+    }
+    offsets = {
+        col: offset_for(all_tables, col) for cols in KEYS.values() for col in cols
+    }
     if keep is not None:
-        # offsets still derive from full domains when the tables are
-        # present; a restricted run reads only what it replicates
         KEYS = {n: c for n, c in KEYS.items() if n in keep}
         COPY_AS_IS = [n for n in COPY_AS_IS if n in keep]
     tables = {
-        name: pq.read_table(f"{src}/{name}.parquet")
-        for name in list(KEYS) + COPY_AS_IS
+        name: all_tables[name] for name in KEYS
     }
-    offsets = {
-        col: offset_for(tables, col) for cols in KEYS.values() for col in cols
-    }
+    for name in COPY_AS_IS:
+        tables[name] = pq.read_table(f"{src}/{name}.parquet")
     for name in COPY_AS_IS:
         pq.write_table(tables[name], f"{dst}/{name}.parquet")
         print(f"{name}: copied {tables[name].num_rows} rows")

@@ -176,7 +176,11 @@ object VecsFormats {
     val root = new org.apache.hadoop.fs.Path(dir)
     val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     rootFs.mkdirs(root)
-    Option(rootFs.globStatus(new org.apache.hadoop.fs.Path(root, s"part-*.$ext*")))
+    // extension-BLIND pre-clean: the DSv2 directory reader lists all
+    // children, so a stale shard of another format (fvecs written,
+    // then bvecs into the same dir) would fold into the positional
+    // read-back just as silently as a same-format leftover
+    Option(rootFs.globStatus(new org.apache.hadoop.fs.Path(root, "part-*")))
       .foreach(_.foreach(st => rootFs.delete(st.getPath, false)))
     implicit val pairEnc: org.apache.spark.sql.Encoder[(Long, T)] =
       org.apache.spark.sql.Encoders.tuple(

@@ -150,9 +150,10 @@ object StreamOps {
     docs
       .withColumn("sh", graft.functions.HashExprs.wordShingleHashes(col("text"), 3))
       .filter(size(col("sh")) >= 1)
-      // WordShingleHashes emits DISTINCT hashes, so the k smallest of
-      // the sorted array ARE the bottom-k sketch
-      .withColumn("sketch", slice(array_sort(col("sh")), 1, SketchK))
+      // WordShingleHashes emits DISTINCT, ASCENDING-SORTED hashes
+      // (TreeSet-built), so its k-prefix IS the bottom-k sketch — no
+      // re-sort on the ingest hot path
+      .withColumn("sketch", slice(col("sh"), 1, SketchK))
       .selectExpr(Seq("doc_id", "sketch") ++ sigCols: _*)
       .selectExpr("doc_id", "sketch", s"stack(${perms.size}, $stackArgs) AS (j, sig)")
       .select($"doc_id", $"j", $"sig", $"sketch").as[BandRow]
@@ -171,7 +172,12 @@ object StreamOps {
                 if (est >= tau) out += NearDupOut(r.doc_id, kid, key._1, est)
               }
             }
-            if (keepers.size < MaxKeepers) keepers = keepers :+ ((r.doc_id, r.sketch))
+            // a re-ingested doc_id must not re-consume keeper slots:
+            // duplicate appends would fill the slot with copies of one
+            // popular doc (starving every later genuine keeper) and
+            // emit each match once per stored copy
+            if (keepers.size < MaxKeepers && !keepers.exists(_._1 == r.doc_id))
+              keepers = keepers :+ ((r.doc_id, r.sketch))
           }
           state.update(keepers)
           out.result().iterator

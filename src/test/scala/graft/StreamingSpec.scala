@@ -181,8 +181,16 @@ class StreamingSpec extends AnyFunSuite {
       .select($"doc_id", $"matched_id").as[(Long, Long)].collect()
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
     val missed = strong.filterNot { case (a, b) => streamed((a, b)) }
-    assert(missed.isEmpty,
-      s"${missed.length}/${strong.length} strong batch pairs missed by the stream: ${missed.take(5).toSeq}")
+    // floor, not completeness: MaxKeepers bounds state per (band,
+    // signature) slot BY CONTRACT, so a dup cluster larger than 8
+    // exact copies can legitimately hide a pair whose earlier member
+    // fell past the keeper cap. The current corpus misses zero; the
+    // floor keeps the pin robust to a regenerated corpus with bigger
+    // clusters without asserting a guarantee the operator never made.
+    val recall = 1.0 - missed.length.toDouble / strong.length
+    assert(recall >= 0.95,
+      f"stream caught $recall%.3f of ${strong.length} strong batch pairs " +
+        s"(missed ${missed.take(5).toSeq})")
     operators.Dedup.release(spark)
   }
 

@@ -29,6 +29,7 @@ class Vec2MSpec extends AnyFunSuite {
     val t0 = System.nanoTime()
     val idx = VamanaIndex.build(emb, params, numShards = 32)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var served: org.apache.spark.sql.DataFrame = null
     try {
       assert(idx.count() === n)
       val buildS = (System.nanoTime() - t0) / 1e9
@@ -49,7 +50,7 @@ class Vec2MSpec extends AnyFunSuite {
 
       val pivots = VamanaIndex.pivotTable(idx)
       val t1 = System.nanoTime()
-      val served = VamanaIndex.searchProbed(idx, queries, k = 10, beamWidth = 64,
+      served = VamanaIndex.searchProbed(idx, queries, k = 10, beamWidth = 64,
         params, nprobe = 4, pivots = Some(pivots)).persist()
       val rows = served.count()
       val serveS = (System.nanoTime() - t1) / 1e9
@@ -79,6 +80,7 @@ class Vec2MSpec extends AnyFunSuite {
       info(f"threshold recall@10 on ${sample.length} sampled queries: $recall%.3f")
       assert(recall >= 0.6, f"threshold recall $recall%.3f below the 0.6 rehearsal floor")
     } finally {
+      if (served != null) served.unpersist(blocking = false)
       idx.unpersist(blocking = false)
       VamanaIndex.releaseCaches()
     }
