@@ -83,9 +83,14 @@ class BenchFormatSpec extends AnyFunSuite {
     results.take(20).foreach { case (n, _) => assert(line.contains("\"" + n + "\":")) }
   }
 
-  test("baseline gate block parses: every benched family and 77 rows") {
+  test("baseline gate block parses: every benched family and one row per query") {
     val Some((cal, rows)) = Bench.loadBaseline(): @unchecked
-    assert(rows.size == 77, s"baseline-gate rows: ${rows.size}")
+    // track the live surface, not a count: a new query without a
+    // recorded gate row escapes the self-defense pass silently, and a
+    // row for a deleted query is a stale claim
+    assert(rows.keySet == SparkEntry.queries.keySet,
+      s"gate rows vs queries: missing ${SparkEntry.queries.keySet -- rows.keySet}, " +
+        s"stale ${rows.keySet -- SparkEntry.queries.keySet}")
     assert(rows("q1_agg") == 0.732)
     for (f <- Seq("relational", "sources", "multimodal", "text", "kmeans",
         "vector", "pq", "dedup", "hnsw", "vamana"))
