@@ -213,4 +213,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan") || p.contains("Scan parquet"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q_sql_surface: the SQL parser path plans the SAME native codegen expressions") {
+    // the registered names must resolve to the graft Catalyst
+    // expressions (visible by prettyName in the plan), with the scan
+    // pruned to the referenced columns — the SQL route earns the
+    // identical physical plan shape the Column API gets
+    val p = planOf(operators.VectorQueries.qSqlSurface(spark, sf))
+    for (fn <- Seq("graft_l2_distance", "graft_cosine_distance",
+        "graft_dot_product", "graft_lsh_bucket"))
+      assert(p.contains(fn), s"$fn missing from the SQL-path plan:\n$p")
+    assert(!p.contains("label"), s"label column should be pruned:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sql_text: one documents scan, token hashes computed once, no join") {
+    val p = planOf(operators.TextAnalysis.qSqlText(spark, sf))
+    assert(p.contains("graft_token_hashes"), p)
+    // the subquery holds tokenization to ONE evaluation per row —
+    // CollapseProject must not inline three copies into the outer
+    // projection (filter + code + n_tokens references)
+    assert("graft_token_hashes".r.findAllIn(p).length <= 2,
+      s"tokenizer duplicated across the projection:\n$p")
+    assert(!p.contains("Join"), p)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"documents scanned more than once:\n$p")
+  }
 }
