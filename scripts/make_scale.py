@@ -80,7 +80,6 @@ def jittered(embs, r, rng):
 def main(src, dst, k, only=None):
     import os
 
-    global KEYS, COPY_AS_IS
     os.makedirs(dst, exist_ok=True)
     keep = set(only.split(",")) if only else None
     # offsets ALWAYS derive from the full key domains: a key domain
@@ -96,18 +95,23 @@ def main(src, dst, k, only=None):
     offsets = {
         col: offset_for(all_tables, col) for cols in KEYS.values() for col in cols
     }
+    # restriction stays in LOCALS: rebinding the module globals would
+    # make a second in-process call (import-and-reuse, tests) silently
+    # operate on the previously restricted table set
+    keys_by_table = KEYS
+    copy_as_is = COPY_AS_IS
     if keep is not None:
-        KEYS = {n: c for n, c in KEYS.items() if n in keep}
-        COPY_AS_IS = [n for n in COPY_AS_IS if n in keep]
+        keys_by_table = {n: c for n, c in KEYS.items() if n in keep}
+        copy_as_is = [n for n in COPY_AS_IS if n in keep]
     tables = {
-        name: all_tables[name] for name in KEYS
+        name: all_tables[name] for name in keys_by_table
     }
-    for name in COPY_AS_IS:
+    for name in copy_as_is:
         tables[name] = pq.read_table(f"{src}/{name}.parquet")
-    for name in COPY_AS_IS:
+    for name in copy_as_is:
         pq.write_table(tables[name], f"{dst}/{name}.parquet")
         print(f"{name}: copied {tables[name].num_rows} rows")
-    for name, keys in KEYS.items():
+    for name, keys in keys_by_table.items():
         t = tables[name]
         replicas = []
         for r in range(k):

@@ -159,7 +159,12 @@ private[sources] class VecsScanBuilder(format: String, fullSchema: StructType, e
       var nextId = 0L
       val parts = Array.newBuilder[InputPartition]
       files.zip(dims).foreach { case ((p, len), dim) =>
-        require(dim > 0, s"$p: bad dim header $dim — not a ${description()} file?")
+        // upper bound too: a corrupt huge header would wrap recLen.toInt
+        // negative (NegativeArraySizeException far from the cause) or
+        // allocate a multi-GB per-record buffer; fail here with the
+        // same loud bad-dim diagnostic as dim <= 0
+        require(dim > 0 && dim <= (Int.MaxValue - 4) / elemBytes,
+          s"$p: bad dim header $dim — not a ${description()} file?")
         val recLen = 4L + elemBytes.toLong * dim
         require(len % recLen == 0,
           s"$p: length $len is not a whole number of $recLen-byte records — truncated file?")
@@ -186,7 +191,19 @@ private[sources] class VecsScanBuilder(format: String, fullSchema: StructType, e
 }
 
 private[sources] object VecsScanBuilder {
-  /** Expand files/dirs/globs to (file, length), lexically ordered. */
+  /** Hadoop hidden-file convention: `.`- and `_`-prefixed names are
+    * tooling artifacts (task-attempt temps like
+    * `.part-00003.fvecs.attempt-7` leaked by a hard task death,
+    * `_SUCCESS` markers), never data. Treating one as a shard would
+    * silently duplicate vectors and shift every later positional id —
+    * the corruption class the nested-dir guard exists for. */
+  private def isHidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+
+  /** Expand files/dirs/globs to (file, length), lexically ordered.
+    * Hidden (dot/underscore) children of a directory are skipped; an
+    * EXPLICITLY named hidden file is still honored (the caller typed
+    * the path — refusing it would be surprising). */
   def resolveFiles(conf: org.apache.hadoop.conf.Configuration,
       paths: Seq[String]): Seq[(Path, Long)] = {
     val all = paths.flatMap { s =>
@@ -199,6 +216,7 @@ private[sources] object VecsScanBuilder {
         if (!st.isDirectory) Seq(st)
         else {
           val children = fs.listStatus(st.getPath).toSeq
+            .filterNot(c => isHidden(c.getPath.getName))
           // ids are POSITIONAL: silently skipping a nested directory
           // would shift every later vector's id — refuse instead
           val dirs = children.filter(_.isDirectory)

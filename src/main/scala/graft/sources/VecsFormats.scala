@@ -179,9 +179,12 @@ object VecsFormats {
     // extension-BLIND pre-clean: the DSv2 directory reader lists all
     // children, so a stale shard of another format (fvecs written,
     // then bvecs into the same dir) would fold into the positional
-    // read-back just as silently as a same-format leftover
-    Option(rootFs.globStatus(new org.apache.hadoop.fs.Path(root, "part-*")))
-      .foreach(_.foreach(st => rootFs.delete(st.getPath, false)))
+    // read-back just as silently as a same-format leftover; dot-named
+    // attempt temps leaked by a hard task death are swept too
+    Seq("part-*", ".part-*").foreach { pat =>
+      Option(rootFs.globStatus(new org.apache.hadoop.fs.Path(root, pat)))
+        .foreach(_.foreach(st => rootFs.delete(st.getPath, false)))
+    }
     implicit val pairEnc: org.apache.spark.sql.Encoder[(Long, T)] =
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -195,8 +198,13 @@ object VecsFormats {
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()
           val fin = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.$ext")
+          // Hadoop-convention DOT-prefixed temp: a hard task death
+          // (executor kill — the in-JVM catch below never runs) leaks
+          // the attempt file, and the DSv2 reader's hidden-file filter
+          // ([[graft.sources.VecsScanBuilder.resolveFiles]]) must skip
+          // it rather than fold it into the positional-id space
           val tmp = new org.apache.hadoop.fs.Path(dir,
-            f"part-$pid%05d.$ext.attempt-${tc.taskAttemptId()}")
+            f".part-$pid%05d.$ext.attempt-${tc.taskAttemptId()}")
           val fs = fin.getFileSystem(org.apache.spark.sql.graft.bridge.hadoopConfOf(conf))
           val out = new BufferedOutputStream(fs.create(tmp, true), 1 << 20)
           var n = 0L
@@ -206,8 +214,22 @@ object VecsFormats {
             case e: Throwable => out.close(); fs.delete(tmp, false); throw e
           }
           out.close()
-          fs.delete(fin, false) // rename-over is not portable across FS impls
-          require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")
+          // Commit without a delete-then-rename absence window: a
+          // speculative duplicate attempt produces IDENTICAL bytes
+          // (per-partition content is deterministic), so if the final
+          // file already exists at the expected length the sibling
+          // already committed — drop the temp. Otherwise rename with
+          // OVERWRITE through FileContext, which replaces atomically
+          // where the FS supports it; a concurrent directory reader
+          // never observes a missing shard (shifted positional ids).
+          val tmpLen = fs.getFileStatus(tmp).getLen
+          if (fs.exists(fin) && fs.getFileStatus(fin).getLen == tmpLen) {
+            fs.delete(tmp, false)
+          } else {
+            org.apache.hadoop.fs.FileContext.getFileContext(fin.toUri,
+                org.apache.spark.sql.graft.bridge.hadoopConfOf(conf))
+              .rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          }
           Iterator.single((fin.toString, n))
         }
       }

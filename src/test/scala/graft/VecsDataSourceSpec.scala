@@ -136,6 +136,23 @@ class VecsDataSourceSpec extends AnyFunSuite {
     back.zip(expect).foreach { case ((_, v), e) => assert(v.toSeq === e.toSeq) }
   }
 
+  test("hidden files (leaked attempt temps, _SUCCESS) are skipped by the directory reader") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2_hidden").toString
+    writeFvecsFile(s"$dir/part-00000.fvecs", Seq(Array(0f, 0f), Array(1f, 1f)))
+    writeFvecsFile(s"$dir/part-00001.fvecs", Seq(Array(2f, 2f)))
+    // a leaked task-attempt temp (hard task death skips the in-JVM
+    // cleanup) and foreign-tooling markers must NOT enter the
+    // positional-id space — folding one in would duplicate vectors
+    // and shift every later id silently
+    writeFvecsFile(s"$dir/.part-00001.fvecs.attempt-7", Seq(Array(9f, 9f)))
+    Files.write(Paths.get(s"$dir/_SUCCESS"), Array.emptyByteArray)
+    val rows = spark.read.format("fvecs").load(dir)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(rows.map(_._2.head.toLong).toSeq === Seq(0L, 1L, 2L))
+  }
+
   test("a directory with nested subdirectories is refused, not silently skipped") {
     val dir = Files.createTempDirectory("graft_dsv2_nested")
     writeFvecsFile(s"$dir/a.fvecs", Seq(Array(1f, 2f)))
