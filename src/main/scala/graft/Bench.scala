@@ -279,7 +279,9 @@ object Bench {
     // manual next-round investigation (r8's four rows, r9's six).
     // Instead, any query whose median exceeds 2× its capacity-scaled
     // baseline row gets a standalone 5-rep re-measure — worst
-    // offenders first, at most 10 — recorded on the SAME stdout line:
+    // offenders first, at most 10 — recorded on the stdout line when
+    // budget allows and ALWAYS in BENCH_LOCAL.json (zero-omission of
+    // the per-query rows outranks the re-measure map on the line):
     // an episode shows up as a flagged row whose standalone median is
     // back inside the band; a persistent excursion is a real signal.
     val remeasured = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -422,6 +424,25 @@ object Bench {
     val (calLo, calHi) =
       if (calVals.isEmpty) (-1.0, -1.0) else (calVals.min, calVals.max)
     val gcTotalS = gcPerQuery.map(_._2).sum / 1000.0
+    // Capacity-scaled total: each query's median scaled by (its
+    // family's run cal / baseline cal) — the total as if the run had
+    // executed in BASELINE.md's capacity context. Four straight
+    // rounds read 1.4-1.7× for CAPACITY reasons while per-query
+    // capacity-scaled rows sat inside the band; value_cal makes the
+    // headline compare like for like (judge r10 item 7). Queries
+    // without a baseline row/cal contribute unscaled.
+    val totalCal = results.toSeq.map { case (name, v) =>
+      if (v < 0) 0.0
+      else baseline.flatMap { case (baseCal, _) =>
+        val famCal = calSeries.toMap
+        for {
+          fam <- famOf.get(name)
+          bc <- baseCal.get(fam)
+          rc <- famCal.get(fam)
+          if rc > 0 && bc > 0
+        } yield v * rc / bc
+      }.getOrElse(v)
+    }.sum
     // the HEADLINE serving pair is the overlap-2 operating point
     // (recall@10 ≈ 0.91 at nprobe=4, OverlapSpec-pinned at sf0.1) —
     // the number a user should see first, the way the reference
@@ -432,119 +453,174 @@ object Bench {
     // rule (BASELINE.md) needs claims and artifacts matchable
     // run-for-run, so every line carries its own stamp
     val ts = System.currentTimeMillis() / 1000.0
-    val core = Seq(
+    // Compact scalar fragments, each pre-rendered at exactly the
+    // precision it needs (legend in BASELINE.md "Compact line format"):
+    //   recall100 = [routed, full]; lat_ms/llat_ms = [p50, p95, p99]
+    //   in MILLISECONDS (job-path / resident-handle); cal = [family
+    //   lo, family hi, end-of-run] effective cores; value_cal trails
+    //   "value". gc/steal diagnostics live in BENCH_LOCAL.json.
+    def lat3ms(a: Double, b: Double, c: Double, places: Int): String = {
+      def ms(d: Double) = if (d < 0) d.toString else fmtT(d * 1000, places)
+      s"[${ms(a)},${ms(b)},${ms(c)}]"
+    }
+    val core: Seq[(String, String)] = Seq(
+      "qps" -> fmtF(qpsOverlap, 0), "recall" -> fmtT(recallOverlap, 3),
+      "qps_routed" -> fmtF(qps, 0), "recall_routed" -> fmtT(recall, 3),
+      "recall100" -> s"[${fmtT(recall100, 3)},${fmtT(recall100Full, 3)}]",
+      "lat_ms" -> lat3ms(p50, p95, p99, 1),
+      "llat_ms" -> lat3ms(lp50, lp95, lp99, 2),
+      "cal" -> s"[${fmtT(calLo, 1)},${fmtT(calHi, 1)},${fmtT(calCores, 1)}]",
+      "ts" -> fmtF(ts, 0),
+      "value_cal" -> fmtF(totalCal, 2))
+    val extra = Seq(
+      "steal_pct" -> stealPct, "cal_1t" -> cal1t, "cal_cores" -> calCores,
+      "cal_lo" -> calLo, "cal_hi" -> calHi, "gc_s" -> gcTotalS, "ts" -> ts,
+      "value_cal" -> totalCal,
       "qps" -> qpsOverlap, "recall" -> recallOverlap,
       "qps_routed" -> qps, "recall_routed" -> recall, "recall100" -> recall100,
       "recall100_full" -> recall100Full,
       "latency_p50" -> p50, "latency_p95" -> p95, "latency_p99" -> p99,
       "latency_local_p50" -> lp50, "latency_local_p95" -> lp95,
       "latency_local_p99" -> lp99,
-      "steal_pct" -> stealPct, "cal_cores" -> calCores,
-      "cal_lo" -> calLo, "cal_hi" -> calHi, "gc_s" -> gcTotalS, "ts" -> ts)
-    val extra = Seq(
-      "cal_1t" -> cal1t,
       "qps_full" -> qpsFull, "recall_full" -> recallFull, "build_s" -> buildS)
-    // the standalone re-measure medians ride on BOTH forms — the
-    // compact line is the committed artifact the self-defense exists
-    // for; ≤10 entries keep it inside the tail budget (BenchFormatSpec)
-    val remeasureAux =
-      if (remeasured.isEmpty) Nil else Seq("remeasured" -> remeasured.toSeq)
-    // full-precision record (committed per round) additionally carries
-    // the per-query GC-ms map and the interleaved cal_cores series —
-    // the attribution data the compact stdout line has no room for
-    val auxMaps = remeasureAux ++
+    // full-precision record additionally carries the standalone
+    // re-measure medians, the per-query GC-ms map and the interleaved
+    // cal_cores series — the attribution data the compact stdout line
+    // has no room for. The record is committed into the repo by the
+    // next round-boundary commit, so the official run's full map is
+    // always one commit behind the official line, never lost.
+    val auxMaps =
+      (if (remeasured.isEmpty) Nil else Seq("remeasured" -> remeasured.toSeq)) ++
       Seq("gc_ms" -> gcPerQuery.toSeq, "cal_series" -> calSeries.toSeq) ++
       (if (remeasureCal.isEmpty) Nil else Seq("remeasure_cal" -> remeasureCal.toSeq))
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (renderLine(results.toSeq, core ++ extra, reps, errors.toSeq, sfDir,
-        compact = false, aux = auxMaps) + "\n")
+      (renderLine(results.toSeq, extra, reps, errors.toSeq, sfDir,
+        aux = auxMaps) + "\n")
         .getBytes("UTF-8"))
     catch { case _: Throwable => } // read-only cwd must not fail the bench
-    println(renderCompactFitted(results.toSeq, core, reps, errors.toSeq, sfDir,
-      aux = remeasureAux, rank = gateRatio))
+    // compact sf: the basename identifies the scale factor; the full
+    // dir is in BENCH_LOCAL.json
+    val sfShort = sfDir.reverse.takeWhile(_ != '/').reverse
+    println(renderCompactFitted(results.toSeq, core, reps, errors.toSeq,
+      sfShort, remeasured = remeasured.toSeq, rank = gateRatio))
     spark.stop()
   }
 
   /** The driver records only the LAST ~2000 chars of stdout: r5's
     * full-precision line (~2.3 KB for 64 queries) lost its head —
-    * "metric"/"value" were cut off. So (a) compact per-query seconds
-    * print at 2 decimals (10 ms resolution — an order of magnitude
-    * finer than the 2x comparison gate on ≥0.1 s queries), (b) the
-    * queries map leads and every headline scalar TRAILS it, so
-    * front-truncation can only eat query entries, never the totals,
-    * and (c) the full-precision form is also written to
-    * BENCH_LOCAL.json for offline reading. BenchFormatSpec pins the
-    * compact line under the tail window at the current query count.
-    */
+    * "metric"/"value" were cut off. So the queries map leads and
+    * every headline scalar TRAILS it (front-truncation can only eat
+    * query entries, never the totals), and the full-precision form is
+    * also written to BENCH_LOCAL.json for offline reading.
+    * BenchFormatSpec pins the compact line under the tail window at
+    * the current query count. */
   private[graft] val CompactBudget = 1880 // 2000 − sbt chrome − margin
 
-  /** Fit the compact line inside the driver's stdout tail window.
-    * At 77 queries the full map stopped fitting (the r9 artifact's
-    * `parsed: null` — the driver's captured tail began MID-JSON), so
-    * the committed artifact silently degraded to an unparseable
-    * fragment. Keep order: highest capacity-scaled baseline RATIO
-    * first (`rank` — the gate interrogates every row, and an
-    * absolute-seconds order would drop exactly the fast-baseline
-    * query whose 3× regression the gate exists to catch, r10 review),
-    * absolute seconds as the tiebreak and the no-baseline fallback;
-    * drop from the bottom until the line fits. The dropped count is
-    * reported as `queries_omitted`, `value` still totals ALL queries,
-    * and the full map always lands in BENCH_LOCAL.json. */
+  /** Compact per-query seconds: whole seconds at ≥10 s, else 2
+    * decimals with trailing zeros trimmed ("0.30" → "0.3") — 10 ms
+    * resolution, an order of magnitude finer than the 2× comparison
+    * gate on ≥0.1 s rows. Negative sentinels print as-is. */
+  private[graft] def fmtQ(d: Double): String =
+    if (d < 0) d.toString
+    else if (d >= 10) String.format(java.util.Locale.ROOT, "%.0f", Double.box(d))
+    else {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+        .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      if (s.isEmpty) "0" else s
+    }
+
+  /** Compact query key: the uniform `q_` prefix carries no
+    * information on a line where every key is a query, and at 80+
+    * queries those two chars per entry are the difference between a
+    * complete map and an omitted one. Full names always appear in
+    * BENCH_LOCAL.json; a compact key `k` names query `q_k` when that
+    * exists, else `k` itself (`q1_agg`). */
+  private[graft] def compactKey(name: String): String = name.stripPrefix("q_")
+
+  /** Render the compact stdout line. ZERO-OMISSION is the design goal
+    * (r10's committed artifact dropped 21 of 80 per-query rows — the
+    * official record stopped being self-contained): every query row is
+    * emitted with a stripped key and trimmed value, and the secondary
+    * scalars live only in BENCH_LOCAL.json. `scalars` values arrive
+    * PRE-RENDERED as JSON fragments (numbers or arrays), so each
+    * headline field carries exactly the precision it needs.
+    *
+    * The drop-from-the-bottom fallback is retained for PATHOLOGICAL
+    * runs only (many errors inflating the error list, every query
+    * slow): keep order is highest capacity-scaled baseline ratio
+    * first (`rank` — an absolute-seconds order would drop exactly the
+    * fast-baseline query whose 3× regression the gate exists to
+    * catch), dropped count reported as `queries_omitted`, `value`
+    * still totals ALL queries. BenchFormatSpec asserts the fallback
+    * stays DORMANT at the live query surface plus headroom. */
   private[graft] def renderCompactFitted(
-      results: Seq[(String, Double)], scalars: Seq[(String, Double)],
-      reps: Int, errors: Seq[String], sfDir: String,
-      aux: Seq[(String, Seq[(String, Double)])] = Nil,
+      results: Seq[(String, Double)], scalars: Seq[(String, String)],
+      reps: Int, errors: Seq[String], sf: String,
+      remeasured: Seq[(String, Double)] = Nil,
       budget: Int = CompactBudget,
       rank: Map[String, Double] = Map.empty): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     val bySlowest = results.sortBy { case (n, v) =>
       (-rank.getOrElse(n, 0.0), -v, n) }
-    var keep = results.length
-    var line = ""
-    while ({
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def render(keep: Int, withRemeasure: Boolean): String = {
       val omitted = results.length - keep
-      val scal2 =
-        if (omitted == 0) scalars
-        else scalars :+ ("queries_omitted" -> omitted.toDouble)
-      line = renderLine(bySlowest.take(keep), scal2, reps, errors, sfDir,
-        compact = true, aux = aux, totalOverride = Some(total))
-      line.length > budget && keep > 0
-    }) keep -= 1
+      val qmap = bySlowest.take(keep)
+        .map { case (k, v) => "\"" + compactKey(k) + "\":" + fmtQ(v) }
+        .mkString("{", ",", "}")
+      val omittedStr = if (omitted == 0) "" else s""""queries_omitted":$omitted,"""
+      val remStr =
+        if (!withRemeasure || remeasured.isEmpty) ""
+        else remeasured
+          .map { case (k, v) => "\"" + compactKey(k) + "\":" + fmtQ(v) }
+          .mkString(""""remeasured":{""", ",", "},")
+      val tail = scalars.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+      s"""{"queries":$qmap,$remStr$omittedStr"reps":$reps,"errors":$errs,"sf":"$sf",""" +
+        tail + s""","metric":"total","value":${fmtF(total, 2)},"unit":"sec"}"""
+    }
+    // the standalone re-measure medians ride along best-effort: they
+    // are the FIRST thing sacrificed for budget — query rows never
+    // are (they also always land in BENCH_LOCAL.json)
+    var line = render(results.length, withRemeasure = true)
+    if (line.length > budget) line = render(results.length, withRemeasure = false)
+    var keep = results.length
+    while (line.length > budget && keep > 0) {
+      keep -= 1; line = render(keep, withRemeasure = false)
+    }
     line
   }
+
+  /** Fixed-decimal formatter for compact scalar fragments. */
+  private[graft] def fmtF(d: Double, places: Int): String =
+    if (d < 0) d.toString
+    else String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
+
+  /** [[fmtF]] with trailing zeros (and a bare dot) trimmed:
+    * `1.000 → 1`, `0.940 → 0.94`. */
+  private[graft] def fmtT(d: Double, places: Int): String = {
+    val s = fmtF(d, places)
+    if (!s.contains('.')) s
+    else {
+      val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      if (t.isEmpty || t == "-") t + "0" else t
+    }
+  }
+  /** Full-precision record form — BENCH_LOCAL.json only (committed
+    * into the repo by the next round-boundary commit; the compact
+    * stdout line is the in-round artifact). */
   private[graft] def renderLine(
       results: Seq[(String, Double)], scalars: Seq[(String, Double)],
       reps: Int, errors: Seq[String], sfDir: String,
-      compact: Boolean,
-      aux: Seq[(String, Seq[(String, Double)])] = Nil,
-      totalOverride: Option[Double] = None): String = {
-    def f(d: Double, places: Int): String =
-      if (!compact || d < 0) d.toString
-      else String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
-    // per-query seconds: 10 ms resolution under 10 s, 1 s above —
-    // both far finer than the 2× comparison gate at their magnitude
-    // (a ≥10 s value is ≥10× the sub-second baseline rows), and the
-    // coarse tier keeps the 77-query line inside the driver's 2000-
-    // char stdout tail even in the all-queries-slow worst case; full
-    // precision always lands in BENCH_LOCAL.json
-    def q(d: Double): String = f(d, if (d >= 10) 0 else 2)
+      aux: Seq[(String, Seq[(String, Double)])] = Nil): String = {
     def obj(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + q(v) }
+      kvs.map { case (k, v) => "\"" + k + "\":" + v.toString }
         .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // totalOverride: renderCompactFitted may OMIT fast query entries,
-    // but "value" must still total every measured query
-    val total = totalOverride.getOrElse(results.map(_._2).filter(_ >= 0).sum)
+    val total = results.map(_._2).filter(_ >= 0).sum
     val auxStr = aux.map { case (k, kvs) => "\"" + k + "\":" + obj(kvs) + "," }.mkString
-    // latency scalars get 6 places: the resident-handle path is sub-ms,
-    // which 3 places would flatten to 0.000
-    val tail = scalars.map { case (k, v) =>
-      // ts is a whole-second run stamp; latencies are sub-ms
-      "\"" + k + "\":" + f(v, if (k.startsWith("latency")) 6
-        else if (k == "ts") 0 else 3)
-    }.mkString(",")
+    val tail = scalars.map { case (k, v) => "\"" + k + "\":" + v.toString }.mkString(",")
     s"""{"queries":${obj(results)},$auxStr"reps":$reps,"errors":$errs,"sf":"$sfDir",""" +
-      tail + s""","metric":"total","value":${f(total, 2)},"unit":"sec"}"""
+      tail + s""","metric":"total","value":$total,"unit":"sec"}"""
   }
 }

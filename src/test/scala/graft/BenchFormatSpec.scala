@@ -4,83 +4,101 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The driver keeps only the LAST ~2000 chars of the bench run's
   * stdout. BENCH_r05's full-precision JSON line overflowed that
-  * window and lost its head ("metric"/"value" were cut off), so the
-  * headline total vanished from the round record. These tests pin the
-  * compact line's budget at the CURRENT query count — adding queries
-  * without shrinking the format fails here, not silently in the next
-  * round's bench capture.
+  * window and lost its head ("metric"/"value" were cut off); the r10
+  * artifact instead OMITTED 21 of 80 per-query rows to fit — the
+  * official record stopped being self-contained. These tests pin the
+  * round-11 contract: the compact line carries EVERY query row
+  * (stripped keys, trimmed values) at the live surface plus headroom,
+  * and the drop-from-the-bottom fallback stays dormant.
   */
 class BenchFormatSpec extends AnyFunSuite {
 
-  // 77 queries at sub-10s values stopped fitting the window around
-  // r9 (the committed artifact's parsed:null — its captured tail
-  // began MID-JSON), so the compact line is now BUDGET-FITTED: the
-  // slowest entries are kept, the fastest dropped until it fits, and
-  // the full map lives in BENCH_LOCAL.json. Distinct values so the
-  // keep-the-slowest selection is observable.
   private val results = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
     .map { case (n, i) => n -> (0.2 + i * 0.1) }
-  // the stdout scalar set — headline pair is the overlap operating
-  // point, with the plain-routed pair alongside; the remaining
-  // secondary points (full/build) go only to BENCH_LOCAL.json
-  private val scalars = Seq(
-    "qps" -> 154.48194508680504, "recall" -> 0.9075,
-    "qps_routed" -> 201.12345678, "recall_routed" -> 0.6875,
-    "recall100" -> 0.6517,
-    "latency_p50" -> 0.149634805, "latency_p95" -> 1.089050957,
-    "latency_p99" -> 1.119355698, "steal_pct" -> 63.123456789,
-    "cal_cores" -> 13.123456789, "cal_lo" -> 11.123456789,
-    "cal_hi" -> 29.123456789, "gc_s" -> 123.123456789,
-    "ts" -> 1776000000.123)
-  private val sfDir = "/root/testdata/sf0.1"
+  // the compact scalar fragments as main() builds them, at worst-case
+  // realistic widths (three-digit qps, sub-ms local latencies)
+  private val scalars: Seq[(String, String)] = Seq(
+    "qps" -> "154", "recall" -> "0.908",
+    "qps_routed" -> "201", "recall_routed" -> "0.688",
+    "recall100" -> "[0.652,0.997]",
+    "lat_ms" -> "[149.6,1089.1,1119.4]",
+    "llat_ms" -> "[0.84,1.11,1.24]",
+    "cal" -> "[11.1,29.1,13.1]",
+    "ts" -> "1776000000", "value_cal" -> "123.45")
+  private val sf = "sf0.1"
   // worst-case self-defense payload: the full 10-entry re-measure cap
-  private val remeasured = Seq("remeasured" ->
-    SparkEntry.queries.keys.toSeq.sorted.take(10).map(_ -> 12.345678901))
+  private val remeasured =
+    SparkEntry.queries.keys.toSeq.sorted.take(10).map(_ -> 2.345678901)
 
-  private def compactLine =
-    Bench.renderCompactFitted(results, scalars, reps = 3, errors = Nil, sfDir,
-      aux = remeasured)
-
-  test("fitted line holds the budget for healthy, degraded, and pathological runs") {
-    // ~7 chars of "[info] " prefix + ~80 chars of sbt's trailing
-    // "[success] Total time..." line share the window with the JSON.
-    for (v <- Seq(0.55, 1.234567891, 12.345678901)) {
-      val line = Bench.renderCompactFitted(
-        SparkEntry.queries.keys.toSeq.sorted.map(_ -> v), scalars,
-        reps = 3, errors = Nil, sfDir, aux = remeasured)
+  test("ZERO OMISSION: every query row fits the budget, with headroom for growth") {
+    // three synthetic future queries of typical name length ride along
+    // so the NEXT added operator doesn't silently re-enter omission
+    val headroom = Seq("q_future_alpha" -> 9.99, "q_future_beta_x" -> 9.99,
+      "q_future_gamma" -> 9.99)
+    // worst realistic widths: every value 4 chars ("9.99")
+    for (v <- Seq(0.55, 1.234567891, 9.99)) {
+      val rows = (SparkEntry.queries.keys.toSeq.sorted.map(_ -> v)) ++ headroom
+      val line = Bench.renderCompactFitted(rows, scalars,
+        reps = 3, errors = Nil, sf)
       assert(line.length <= Bench.CompactBudget,
         s"fitted line is ${line.length} chars at uniform value $v")
+      assert(!line.contains("queries_omitted"),
+        s"omission fallback engaged at uniform value $v — shrink the format")
+      rows.foreach { case (n, _) =>
+        assert(line.contains("\"" + Bench.compactKey(n) + "\":"),
+          s"row $n missing from the compact line")
+      }
     }
   }
 
-  test("fitting keeps the slowest entries, counts the omitted, totals everything") {
-    val line = compactLine
+  test("remeasured map rides along when it fits, is sacrificed before any query row") {
+    val line = Bench.renderCompactFitted(results, scalars,
+      reps = 3, errors = Nil, sf, remeasured = remeasured)
     assert(line.length <= Bench.CompactBudget)
-    assert(line.contains("\"queries_omitted\":"),
-      "77 distinct-value queries should overflow and omit some entries")
-    // kept entries are the SLOWEST: the max-value query must be
-    // present, the min-value one dropped
+    results.foreach { case (n, _) =>
+      assert(line.contains("\"" + Bench.compactKey(n) + "\":")) }
+    // squeeze the budget so remeasured + full rows can't coexist: the
+    // re-measure map goes first, rows stay complete
+    val squeezed = Bench.renderCompactFitted(results, scalars,
+      reps = 3, errors = Nil, sf, remeasured = remeasured,
+      budget = Bench.renderCompactFitted(results, scalars, 3, Nil, sf).length)
+    assert(!squeezed.contains("remeasured"))
+    assert(!squeezed.contains("queries_omitted"))
+    results.foreach { case (n, _) =>
+      assert(squeezed.contains("\"" + Bench.compactKey(n) + "\":")) }
+  }
+
+  test("pathological fallback: drops lowest-rank rows last, counts them, totals all") {
+    val rank = results.map { case (n, v) => n -> v }.toMap
+    val line = Bench.renderCompactFitted(results, scalars,
+      reps = 3, errors = Nil, sf, budget = 900, rank = rank)
+    assert(line.length <= 900)
+    assert(line.contains("\"queries_omitted\":"))
     val slowest = results.maxBy(_._2)._1
     val fastest = results.minBy(_._2)._1
-    val queriesPart = line.substring(0, line.indexOf("\"remeasured\""))
-    assert(queriesPart.contains("\"" + slowest + "\":"))
-    assert(!queriesPart.contains("\"" + fastest + "\":"))
+    assert(line.contains("\"" + Bench.compactKey(slowest) + "\":"))
+    assert(!line.contains("\"" + Bench.compactKey(fastest) + "\":"))
     // the total still covers ALL queries, not just the kept ones
     val total = results.map(_._2).sum
     assert(line.contains(f""""value":$total%.2f"""))
-    // kept + omitted = all
-    val kept = "\"(q[a-z0-9_]*)\":[0-9]".r
-      .findAllMatchIn(line.substring(0, line.indexOf("\"remeasured\""))).length
-    val omitted = "\"queries_omitted\":([0-9]+)".r
-      .findFirstMatchIn(line).get.group(1).toInt
-    assert(kept + omitted == results.length, s"kept $kept + omitted $omitted")
   }
 
-  test("a small result set fits whole: nothing omitted, no omitted key") {
-    val line = Bench.renderCompactFitted(results.take(20), scalars,
-      reps = 3, errors = Nil, sfDir)
-    assert(!line.contains("queries_omitted"))
-    results.take(20).foreach { case (n, _) => assert(line.contains("\"" + n + "\":")) }
+  test("compact keys strip the uniform q_ prefix; q1_agg stays itself") {
+    assert(Bench.compactKey("q_dist_l2") == "dist_l2")
+    assert(Bench.compactKey("q1_agg") == "q1_agg")
+    // the mapping is invertible over the live surface: no two queries
+    // collapse onto one compact key
+    val keys = SparkEntry.queries.keys.toSeq.map(Bench.compactKey)
+    assert(keys.distinct.size == keys.size)
+  }
+
+  test("compact query values: 10ms resolution under 10s, trimmed, whole secs above") {
+    assert(Bench.fmtQ(1.234567) == "1.23")
+    assert(Bench.fmtQ(12.345678901) == "12")
+    assert(Bench.fmtQ(0.30000001) == "0.3")
+    assert(Bench.fmtQ(1.0) == "1")
+    assert(Bench.fmtQ(0.004) == "0")
+    assert(Bench.fmtQ(-1.0) == "-1.0") // error sentinel prints as-is
   }
 
   test("baseline gate block parses: every benched family and one row per query") {
@@ -100,45 +118,46 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("headline scalars trail the queries map so truncation can't eat them") {
-    val line = compactLine
+    val line = Bench.renderCompactFitted(results, scalars,
+      reps = 3, errors = Nil, sf, remeasured = remeasured)
     val tail = line.substring(line.length - 450)
-    for (k <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
-        "\"qps\":", "\"recall\":", "\"latency_p99\":", "\"ts\":"))
+    for (k <- Seq("\"metric\":\"total\"", "\"value\":", "\"value_cal\":",
+        "\"unit\":\"sec\"", "\"qps\":", "\"recall\":", "\"llat_ms\":", "\"ts\":"))
       assert(tail.contains(k), s"$k not within the final 450 chars")
     assert(line.indexOf("\"queries\":") < line.indexOf("\"qps\":"))
   }
 
-
-  test("compact query values are 10ms-resolution under 10s, 1s above") {
-    val mixed = Bench.renderLine(
-      Seq("q_x" -> 1.234567, "q_y" -> 12.345678901), scalars, 3, Nil,
-      sfDir, compact = true)
-    assert(mixed.contains("\"q_y\":12}")) // ≥10 s: whole seconds
-    assert(mixed.contains("\"q_x\":1.23")) // <10 s: 2 decimals
-    assert(mixed.contains("\"recall\":0.908")) // scalars keep 3 places
-    assert(mixed.contains("\"ts\":1776000000,")) // run stamp: whole seconds
-    val full = Bench.renderLine(Seq("q_y" -> 12.345678901), scalars, 3, Nil,
-      sfDir, compact = false)
-    assert(full.contains("\"q_y\":12.345678901"))
-    assert(full.contains("\"qps\":154.48194508680504"))
+  test("compact line parses as JSON with the documented shapes") {
+    import org.json4s._
+    val line = Bench.renderCompactFitted(results, scalars,
+      reps = 3, errors = Nil, sf, remeasured = remeasured)
+    val jv = org.json4s.jackson.JsonMethods.parse(line)
+    assert((jv \ "queries").isInstanceOf[JObject])
+    assert((jv \ "lat_ms").isInstanceOf[JArray])
+    assert((jv \ "recall100") match {
+      case JArray(vs) => vs.length == 2
+      case _ => false
+    })
+    assert((jv \ "unit") == JString("sec"))
   }
 
   test("full form carries the per-query gc_ms and cal_series aux maps") {
-    val full = Bench.renderLine(results, scalars, 3, Nil, sfDir,
-      compact = false,
+    val fullScalars = Seq("qps" -> 154.48194508680504, "ts" -> 1776000000.123)
+    val full = Bench.renderLine(results, fullScalars, 3, Nil, "/root/testdata/sf0.1",
       aux = Seq("gc_ms" -> Seq("q1_agg" -> 321.0),
         "cal_series" -> Seq("text" -> 17.8)))
     assert(full.contains("\"gc_ms\":{\"q1_agg\":321.0}"))
     assert(full.contains("\"cal_series\":{\"text\":17.8}"))
+    assert(full.contains("\"qps\":154.48194508680504"))
     // aux maps sit between queries and the trailing scalars
     assert(full.indexOf("\"queries\":") < full.indexOf("\"gc_ms\":"))
     assert(full.indexOf("\"cal_series\":") < full.indexOf("\"metric\":"))
   }
 
   test("negative sentinel values print as-is and errors are listed") {
-    val line = Bench.renderLine(Seq("q_x" -> -1.0), Seq("qps" -> -1.0),
-      3, Seq("qps_probe"), sfDir, compact = true)
-    assert(line.contains("\"q_x\":-1.0"))
+    val line = Bench.renderCompactFitted(Seq("q_x" -> -1.0),
+      Seq("qps" -> "-1.0"), 3, Seq("qps_probe"), sf)
+    assert(line.contains("\"x\":-1.0"))
     assert(line.contains("\"errors\":[\"qps_probe\"]"))
     // a failed query is excluded from the total, not summed at -1
     assert(line.contains("\"value\":0.00"))
