@@ -1298,14 +1298,19 @@ object VamanaIndex {
       .as[(Long, Long, Double)].collect()
     val exactByQ = exact.groupBy(_._1)
     val approxByQ = approx.groupBy(_._1)
-    val perQ = exactByQ.map { case (q, e) =>
+    // map over a SEQ of the entries, not the Map: a Map.map whose
+    // result is a (Double, Double) pair builds a new MAP keyed by
+    // idRecall — per-query entries with equal recalls silently
+    // collapse, skewing the mean and undercounting n_queries (caught
+    // r11 when the ivecs file loop reported the true query count)
+    val perQ = exactByQ.toSeq.map { case (q, e) =>
       val a = approxByQ.getOrElse(q, Array.empty[(Long, Long, Double)])
       val idRecall = (e.map(_._2).toSet intersect a.map(_._2).toSet).size
         .toDouble / e.length
       val gtKth = e.map(_._3).max
       val thr = math.min(a.count(_._3 <= gtKth), e.length).toDouble / e.length
       (idRecall, thr)
-    }.toSeq
+    }
     val n = perQ.size
     // HALF_UP, matching Spark round() in recallDf/thresholdRecallDf —
     // one rounding rule for every recall report (math.rint is
@@ -1314,6 +1319,60 @@ object VamanaIndex {
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     Seq((r4(perQ.map(_._1).sum / n), n.toLong, r4(perQ.map(_._2).sum / n)))
       .toDF("mean_recall", "n_queries", "threshold_recall")
+  }
+
+  /** The reference's ACTUAL benchmark evaluation protocol, end to end
+    * through the ground-truth FILE (examples/diskann_sift.rs:58-98 and
+    * bigann.rs read a `.ivecs` ground-truth file and score recall
+    * against it — never against a recomputed in-engine truth): exact
+    * kNN → exported as `.ivecs` with the benchmark formats' POSITIONAL
+    * id convention → read back via `spark.read.format("ivecs")` → the
+    * graph search scored against the file's lists. A user with real
+    * SIFT/BigANN ground-truth artifacts runs exactly the read-back +
+    * scoring half. Output: one row (mean_recall, n_queries) where
+    * n_queries counts the FILE's records.
+    *
+    * Positional mapping: .ivecs carries no ids — a record is query
+    * rank, values are corpus ranks. The rank map is a row_number over
+    * vec_id (a total order: single-partition window, ~n rows of 16 B —
+    * this is FILE-EXPORT tooling like [[VecsFormats.writeFvecs]], not
+    * a 100 TB operator; the scale path keeps ground truth in parquet
+    * with real ids). Scoring joins are all distributed; the spec pins
+    * file-sourced recall == the in-engine [[qVamanaRecall]] figure. */
+  def qRecallIvecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sf = dir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_")
+    val path = graft.TempCleanup.onExit(
+      s"/tmp/graft_gt_${sf}_${s.sparkContext.applicationId}.ivecs")
+    // corpus rank map: position of each vec_id in vec_id order — the
+    // identity the file format stores
+    val pos = Tables.embeddings(s, dir).select($"vec_id")
+      .withColumn("pos",
+        (row_number().over(Window.orderBy($"vec_id")) - 1).cast("int"))
+    val exact = VectorQueries.qKnnExact(s, dir)
+    // neighbors as positions, rank-ordered per query; query record
+    // order is q_id order (writeIvecs sorts by query_id)
+    val gtRows = exact
+      .join(pos.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .groupBy($"q_id".as("query_id"))
+      .agg(array_sort(collect_list(struct($"rank", $"pos"))).as("rp"))
+      .select($"query_id", expr("transform(rp, x -> x.pos)").as("neighbors"))
+    graft.sources.VecsFormats.writeIvecs(gtRows, path)
+    // read the FILE back: query_id is now the query's rank; map both
+    // sides back to vec_ids and score the graph search against it
+    val qpos = exact.select($"q_id").distinct()
+      .withColumn("qrank",
+        (row_number().over(Window.orderBy($"q_id")) - 1).cast("long"))
+    val fileGt = s.read.format("ivecs").load(path)
+      .select($"query_id".as("qrank"), explode($"neighbors").as("pos"))
+      .join(qpos, Seq("qrank"))
+      .join(pos, Seq("pos"))
+      .select($"q_id", $"vec_id".as("neighbor_id"))
+    // n_queries counts the FILE's record set — a lossy round-trip
+    // (missing/extra records) shifts it off the query-set size, which
+    // the spec pins against the in-engine evaluation's count
+    recallDf(qVamanaSearch(s, dir), fileGt)
   }
 
   /** recall@10 of the PROBED serving config (what Bench pairs with its

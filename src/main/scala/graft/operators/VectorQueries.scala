@@ -792,6 +792,27 @@ object VectorQueries {
       ORDER BY id_a""")
   }
 
+  /** The custom kNN OPERATOR driven purely through `spark.sql` text —
+    * the table-function face of [[qKnnCustom]]'s plan
+    * ([[graft.plans.GraftFunctions.tableBuilders]] registers
+    * `graft_knn`; the reference exposes search as a first-class
+    * library call, lib.rs:635-696). Same physical shape as the Column
+    * API (broadcast query batch → KnnJoinExec bounded heaps → TopK
+    * merge — no cartesian; pinned in SqlSurfaceSpec) and the SAME
+    * hash oracle as [[qKnnExact]], so the SQL-text entry is verified
+    * to the digit. */
+  def qSqlKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftFunctions.registerAll(s)
+    Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      .createOrReplaceTempView("graft_knn_corpus")
+    queriesDf(s, dir).createOrReplaceTempView("graft_knn_queries")
+    s.sql(s"""
+      SELECT q_id, rank, neighbor_id, dist
+      FROM graft_knn('graft_knn_corpus', 'graft_knn_queries', $K, 'cosine', true)
+      ORDER BY q_id, rank""")
+  }
+
   val qSqlSurfaceSql: String =
     s"""WITH base AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -105,6 +105,50 @@ object GraftFunctions {
       args => { val a = arity("graft_char_ngrams_sorted", 2, args)
         CharNGramsSorted(a(0), intLit("graft_char_ngrams_sorted", "n", a(1))) }))
 
+  private def strLit(fn: String, arg: String, e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got $other")
+  }
+
+  /** The kNN TABLE function — the whole-operator analog of the scalar
+    * registry above, so `spark.sql` users can run the custom top-k
+    * join by name (the reference exposes search as a first-class call,
+    * lib.rs:635-696):
+    *
+    * {{{
+    *   SELECT * FROM graft_knn('corpus_view', 'query_view', 10, 'cosine')
+    * }}}
+    *
+    * Arguments are literals: two table/view names (corpus must expose
+    * (vec_id, embedding: array<float>), queries (q_id, qv)), k, and
+    * the metric name. The builder resolves the names through the
+    * active session's catalog and returns the ANALYZED
+    * [[KnnJoinPlan]]-based plan — broadcast query batch, per-partition
+    * bounded heaps, global TopK merge; plan shape (no cartesian)
+    * pinned in SqlSurfaceSpec. Output: (q_id, rank, neighbor_id,
+    * dist). */
+  val tableBuilders: Seq[(String, String, Seq[Expression]
+      => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    ("graft_knn",
+      "(corpus_table, query_table, k, metric[, exclude_self]) - top-k nearest corpus rows " +
+        "per query row; corpus is (vec_id, embedding: array<float>), queries (q_id, qv); " +
+        "all args literals",
+      args => {
+        require(args.length == 4 || args.length == 5,
+          s"graft_knn expects 4 or 5 arguments, got ${args.length}")
+        val excludeSelf = args.length == 5 && (args(4) match {
+          case Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_knn: exclude_self must be a boolean literal, got $other")
+        })
+        val spark = SparkSession.active
+        val corpus = spark.table(strLit("graft_knn", "corpus_table", args(0)))
+        val queries = spark.table(strLit("graft_knn", "query_table", args(1)))
+        KnnJoin(corpus, queries, intLit("graft_knn", "k", args(2)),
+          strLit("graft_knn", "metric", args(3)), excludeSelf).queryExecution.analyzed
+      }))
+
   private def info(name: String, usage: String): ExpressionInfo =
     // the 11-arg constructor is the only non-deprecated one carrying
     // usage text; "" group/since etc. take the built-in defaults
@@ -112,10 +156,14 @@ object GraftFunctions {
       "", "", "", "", "", "", "built-in")
 
   /** Static injection path — called by [[GraftExtensions]]. */
-  def inject(e: SparkSessionExtensions): Unit =
+  def inject(e: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, usage, b) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), b))
     }
+    tableBuilders.foreach { case (name, usage, b) =>
+      e.injectTableFunction((FunctionIdentifier(name), info(name, usage), b))
+    }
+  }
 
   /** Runtime path for sessions graft didn't build (mirrors
     * `KnnJoin.ensureRegistered`). Idempotent: already-registered names
@@ -127,6 +175,12 @@ object GraftFunctions {
       val ident = FunctionIdentifier(name)
       if (!reg.functionExists(ident))
         reg.registerFunction(ident, info(name, usage), b)
+    }
+    val treg = spark.sessionState.tableFunctionRegistry
+    tableBuilders.foreach { case (name, usage, b) =>
+      val ident = FunctionIdentifier(name)
+      if (!treg.functionExists(ident))
+        treg.registerFunction(ident, info(name, usage), b)
     }
   }
 }

@@ -236,6 +236,29 @@ object VecsFormats {
       .collect().sortBy(_._1).toSeq
   }
 
+  /** Export (query_id, neighbors: array<int>) as `.ivecs` in query_id
+    * order — the ground-truth file format of the ANN benchmarks
+    * (reference examples/diskann_sift.rs:58-98 scores recall against
+    * exactly this layout). One record per query; on read-back the
+    * record's identity is its file POSITION (rank of query_id), the
+    * same positional convention as [[writeFvecs]]. The record header
+    * is the LIST LENGTH (k), so mixed-k files round-trip only when k
+    * is uniform — the readers enforce that like any other dim. */
+  def writeIvecs(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    try {
+      df.select("query_id", "neighbors").orderBy("query_id")
+        .as[(Long, Array[Int])].toLocalIterator().forEachRemaining { case (_, v) =>
+          val bb = ByteBuffer.allocate(4 + 4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+          bb.putInt(v.length)
+          v.foreach(bb.putInt)
+          out.write(bb.array())
+        }
+    } finally out.close()
+  }
+
   /** Export (vec_id, embedding) as `.fvecs` in vec_id order. */
   def writeFvecs(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession

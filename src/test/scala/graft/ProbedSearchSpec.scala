@@ -44,6 +44,23 @@ class ProbedSearchSpec extends AnyFunSuite {
     assert(r4 >= r4seed - 1e-9, s"pivot $r4 < seed $r4seed at nprobe=4")
   }
 
+  test("ivecs ground-truth loop: file-sourced recall == in-engine recall") {
+    // the reference's benchmark protocol evaluates against a .ivecs
+    // ground-truth FILE (examples/diskann_sift.rs:58-98), never a
+    // recomputed truth — the export → positional read-back → scoring
+    // loop must reproduce the in-engine figure exactly — any id/rank
+    // mixup in the positional mapping shifts neighbors and the figure
+    val dir = SparkSpecBase.sf001
+    val fromFile = VamanaIndex.qRecallIvecs(spark, dir).head()
+    val inEngine = VamanaIndex.qVamanaRecall(spark, dir).head()
+    assert(fromFile.getDouble(0) == inEngine.getDouble(0),
+      s"file ${fromFile.getDouble(0)} vs in-engine ${inEngine.getDouble(0)}")
+    // a lossy round-trip (missing/duplicated records) shifts the
+    // file-side query count off the query-set size
+    assert(fromFile.getLong(1) == inEngine.getLong(1),
+      s"file n_queries ${fromFile.getLong(1)} vs ${inEngine.getLong(1)}")
+  }
+
   test("threshold recall >= id recall, both 1.0 for the full search (reference dual evaluation)") {
     // the reference reports id recall AND tie-tolerant threshold
     // recall side by side (diskann_skewed.rs:182-189); the threshold

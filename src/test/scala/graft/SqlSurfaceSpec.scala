@@ -81,6 +81,47 @@ class SqlSurfaceSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("graft_knn table function: SQL text runs the custom kNN operator, plan-shape pinned") {
+    import spark.implicits._
+    val fresh = spark.newSession()
+    // corpus: 4 unit-ish vectors on a line; queries: 2 of them
+    Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)), (3L, Array(10.0f, 0.0f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("knn_corpus_probe")
+    Seq((0L, Array(0.0f, 0.0f)), (3L, Array(10.0f, 0.0f)))
+      .toDF("q_id", "qv").createOrReplaceTempView("knn_query_probe")
+    // static injection: the fresh session resolves the TABLE function
+    // without registerAll — but the temp views live in the ORIGINAL
+    // session's catalog, so run the query there after registerAll
+    assert(fresh.catalog.functionExists("graft_knn"),
+      "graft_knn not injected via extensions")
+    graft.plans.GraftFunctions.registerAll(spark)
+    val df = spark.sql(
+      "SELECT * FROM graft_knn('knn_corpus_probe', 'knn_query_probe', 2, 'l2', true)")
+    val rows = df.orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      (0L, 1, 1L, 1.0), (0L, 2, 2L, 2.0),
+      (3L, 1, 2L, 8.0), (3L, 2, 1L, 9.0)))
+    // plan shape: the custom exec + bounded TopK aggregate, NO
+    // cartesian/BNLJ — the property that makes the operator viable
+    // physical nodes print without their Exec suffix
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("KnnJoin"), plan.take(800))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(800))
+    // literal checks fail loudly, same contract as the scalar registry
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_knn('knn_corpus_probe', 'knn_query_probe', 2, 'nosuch')")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("nosuch") || m.contains("metric")), e.toString)
+  }
+
   test("int-typed kernels: graft_int_sql2_distance and graft_pq_adc_distance from SQL") {
     val sq = spark.sql(
       "SELECT graft_int_sql2_distance(array(1, 2, 3), array(4, 0, 3)) AS d").head().getDouble(0)
