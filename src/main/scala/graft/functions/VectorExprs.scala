@@ -597,6 +597,50 @@ object LshBucket {
   }
 }
 
+/** `binary` u8 codes → `array<float>` (unsigned widen, lossless:
+  * 0..255 is exact in f32). The lazy per-row widening that lets a
+  * native-u8 source (`spark.read.format("bvecs")`,
+  * [[graft.sources.BvecsDataSource]]) feed the float graph BUILD
+  * without ever materializing a widened column — the scan and any
+  * stored/exported form stay one byte per slot (reference
+  * examples/bigann.rs serves BigANN u8 end to end). Codegen'd, so the
+  * widen fuses into the consuming stage. */
+case class U8CodesToFloats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_u8_to_floats"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val out = new Array[Float](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = (bytes(i) & 0xff).toFloat; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("gi")
+      s"""
+         |final float[] $out = new float[$c.length];
+         |for (int $i = 0; $i < $c.length; $i++) {
+         |  $out[$i] = (float) ($c[$i] & 0xff);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API entry points (and SQL registration for `expr(...)` use). */
 object VectorExprs {
   private def col2(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
@@ -614,6 +658,8 @@ object VectorExprs {
     bridge.column(PqAdcDistance(bridge.expression(lut), bridge.expression(codes), ksub))
   def lshBucket(v: Column, planes: Int): Column =
     bridge.column(LshBucket(bridge.expression(v), planes))
+  def u8ToFloats(codes: Column): Column =
+    bridge.column(U8CodesToFloats(bridge.expression(codes)))
   /** `cents` as (cellId, centroid) pairs; sorted id-ascending here so
     * the tie rule (lowest cell) holds regardless of caller order. */
   def nearestCell(v: Column, cents: Array[(Int, Array[Float])]): Column = {
@@ -632,11 +678,17 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("graft_linf_distance", es => LinfDistance(es.head, es(1)), "scala_udf")
     // ONE literal-extraction rule for every int-parameter function —
     // also turns a non-foldable argument into a named error instead
-    // of a raw NPE/ClassCastException out of eval(null)
+    // of a raw NPE/ClassCastException out of eval(null). toIntExact:
+    // a bigint literal like 2^32+k must fail loudly, not silently
+    // truncate to k (same contract as GraftFunctions.intLit)
     def litInt(e: Expression): Int =
-      try e.eval(null).asInstanceOf[Number].intValue
-      catch { case _: Exception => throw new IllegalArgumentException(
-        s"expected a foldable integer literal argument, got $e") }
+      try Math.toIntExact(e.eval(null).asInstanceOf[Number].longValue)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"literal argument $e is out of Int range")
+        case _: Exception => throw new IllegalArgumentException(
+          s"expected a foldable integer literal argument, got $e")
+      }
     reg.createOrReplaceTempFunction("graft_int_sql2_distance", es => IntSqL2Distance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_pq_adc_distance",
       es => PqAdcDistance(es.head, es(1), litInt(es(2))), "scala_udf")

@@ -75,6 +75,26 @@ object VamanaIndex {
   def build(emb: DataFrame, params: VamanaParams, numShards: Int): Dataset[IndexRow] =
     buildAssigned(shardAssign(emb, numShards), params, numShards)
 
+  /** Build straight from a NATIVE u8 source — (vec_id, codes: binary),
+    * the schema `spark.read.format("bvecs")` serves — without the
+    * `widen=true` option or any stored float column (reference
+    * examples/bigann.rs builds AND serves BigANN u8 end to end). The
+    * per-row widen ([[graft.functions.U8CodesToFloats]], codegen'd)
+    * fuses into the build's shard-assignment scan: u8 is exact in f32,
+    * so the graph is IDENTICAL to the widened path's, while the
+    * source scan stays one byte per slot and the natural export is
+    * `SingleFileIndex.export(..., u8 = true)` → [[U8Graph]] serving
+    * at 1/4 the widened heap. L2 is the metric of the reference's u8
+    * examples and the only one the u8 file tier serves. */
+  def buildFromU8Codes(codes: DataFrame, params: VamanaParams,
+      numShards: Int): Dataset[IndexRow] = {
+    require(params.metric == "l2",
+      s"u8 builds serve through the u8/L2 file tier; got metric ${params.metric}")
+    build(codes.select(codes("vec_id"),
+      graft.functions.VectorExprs.u8ToFloats(codes("codes")).as("embedding")),
+      params, numShards)
+  }
+
   /** Overlapped assignment: every non-seed vector goes to its `overlap`
     * nearest cells, not just the nearest — the published merged-build
     * DiskANN recipe (Subramanya et al., NeurIPS'19 §4: points are

@@ -107,6 +107,67 @@ object SourceQueries {
       .orderBy($"vec_id")
   }
 
+  /** The NATIVE-u8 serving pipeline end to end, no float widening at
+    * any stored step (reference examples/bigann.rs: BigANN `.bvecs`
+    * in, u8 index built and served as u8): embeddings → global-affine
+    * SQ8 codes (clamp[-1,1]·127+128 ∈ [1,255]) → distributed sharded
+    * `.bvecs` export → `spark.read.format("bvecs")` native `codes`
+    * scan (1 byte/slot — the 4× scan-volume point of the format) →
+    * [[graft.index.VamanaIndex.buildFromU8Codes]] (per-row codegen'd
+    * widen fused into the build, graph identical to the widened
+    * path's — SingleFileIndexSpec pins file-level byte equality) →
+    * elem_size-1 single-file export → [[graft.index.U8Graph]]
+    * byte-resident serving at 1/4 the widened heap. Output: top-10
+    * per query over the standard %50 query subset (integral queries,
+    * so the exact integer-L2 fast path serves). Rows-only: the graph
+    * build is not SQL-expressible. */
+  /** One bvecs-export + u8-index build per (sf dir, JVM) — export-
+    * once/serve-many, the same cache contract as every index tier
+    * (bench reps and the driver's verify both re-invoke the query). */
+  private val u8TierCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def cachedU8Tier(s: SparkSession, dir: String): (String, String) =
+    u8TierCache.getOrElseUpdate(dir, {
+      import s.implicits._
+      val sf = dirToken(dir)
+      val appId = s.sparkContext.applicationId
+      val shardDir = graft.TempCleanup.onExit(s"/tmp/graft_u8src_${sf}_$appId.bvecs.d")
+      val idxPath = graft.TempCleanup.onExit(s"/tmp/graft_u8src_${sf}_$appId.idx")
+      val quant = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])]
+        .map { case (id, v) =>
+          (id, v.map(x =>
+            (math.round(math.max(-1f, math.min(1f, x)) * 127f) + 128).toByte))
+        }
+        .toDF("vec_id", "codes")
+      VecsFormats.writeBvecsSharded(quant, shardDir, shards = 4)
+      val codes = s.read.format("bvecs").load(shardDir) // native u8, no widen
+      val p8 = u8Params
+      val idx = graft.index.VamanaIndex.buildFromU8Codes(codes, p8, numShards = 1)
+      graft.index.SingleFileIndex.export(idx, p8, idxPath, u8 = true)
+      (shardDir, idxPath)
+    })
+
+  private def u8Params = graft.index.VamanaParams(maxDegree = 16,
+    buildBeamWidth = 32, passes = 1, metric = "l2")
+
+  def qBvecsU8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (shardDir, idxPath) = cachedU8Tier(s, dir)
+    val (g8, ids, _) = graft.index.SingleFileIndex.importLocalU8(idxPath)
+    val queries = s.read.format("bvecs").load(shardDir)
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id", graft.functions.VectorExprs.u8ToFloats($"codes"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    queries.toSeq.flatMap { case (qid, qv) =>
+      g8.search(qv, 10, 32).zipWithIndex.map { case ((pos, d), r) =>
+        (qid, r + 1, ids(pos), math.round(d * 10000) / 10000.0)
+      }
+    }.toDF("q_id", "rank", "neighbor_id", "dist")
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vecs_roundtrip" -> (qVecsRoundtrip(_, _)),
     "q_vecs_dsv2" -> (qVecsDsv2(_, _)),

@@ -90,6 +90,9 @@ object GraftFunctions {
       "(v, planes) - random-hyperplane LSH bucket of an array<float> vector; planes is an int literal",
       args => { val a = arity("graft_lsh_bucket", 2, args)
         LshBucket(a(0), intLit("graft_lsh_bucket", "planes", a(1))) }),
+    unary("graft_u8_to_floats",
+      "(codes) - widen a binary of unsigned bytes to array<float> (lossless; 0..255 exact)",
+      U8CodesToFloats),
     unary("graft_roll_hash",
       "(s) - deterministic polynomial rolling hash of a string (mod 1e9+7)", RollingHash),
     unary("graft_simhash62",

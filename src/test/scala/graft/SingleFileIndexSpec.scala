@@ -214,6 +214,56 @@ class SingleFileIndexSpec extends AnyFunSuite {
     } finally mm.close()
   }
 
+  test("bvecs source feeds the u8 tier natively: byte-equal to the widened path, 1/4 heap") {
+    import spark.implicits._
+    // genuine u8 content through the DISTRIBUTED bvecs loop: quantize,
+    // shard-export, read back NATIVE (no widen option anywhere)
+    val quant = Tables.embeddings(spark, SparkSpecBase.sf001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, v.map(x =>
+          (math.round(math.max(-1f, math.min(1f, x)) * 127f) + 128).toByte))
+      }.toDF("vec_id", "codes")
+    val dir = "/tmp/graft_u8_src_spec.bvecs.d"
+    graft.sources.VecsFormats.writeBvecsSharded(quant, dir, shards = 3)
+    val p8 = VamanaParams(maxDegree = 16, buildBeamWidth = 32, metric = "l2")
+
+    // native-codes build vs widen=true build: u8 is exact in f32, so
+    // the two graphs must be IDENTICAL — pinned at the strongest
+    // level, byte equality of the exported u8 files
+    val idxNative = VamanaIndex.buildFromU8Codes(
+      spark.read.format("bvecs").load(dir), p8, numShards = 1)
+    val idxWidened = VamanaIndex.build(
+      spark.read.format("bvecs").option("widen", "true").load(dir), p8, numShards = 1)
+    val pa = "/tmp/graft_u8_src_native.idx"
+    val pb = "/tmp/graft_u8_src_widened.idx"
+    SingleFileIndex.export(idxNative, p8, pa, u8 = true)
+    SingleFileIndex.export(idxWidened, p8, pb, u8 = true)
+    val ba = Files.readAllBytes(Paths.get(pa))
+    assert(java.util.Arrays.equals(ba, Files.readAllBytes(Paths.get(pb))),
+      "native-codes build diverged from the widened build")
+
+    // serving stays byte-resident (the 1/4-heap point) and matches the
+    // widened-float import exactly
+    val (g8, ids8, _) = SingleFileIndex.importLocalU8(pa)
+    assert(g8.codes.length == g8.n * g8.dim) // bytes, not widened floats
+    val (gw, idsW, _) = SingleFileIndex.importLocal(pb)
+    assert(ids8.sameElements(idsW))
+    Seq(3, 47, 211).foreach { i =>
+      val q = gw.vecs.slice(i * gw.dim, (i + 1) * gw.dim)
+      val a = g8.search(q, 5, 32).map { case (p, d) => (ids8(p), d) }.toSeq
+      val b = gw.search(q, 5, 32).map { case (p, d) => (idsW(p), d) }.toSeq
+      assert(a == b, s"query $i: u8 $a vs widened $b")
+    }
+    // the build's requirement is loud: a non-L2 metric cannot reach
+    // the u8 file tier
+    val e = intercept[IllegalArgumentException] {
+      VamanaIndex.buildFromU8Codes(spark.read.format("bvecs").load(dir),
+        p8.copy(metric = "cosine"), numShards = 1)
+    }
+    assert(e.getMessage.contains("u8"))
+  }
+
   test("importLocalU8 medoid fallback on a foreign file without a stored entry") {
     // clone the u8 file and corrupt medoid_id to the 0xFFFFFFFF
     // sentinel (metadata layout: 8-byte len prefix + dim/num/maxdeg

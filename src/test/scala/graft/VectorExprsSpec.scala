@@ -121,13 +121,29 @@ class VectorExprsSpec extends AnyFunSuite {
   }
 
   test("SQL registration works") {
-    register(spark)
-    df.createOrReplaceTempView("vex")
-    val n = spark.sql("SELECT graft_cosine_distance(a, b) AS d FROM vex").count()
-    assert(n == 3)
+    // a FRESH session: register() installs TEMP functions that would
+    // shadow the injected GraftFunctions registry (and its stricter
+    // literal checks) for every later suite sharing the session
+    val fresh = spark.newSession()
+    register(fresh)
+    // temp views belong to a session's own catalog — create the probe
+    // data in the fresh one
+    import fresh.implicits._
+    Seq((Array(1.0f, 2.0f), Array(2.0f, 1.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vex")
+    val n = fresh.sql("SELECT graft_cosine_distance(a, b) AS d FROM vex").count()
+    assert(n == 1)
     // l1/linf were the only expressions missing from the registry
-    assert(spark.sql("SELECT graft_l1_distance(a, b) FROM vex").count() == 3)
-    assert(spark.sql("SELECT graft_linf_distance(a, b) FROM vex").count() == 3)
+    assert(fresh.sql("SELECT graft_l1_distance(a, b) FROM vex").count() == 1)
+    assert(fresh.sql("SELECT graft_linf_distance(a, b) FROM vex").count() == 1)
+    // the legacy literal rule matches the injected registry's: a
+    // bigint out of Int range fails loudly, never truncates
+    val e = intercept[Exception] {
+      fresh.sql("SELECT graft_lsh_bucket(array(1.0F), 4294967296)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("out of Int range")), e.toString)
   }
 
   test("NearestCell rejects a vector whose dim differs from the centroids'") {
