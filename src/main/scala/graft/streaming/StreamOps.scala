@@ -28,6 +28,10 @@ case class NearDupOut(doc_id: Long, matched_id: Long, band: Int, est_jac: Double
 /** One (band, signature)-keyed arrival for [[StreamOps.streamingNearDedup]]. */
 private[streaming] case class BandRow(doc_id: Long, j: Int, sig: Long, sketch: Array[Long])
 
+/** [[BandRow]] plus the event time the TTL variant expires against. */
+private[streaming] case class BandRowTs(doc_id: Long, j: Int, sig: Long,
+    sketch: Array[Long], ts: java.sql.Timestamp)
+
 /** In-flight session state. */
 case class SessionState(start_us: Long, last_us: Long, n: Long)
 
@@ -81,7 +85,7 @@ object StreamOps {
     * hash across executors and each micro-batch shuffles only its own
     * rows. Same state-retention contract as [[sessionize]]: no
     * timeout here (synchronous-drain friendly); at-scale deployments
-    * put a TTL on the hash state.
+    * use [[streamingDedupTtl]], the event-time-TTL form.
     *
     * Input: streaming (doc_id: long, text: string). Within one batch,
     * ties break to the lowest doc_id — the batch query's keeper rule. */
@@ -137,25 +141,12 @@ object StreamOps {
     * the full shingle sets, whose state would grow with document
     * length; the bottom-k estimator's error is O(1/√k).
     * No state timeout (synchronous-drain friendly) — at-scale
-    * deployments put a TTL on slots, same contract as
-    * [[streamingDedup]]. */
+    * deployments use [[streamingNearDedupTtl]], the event-time-TTL
+    * form. */
   def streamingNearDedup(docs: DataFrame, tau: Double = 0.35): Dataset[NearDupOut] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import graft.functions.SharedHash
-    val perms = graft.operators.Dedup.MinhashPerms
-    val sigCols = perms.zipWithIndex
-      .map { case (p, j) => s"${SharedHash.sparkMinhash("sh", p)} AS sig_$j" }
-    val stackArgs = perms.indices.map(j => s"$j, sig_$j").mkString(", ")
-    docs
-      .withColumn("sh", graft.functions.HashExprs.wordShingleHashes(col("text"), 3))
-      .filter(size(col("sh")) >= 1)
-      // WordShingleHashes emits DISTINCT, ASCENDING-SORTED hashes
-      // (TreeSet-built), so its k-prefix IS the bottom-k sketch — no
-      // re-sort on the ingest hot path
-      .withColumn("sketch", slice(col("sh"), 1, SketchK))
-      .selectExpr(Seq("doc_id", "sketch") ++ sigCols: _*)
-      .selectExpr("doc_id", "sketch", s"stack(${perms.size}, $stackArgs) AS (j, sig)")
+    bandedRows(docs, withTs = false)
       .select($"doc_id", $"j", $"sig", $"sketch").as[BandRow]
       .groupByKey(r => (r.j, r.sig))
       .flatMapGroupsWithState[List[(Long, Array[Long])], NearDupOut](
@@ -163,26 +154,136 @@ object StreamOps {
         (key: (Int, Long), rows: Iterator[BandRow],
          state: GroupState[List[(Long, Array[Long])]]) =>
           val arrivals = rows.toArray.sortBy(_.doc_id)
-          var keepers = state.getOption.getOrElse(Nil)
-          val out = Seq.newBuilder[NearDupOut]
-          arrivals.foreach { r =>
-            keepers.foreach { case (kid, ksk) =>
-              if (kid != r.doc_id) {
-                val est = bottomKJaccard(ksk, r.sketch)
-                if (est >= tau) out += NearDupOut(r.doc_id, kid, key._1, est)
-              }
-            }
-            // a re-ingested doc_id must not re-consume keeper slots:
-            // duplicate appends would fill the slot with copies of one
-            // popular doc (starving every later genuine keeper) and
-            // emit each match once per stored copy
-            if (keepers.size < MaxKeepers && !keepers.exists(_._1 == r.doc_id))
-              keepers = keepers :+ ((r.doc_id, r.sketch))
-          }
+          val (keepers, out) = nearDupMatch(state.getOption.getOrElse(Nil),
+            arrivals.map(r => (r.doc_id, r.sketch)), key._1, tau)
           state.update(keepers)
-          out.result().iterator
+          out.iterator
       }
   }
+
+  /** The shared banding pipeline of both near-dedup forms: shingle →
+    * bottom-k sketch → the batch operator's four minhash permutations
+    * → one row per (band, signature). `withTs` threads the event-time
+    * column through for the TTL variant's watermark/expiry. */
+  private def bandedRows(docs: DataFrame, withTs: Boolean): DataFrame = {
+    import graft.functions.SharedHash
+    val perms = graft.operators.Dedup.MinhashPerms
+    val sigCols = perms.zipWithIndex
+      .map { case (p, j) => s"${SharedHash.sparkMinhash("sh", p)} AS sig_$j" }
+    val stackArgs = perms.indices.map(j => s"$j, sig_$j").mkString(", ")
+    val tsCol = if (withTs) Seq("ts") else Nil
+    docs
+      .withColumn("sh", graft.functions.HashExprs.wordShingleHashes(col("text"), 3))
+      .filter(size(col("sh")) >= 1)
+      // WordShingleHashes emits DISTINCT, ASCENDING-SORTED hashes
+      // (TreeSet-built), so its k-prefix IS the bottom-k sketch — no
+      // re-sort on the ingest hot path
+      .withColumn("sketch", slice(col("sh"), 1, SketchK))
+      .selectExpr(Seq("doc_id", "sketch") ++ tsCol ++ sigCols: _*)
+      .selectExpr(Seq("doc_id", "sketch") ++ tsCol ++
+        Seq(s"stack(${perms.size}, $stackArgs) AS (j, sig)"): _*)
+  }
+
+  /** Keeper-slot matching shared by both near-dedup forms: flag each
+    * arrival against the held keepers, then admit it while slots
+    * remain (never re-admitting a re-ingested doc_id). */
+  private def nearDupMatch(keepers0: List[(Long, Array[Long])],
+      arrivals: Seq[(Long, Array[Long])], band: Int, tau: Double)
+      : (List[(Long, Array[Long])], Seq[NearDupOut]) = {
+    var keepers = keepers0
+    val out = Seq.newBuilder[NearDupOut]
+    arrivals.foreach { case (id, sketch) =>
+      keepers.foreach { case (kid, ksk) =>
+        if (kid != id) {
+          val est = bottomKJaccard(ksk, sketch)
+          if (est >= tau) out += NearDupOut(id, kid, band, est)
+        }
+      }
+      // a re-ingested doc_id must not re-consume keeper slots:
+      // duplicate appends would fill the slot with copies of one
+      // popular doc (starving every later genuine keeper) and
+      // emit each match once per stored copy
+      if (keepers.size < MaxKeepers && !keepers.exists(_._1 == id))
+        keepers = keepers :+ ((id, sketch))
+    }
+    (keepers, out.result())
+  }
+
+  /** Event-time-TTL near-dedup — the at-scale ingest form the
+    * NoTimeout variant's docs promise: input carries an event-time
+    * `ts` column, and a (band, signature) slot EXPIRES once the
+    * watermark passes its newest event + `ttlMs`. Flagging within the
+    * TTL is identical to [[streamingNearDedup]] (same banding, same
+    * keeper rule — both ride [[bandedRows]]/[[nearDupMatch]]); after
+    * expiry a re-arrival starts a fresh slot, so a duplicate
+    * separated from its original by more than the TTL of silence goes
+    * unflagged — the bounded-state trade, explicit.
+    *
+    * Event-time (not processing-time) expiry is deliberate: timeouts
+    * fire from watermark advancement CARRIED BY DATA, so synchronous
+    * drains (`processAllAvailable`) still quiesce — the revert
+    * rationale on [[sessionize]] doesn't apply. */
+  def streamingNearDedupTtl(docs: DataFrame, ttlMs: Long, tau: Double = 0.35,
+      lateness: String = "10 minutes"): Dataset[NearDupOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandedRows(docs, withTs = true)
+      .withWatermark("ts", lateness)
+      .select($"doc_id", $"j", $"sig", $"sketch", $"ts").as[BandRowTs]
+      .groupByKey(r => (r.j, r.sig))
+      .flatMapGroupsWithState[List[(Long, Array[Long])], NearDupOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), rows: Iterator[BandRowTs],
+         state: GroupState[List[(Long, Array[Long])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrivals = rows.toArray.sortBy(_.doc_id)
+            val (keepers, out) = nearDupMatch(state.getOption.getOrElse(Nil),
+              arrivals.map(r => (r.doc_id, r.sketch)), key._1, tau)
+            state.update(keepers)
+            setEventTimeTtl(state, arrivals.map(_.ts.getTime).max, ttlMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** Event-time-TTL exact dedup — same contract as
+    * [[streamingNearDedupTtl]]: keeper state per content hash expires
+    * `ttlMs` past its newest event's time; within the TTL the keeper
+    * rule is identical to [[streamingDedup]]. */
+  def streamingDedupTtl(docs: DataFrame, ttlMs: Long,
+      lateness: String = "10 minutes"): Dataset[DedupOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), md5(col("text")).as("h"), col("ts"))
+      .withWatermark("ts", lateness)
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, DedupOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arr = rows.toArray
+            val ids = arr.map(_._1).sorted
+            val keeper = state.getOption.getOrElse(ids.head)
+            state.update(keeper)
+            setEventTimeTtl(state, arr.map(_._3.getTime).max, ttlMs)
+            ids.iterator.map(id => DedupOut(id, keeper, id != keeper))
+          }
+      }
+  }
+
+  /** Set state expiry to `ttlMs` past the group's newest event,
+    * floored just above the current watermark —
+    * `setTimeoutTimestamp` rejects timestamps at or below it (a group
+    * whose only arrivals were almost-too-late events could otherwise
+    * compute an already-passed expiry and crash the batch). */
+  private def setEventTimeTtl(state: GroupState[_], maxEventMs: Long,
+      ttlMs: Long): Unit =
+    state.setTimeoutTimestamp(
+      math.max(maxEventMs + ttlMs, state.getCurrentWatermarkMs() + 1))
 
   /** Bottom-k Jaccard estimate over two ascending-sorted distinct
     * bottom-k sketches: among the k smallest hashes of the UNION,

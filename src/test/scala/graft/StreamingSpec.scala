@@ -194,6 +194,72 @@ class StreamingSpec extends AnyFunSuite {
     operators.Dedup.release(spark)
   }
 
+  test("event-time TTL dedup: flags within the TTL, state expires past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // 60-minute TTL, zero lateness so the watermark IS the max event time
+    val q = StreamOps.streamingDedupTtl(
+        mem.toDS().toDF("doc_id", "text", "ts"), ttlMs = 60 * 60000L,
+        lateness = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_ttl").start()
+    // within the TTL: identical flagging to the no-timeout form
+    mem.addData((1L, "dup text", ts(60)), (2L, "dup text", ts(61)))
+    q.processAllAvailable()
+    // watermark jumps far past ts(1) + TTL …
+    mem.addData((3L, "unrelated A", ts(400)))
+    q.processAllAvailable()
+    // … and the NEXT batch fires the expiry (timeouts evaluate against
+    // the watermark set at the previous batch's close)
+    mem.addData((4L, "unrelated B", ts(401)))
+    q.processAllAvailable()
+    // the re-arrival after expiry is a FRESH keeper, not a dup
+    mem.addData((5L, "dup text", ts(402)))
+    q.processAllAvailable()
+    // and within the new slot's TTL, flagging works again
+    mem.addData((6L, "dup text", ts(403)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedup_ttl")
+      .select($"doc_id", $"keeper_id", $"is_dup")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 3L, false), (4L, 4L, false),
+      (5L, 5L, false), // state expired: fresh keeper, NOT flagged against 1
+      (6L, 5L, true)), // new slot flags within its TTL
+      out.toSeq.toString)
+  }
+
+  test("event-time TTL near-dedup: same banding within TTL, slots expire past it") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamOps.streamingNearDedupTtl(
+        mem.toDS().toDF("doc_id", "text", "ts"), ttlMs = 60 * 60000L,
+        tau = 0.35, lateness = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_ttl").start()
+    mem.addData((1L, base, ts(60)))
+    q.processAllAvailable()
+    // within TTL: the exact dup flags against keeper 1
+    mem.addData((2L, base, ts(61)))
+    q.processAllAvailable()
+    // advance the watermark far past the TTL, then let expiry fire
+    mem.addData((3L, (1 to 60).map(i => s"word$i").mkString(" "), ts(400)))
+    q.processAllAvailable()
+    mem.addData((4L, (1 to 60).map(i => s"item$i").mkString(" "), ts(401)))
+    q.processAllAvailable()
+    // after expiry: the same content pairs with NOTHING (old slot gone)
+    mem.addData((5L, base, ts(402)))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("neardup_ttl")
+      .select($"doc_id", $"matched_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 1L)), s"within-TTL dup not flagged: $pairs")
+    assert(!pairs.exists(_._1 == 5L),
+      s"doc 5 arrived after the slot's TTL and must start fresh: $pairs")
+  }
+
   test("near-dedup bottom-k estimator: exact on small sets, in order, symmetric") {
     def sk(xs: Long*): Array[Long] = xs.toArray.distinct.sorted
     assert(StreamOps.bottomKJaccard(sk(1, 2, 3), sk(1, 2, 3)) === 1.0)
