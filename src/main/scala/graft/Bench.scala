@@ -460,7 +460,11 @@ object Bench {
     //   lo, family hi, end-of-run] effective cores; value_cal trails
     //   "value". gc/steal diagnostics live in BENCH_LOCAL.json.
     def lat3ms(a: Double, b: Double, c: Double, places: Int): String = {
-      def ms(d: Double) = if (d < 0) d.toString else fmtT(d * 1000, places)
+      // ≥100 ms: whole milliseconds (0.7% resolution beats any gate)
+      def ms(d: Double) = {
+        val v = d * 1000
+        if (d < 0) d.toString else fmtT(v, if (v >= 100) 0 else places)
+      }
       s"[${ms(a)},${ms(b)},${ms(c)}]"
     }
     val core: Seq[(String, String)] = Seq(
@@ -469,9 +473,11 @@ object Bench {
       "recall100" -> s"[${fmtT(recall100, 3)},${fmtT(recall100Full, 3)}]",
       "lat_ms" -> lat3ms(p50, p95, p99, 1),
       "llat_ms" -> lat3ms(lp50, lp95, lp99, 2),
-      "cal" -> s"[${fmtT(calLo, 1)},${fmtT(calHi, 1)},${fmtT(calCores, 1)}]",
+      // [family lo, family hi] — the end-of-run probe is cal_cores in
+      // BENCH_LOCAL.json
+      "cal" -> s"[${fmtT(calLo, 1)},${fmtT(calHi, 1)}]",
       "ts" -> fmtF(ts, 0),
-      "value_cal" -> fmtF(totalCal, 2))
+      "value_cal" -> fmtF(totalCal, 1))
     val extra = Seq(
       "steal_pct" -> stealPct, "cal_1t" -> cal1t, "cal_cores" -> calCores,
       "cal_lo" -> calLo, "cal_hi" -> calHi, "gc_s" -> gcTotalS, "ts" -> ts,
@@ -563,7 +569,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val bySlowest = results.sortBy { case (n, v) =>
       (-rank.getOrElse(n, 0.0), -v, n) }
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // empty error list elided entirely — a healthy run (the common
+    // case) spends those chars on query rows instead
+    val errs =
+      if (errors.isEmpty) ""
+      else errors.map("\"" + _ + "\"").mkString(""""errors":[""", ",", "],")
     def render(keep: Int, withRemeasure: Boolean): String = {
       val omitted = results.length - keep
       val qmap = bySlowest.take(keep)
@@ -576,7 +586,7 @@ object Bench {
           .map { case (k, v) => "\"" + compactKey(k) + "\":" + fmtQ(v) }
           .mkString(""""remeasured":{""", ",", "},")
       val tail = scalars.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
-      s"""{"queries":$qmap,$remStr$omittedStr"reps":$reps,"errors":$errs,"sf":"$sf",""" +
+      s"""{"queries":$qmap,$remStr$omittedStr"reps":$reps,$errs"sf":"$sf",""" +
         tail + s""","metric":"total","value":${fmtF(total, 2)},"unit":"sec"}"""
     }
     // the standalone re-measure medians ride along best-effort: they

@@ -1545,6 +1545,7 @@ object VamanaIndex {
     "q_overlap_serve" -> (qOverlapServe(_, _)),
     "q_vamana_reach" -> (qVamanaReach(_, _)),
     "q_vamana_recall" -> (qVamanaRecall(_, _)),
+    "q_recall_ivecs" -> (qRecallIvecs(_, _)),
     "q_index_meta" -> (qIndexMeta(_, _)))
 
   /** Approximate/graph ops are rows-only (SURVEY.md §2.B); exact

@@ -171,6 +171,7 @@ object SourceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vecs_roundtrip" -> (qVecsRoundtrip(_, _)),
     "q_vecs_dsv2" -> (qVecsDsv2(_, _)),
+    "q_bvecs_u8" -> (qBvecsU8(_, _)),
     "q_hdf5_roundtrip" -> (qHdf5Roundtrip(_, _)))
   val oracles: Map[String, String] = Map(
     "q_vecs_roundtrip" -> qVecsRoundtripSql,

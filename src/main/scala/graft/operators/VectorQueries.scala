@@ -851,7 +851,8 @@ object VectorQueries {
     "q_quantize_sq8" -> (qQuantizeSq8(_, _)),
     "q_knn_u8" -> (qKnnU8(_, _)),
     "q_embed_normalize" -> (qEmbedNormalize(_, _)),
-    "q_sql_surface" -> (qSqlSurface(_, _)))
+    "q_sql_surface" -> (qSqlSurface(_, _)),
+    "q_sql_knn" -> (qSqlKnn(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_dist_l2" -> qDistL2Sql,
@@ -875,5 +876,8 @@ object VectorQueries {
     "q_quantize_sq8" -> qQuantizeSq8Sql,
     "q_knn_u8" -> qKnnU8Sql,
     "q_embed_normalize" -> qEmbedNormalizeSql,
-    "q_sql_surface" -> qSqlSurfaceSql)
+    "q_sql_surface" -> qSqlSurfaceSql,
+    // the SQL-text kNN is verified against the SAME oracle as the
+    // Column-API operator: whole custom-plan path, to the digit
+    "q_sql_knn" -> qKnnExactSql)
 }

