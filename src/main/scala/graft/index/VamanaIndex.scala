@@ -1380,8 +1380,13 @@ object VamanaIndex {
       .select($"query_id", expr("transform(rp, x -> x.pos)").as("neighbors"))
     graft.sources.VecsFormats.writeIvecs(gtRows, path)
     // read the FILE back: query_id is now the query's rank; map both
-    // sides back to vec_ids and score the graph search against it
-    val qpos = exact.select($"q_id").distinct()
+    // sides back to vec_ids and score the graph search against it.
+    // The rank map derives from the QUERY-SET definition (every 50th
+    // vector — the same subset qKnnExact uses), not from the exact
+    // results: re-deriving it from `exact` would re-execute the whole
+    // brute-force kNN subtree a second time just to list its q_ids
+    val qpos = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"))
       .withColumn("qrank",
         (row_number().over(Window.orderBy($"q_id")) - 1).cast("long"))
     val fileGt = s.read.format("ivecs").load(path)

@@ -119,7 +119,9 @@ object SourceQueries {
     * elem_size-1 single-file export → [[graft.index.U8Graph]]
     * byte-resident serving at 1/4 the widened heap. Output: top-10
     * per query over the standard %50 query subset (integral queries,
-    * so the exact integer-L2 fast path serves). Rows-only: the graph
+    * so the exact integer-L2 fast path serves; queries are corpus
+    * members, so rank 1 is the query itself at distance 0 — a
+    * retrieval-identity check in the result). Rows-only: the graph
     * build is not SQL-expressible. */
   /** One bvecs-export + u8-index build per (sf dir, JVM) — export-
     * once/serve-many, the same cache contract as every index tier
