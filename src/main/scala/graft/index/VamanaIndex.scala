@@ -87,12 +87,18 @@ object VamanaIndex {
     * at 1/4 the widened heap. L2 is the metric of the reference's u8
     * examples and the only one the u8 file tier serves. */
   def buildFromU8Codes(codes: DataFrame, params: VamanaParams,
-      numShards: Int): Dataset[IndexRow] = {
+      numShards: Int, merged: Boolean = false): Dataset[IndexRow] = {
     require(params.metric == "l2",
       s"u8 builds serve through the u8/L2 file tier; got metric ${params.metric}")
-    build(codes.select(codes("vec_id"),
-      graft.functions.VectorExprs.u8ToFloats(codes("codes")).as("embedding")),
-      params, numShards)
+    val emb = codes.select(codes("vec_id"),
+      graft.functions.VectorExprs.u8ToFloats(codes("codes")).as("embedding"))
+    // merged=true: the capped PARALLEL single-graph build
+    // ([[buildMerged]] — numShards concurrent sub-builds merged into
+    // one graph), for single-file export of corpora where a
+    // numShards=1 build would serialize on one core (the sf10 lesson:
+    // 200 k vectors built 5× faster merged)
+    if (merged) buildMerged(emb, params, numShards)
+    else build(emb, params, numShards)
   }
 
   /** Overlapped assignment: every non-seed vector goes to its `overlap`

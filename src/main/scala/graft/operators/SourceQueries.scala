@@ -143,10 +143,16 @@ object SourceQueries {
             (math.round(math.max(-1f, math.min(1f, x)) * 127f) + 128).toByte))
         }
         .toDF("vec_id", "codes")
-      VecsFormats.writeBvecsSharded(quant, shardDir, shards = 4)
+      val written = VecsFormats.writeBvecsSharded(quant, shardDir, shards = 4)
+      val n = written.map(_._2).sum // shard manifest row counts — no extra scan
       val codes = s.read.format("bvecs").load(shardDir) // native u8, no widen
       val p8 = u8Params
-      val idx = graft.index.VamanaIndex.buildFromU8Codes(codes, p8, numShards = 1)
+      // merged parallel build: one logical graph for the single-file
+      // export, built as mergedShards(n) concurrent capped sub-builds
+      // (a numShards=1 build serializes on one core — 352 s vs ~70 s
+      // for the 200 k-vector sf10 probe)
+      val idx = graft.index.VamanaIndex.buildFromU8Codes(codes, p8,
+        graft.index.VamanaIndex.mergedShards(n), merged = true)
       graft.index.SingleFileIndex.export(idx, p8, idxPath, u8 = true)
       (shardDir, idxPath)
     })
