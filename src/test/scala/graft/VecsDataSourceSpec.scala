@@ -174,6 +174,33 @@ class VecsDataSourceSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("bad dim header")), s"unexpected: $e")
   }
 
+  test("writeIvecs ground-truth lists round-trip through the ivecs DSv2 reader") {
+    import spark.implicits._
+    val lists = Seq(
+      (7L, Array(3, 1, 4)), (2L, Array(1, 5, 9)), (11L, Array(2, 6, 5)))
+    val path = "/tmp/graft_ivecs_rt.ivecs"
+    graft.sources.VecsFormats.writeIvecs(lists.toDF("query_id", "neighbors"), path)
+    val back = spark.read.format("ivecs").load(path)
+      .as[(Long, Array[Int])].collect().sortBy(_._1)
+    // read-back ids are positional over the query_id-ORDERED export
+    // (2 < 7 < 11), and neighbor lists survive byte-exact in order
+    assert(back.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(back(0)._2.toSeq === Seq(1, 5, 9))   // query_id 2
+    assert(back(1)._2.toSeq === Seq(3, 1, 4))   // query_id 7
+    assert(back(2)._2.toSeq === Seq(2, 6, 5))   // query_id 11
+    // a mixed-k file cannot round-trip: the record header is the list
+    // length, and the readers enforce one uniform dim per file
+    graft.sources.VecsFormats.writeIvecs(
+      Seq((0L, Array(1, 2, 3)), (1L, Array(4, 5))).toDF("query_id", "neighbors"),
+      "/tmp/graft_ivecs_mixed.ivecs")
+    val e = intercept[Exception] {
+      spark.read.format("ivecs").load("/tmp/graft_ivecs_mixed.ivecs").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("records") || m.contains("dim")), e.toString)
+  }
+
   test("sharded u8 export round-trips native binary codes through the DSv2 reader") {
     import spark.implicits._
     val codes = (0 until 40).map(i => (i.toLong, Array.tabulate(8)(j => ((i * 13 + j) % 256).toByte)))
