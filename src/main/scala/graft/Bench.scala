@@ -521,7 +521,12 @@ object Bench {
     * also written to BENCH_LOCAL.json for offline reading.
     * BenchFormatSpec pins the compact line under the tail window at
     * the current query count. */
-  private[graft] val CompactBudget = 1880 // 2000 − sbt chrome − margin
+  // 2000-char tail − measured sbt chrome − margin: the chrome inside
+  // the window is the "[info] " line prefix (7) plus the trailing
+  // "[success] Total time: …" line (~75), ≈ 83 chars → hard cap
+  // ≈ 1917; 1900 keeps 17 of margin (raised from 1880 at 84 queries —
+  // the margin was spent on rows, which outrank slack)
+  private[graft] val CompactBudget = 1900
 
   /** Compact per-query seconds: whole seconds at ≥10 s, else 2
     * decimals with trailing zeros trimmed ("0.30" → "0.3") — 10 ms

@@ -269,6 +269,143 @@ object PQ {
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
        |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
 
+  /** `q_knn_ivfpq` — the IVF+ADC composition (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 §IV:
+    * an inverted file restricts the candidate set, PQ codes rank it;
+    * the residual-free `by_residual=false` variant — codes encode raw
+    * vectors, so both stages reuse this file's oracle-replayable
+    * seed-codebook encode). The 100 TB serving arithmetic multiplies
+    * the two reductions: candidate generation touches nprobe/ncells
+    * of the corpus (partition pruning) AND reads M bytes per
+    * candidate instead of dim·4 (PQ codes) — cells×codes is the scan
+    * footprint a disk-resident billion-vector tier actually pays.
+    * Chain: probe ranking (same seed cells + L2 rule as `q_knn_ivf`)
+    * → ADC scan of probed cells only (codegen'd
+    * [[graft.functions.PqAdcDistance]]) → bounded top-`Cand` → exact
+    * full-precision rerank. Fully deterministic → fully hash-checked
+    * end to end, like both parents. */
+  def qKnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bc = s.sparkContext.broadcast(codebooks(s, dir))
+    val queries = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+
+    // probe ranking: NPROBE nearest seed cells per query (q_knn_ivf's
+    // exact rule — L2 to the cell centroid, ties to the lower cell)
+    val cents = Tables.embeddings(s, dir)
+      .filter($"vec_id" < VectorQueries.NCELLS)
+      .select($"vec_id".as("cell"), $"embedding".as("cv"))
+    val probeW = Window.partitionBy($"q_id").orderBy($"cdist", $"cell")
+    val probes = queries.join(broadcast(cents))
+      .select($"q_id", $"cell", l2Dist($"qv", $"cv").as("cdist"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter($"rn" <= VectorQueries.NPROBE)
+      .select($"q_id", $"cell")
+
+    // per-query ADC LUTs (M·Ksub doubles), carried with the probe rows
+    val luts = queries.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cb = bc.value
+        it.map { case (qid, qv) =>
+          val lut = new Array[Double](M * Ksub)
+          var sub = 0
+          while (sub < M) {
+            var j = 0
+            while (j < Ksub) { lut(sub * Ksub + j) = subSqL2(qv, sub, cb, j); j += 1 }
+            sub += 1
+          }
+          (qid, lut)
+        }
+      }
+      .toDF("q_id", "lut")
+    val probeLuts = probes.join(luts, "q_id")
+
+    // ADC over PROBED cells only: the codes scan joins its cell
+    // assignment (vec_id-keyed — co-located where both are stored
+    // together, as a real layout does), then the tiny (q, cell, lut)
+    // set broadcasts against it
+    val adc = codesDf(s, dir)
+      .join(VectorQueries.ivfAssign(s, dir), "vec_id")
+      .select($"vec_id".as("nid"), $"codes".as("nc"), $"cell")
+      .join(broadcast(probeLuts), "cell")
+      .filter($"nid" =!= $"q_id")
+      .select($"q_id", $"nid", pqAdcDist($"lut", $"nc", Ksub).as("adc_d"))
+    val tk = TopK.topk(Cand)
+    val cand = adc.groupBy($"q_id").agg(tk($"nid", $"adc_d").as("tk"))
+      .select($"q_id", explode($"tk.ids").as("nid"))
+
+    // full-precision rerank of the surviving candidates only
+    val candQ = cand.join(queries, "q_id")
+    val d = Tables.embeddings(s, dir).select($"vec_id".as("nid"), $"embedding".as("v"))
+      .join(broadcast(candQ), "nid")
+      .select($"q_id", $"nid", l2Dist($"qv", $"v").as("dist"))
+    VectorQueries.topkExplode(d, K)
+  }
+
+  val qKnnIvfPqSql: String =
+    s"""WITH $encodeCtes,
+       |cents AS (
+       |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < ${VectorQueries.NCELLS}
+       |), assign_d AS (
+       |  SELECT e.vec_id, cell,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), cv) AS dist
+       |  FROM embeddings e CROSS JOIN cents
+       |), assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM assign_d) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS q_id, embedding AS qemb,
+       |    CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 50 = 0
+       |), probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY list_distance(qv, cv), cell) AS rn
+       |    FROM q CROSS JOIN cents) WHERE rn <= ${VectorQueries.NPROBE}
+       |), qs AS (
+       |  SELECT q_id, CAST(t.s AS INTEGER) AS sub,
+       |    qemb[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS v
+       |  FROM q, unnest(range(0, $M)) AS t(s)
+       |), lut AS (
+       |  SELECT q_id, cb.sub, cb.j AS code,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, $SubDim + 1),
+       |      i -> (qs.v[i]::DOUBLE - cb.cv[i]::DOUBLE) * (qs.v[i]::DOUBLE - cb.cv[i]::DOUBLE))),
+       |      (acc, x) -> acc + x) AS d
+       |  FROM qs JOIN cb ON cb.sub = qs.sub
+       |), adc AS (
+       |  SELECT l.q_id, e.vec_id AS nid,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(l.d ORDER BY l.sub)),
+       |      (acc, x) -> acc + x) AS adc_d
+       |  FROM enc e
+       |  JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN probes p ON p.cell = a.cell
+       |  JOIN lut l ON l.q_id = p.q_id AND l.sub = e.sub AND l.code = e.code
+       |  WHERE e.vec_id <> l.q_id
+       |  GROUP BY l.q_id, e.vec_id
+       |), cand AS (
+       |  SELECT q_id, nid FROM (
+       |    SELECT q_id, nid,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc_d, nid) AS rn
+       |    FROM adc
+       |  ) WHERE rn <= $Cand
+       |), d AS (
+       |  SELECT c.q_id, c.nid,
+       |    list_distance(CAST(eq.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[])) AS dist
+       |  FROM cand c
+       |  JOIN embeddings eq ON eq.vec_id = c.q_id
+       |  JOIN embeddings en ON en.vec_id = c.nid
+       |), r AS (
+       |  SELECT q_id, nid, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nid) AS rn
+       |  FROM d
+       |)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
+       |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
+
   // ------------------------------------------------- two-tier file serving
 
   /** One single-file index per (sf dir, JVM) for [[qPqServe]] — the
@@ -314,8 +451,10 @@ object PQ {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_encode" -> (qPqEncode(_, _)),
     "q_knn_pq" -> (qKnnPq(_, _)),
+    "q_knn_ivfpq" -> (qKnnIvfPq(_, _)),
     "q_pq_serve" -> (qPqServe(_, _)))
   val oracles: Map[String, String] = Map(
     "q_pq_encode" -> qPqEncodeSql,
-    "q_knn_pq" -> qKnnPqSql)
+    "q_knn_pq" -> qKnnPqSql,
+    "q_knn_ivfpq" -> qKnnIvfPqSql)
 }

@@ -33,8 +33,10 @@ object VectorQueries {
   def release(s: SparkSession): Unit = graft.PlanCache.release(s, Family)
 
   private val K = 10
-  private val NCELLS = 16
-  private val NPROBE = 4
+  // shared with the IVF+PQ composition (PQ.qKnnIvfPq): one cell/probe
+  // constant set across every IVF-routed query
+  private[graft] val NCELLS = 16
+  private[graft] val NPROBE = 4
 
   /** Deterministic query subset: every 50th vector. */
   private def queriesDf(s: SparkSession, dir: String): DataFrame = {
