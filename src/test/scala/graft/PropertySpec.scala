@@ -137,6 +137,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("compact bench line: parses as JSON with correct totals over seeded random runs") {
+    // the committed artifact's renderer must never emit unparseable
+    // output or a wrong total, whatever the run looked like — fuzz
+    // the inputs the format was hand-tuned around
+    import org.json4s._
+    val rnd = new scala.util.Random(0x9E3779B9L)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    (1 to 50).foreach { caseNo =>
+      val nQ = 1 + rnd.nextInt(names.length)
+      val rows = rnd.shuffle(names).take(nQ).map { n =>
+        // mix healthy, slow, and error-sentinel values
+        n -> (rnd.nextInt(4) match {
+          case 0 => -1.0
+          case 1 => rnd.nextDouble() * 0.5
+          case 2 => 1 + rnd.nextDouble() * 8
+          case _ => 10 + rnd.nextDouble() * 200
+        })
+      }
+      val errors = rows.filter(_._2 < 0).map(_._1)
+      val remeasured = rnd.shuffle(rows).take(rnd.nextInt(6))
+        .map { case (n, _) => n -> rnd.nextDouble() * 3 }
+      val scalars = Seq("qps" -> "154", "recall" -> "0.908",
+        "lat_ms" -> "[150,1089,1119]", "value_cal" -> "123.5")
+      val line = Bench.renderCompactFitted(rows, scalars, 3, errors,
+        "sf0.1", remeasured = remeasured)
+      assert(line.length <= Bench.CompactBudget, s"case $caseNo: ${line.length}")
+      val jv = org.json4s.jackson.JsonMethods.parse(line) // throws if malformed
+      // "value" totals every NON-ERROR query, kept or omitted
+      val total = rows.collect { case (_, v) if v >= 0 => v }.sum
+      val got = (jv \ "value") match {
+        case JDouble(d) => d
+        case JInt(i) => i.toDouble
+        case JDecimal(d) => d.toDouble
+        case other => fail(s"case $caseNo: value is $other")
+      }
+      assert(math.abs(got - total) < 0.005 + total * 1e-9,
+        s"case $caseNo: total $got vs $total")
+      // kept rows + omitted count == all rows
+      val kept = (jv \ "queries") match {
+        case JObject(fs) => fs.length
+        case _ => fail(s"case $caseNo: queries not an object")
+      }
+      val omitted = (jv \ "queries_omitted") match {
+        case JInt(i) => i.toInt
+        case JNothing => 0
+        case other => fail(s"case $caseNo: queries_omitted $other")
+      }
+      assert(kept + omitted == rows.length, s"case $caseNo: $kept + $omitted")
+    }
+  }
+
   test("two-pointer intersect count == set intersection size") {
     val strs = Gen.listOf(Gen.oneOf("aa", "ab", "ba", "bb", "ca", "cb", "cc"))
     for (s <- 1 to 300) {
