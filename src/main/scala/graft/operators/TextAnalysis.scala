@@ -504,14 +504,18 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** Stateless scoring projection shared with the streaming form
-    * ([[graft.streaming.StreamOps.streamingSelect]]): one row per
-    * non-empty doc with its content hash and the exact quality/lang
-    * verdicts the batch pipeline filters on. */
-  private[graft] def scoreForSelect(docs: DataFrame): DataFrame =
+  /** Stateless scoring projection shared with the streaming forms
+    * ([[graft.streaming.StreamOps.streamingSelect]] and its
+    * event-time-TTL twin): one row per non-empty doc with its content
+    * hash and the exact quality/lang verdicts the batch pipeline
+    * filters on. `extra` passes input columns through (the TTL form
+    * threads its event-time column) — one projection definition, so
+    * the batch and both streaming forms cannot drift. */
+  private[graft] def scoreForSelect(docs: DataFrame,
+      extra: Seq[String] = Nil): DataFrame =
     withLangCols(withQualityCols(withWords(docs)))
-      .select(col("doc_id"), md5(col("text")).as("h"),
-        col("quality_score"), col("pred_lang"))
+      .select(Seq(col("doc_id"), md5(col("text")).as("h"),
+        col("quality_score"), col("pred_lang")) ++ extra.map(col): _*)
 
   val qPipelineSelectSql: String = {
     val en = langWords.head._2

@@ -349,6 +349,49 @@ object StreamOps {
     scored.union(empties)
   }
 
+  /** Event-time-TTL ingest selection — completes the TTL trio
+    * ([[streamingDedupTtl]]/[[streamingNearDedupTtl]]): input carries
+    * an event-time `ts` column; the keeper slot for a content hash
+    * expires `ttlMs` past its newest event, after which a re-ingested
+    * identical document becomes a fresh keeper (and `selected` again
+    * if it passes the gates) instead of being flagged against a
+    * long-gone original. Scoring rides the SAME shared projection as
+    * the batch operator and [[streamingSelect]]
+    * ([[graft.operators.TextAnalysis.scoreForSelect]] with the ts
+    * column threaded through), so the three forms cannot drift. */
+  def streamingSelectTtl(docs: DataFrame, ttlMs: Long,
+      lateness: String = "10 minutes"): Dataset[SelectOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = graft.operators.TextAnalysis.scoreForSelect(docs, extra = Seq("ts"))
+      .withWatermark("ts", lateness)
+      .as[(Long, String, Double, String, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, SelectOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[(Long, String, Double, String, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toArray.sortBy(_._1)
+            val keeper = state.getOption.getOrElse(sorted.head._1)
+            state.update(keeper)
+            setEventTimeTtl(state, sorted.map(_._5.getTime).max, ttlMs)
+            sorted.iterator.map { case (id, _, q, l, _) =>
+              val dup = id != keeper
+              SelectOut(id, q, l, dup, !dup && l == "en" && q >= 0.5)
+            }
+          }
+      }
+    // same empty-doc verdict contract as streamingSelect: stateless,
+    // rejected, one row per doc
+    val empties = docs
+      .where(expr(graft.operators.TextAnalysis.NoWordsPredicate))
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(id => SelectOut(id, 0.0, "und", is_dup = false, selected = false))
+    scored.union(empties)
+  }
+
   /** Stateful sessionizer: 30-minute inactivity gap. Each micro-batch
     * is fully gap-merged WITH the open interval: the group keeps a
     * sorted list of disjoint (> gap apart) session intervals, every

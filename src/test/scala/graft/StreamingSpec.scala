@@ -260,6 +260,38 @@ class StreamingSpec extends AnyFunSuite {
       s"doc 5 arrived after the slot's TTL and must start fresh: $pairs")
   }
 
+  test("event-time TTL select: dup loses selection within TTL, regains it as a fresh keeper") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val good = "the quick brown fox jumps over the lazy dog " * 20
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamOps.streamingSelectTtl(
+        mem.toDS().toDF("doc_id", "text", "ts"), ttlMs = 60 * 60000L,
+        lateness = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("select_ttl").start()
+    mem.addData((1L, good, ts(60)))
+    q.processAllAvailable()
+    // within the TTL the identical doc is a flagged dup, NOT selected
+    mem.addData((2L, good, ts(61)))
+    q.processAllAvailable()
+    // advance the watermark far past the TTL, then let expiry fire
+    mem.addData((3L, "unrelated filler words entirely here", ts(400)))
+    q.processAllAvailable()
+    mem.addData((4L, "another spacer document text", ts(401)))
+    q.processAllAvailable()
+    // expired slot: the same content is a FRESH keeper and selected
+    mem.addData((5L, good, ts(402)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("select_ttl")
+      .select($"doc_id", $"is_dup", $"selected")
+      .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+    val m = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((false, true)), out.toSeq.toString)  // keeper, quality en
+    assert(m(2L) == ((true, false)), out.toSeq.toString)  // in-TTL dup
+    assert(m(5L) == ((false, true)), out.toSeq.toString)  // fresh after expiry
+  }
+
   test("near-dedup bottom-k estimator: exact on small sets, in order, symmetric") {
     def sk(xs: Long*): Array[Long] = xs.toArray.distinct.sorted
     assert(StreamOps.bottomKJaccard(sk(1, 2, 3), sk(1, 2, 3)) === 1.0)
