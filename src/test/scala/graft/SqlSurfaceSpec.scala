@@ -126,6 +126,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val sq = spark.sql(
       "SELECT graft_int_sql2_distance(array(1, 2, 3), array(4, 0, 3)) AS d").head().getDouble(0)
     assert(sq === 9.0 + 4.0) // (1-4)^2 + (2-0)^2 + 0
+    // u8 widen: unsigned semantics — byte 0xFF is 255.0f, not -1.0f
+    val widened = spark.sql(
+      "SELECT graft_u8_to_floats(unhex('00FF7F80')) AS v").head()
+      .getSeq[Float](0)
+    assert(widened === Seq(0.0f, 255.0f, 127.0f, 128.0f))
     // lut laid out [m][ksub]: m=0 row (0,1), m=1 row (10,20); codes (1,0)
     val adc = spark.sql(
       "SELECT graft_pq_adc_distance(array(0.0D, 1.0D, 10.0D, 20.0D), array(1, 0), 2) AS d")
