@@ -289,16 +289,26 @@ object Bench {
     val baseline = loadBaseline()
     // capacity-scaled observed/baseline ratio per query — drives BOTH
     // the >2× re-measure trigger and the compact line's keep order
-    val gateRatio: Map[String, Double] = baseline.map { case (baseCal, baseRows) =>
-      val famCal = calSeries.toMap
-      results.toSeq.flatMap { case (name, v) =>
+    // ONE capacity-scaling definition — observed median × (run family
+    // cal / baseline family cal) — shared by the >2× gate and
+    // value_cal below, so the two scalings cannot drift
+    val famCal = calSeries.toMap
+    def calScaled(name: String, v: Double): Option[Double] =
+      baseline.flatMap { case (baseCal, _) =>
         for {
           fam <- famOf.get(name)
-          row <- baseRows.get(name)
           bc <- baseCal.get(fam)
           rc <- famCal.get(fam)
-          if v >= 0 && rc > 0 && bc > 0 && row > 0
-        } yield name -> (v * rc / bc / row)
+          if rc > 0 && bc > 0
+        } yield v * rc / bc
+      }
+    val gateRatio: Map[String, Double] = baseline.map { case (_, baseRows) =>
+      results.toSeq.flatMap { case (name, v) =>
+        for {
+          row <- baseRows.get(name)
+          s <- calScaled(name, v)
+          if v >= 0 && row > 0
+        } yield name -> (s / row)
       }.toMap
     }.getOrElse(Map.empty)
     if (baseline.nonEmpty) {
@@ -432,16 +442,7 @@ object Bench {
     // headline compare like for like (judge r10 item 7). Queries
     // without a baseline row/cal contribute unscaled.
     val totalCal = results.toSeq.map { case (name, v) =>
-      if (v < 0) 0.0
-      else baseline.flatMap { case (baseCal, _) =>
-        val famCal = calSeries.toMap
-        for {
-          fam <- famOf.get(name)
-          bc <- baseCal.get(fam)
-          rc <- famCal.get(fam)
-          if rc > 0 && bc > 0
-        } yield v * rc / bc
-      }.getOrElse(v)
+      if (v < 0) 0.0 else calScaled(name, v).getOrElse(v)
     }.sum
     // the HEADLINE serving pair is the overlap-2 operating point
     // (recall@10 ≈ 0.91 at nprobe=4, OverlapSpec-pinned at sf0.1) —
@@ -507,7 +508,9 @@ object Bench {
     catch { case _: Throwable => } // read-only cwd must not fail the bench
     // compact sf: the basename identifies the scale factor; the full
     // dir is in BENCH_LOCAL.json
-    val sfShort = sfDir.reverse.takeWhile(_ != '/').reverse
+    // trailing slashes stripped first: "/x/sf0.1/" must yield "sf0.1",
+    // not "" (an empty sf field breaks run-to-artifact matching)
+    val sfShort = sfDir.replaceAll("/+$", "").reverse.takeWhile(_ != '/').reverse
     println(renderCompactFitted(results.toSeq, core, reps, errors.toSeq,
       sfShort, remeasured = remeasured.toSeq, rank = gateRatio))
     spark.stop()

@@ -699,6 +699,21 @@ object VamanaIndex {
       .sortBy(_._1)
   }
 
+  /** The persisted serving schedule as its own JSON string — typed
+    * accessor over metadata.json (Spark's JSON reader, same machinery
+    * as [[loadRouting]]/[[loadPivots]]), so callers never slice the
+    * raw metadata by string position. Indexes saved before the
+    * serving field existed fall back to the normative in-code copy
+    * ([[servingScheduleJson]] — the schedule is version-static, not
+    * per-index). */
+  def loadServingSchedule(spark: SparkSession, path: String): String = {
+    import spark.implicits._
+    val df = spark.read.json(spark.createDataset(Seq(loadMeta(path))))
+    if (df.columns.contains("serving"))
+      df.select(to_json(col("serving"))).as[String].head()
+    else servingScheduleJson
+  }
+
   def load(spark: SparkSession, path: String): Dataset[IndexRow] = {
     import spark.implicits._
     val raw = spark.read.parquet(s"$path/graph")

@@ -231,17 +231,20 @@ object StreamOps {
       .withWatermark("ts", lateness)
       .select($"doc_id", $"j", $"sig", $"sketch", $"ts").as[BandRowTs]
       .groupByKey(r => (r.j, r.sig))
-      .flatMapGroupsWithState[List[(Long, Array[Long])], NearDupOut](
+      .flatMapGroupsWithState[(List[(Long, Array[Long])], Long), NearDupOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: (Int, Long), rows: Iterator[BandRowTs],
-         state: GroupState[List[(Long, Array[Long])]]) =>
+         state: GroupState[(List[(Long, Array[Long])], Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val arrivals = rows.toArray.sortBy(_.doc_id)
-            val (keepers, out) = nearDupMatch(state.getOption.getOrElse(Nil),
+            val (prevKeepers, prevMax) =
+              state.getOption.getOrElse((Nil, Long.MinValue))
+            val (keepers, out) = nearDupMatch(prevKeepers,
               arrivals.map(r => (r.doc_id, r.sketch)), key._1, tau)
-            state.update(keepers)
-            setEventTimeTtl(state, arrivals.map(_.ts.getTime).max, ttlMs)
+            val maxMs = math.max(prevMax, arrivals.map(_.ts.getTime).max)
+            state.update((keepers, maxMs))
+            setEventTimeTtl(state, maxMs, ttlMs)
             out.iterator
           }
       }
@@ -259,17 +262,19 @@ object StreamOps {
       .withWatermark("ts", lateness)
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState[Long, DedupOut](
+      .flatMapGroupsWithState[(Long, Long), DedupOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: String, rows: Iterator[(Long, String, java.sql.Timestamp)],
-         state: GroupState[Long]) =>
+         state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val arr = rows.toArray
             val ids = arr.map(_._1).sorted
-            val keeper = state.getOption.getOrElse(ids.head)
-            state.update(keeper)
-            setEventTimeTtl(state, arr.map(_._3.getTime).max, ttlMs)
+            val (keeper, prevMax) =
+              state.getOption.getOrElse((ids.head, Long.MinValue))
+            val maxMs = math.max(prevMax, arr.map(_._3.getTime).max)
+            state.update((keeper, maxMs))
+            setEventTimeTtl(state, maxMs, ttlMs)
             ids.iterator.map(id => DedupOut(id, keeper, id != keeper))
           }
       }
@@ -279,7 +284,14 @@ object StreamOps {
     * floored just above the current watermark —
     * `setTimeoutTimestamp` rejects timestamps at or below it (a group
     * whose only arrivals were almost-too-late events could otherwise
-    * compute an already-passed expiry and crash the batch). */
+    * compute an already-passed expiry and crash the batch).
+    *
+    * `maxEventMs` must be the max event time over the group's WHOLE
+    * lifetime, not just the current batch — every caller threads a
+    * running max through its state — so a late out-of-order arrival
+    * never shortens an already-set expiry (it would otherwise reset
+    * the timeout to lateEvent + ttl, expiring the keeper up to the
+    * watermark-lateness window early). */
   private def setEventTimeTtl(state: GroupState[_], maxEventMs: Long,
       ttlMs: Long): Unit =
     state.setTimeoutTimestamp(
@@ -367,16 +379,18 @@ object StreamOps {
       .withWatermark("ts", lateness)
       .as[(Long, String, Double, String, java.sql.Timestamp)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState[Long, SelectOut](
+      .flatMapGroupsWithState[(Long, Long), SelectOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: String, rows: Iterator[(Long, String, Double, String, java.sql.Timestamp)],
-         state: GroupState[Long]) =>
+         state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.toArray.sortBy(_._1)
-            val keeper = state.getOption.getOrElse(sorted.head._1)
-            state.update(keeper)
-            setEventTimeTtl(state, sorted.map(_._5.getTime).max, ttlMs)
+            val (keeper, prevMax) =
+              state.getOption.getOrElse((sorted.head._1, Long.MinValue))
+            val maxMs = math.max(prevMax, sorted.map(_._5.getTime).max)
+            state.update((keeper, maxMs))
+            setEventTimeTtl(state, maxMs, ttlMs)
             sorted.iterator.map { case (id, _, q, l, _) =>
               val dup = id != keeper
               SelectOut(id, q, l, dup, !dup && l == "en" && q >= 0.5)

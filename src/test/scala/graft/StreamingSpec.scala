@@ -230,6 +230,45 @@ class StreamingSpec extends AnyFunSuite {
       out.toSeq.toString)
   }
 
+  test("event-time TTL dedup: a late arrival never SHORTENS an already-set TTL") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // 60-minute TTL with a wide lateness window so out-of-order events
+    // are admitted. The keeper's newest event is ts(300), so its slot
+    // must live until watermark > ts(360) — a LATE arrival at ts(185)
+    // must not reset the expiry to ts(245) (the bug this pins: expiry
+    // computed from only the current batch's max event time).
+    val q = StreamOps.streamingDedupTtl(
+        mem.toDS().toDF("doc_id", "text", "ts"), ttlMs = 60 * 60000L,
+        lateness = "120 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_ttl_late").start()
+    mem.addData((1L, "dup text", ts(300)))
+    q.processAllAvailable() // watermark -> 180
+    // late but admissible (185 >= watermark 180); slot newest stays 300
+    mem.addData((2L, "dup text", ts(185)))
+    q.processAllAvailable()
+    // advance the watermark to 260 — past the BUGGY expiry (245) but
+    // inside the correct one (360) — then let a batch evaluate timeouts
+    mem.addData((3L, "unrelated A", ts(380)))
+    q.processAllAvailable()
+    mem.addData((4L, "unrelated B", ts(381)))
+    q.processAllAvailable()
+    // within TTL of the newest event (320 <= 360): must STILL flag
+    mem.addData((5L, "dup text", ts(320)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedup_ttl_late")
+      .select($"doc_id", $"keeper_id", $"is_dup")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, false),
+      (2L, 1L, true),  // the late arrival itself flags normally
+      (3L, 3L, false), (4L, 4L, false),
+      (5L, 1L, true)), // slot survived: late event didn't shorten TTL
+      out.toSeq.toString)
+  }
+
   test("event-time TTL near-dedup: same banding within TTL, slots expire past it") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
