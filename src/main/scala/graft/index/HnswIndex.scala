@@ -153,10 +153,7 @@ object HnswIndex {
     // shuffle of the adjacency table per open. Fall back to the scan
     // only for a foreign directory without usable metadata.
     val nShards = scala.util.Try {
-      val meta = loadMeta(path)
-      spark.read.json(spark.createDataset(Seq(meta))(
-          org.apache.spark.sql.Encoders.STRING))
-        .selectExpr("CAST(num_shards AS INT)").head().getInt(0)
+      MetaJson.parse(loadMeta(path)).get("num_shards").asInt()
     }.filter(_ > 0)
       .getOrElse(raw.select("shard").distinct().count().toInt)
     raw.repartition(math.max(1, nShards), $"shard").as[HnswRow]
@@ -169,16 +166,12 @@ object HnswIndex {
     * index path (same contract as [[VamanaIndex.paramsFromMeta]]): a
     * directory is self-describing, no build configuration needed. */
   def paramsFromMeta(spark: SparkSession, meta: String): HnswParams = {
-    val row = spark.read.json(
-        spark.createDataset(Seq(meta))(org.apache.spark.sql.Encoders.STRING))
-      .selectExpr("metric", "CAST(m AS INT)",
-        "CAST(ef_construction AS INT)", "CAST(seed AS BIGINT)")
-      .head()
+    val m = MetaJson.parse(meta)
     HnswParams(
-      m = row.getInt(1),
-      efConstruction = row.getInt(2),
-      seed = row.getLong(3),
-      metric = row.getString(0))
+      m = m.get("m").asInt(),
+      efConstruction = m.get("ef_construction").asInt(),
+      seed = m.get("seed").asLong(),
+      metric = m.get("metric").asText())
   }
 
   // ------------------------------------------------------- file serving tier
@@ -296,20 +289,17 @@ object HnswIndex {
     * graphFile, n) entries. Fails loudly on a foreign format. */
   def readManifest(spark: SparkSession, dir: String)
       : (HnswParams, Array[(Int, String, String, Long)]) = {
-    import spark.implicits._
-    val meta = Files.readString(Paths.get(s"$dir/manifest.json"))
-    require(meta.contains("\"graft-hnsw-files-v1\""),
+    val raw = Files.readString(Paths.get(s"$dir/manifest.json"))
+    require(raw.contains("\"graft-hnsw-files-v1\""),
       s"$dir/manifest.json is not a graft-hnsw-files-v1 manifest")
-    val df = spark.read.json(spark.createDataset(Seq(meta)))
-    val p = df.selectExpr("metric", "CAST(m AS INT)",
-      "CAST(ef_construction AS INT)", "CAST(seed AS BIGINT)").head()
-    val hp = HnswParams(m = p.getInt(1), efConstruction = p.getInt(2),
-      seed = p.getLong(3), metric = p.getString(0))
-    val entries = df.selectExpr("explode(shards) AS s")
-      .selectExpr("s.shard", "s.data", "s.graph", "s.n")
-      .as[(Long, String, String, Long)].collect()
-      .map { case (sh, d, g, n) => (sh.toInt, d, g, n) }
-      .sortBy(_._1)
+    val meta = MetaJson.parse(raw)
+    val hp = HnswParams(m = meta.get("m").asInt(),
+      efConstruction = meta.get("ef_construction").asInt(),
+      seed = meta.get("seed").asLong(), metric = meta.get("metric").asText())
+    val entries = MetaJson.elems(meta.get("shards")).map { sh =>
+      (sh.get("shard").asInt(), sh.get("data").asText(),
+        sh.get("graph").asText(), sh.get("n").asLong())
+    }.toArray.sortBy(_._1)
     (hp, entries)
   }
 

@@ -576,18 +576,17 @@ object SingleFileIndex {
         s""""shards":$shardsJson}""")
   }
 
-  /** Parse the sharded-tier manifest: (shard, file, routing seed). */
+  /** Parse the sharded-tier manifest: (shard, file, routing seed).
+    * Driver-side ([[graft.index.MetaJson]]) — a pivot-bearing
+    * manifest is ~1.4 MB of float text and must never ride a Spark
+    * task. */
   def readManifest(spark: org.apache.spark.sql.SparkSession, dir: String)
       : Array[(Int, String, Array[Float])] = {
-    import spark.implicits._
-    val meta = Files.readString(Paths.get(s"$dir/manifest.json"))
-    spark.read.json(spark.createDataset(Seq(meta)))
-      .selectExpr("explode(shards) AS s")
-      .selectExpr("s.shard", "s.file", "s.seed")
-      .as[(Long, String, Array[Double])]
-      .collect()
-      .map { case (sh, f, seed) => (sh.toInt, f, seed.map(_.toFloat)) }
-      .sortBy(_._1)
+    val meta = MetaJson.parse(Files.readString(Paths.get(s"$dir/manifest.json")))
+    MetaJson.elems(meta.get("shards")).map { sh =>
+      (sh.get("shard").asInt(), sh.get("file").asText(),
+        MetaJson.floats(sh.get("seed")))
+    }.toArray.sortBy(_._1)
   }
 
   /** Manifest with routing pivots: (shard, file, pivot set). Manifests
@@ -595,17 +594,14 @@ object SingleFileIndex {
     * so old exports keep serving (with seed routing). */
   def readManifestPivots(spark: org.apache.spark.sql.SparkSession, dir: String)
       : Array[(Int, String, Array[Array[Float]])] = {
-    import spark.implicits._
-    val meta = Files.readString(Paths.get(s"$dir/manifest.json"))
-    if (!meta.contains("\"pivots\""))
+    val raw = Files.readString(Paths.get(s"$dir/manifest.json"))
+    if (!raw.contains("\"pivots\""))
       return readManifest(spark, dir).map { case (sh, f, seed) => (sh, f, Array(seed)) }
-    spark.read.json(spark.createDataset(Seq(meta)))
-      .selectExpr("explode(shards) AS s")
-      .selectExpr("s.shard", "s.file", "s.pivots")
-      .as[(Long, String, Array[Array[Double]])]
-      .collect()
-      .map { case (sh, f, pv) => (sh.toInt, f, pv.map(_.map(_.toFloat))) }
-      .sortBy(_._1)
+    val meta = MetaJson.parse(raw)
+    MetaJson.elems(meta.get("shards")).map { sh =>
+      (sh.get("shard").asInt(), sh.get("file").asText(),
+        MetaJson.floatMatrix(sh.get("pivots")))
+    }.toArray.sortBy(_._1)
   }
 
   /** Serve queries over the sharded-files tier: each task mmaps only

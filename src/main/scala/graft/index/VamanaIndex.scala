@@ -667,20 +667,16 @@ object VamanaIndex {
     if (!wasPersisted) index.unpersist()
   }
 
-  /** Parse the persisted routing table back out of metadata.json (via
-    * Spark's JSON reader — no extra dependency). Float seeds
-    * round-trip exactly: Float.toString is shortest-round-trip, and
-    * double-parse → float restores the bit pattern. */
+  /** Parse the persisted routing table back out of metadata.json —
+    * driver-side ([[MetaJson]]; the metadata string must never ride a
+    * Spark task). Float seeds round-trip exactly: Float.toString is
+    * shortest-round-trip, and double-parse → float restores the bit
+    * pattern. */
   def loadRouting(spark: SparkSession, path: String): Array[(Int, Array[Float])] = {
-    import spark.implicits._
-    val meta = loadMeta(path)
-    spark.read.json(spark.createDataset(Seq(meta)))
-      .selectExpr("explode(routing) AS r")
-      .selectExpr("r.shard", "r.seed")
-      .as[(Long, Array[Double])]
-      .collect()
-      .map { case (shard, seed) => (shard.toInt, seed.map(_.toFloat)) }
-      .sortBy(_._1)
+    val meta = MetaJson.parse(loadMeta(path))
+    MetaJson.elems(meta.get("routing")).map { r =>
+      (r.get("shard").asInt(), MetaJson.floats(r.get("seed")))
+    }.toArray.sortBy(_._1)
   }
 
   /** Parse the persisted pivot table back out of metadata.json —
@@ -688,30 +684,22 @@ object VamanaIndex {
     * pivots field existed throw here; callers fall back to one
     * [[pivotTable]] recompute (Handle does). */
   def loadPivots(spark: SparkSession, path: String): Array[(Int, Array[Array[Float]])] = {
-    import spark.implicits._
-    val meta = loadMeta(path)
-    spark.read.json(spark.createDataset(Seq(meta)))
-      .selectExpr("explode(pivots) AS p")
-      .selectExpr("p.shard", "p.vecs")
-      .as[(Long, Array[Array[Double]])]
-      .collect()
-      .map { case (shard, vs) => (shard.toInt, vs.map(_.map(_.toFloat))) }
-      .sortBy(_._1)
+    val meta = MetaJson.parse(loadMeta(path))
+    MetaJson.elems(meta.get("pivots")).map { p =>
+      (p.get("shard").asInt(), MetaJson.floatMatrix(p.get("vecs")))
+    }.toArray.sortBy(_._1)
   }
 
   /** The persisted serving schedule as its own JSON string — typed
-    * accessor over metadata.json (Spark's JSON reader, same machinery
-    * as [[loadRouting]]/[[loadPivots]]), so callers never slice the
-    * raw metadata by string position. Indexes saved before the
-    * serving field existed fall back to the normative in-code copy
-    * ([[servingScheduleJson]] — the schedule is version-static, not
-    * per-index). */
+    * accessor over metadata.json (driver-side [[MetaJson]], same
+    * machinery as [[loadRouting]]/[[loadPivots]]), so callers never
+    * slice the raw metadata by string position. Indexes saved before
+    * the serving field existed fall back to the normative in-code
+    * copy ([[servingScheduleJson]] — the schedule is version-static,
+    * not per-index). */
   def loadServingSchedule(spark: SparkSession, path: String): String = {
-    import spark.implicits._
-    val df = spark.read.json(spark.createDataset(Seq(loadMeta(path))))
-    if (df.columns.contains("serving"))
-      df.select(to_json(col("serving"))).as[String].head()
-    else servingScheduleJson
+    val n = MetaJson.parse(loadMeta(path)).get("serving")
+    if (n != null) n.toString else servingScheduleJson
   }
 
   def load(spark: SparkSession, path: String): Dataset[IndexRow] = {
@@ -731,25 +719,18 @@ object VamanaIndex {
     * reference's `open_index_default_metric` support (reference
     * lib.rs:506-534): an index directory is self-describing, so a
     * caller who received one without its build configuration can still
-    * open and serve it. Casts are explicit because Spark's JSON reader
-    * infers integral-valued doubles (alpha = 2.0 written as "2") as
-    * longs. */
+    * open and serve it. Numeric accessors coerce explicitly (alpha =
+    * 2.0 may be written as "2"). */
   def paramsFromMeta(spark: SparkSession, meta: String): VamanaParams = {
-    import spark.implicits._
-    val row = spark.read.json(spark.createDataset(Seq(meta)))
-      .selectExpr("metric", "CAST(max_degree AS INT)",
-        "CAST(build_beam_width AS INT)", "CAST(alpha AS DOUBLE)",
-        "CAST(passes AS INT)", "CAST(extra_seeds AS INT)",
-        "CAST(seed AS BIGINT)")
-      .head()
+    val m = MetaJson.parse(meta)
     VamanaParams(
-      metric = row.getString(0),
-      maxDegree = row.getInt(1),
-      buildBeamWidth = row.getInt(2),
-      alpha = row.getDouble(3),
-      passes = row.getInt(4),
-      extraSeeds = row.getInt(5),
-      seed = row.getLong(6))
+      metric = m.get("metric").asText(),
+      maxDegree = m.get("max_degree").asInt(),
+      buildBeamWidth = m.get("build_beam_width").asInt(),
+      alpha = m.get("alpha").asDouble(),
+      passes = m.get("passes").asInt(),
+      extraSeeds = m.get("extra_seeds").asInt(),
+      seed = m.get("seed").asLong())
   }
 
   /** Rebuild one shard's in-memory graph from its IndexRows: sorts by

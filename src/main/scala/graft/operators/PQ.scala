@@ -44,26 +44,32 @@ object PQ {
   private val Cand = 50          // ADC candidates reranked per query
   private val K = 10
 
-  /** Seed codebooks: entry j of subspace s is the s-th SubDim-slice of
-    * the embedding with vec_id == j (j < Ksub). Flat layout
-    * cb[(s·Ksub + j)·SubDim + i]. */
-  private def codebooks(s: SparkSession, dir: String): Array[Float] = {
-    import s.implicits._
-    val seeds = Tables.embeddings(s, dir).filter($"vec_id" < Ksub)
-      .select($"vec_id".cast("int"), $"embedding")
-      .as[(Int, Array[Float])].collect().sortBy(_._1)
+  /** Pack Ksub seed vectors (position-indexed) into the flat codebook
+    * layout cb[(s·Ksub + j)·SubDim + i] — entry j of subspace s is the
+    * s-th SubDim-slice of seed j. Shared by the raw-vector and
+    * residual codebooks. */
+  private def packCodebooks(seeds: Array[Array[Float]]): Array[Float] = {
     require(seeds.length == Ksub, s"need $Ksub seed vectors, found ${seeds.length}")
     val out = new Array[Float](M * Ksub * SubDim)
     var sub = 0
     while (sub < M) {
       var j = 0
       while (j < Ksub) {
-        System.arraycopy(seeds(j)._2, sub * SubDim, out, (sub * Ksub + j) * SubDim, SubDim)
+        System.arraycopy(seeds(j), sub * SubDim, out, (sub * Ksub + j) * SubDim, SubDim)
         j += 1
       }
       sub += 1
     }
     out
+  }
+
+  /** Seed codebooks: entry j of subspace s is the s-th SubDim-slice of
+    * the embedding with vec_id == j (j < Ksub). */
+  private def codebooks(s: SparkSession, dir: String): Array[Float] = {
+    import s.implicits._
+    packCodebooks(Tables.embeddings(s, dir).filter($"vec_id" < Ksub)
+      .select($"vec_id".cast("int"), $"embedding")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2))
   }
 
   /** Squared L2 between subvector `sub` of `v` and codebook entry
@@ -78,6 +84,21 @@ object PQ {
       acc += d * d; i += 1
     }
     acc
+  }
+
+  /** ADC lookup table of `v` against codebook `cb`: M·Ksub doubles,
+    * lut[sub·Ksub + j] = squared L2 between v's sub-th slice and
+    * codebook entry (sub, j). One definition shared by every ADC
+    * query-side kernel. */
+  private def lutOf(v: Array[Float], cb: Array[Float]): Array[Double] = {
+    val lut = new Array[Double](M * Ksub)
+    var sub = 0
+    while (sub < M) {
+      var j = 0
+      while (j < Ksub) { lut(sub * Ksub + j) = subSqL2(v, sub, cb, j); j += 1 }
+      sub += 1
+    }
+    lut
   }
 
   /** PQ-encode: per subspace the argmin codebook entry (tie → lower
@@ -194,16 +215,7 @@ object PQ {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cb = bc.value
-        it.map { case (qid, qv) =>
-          val lut = new Array[Double](M * Ksub)
-          var sub = 0
-          while (sub < M) {
-            var j = 0
-            while (j < Ksub) { lut(sub * Ksub + j) = subSqL2(qv, sub, cb, j); j += 1 }
-            sub += 1
-          }
-          (qid, lut)
-        }
+        it.map { case (qid, qv) => (qid, lutOf(qv, cb)) }
       }
       .toDF("q_id", "lut")
 
@@ -307,16 +319,7 @@ object PQ {
     val luts = queries.as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cb = bc.value
-        it.map { case (qid, qv) =>
-          val lut = new Array[Double](M * Ksub)
-          var sub = 0
-          while (sub < M) {
-            var j = 0
-            while (j < Ksub) { lut(sub * Ksub + j) = subSqL2(qv, sub, cb, j); j += 1 }
-            sub += 1
-          }
-          (qid, lut)
-        }
+        it.map { case (qid, qv) => (qid, lutOf(qv, cb)) }
       }
       .toDF("q_id", "lut")
     val probeLuts = probes.join(luts, "q_id")
@@ -406,6 +409,213 @@ object PQ {
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
        |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------- residual IVF+PQ
+
+  /** (vec_id, cell, rv): each vector's residual against its ASSIGNED
+    * cell centroid — FLOAT subtraction (`zip_with`, codegen'd), which
+    * the oracle replays as DuckDB FLOAT minus FLOAT (both IEEE-754
+    * single ops, so the residuals are bit-identical cross-engine).
+    * The join shape is the layout a real system stores anyway: cell
+    * assignment rides with the codes, centroids broadcast. */
+  private def residualsDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = Tables.embeddings(s, dir)
+      .filter($"vec_id" < VectorQueries.NCELLS)
+      .select($"vec_id".as("cell"), $"embedding".as("cv"))
+    Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      .join(VectorQueries.ivfAssign(s, dir), "vec_id")
+      .join(broadcast(cents), "cell")
+      .select($"vec_id", $"cell",
+        zip_with($"embedding", $"cv", (a, b) => a - b).as("rv"))
+  }
+
+  /** Residual codebooks: the Ksub seeds are the RESIDUALS of vectors
+    * NCELLS ≤ vec_id < NCELLS+Ksub (entry j ← vec_id NCELLS+j). The
+    * raw-vector seed rule (vec_id < Ksub) would collide with the IVF
+    * seed centroids (vec_id < NCELLS): each such vector is assigned
+    * to its own cell at distance zero, so every codebook entry would
+    * be the zero vector. Seeding from the next Ksub ids keeps the
+    * deterministic oracle-replayable rule with non-degenerate
+    * entries. */
+  private def resCodebooks(s: SparkSession, dir: String): Array[Float] = {
+    import s.implicits._
+    packCodebooks(residualsDf(s, dir)
+      .filter($"vec_id" >= VectorQueries.NCELLS &&
+        $"vec_id" < VectorQueries.NCELLS + Ksub)
+      .select($"vec_id".cast("int"), $"rv")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2))
+  }
+
+  /** (vec_id, cell, codes) — residual-PQ codes for the whole corpus,
+    * memoized like [[codesDf]] (same Broadcast-capture rationale). */
+  private def resCodesDf(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(s, Family, s"rescodes:$dir") {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(resCodebooks(s, dir))
+      residualsDf(s, dir)
+        .select($"vec_id", $"cell".cast("long").as("cell"), $"rv")
+        .as[(Long, Long, Array[Float])]
+        .mapPartitions { it =>
+          val cb = bc.value
+          it.map { case (id, cell, rv) => (id, cell, encodeOne(rv, cb)._1) }
+        }
+        .toDF("vec_id", "cell", "codes")
+    }
+
+  /** `q_knn_ivfpq_res` — residual-encoded IVF+PQ (Jégou et al., IEEE
+    * TPAMI 2011 §IV-A, `by_residual=true`): codes quantize x − c(x)
+    * instead of x, and each query builds one LUT PER PROBED CELL from
+    * its own residual q − c against the residual codebooks. Because
+    * q − x = (q − c) − (x − c) exactly, residual ADC approximates the
+    * true distance with only the quantization error of the RESIDUAL —
+    * whose spread shrinks as ncells grows — where the residual-free
+    * form's error is the quantization error of the raw vector. That
+    * is what preserves recall at large cell counts (the 100 TB
+    * regime); [[qKnnIvfPq]] stays as the cheaper one-LUT-per-query
+    * variant. Scale shape is the parent's: broadcasts are query-set-
+    * sized (LUTs grow ×nprobe, still tiny), the corpus-side scan is
+    * cell-restricted, TopK bounded, rerank touches Cand·|queries|
+    * full vectors. Fully deterministic → fully hash-checked end to
+    * end. */
+  def qKnnIvfPqRes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val queries = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val cents = Tables.embeddings(s, dir)
+      .filter($"vec_id" < VectorQueries.NCELLS)
+      .select($"vec_id".as("cell"), $"embedding".as("cv"))
+
+    // probe ranking: identical rule to qKnnIvfPq / q_knn_ivf
+    val probeW = Window.partitionBy($"q_id").orderBy($"cdist", $"cell")
+    val probes = queries.join(broadcast(cents))
+      .select($"q_id", $"cell", l2Dist($"qv", $"cv").as("cdist"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter($"rn" <= VectorQueries.NPROBE)
+      .select($"q_id", $"cell")
+
+    // one LUT per (query, probed cell): the query's residual against
+    // THAT cell's centroid, tabled against the residual codebooks
+    val bcR = s.sparkContext.broadcast(resCodebooks(s, dir))
+    val qres = probes.join(queries, "q_id").join(broadcast(cents), "cell")
+      .select($"q_id", $"cell".cast("long").as("cell"),
+        zip_with($"qv", $"cv", (a, b) => a - b).as("qrv"))
+    val probeLuts = qres.as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val cb = bcR.value
+        it.map { case (qid, cell, qrv) => (qid, cell, lutOf(qrv, cb)) }
+      }
+      .toDF("q_id", "cell", "lut")
+
+    // ADC over probed cells only — codes already carry their cell
+    val adc = resCodesDf(s, dir)
+      .select($"vec_id".as("nid"), $"codes".as("nc"), $"cell")
+      .join(broadcast(probeLuts), "cell")
+      .filter($"nid" =!= $"q_id")
+      .select($"q_id", $"nid", pqAdcDist($"lut", $"nc", Ksub).as("adc_d"))
+    val tk = TopK.topk(Cand)
+    val cand = adc.groupBy($"q_id").agg(tk($"nid", $"adc_d").as("tk"))
+      .select($"q_id", explode($"tk.ids").as("nid"))
+
+    // full-precision rerank of the surviving candidates only
+    val candQ = cand.join(queries, "q_id")
+    val d = Tables.embeddings(s, dir).select($"vec_id".as("nid"), $"embedding".as("v"))
+      .join(broadcast(candQ), "nid")
+      .select($"q_id", $"nid", l2Dist($"qv", $"v").as("dist"))
+    VectorQueries.topkExplode(d, K)
+  }
+
+  private val Dim = M * SubDim
+
+  val qKnnIvfPqResSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cell, embedding AS cvf, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < ${VectorQueries.NCELLS}
+       |), assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), cv), cell) AS rn
+       |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1
+       |), resv AS (
+       |  SELECT e.vec_id, a.cell,
+       |    list_transform(range(1, ${Dim + 1}), i -> e.embedding[i] - c.cvf[i]) AS rv
+       |  FROM embeddings e
+       |  JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN cents c ON c.cell = a.cell
+       |), rcb AS (
+       |  SELECT CAST(t.s AS INTEGER) AS sub,
+       |    CAST(r.vec_id - ${VectorQueries.NCELLS} AS INTEGER) AS j,
+       |    r.rv[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS cv
+       |  FROM resv r, unnest(range(0, $M)) AS t(s)
+       |  WHERE r.vec_id >= ${VectorQueries.NCELLS}
+       |    AND r.vec_id < ${VectorQueries.NCELLS + Ksub}
+       |), rsv AS (
+       |  SELECT vec_id, cell, CAST(t.s AS INTEGER) AS sub,
+       |    rv[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS v
+       |  FROM resv, unnest(range(0, $M)) AS t(s)
+       |), rencd AS (
+       |  SELECT rsv.vec_id, rsv.cell, rsv.sub, rcb.j,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${SubDim + 1}),
+       |      i -> (rsv.v[i]::DOUBLE - rcb.cv[i]::DOUBLE) * (rsv.v[i]::DOUBLE - rcb.cv[i]::DOUBLE))),
+       |      (acc, x) -> acc + x) AS dd
+       |  FROM rsv JOIN rcb ON rcb.sub = rsv.sub
+       |), renc AS (
+       |  SELECT vec_id, cell, sub, j AS code FROM (
+       |    SELECT vec_id, cell, sub, j,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, j) AS rn
+       |    FROM rencd) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS q_id, embedding AS qemb, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 50 = 0
+       |), probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY list_distance(qv, cv), cell) AS rn
+       |    FROM q CROSS JOIN cents) WHERE rn <= ${VectorQueries.NPROBE}
+       |), qres AS (
+       |  SELECT p.q_id, p.cell,
+       |    list_transform(range(1, ${Dim + 1}), i -> q.qemb[i] - c.cvf[i]) AS qrv
+       |  FROM probes p
+       |  JOIN q ON q.q_id = p.q_id
+       |  JOIN cents c ON c.cell = p.cell
+       |), qrs AS (
+       |  SELECT q_id, cell, CAST(t.s AS INTEGER) AS sub,
+       |    qrv[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS v
+       |  FROM qres, unnest(range(0, $M)) AS t(s)
+       |), rlut AS (
+       |  SELECT q_id, qrs.cell, rcb.sub, rcb.j AS code,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${SubDim + 1}),
+       |      i -> (qrs.v[i]::DOUBLE - rcb.cv[i]::DOUBLE) * (qrs.v[i]::DOUBLE - rcb.cv[i]::DOUBLE))),
+       |      (acc, x) -> acc + x) AS d
+       |  FROM qrs JOIN rcb ON rcb.sub = qrs.sub
+       |), adc AS (
+       |  SELECT l.q_id, e.vec_id AS nid,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(l.d ORDER BY l.sub)),
+       |      (acc, x) -> acc + x) AS adc_d
+       |  FROM renc e
+       |  JOIN rlut l ON l.cell = e.cell AND l.sub = e.sub AND l.code = e.code
+       |  WHERE e.vec_id <> l.q_id
+       |  GROUP BY l.q_id, e.vec_id
+       |), cand AS (
+       |  SELECT q_id, nid FROM (
+       |    SELECT q_id, nid,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc_d, nid) AS rn
+       |    FROM adc) WHERE rn <= $Cand
+       |), d AS (
+       |  SELECT c.q_id, c.nid,
+       |    list_distance(CAST(eq.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[])) AS dist
+       |  FROM cand c
+       |  JOIN embeddings eq ON eq.vec_id = c.q_id
+       |  JOIN embeddings en ON en.vec_id = c.nid
+       |), r AS (
+       |  SELECT q_id, nid, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nid) AS rn
+       |  FROM d
+       |)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
+       |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
+
   // ------------------------------------------------- two-tier file serving
 
   /** One single-file index per (sf dir, JVM) for [[qPqServe]] — the
@@ -452,9 +662,11 @@ object PQ {
     "q_pq_encode" -> (qPqEncode(_, _)),
     "q_knn_pq" -> (qKnnPq(_, _)),
     "q_knn_ivfpq" -> (qKnnIvfPq(_, _)),
+    "q_knn_ivfpq_res" -> (qKnnIvfPqRes(_, _)),
     "q_pq_serve" -> (qPqServe(_, _)))
   val oracles: Map[String, String] = Map(
     "q_pq_encode" -> qPqEncodeSql,
     "q_knn_pq" -> qKnnPqSql,
-    "q_knn_ivfpq" -> qKnnIvfPqSql)
+    "q_knn_ivfpq" -> qKnnIvfPqSql,
+    "q_knn_ivfpq_res" -> qKnnIvfPqResSql)
 }

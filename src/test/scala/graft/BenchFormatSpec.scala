@@ -18,8 +18,7 @@ class BenchFormatSpec extends AnyFunSuite {
   // the compact scalar fragments as main() builds them, at worst-case
   // realistic widths (three-digit qps, sub-ms local latencies)
   private val scalars: Seq[(String, String)] = Seq(
-    "qps" -> "154", "recall" -> "0.908",
-    "qps_routed" -> "201", "recall_routed" -> "0.688",
+    "qps" -> "[154,201]", "recall" -> "[0.908,0.688]",
     "recall100" -> "[0.652,0.997]",
     "lat_ms" -> "[150,1089,1119]",
     "llat_ms" -> "[0.84,1.11,1.24]",

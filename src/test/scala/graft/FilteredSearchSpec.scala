@@ -74,6 +74,46 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("<=1% selectivity: the beam ~ k/selectivity heuristic holds its recall floor") {
+    // the one-graph-no-label-forest design is stressed exactly where
+    // selectivity collapses: matches are ~1% of the corpus, so the
+    // unfiltered traversal must wade through ~100 non-matching
+    // neighbors per match. The serving heuristic (searchFiltered doc)
+    // says widen beam ≈ k / selectivity; this pins that bound at
+    // 0.78% selectivity — recall holds at beam = k/sel with NO
+    // further growth needed (the bound is linear in 1/sel, not worse).
+    val bigDir = SparkSpecBase.sf1 // 5000 vectors
+    val all = Tables.embeddings(spark, bigDir)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val isMatch = (id: Long) => id % 128 == 5
+    val nMatch = all.count(v => isMatch(v._1))
+    val sel = nMatch.toDouble / all.length
+    assert(sel <= 0.01, f"synthetic predicate selectivity $sel%.4f not <=1%%")
+    val labels = all.map { case (id, _) =>
+      (id, if (isMatch(id)) Target else 0) }.toSeq.toDF("vec_id", "label")
+    val queries = all.filter(_._1 % 500 == 0).map(v => (v._1, v._2))
+    val k = 10
+    val beam = math.ceil(k / sel).toInt // the heuristic, no extra slack
+    val idx = index.VamanaIndex.cachedIndex(spark, bigDir)
+    val res = VamanaIndex.searchFiltered(idx, labels, queries, k, beam,
+      index.VamanaIndex.qParams, Target)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect()
+    // only matching ids may surface
+    res.foreach { case (q, nid) =>
+      assert(isMatch(nid), s"q $q returned non-matching vector $nid") }
+    // recall vs the exact filtered ground truth
+    val approx = res.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val matchVecs = all.filter(v => isMatch(v._1))
+    val recall = queries.map { case (qid, qv) =>
+      val truth = matchVecs.map { case (nid, v) => (nid, cosDist(qv, v)) }
+        .sortBy { case (nid, d) => (d, nid) }.take(k).map(_._1).toSet
+      (truth & approx.getOrElse(qid, Set.empty)).size.toDouble / k
+    }.sum / queries.length
+    info(f"selectivity=$sel%.4f beam=$beam recall@10=$recall%.4f")
+    assert(recall >= 0.9, f"low-selectivity recall@10 $recall%.4f under 0.9 at beam=$beam")
+  }
+
   test("an unsatisfiable predicate yields zero rows, not a failure") {
     val qs = vecs.take(3).map(v => (v._1, v._2))
     val out = VamanaIndex.searchFiltered(
