@@ -113,34 +113,32 @@ object Dedup {
         val (_, ti, tj) = key
         val members = it.map { case (_, _, _, id, u, v) => (id, u, v) }
           .toArray.sortInPlaceBy(_._1)
-        val out = scala.collection.mutable.ArrayBuffer.empty[O]
+        // LAZY pair emission — task memory is bounded by the member
+        // slice, never the pair count. The old ArrayBuffer collected
+        // every surviving pair before emitting, which OOM'd the sf10
+        // rehearsal: exact-copy replicas make every replica pair of a
+        // colliding original pair survive (one sf0.1 pair fans out
+        // ×K² at ×K scale), so a task's survivor set is corpus-scaled
+        // even though its POPCOUNT work stays salt-bounded. Streaming
+        // into the shuffle writer removes that term entirely.
         if (ti == tj) {
-          var i = 0
-          while (i < members.length) {
-            var j = i + 1
-            while (j < members.length) {
-              pairFn((members(i)._1, members(i)._3), (members(j)._1, members(j)._3))
-                .foreach(out += _)
-              j += 1
+          members.indices.iterator.flatMap { i =>
+            Iterator.range(i + 1, members.length).flatMap { j =>
+              pairFn((members(i)._1, members(i)._3),
+                (members(j)._1, members(j)._3)).iterator
             }
-            i += 1
           }
         } else {
           // cross pairs only: side ti × side tj, lower id first
           val (si, sj) = members.partition(_._2 == ti)
-          var i = 0
-          while (i < si.length) {
-            var j = 0
-            while (j < sj.length) {
+          si.indices.iterator.flatMap { i =>
+            sj.indices.iterator.flatMap { j =>
               val a = si(i); val b = sj(j)
               val (lo, hi) = if (a._1 < b._1) (a, b) else (b, a)
-              pairFn((lo._1, lo._3), (hi._1, hi._3)).foreach(out += _)
-              j += 1
+              pairFn((lo._1, lo._3), (hi._1, hi._3)).iterator
             }
-            i += 1
           }
         }
-        out.iterator
       }
   }
 
