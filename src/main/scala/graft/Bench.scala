@@ -311,7 +311,16 @@ object Bench {
         } yield name -> (s / row)
       }.toMap
     }.getOrElse(Map.empty)
-    if (baseline.nonEmpty) {
+    // The baseline table is an sf0.1 reference: on a scale-rehearsal
+    // dir every row reads >2× by construction, and the re-measure
+    // pass would spend up to 10 × 5 reps of 100×-scale queries
+    // defending a comparison that isn't being made. Gate the pass to
+    // the baseline's own SF (`sf` still lands on the line for any
+    // dir, so the artifact stays self-describing).
+    val atBaselineSf =
+      sfDir.replaceAll("/+$", "").endsWith("sf0.1") &&
+        sfDir.startsWith("/root/testdata")
+    if (baseline.nonEmpty && atBaselineSf) {
       val flagged = results.toSeq.flatMap { case (name, v) =>
         gateRatio.get(name).filter(r => v >= 0.2 && r > 2)
           .flatMap(r => famOf.get(name).map(fam => (name, fam, r)))
@@ -547,13 +556,29 @@ object Bench {
       if (s.isEmpty) "0" else s
     }
 
+  /** Family-prefix abbreviations for compact keys (r12 format shrink:
+    * at 86 rows the flat line overflowed the ~1900-char stdout window
+    * by 11 chars). Only the six biggest families are abbreviated; each
+    * code collides with no real prefix, so the mapping inverts
+    * unambiguously. Documented in BASELINE.md "Compact line format";
+    * full names always appear in BENCH_LOCAL.json. */
+  private[graft] val CompactAbbrev: Seq[(String, String)] = Seq(
+    "dedup_" -> "dd_", "text_" -> "tx_", "vamana_" -> "vam_",
+    "dist_" -> "ds_", "knn_" -> "kn_", "hnsw_" -> "hn_")
+
   /** Compact query key: the uniform `q_` prefix carries no
     * information on a line where every key is a query, and at 80+
     * queries those two chars per entry are the difference between a
-    * complete map and an omitted one. Full names always appear in
-    * BENCH_LOCAL.json; a compact key `k` names query `q_k` when that
-    * exists, else `k` itself (`q1_agg`). */
-  private[graft] def compactKey(name: String): String = name.stripPrefix("q_")
+    * complete map and an omitted one. The six biggest family prefixes
+    * are further abbreviated per [[CompactAbbrev]]. A compact key `k`
+    * names query `q_<unabbreviated k>` when that exists, else `k`
+    * itself (`q1_agg`). */
+  private[graft] def compactKey(name: String): String = {
+    val k = name.stripPrefix("q_")
+    CompactAbbrev.collectFirst {
+      case (fam, a) if k.startsWith(fam) => a + k.substring(fam.length)
+    }.getOrElse(k)
+  }
 
   /** Render the compact stdout line. ZERO-OMISSION is the design goal
     * (r10's committed artifact dropped 21 of 80 per-query rows — the

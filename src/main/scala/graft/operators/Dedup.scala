@@ -199,10 +199,16 @@ object Dedup {
     graft.PlanCache.getOrBuild(s, Family, s"verifiedPairs:$dir")(
       verifiedPairsPlan(s, dir))
 
-  private def verifiedPairsPlan(s: SparkSession, dir: String): DataFrame = {
+  private def verifiedPairsPlan(s: SparkSession, dir: String): DataFrame =
+    verifiedPairsOver(s, graft.PlanCache.getOrBuild(s, Family, s"shingleSets:$dir")(
+      shingleSets(s, dir)))
+
+  /** The LSH band-join + exact-Jaccard-verify chain over an arbitrary
+    * `(doc_id, sh_set)` frame — the whole corpus for
+    * [[verifiedPairsPlan]], representatives only for
+    * [[qDedupClusterRep]]. */
+  private def verifiedPairsOver(s: SparkSession, sets: DataFrame): DataFrame = {
     import s.implicits._
-    val sets = graft.PlanCache.getOrBuild(s, Family, s"shingleSets:$dir")(
-      shingleSets(s, dir))
     val sigCols = MinhashPerms.zipWithIndex.map { case (p, j) =>
       expr(sparkMinhash("sh_set", p)).as(s"sig_$j")
     }
@@ -319,6 +325,21 @@ object Dedup {
     val pairs = verifiedPairs(s, dir).select($"doc_a", $"doc_b")
     val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
       .toDF("src", "dst").cache()
+    val labels = propagateMinLabels(s, edges)
+    edges.unpersist(blocking = false) // labels are checkpointed; edges done
+    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .orderBy($"doc_id")
+  }
+
+  /** Min-label propagation over a cached symmetrized edge set:
+    * returns `(node, label)` where label = min doc_id of the node's
+    * connected component. Shared by [[qDedupCluster]] (full-graph
+    * edges) and [[qDedupClusterRep]] (representative-graph edges). */
+  private[graft] def propagateMinLabels(
+      s: SparkSession, edges: DataFrame): DataFrame = {
+    import s.implicits._
     // seed each node with min(node, min(neighbor)) — fuses the first
     // propagation round into initialization, so near-clique dup
     // clusters (diameter 2-3) converge in 1-2 loop rounds
@@ -355,8 +376,76 @@ object Dedup {
     // diverge from the oracle's exact closure)
     require(changed == 0,
       s"label propagation did not converge in $maxRounds rounds")
-    edges.unpersist(blocking = false) // labels are checkpointed; edges done
-    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+    labels
+  }
+
+  /** Duplicate clusters via EXACT-COLLAPSE-FIRST — the scale form of
+    * [[qDedupCluster]], with byte-identical output (it shares the
+    * parent's DuckDB oracle verbatim).
+    *
+    * The parent's LSH candidate join is quadratic in WITHIN-BUCKET
+    * copies: a cluster of K byte-identical documents puts all K ids
+    * in every band bucket, so candidate generation emits Θ(K²) rows
+    * per original collision — the regime that made the pair-emitting
+    * family quadratic-by-contract at the ×100 rehearsal (~190 M
+    * surviving rows from 100-way replicas). Here byte-identical texts
+    * first collapse to one representative (min doc_id per md5 group —
+    * one linear window, the [[qDedupExact]] shape), the whole
+    * LSH+verify+propagate chain runs on representatives only, and
+    * members re-join their representative's label afterwards (one
+    * linear broadcast-ish join). Pair work drops from Θ(Σ K²·e) to
+    * Θ(e) over DISTINCT texts; output is unchanged because identical
+    * texts have identical shingle sets — they collide in every band
+    * with jac 1 ≥ τ among themselves (so a size-≥2 group with a
+    * non-empty shingle set is internally connected) and behave
+    * identically to their representative against every other doc (so
+    * cross-component structure is exactly the quotient graph). The
+    * component min-label also survives the quotient: each group's min
+    * doc_id IS its representative. This is the standard production
+    * ordering — exact dedup before any pairwise near-dup detector
+    * (see the [[BucketCap]] note). */
+  def qDedupClusterRep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // project to (doc_id, md5) BEFORE the window's exchange — the
+    // group key is the hash, so shuffling the text bytes themselves
+    // (the dominant column) would be pure waste. The quotient map
+    // feeds THREE consumers (the rep filter, selfOnly, the final
+    // member re-join): localCheckpoint materializes it once per call
+    // (a slim id-triple table even at corpus scale) instead of
+    // re-running the scan+window per consumer.
+    val w = Window.partitionBy($"h")
+    val groups = graft.PlanCache.getOrBuild(s, Family, s"exactGroups:$dir")(
+      Tables.documents(s, dir)
+        .select($"doc_id", md5($"text").as("h"))
+        .withColumn("rep_id", min($"doc_id").over(w))
+        .withColumn("grp_n", count(lit(1)).over(w))
+        .select($"doc_id", $"rep_id", $"grp_n")).localCheckpoint()
+    val sets = graft.PlanCache.getOrBuild(s, Family, s"shingleSets:$dir")(
+      shingleSets(s, dir))
+    val reps = groups.filter($"doc_id" === $"rep_id")
+      .select($"rep_id", $"grp_n")
+    // the shingle chain (tokenize → shingle → collect_set) is the
+    // expensive producer and the LSH+verify plan self-joins its
+    // output; checkpointing the rep-only slice runs it exactly once
+    // per call and lets selfOnly reuse the same materialization
+    val repSets = sets.join(
+      reps.select($"rep_id".as("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val repPairs = verifiedPairsOver(s, repSets).select($"doc_a", $"doc_b")
+    val edges = repPairs.union(repPairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst").cache()
+    val edgeLabels = propagateMinLabels(s, edges)
+    // a size-≥2 group whose rep has a non-empty shingle set is
+    // internally connected (jac(A,A)=1 ≥ τ through every band); if its
+    // rep has no cross edge it forms its own component labeled rep_id
+    val selfOnly = reps.filter($"grp_n" >= 2)
+      .join(repSets.select($"doc_id".as("rep_id")), Seq("rep_id"), "left_semi")
+      .join(edgeLabels.select($"node".as("rep_id")), Seq("rep_id"), "left_anti")
+      .select($"rep_id".as("node"), $"rep_id".as("label"))
+    val repLabels = edgeLabels.union(selfOnly)
+    edges.unpersist(blocking = false)
+    groups.join(repLabels, groups("rep_id") === repLabels("node"))
+      .select($"doc_id", $"label".as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy($"cluster_id")))
       .orderBy($"doc_id")
@@ -668,6 +757,7 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_dedup_cluster" -> (qDedupCluster(_, _)),
+    "q_dedup_cluster_rep" -> (qDedupClusterRep(_, _)),
     "q_decontaminate" -> (qDecontaminate(_, _)),
     "q_dedup_simhash" -> (qDedupSimhash(_, _)),
     "q_dedup_jaccard" -> (qDedupJaccard(_, _)),
@@ -677,6 +767,9 @@ object Dedup {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_cluster" -> qDedupClusterSql,
+    // the rep variant is output-identical BY DESIGN — it shares the
+    // parent's oracle verbatim, so the gate proves the equivalence
+    "q_dedup_cluster_rep" -> qDedupClusterSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,

@@ -84,12 +84,19 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("compact keys strip the uniform q_ prefix; q1_agg stays itself") {
-    assert(Bench.compactKey("q_dist_l2") == "dist_l2")
+    assert(Bench.compactKey("q_dist_l2") == "ds_l2")
+    assert(Bench.compactKey("q_dedup_cluster_rep") == "dd_cluster_rep")
+    assert(Bench.compactKey("q_window") == "window")
     assert(Bench.compactKey("q1_agg") == "q1_agg")
     // the mapping is invertible over the live surface: no two queries
-    // collapse onto one compact key
+    // collapse onto one compact key, and no abbreviation code equals a
+    // real unabbreviated prefix (else q_dd_x and q_dedup_x would merge)
     val keys = SparkEntry.queries.keys.toSeq.map(Bench.compactKey)
     assert(keys.distinct.size == keys.size)
+    val codes = Bench.CompactAbbrev.map(_._2)
+    val raw = SparkEntry.queries.keys.map(_.stripPrefix("q_"))
+    assert(!codes.exists(c => raw.exists(_.startsWith(c))),
+      "an abbreviation code collides with a real query prefix")
   }
 
   test("compact query values: 10ms resolution under 10s, trimmed, whole secs above") {

@@ -98,4 +98,51 @@ class DedupSemanticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows == Set((5L, 5L, 2L), (9L, 5L, 2L), (7L, 7L, 1L)))
   }
+
+  /** Corpus exercising every path of the exact-collapse-first cluster
+    * variant: verbatim copies of both sides of a near-dup pair
+    * (quotient cross edges), an exact-only group with no near-dup
+    * neighbor (self-linked component), verbatim copies of a <3-word
+    * text (empty shingle set — must NOT cluster), and singletons. */
+  private lazy val repDir: String = {
+    val d = "/tmp/graft_dedup_rep"
+    val words = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = words.replace("word30", "changed")
+    val other = (1 to 60).map(i => s"zz$i").mkString(" ")
+    val island = (1 to 60).map(i => s"qq$i").mkString(" ")
+    val docs = Seq(
+      (1L, words), (2L, nearDup), (3L, other),
+      (4L, words), (5L, nearDup), // verbatim copies of the pair
+      (6L, island), (7L, island), // exact-only group, no cross edges
+      (8L, "a b"), (9L, "a b"),   // copies with an EMPTY shingle set
+      (10L, (1 to 60).map(i => s"yy$i").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact-collapse-first clustering is byte-identical to the full-graph form") {
+    val full = operators.Dedup.qDedupCluster(spark, repDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rep = operators.Dedup.qDedupClusterRep(spark, repDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the structure itself first, so a failure names the path:
+    // {1,2,4,5} via quotient cross edges, {6,7} via self-link only,
+    // 8/9 excluded (empty shingles), 3/10 singletons excluded
+    assert(full.toSet == Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (4L, 1L, 4L), (5L, 1L, 4L),
+      (6L, 6L, 2L), (7L, 6L, 2L)), full.toSeq.toString)
+    assert(rep.toSeq == full.toSeq, "rep variant diverged from parent")
+  }
+
+  test("rep variant matches the parent on the real sf0.001 corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val full = operators.Dedup.qDedupCluster(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rep = operators.Dedup.qDedupClusterRep(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.nonEmpty, "sf0.001 corpus yielded no dup clusters")
+    assert(rep.toSeq == full.toSeq)
+  }
 }
