@@ -174,6 +174,19 @@ object Bench {
       // corpus (2M vectors → 40k groups) crosses it. 128 Ki bounded
       // groups ≈ 160 MB/task worst-case — still nowhere near heap.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // Shuffle files are only deleted when ContextCleaner sees their
+      // RDDs garbage-collected, and the default periodic driver GC is
+      // 30 MIN — an 86-query ensemble at rehearsal scale accumulates
+      // every query's shuffle spill until the disk fills (the first
+      // sf10 ensemble attempt died of ENOSPC in exactly this way:
+      // ~190 M-pair dedup shuffles × dozens of queries, nothing
+      // reclaimed). Families already release their plan caches the
+      // moment their reps finish; a 2-min periodic GC lets the
+      // cleaner turn those releases into deleted files while the NEXT
+      // family runs. Same lesson at 1000-executor scale: long
+      // multi-query driver sessions must bound shuffle-dir growth by
+      // working set, not by session length.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

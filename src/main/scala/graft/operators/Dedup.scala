@@ -536,7 +536,13 @@ object Dedup {
       .select(concat_ws("|", $"b", $"band").as("block"), $"doc_id",
         struct($"b", $"code").as("payload"))
       .as[(String, Long, (Int, Long))]
-    saltedPairs(rows) { case ((ida, (b, ca)), (idb, (_, cb))) =>
+    // cap 8× the default: simhash's pairFn is ONE xor+popcount, so a
+    // full 8192-member task costs ~33 M popcounts (~0.1 s) while the
+    // salt replication of every 1k–8k block drops from ×2–8 to ×1 —
+    // at the ×100 rehearsal that replication (a ~45 B payload per
+    // copy) was the disk term that ENOSPC'd the ensemble, not the
+    // pair output. Output is cap-invariant by saltedPairs' contract.
+    saltedPairs(rows, cap = 8192) { case ((ida, (b, ca)), (idb, (_, cb))) =>
       val xor = ca ^ cb
       val h = java.lang.Long.bitCount(xor)
       if (h > SimhashMaxHamming) None
