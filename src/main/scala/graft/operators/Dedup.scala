@@ -593,11 +593,16 @@ object Dedup {
     // sorted gram arrays are the dominant projection cost; cached per
     // sf dir (plan-keyed) like the minhash shingle sets so repeated
     // bench reps / composed queries don't re-tokenize the corpus
+    // packed-long grams (CharNGramsPacked): 8 B per gram through the
+    // skew-guard shuffle instead of a UTF8String, one long compare
+    // per merge step instead of a byte-wise scan — order-isomorphic
+    // to the string form by construction, so intersection counts and
+    // the emitted pair set are byte-identical (oracle-verified)
     val grams = graft.PlanCache.getOrBuild(s, Family, s"jaccardGrams:$dir")(
       Tables.documents(s, dir)
         .filter(length($"text") >= 3)
         .withColumn("bucket", floor($"n_chars" / 100).cast("long"))
-        .withColumn("g3", graft.functions.HashExprs.charNGramsSorted($"text", 3))
+        .withColumn("g3", graft.functions.HashExprs.charNGramsPacked($"text", 3))
         .select($"doc_id", $"lang", $"bucket", $"g3", size($"g3").as("ng")))
     // Block-nested-loop within each (lang, bucket) block: each doc's
     // sorted gram set crosses the shuffle ONCE; pair verification is a
@@ -606,7 +611,7 @@ object Dedup {
     // every candidate row first. Oversized blocks are salted by the
     // saltedPairs skew guard so per-task work stays bounded.
     val rows = grams.select(concat_ws("|", $"lang", $"bucket").as("block"), $"doc_id", $"g3")
-      .as[(String, Long, Array[String])]
+      .as[(String, Long, Array[Long])]
     saltedPairs(rows) { case ((ida, ga), (idb, gb)) =>
       // exact upper bound before any merging: |A∩B| ≤ min(|A|,|B|) and
       // |A∪B| ≥ max(|A|,|B|), so jac ≤ min/max — a pair whose gram
@@ -621,10 +626,9 @@ object Dedup {
         var x = 0; var y = 0; var inter = 0
         var live = true
         while (live && x < ga.length && y < gb.length) {
-          // g3 arrays are sorted in code-point (UTF8 binary) order by
-          // CharNGramsSorted; String.compareTo would mis-merge
-          // surrogate-range grams
-          val c = SharedHash.codePointCompare(ga(x), gb(y))
+          // packed grams sort numerically == code-point-lexicographic
+          // (CharNGramsPacked is order-isomorphic to the string form)
+          val c = java.lang.Long.compare(ga(x), gb(y))
           if (c == 0) { inter += 1; x += 1; y += 1 }
           else if (c < 0) x += 1
           else y += 1

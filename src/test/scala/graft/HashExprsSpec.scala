@@ -76,6 +76,36 @@ class HashExprsSpec extends AnyFunSuite {
     assert(grams == Seq("ab😀", "b😀c", "😀cd"), grams.toString)
   }
 
+  test("packed ngrams are order-isomorphic and injective vs the string form") {
+    // the packed form must be the string form under the 21-bit
+    // code-point packing, ELEMENTWISE — same distinct count
+    // (injectivity on real grams) and same rank order (so the long
+    // merge visits exactly the pairs the codePointCompare merge
+    // would). Surrogate text included: packing sorts U+1F600 above
+    // U+E000 like UTF8-binary order does, unlike JVM String order.
+    def pack(g: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < g.length) {
+        val cp = g.codePointAt(i); acc = (acc << 21) | cp.toLong
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val texts = Seq("the quick brown fox", "abb😀c😀x", "aaa", "ab",
+      "", "ααβγ mixed ascii", "😀😀😀😀")
+    for (n <- 1 to 3) {
+      val rows = texts.toDF("text").select(
+        HashExprs.charNGramsSorted($"text", n).as("s"),
+        HashExprs.charNGramsPacked($"text", n).as("p")).collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        val s = r.getSeq[String](0); val p = r.getSeq[Long](1)
+        assert(p.size == s.size, s"distinct count diverged on '$t' n=$n")
+        assert(p == s.map(pack), s"order/values diverged on '$t' n=$n")
+        assert(p == p.sorted, s"packed array not ascending on '$t' n=$n")
+      }
+    }
+  }
+
   test("native SimHash62 == SQL fragment on token hashes") {
     val df = Seq("the quick brown fox", "spark spark spark streams", "one")
       .toDF("text")
