@@ -31,6 +31,10 @@ object Verify {
       // rationale at the Bench builder (Bench.scala); 128 Ki clears
       // a ×1000 rehearsal's 40k-query set (see the Bench builder)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // multi-query sessions accumulate completed queries' shuffle
+      // files until the driver GCs (30-min default) — rehearsal-SF
+      // dumps run long enough to ENOSPC; see the Bench builder note
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
