@@ -329,10 +329,14 @@ object Bench {
     // pass would spend up to 10 × 5 reps of 100×-scale queries
     // defending a comparison that isn't being made. Gate the pass to
     // the baseline's own SF (`sf` still lands on the line for any
-    // dir, so the artifact stays self-describing).
+    // dir, so the artifact stays self-describing). Canonicalize
+    // first: a relative invocation (SPARK_GRAFT_SF_DIR=testdata/
+    // sf0.1) or a copied corpus must not silently disable the pass,
+    // so the check is on the normalized leaf name, not a literal
+    // absolute prefix.
     val atBaselineSf =
-      sfDir.replaceAll("/+$", "").endsWith("sf0.1") &&
-        sfDir.startsWith("/root/testdata")
+      java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize
+        .getFileName.toString == "sf0.1"
     if (baseline.nonEmpty && atBaselineSf) {
       val flagged = results.toSeq.flatMap { case (name, v) =>
         gateRatio.get(name).filter(r => v >= 0.2 && r > 2)

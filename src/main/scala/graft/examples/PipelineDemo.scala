@@ -75,7 +75,7 @@ object PipelineDemo {
     VamanaIndex.save(idx, params, idxDir, split)
     val reloaded = VamanaIndex.load(spark, idxDir).persist()
     val pivots = VamanaIndex.loadPivots(spark, idxDir)
-    val schedule = VamanaIndex.loadServingSchedule(spark, idxDir)
+    val schedule = VamanaIndex.loadServingSchedule(idxDir)
 
     // -- 4. serve: routed (nprobe = shards/2) vs full, off the RELOADED index
     val queries = corpus.filter($"vec_id" % 25 === 0)

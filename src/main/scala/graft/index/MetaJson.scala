@@ -18,6 +18,17 @@ private[graft] object MetaJson {
 
   def parse(s: String): JsonNode = mapper.readTree(s)
 
+  /** Fetch a required field or fail NAMING it (and where it was
+    * expected) — `node.get("x")` on a foreign or pre-upgrade
+    * metadata.json returns null and the caller NPEs with no context;
+    * the old Spark-JSON path at least raised a named
+    * AnalysisException. */
+  def required(n: JsonNode, name: String, where: String = "metadata.json"): JsonNode = {
+    val c = n.get(name)
+    require(c != null, s"missing required field '$name' in $where")
+    c
+  }
+
   /** Float array from a JSON number array. Exact round-trip: the
     * writers emit Float.toString (shortest round-trip), and
     * double-parse → float restores the bit pattern. */

@@ -583,10 +583,11 @@ object SingleFileIndex {
   def readManifest(spark: org.apache.spark.sql.SparkSession, dir: String)
       : Array[(Int, String, Array[Float])] = {
     val meta = MetaJson.parse(Files.readString(Paths.get(s"$dir/manifest.json")))
-    MetaJson.elems(meta.get("shards")).map { sh =>
-      (sh.get("shard").asInt(), sh.get("file").asText(),
-        MetaJson.floats(sh.get("seed")))
-    }.toArray.sortBy(_._1)
+    MetaJson.elems(MetaJson.required(meta, "shards", s"$dir/manifest.json"))
+      .map { sh =>
+        (sh.get("shard").asInt(), sh.get("file").asText(),
+          MetaJson.floats(sh.get("seed")))
+      }.toArray.sortBy(_._1)
   }
 
   /** Manifest with routing pivots: (shard, file, pivot set). Manifests

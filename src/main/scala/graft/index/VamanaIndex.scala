@@ -674,9 +674,10 @@ object VamanaIndex {
     * pattern. */
   def loadRouting(spark: SparkSession, path: String): Array[(Int, Array[Float])] = {
     val meta = MetaJson.parse(loadMeta(path))
-    MetaJson.elems(meta.get("routing")).map { r =>
-      (r.get("shard").asInt(), MetaJson.floats(r.get("seed")))
-    }.toArray.sortBy(_._1)
+    MetaJson.elems(MetaJson.required(meta, "routing", s"$path/metadata.json"))
+      .map { r =>
+        (r.get("shard").asInt(), MetaJson.floats(r.get("seed")))
+      }.toArray.sortBy(_._1)
   }
 
   /** Parse the persisted pivot table back out of metadata.json —
@@ -685,9 +686,10 @@ object VamanaIndex {
     * [[pivotTable]] recompute (Handle does). */
   def loadPivots(spark: SparkSession, path: String): Array[(Int, Array[Array[Float]])] = {
     val meta = MetaJson.parse(loadMeta(path))
-    MetaJson.elems(meta.get("pivots")).map { p =>
-      (p.get("shard").asInt(), MetaJson.floatMatrix(p.get("vecs")))
-    }.toArray.sortBy(_._1)
+    MetaJson.elems(MetaJson.required(meta, "pivots", s"$path/metadata.json"))
+      .map { p =>
+        (p.get("shard").asInt(), MetaJson.floatMatrix(p.get("vecs")))
+      }.toArray.sortBy(_._1)
   }
 
   /** The persisted serving schedule as its own JSON string — typed
@@ -696,8 +698,9 @@ object VamanaIndex {
     * slice the raw metadata by string position. Indexes saved before
     * the serving field existed fall back to the normative in-code
     * copy ([[servingScheduleJson]] — the schedule is version-static,
-    * not per-index). */
-  def loadServingSchedule(spark: SparkSession, path: String): String = {
+    * not per-index). Unlike the other Meta accessors this one is
+    * purely driver-side, so it takes no SparkSession. */
+  def loadServingSchedule(path: String): String = {
     val n = MetaJson.parse(loadMeta(path)).get("serving")
     if (n != null) n.toString else servingScheduleJson
   }
@@ -723,14 +726,15 @@ object VamanaIndex {
     * 2.0 may be written as "2"). */
   def paramsFromMeta(spark: SparkSession, meta: String): VamanaParams = {
     val m = MetaJson.parse(meta)
+    def f(name: String) = MetaJson.required(m, name, "vamana metadata.json")
     VamanaParams(
-      metric = m.get("metric").asText(),
-      maxDegree = m.get("max_degree").asInt(),
-      buildBeamWidth = m.get("build_beam_width").asInt(),
-      alpha = m.get("alpha").asDouble(),
-      passes = m.get("passes").asInt(),
-      extraSeeds = m.get("extra_seeds").asInt(),
-      seed = m.get("seed").asLong())
+      metric = f("metric").asText(),
+      maxDegree = f("max_degree").asInt(),
+      buildBeamWidth = f("build_beam_width").asInt(),
+      alpha = f("alpha").asDouble(),
+      passes = f("passes").asInt(),
+      extraSeeds = f("extra_seeds").asInt(),
+      seed = f("seed").asLong())
   }
 
   /** Rebuild one shard's in-memory graph from its IndexRows: sorts by
@@ -1343,6 +1347,23 @@ object VamanaIndex {
       .toDF("mean_recall", "n_queries", "threshold_recall")
   }
 
+  /** Dense 0-based rank of a single-column id frame in ascending id
+    * order, fully distributed: repartitionByRange assigns ascending
+    * value ranges to ascending partition ids, the in-partition sort
+    * orders within each range, and RDD.zipWithIndex adds the
+    * partition-count prefix offsets — the same global total order a
+    * `row_number() over (order by id)` window yields, without ever
+    * moving the data to one partition. Ids must be unique (vec_ids
+    * are) — ties would make the rank nondeterministic. */
+  private def denseRank(ids: DataFrame, rankCol: String): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    val idCol = ids.columns.head
+    ids.select(col(idCol).cast("long"))
+      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+      .as[Long].rdd.zipWithIndex.toDF(idCol, rankCol)
+  }
+
   /** The reference's ACTUAL benchmark evaluation protocol, end to end
     * through the ground-truth FILE (examples/diskann_sift.rs:58-98 and
     * bigann.rs read a `.ivecs` ground-truth file and score recall
@@ -1355,23 +1376,21 @@ object VamanaIndex {
     * n_queries counts the FILE's records.
     *
     * Positional mapping: .ivecs carries no ids — a record is query
-    * rank, values are corpus ranks. The rank map is a row_number over
-    * vec_id (a total order: single-partition window, ~n rows of 16 B —
-    * this is FILE-EXPORT tooling like [[VecsFormats.writeFvecs]], not
-    * a 100 TB operator; the scale path keeps ground truth in parquet
-    * with real ids). Scoring joins are all distributed; the spec pins
+    * rank, values are corpus ranks. The rank map is a DISTRIBUTED
+    * dense rank over vec_id ([[denseRank]]: range repartition +
+    * in-partition sort + RDD.zipWithIndex partition offsets), not a
+    * single-partition global window — the map stays sharded at any
+    * corpus size. Scoring joins are all distributed; the spec pins
     * file-sourced recall == the in-engine [[qVamanaRecall]] figure. */
   def qRecallIvecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val sf = dir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_")
     val path = graft.TempCleanup.onExit(
       s"/tmp/graft_gt_${sf}_${s.sparkContext.applicationId}.ivecs")
     // corpus rank map: position of each vec_id in vec_id order — the
     // identity the file format stores
-    val pos = Tables.embeddings(s, dir).select($"vec_id")
-      .withColumn("pos",
-        (row_number().over(Window.orderBy($"vec_id")) - 1).cast("int"))
+    val pos = denseRank(Tables.embeddings(s, dir).select($"vec_id"), "pos")
+      .withColumn("pos", $"pos".cast("int"))
     val exact = VectorQueries.qKnnExact(s, dir)
     // neighbors as positions, rank-ordered per query; query record
     // order is q_id order (writeIvecs sorts by query_id)
@@ -1387,10 +1406,8 @@ object VamanaIndex {
     // vector — the same subset qKnnExact uses), not from the exact
     // results: re-deriving it from `exact` would re-execute the whole
     // brute-force kNN subtree a second time just to list its q_ids
-    val qpos = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"))
-      .withColumn("qrank",
-        (row_number().over(Window.orderBy($"q_id")) - 1).cast("long"))
+    val qpos = denseRank(Tables.embeddings(s, dir)
+      .filter($"vec_id" % 50 === 0).select($"vec_id".as("q_id")), "qrank")
     val fileGt = s.read.format("ivecs").load(path)
       .select($"query_id".as("qrank"), explode($"neighbors").as("pos"))
       .join(qpos, Seq("qrank"))

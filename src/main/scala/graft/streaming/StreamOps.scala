@@ -222,7 +222,16 @@ object StreamOps {
     * Event-time (not processing-time) expiry is deliberate: timeouts
     * fire from watermark advancement CARRIED BY DATA, so synchronous
     * drains (`processAllAvailable`) still quiesce — the revert
-    * rationale on [[sessionize]] doesn't apply. */
+    * rationale on [[sessionize]] doesn't apply.
+    *
+    * STATE-FORMAT NOTE (applies to this and [[streamingDedupTtl]]/
+    * [[streamingSelectTtl]]): the late-arrival fix widened the
+    * GroupState encoding to carry the newest-event time — here
+    * `List → (List, Long)`, in the exact form `Long → (Long, Long)`.
+    * A streaming query restarted from a checkpoint written by the
+    * pre-fix code will fail or misdecode its state; discard such
+    * checkpoints (or run the new query under a fresh
+    * checkpointLocation). */
   def streamingNearDedupTtl(docs: DataFrame, ttlMs: Long, tau: Double = 0.35,
       lateness: String = "10 minutes"): Dataset[NearDupOut] = {
     val spark = docs.sparkSession
