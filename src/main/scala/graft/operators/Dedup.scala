@@ -121,26 +121,51 @@ object Dedup {
         // ×K² at ×K scale), so a task's survivor set is corpus-scaled
         // even though its POPCOUNT work stays salt-bounded. Streaming
         // into the shuffle writer removes that term entirely.
-        if (ti == tj) {
-          members.indices.iterator.flatMap { i =>
-            Iterator.range(i + 1, members.length).flatMap { j =>
-              pairFn((members(i)._1, members(i)._3),
-                (members(j)._1, members(j)._3)).iterator
-            }
-          }
-        } else {
+        //
+        // Hand-rolled (i, j) walk, not nested Iterator.flatMap: the
+        // flatMap shape allocates an inner iterator per i and runs
+        // every candidate through two levels of hasNext/next virtual
+        // dispatch — at tens of millions of candidates per hot block
+        // that plumbing rivals the popcounts themselves. `None` is a
+        // singleton, so the Option protocol only allocates for
+        // survivors.
+        if (ti == tj) pairIterator(members, members, self = true, pairFn)
+        else {
           // cross pairs only: side ti × side tj, lower id first
           val (si, sj) = members.partition(_._2 == ti)
-          si.indices.iterator.flatMap { i =>
-            sj.indices.iterator.flatMap { j =>
-              val a = si(i); val b = sj(j)
-              val (lo, hi) = if (a._1 < b._1) (a, b) else (b, a)
-              pairFn((lo._1, lo._3), (hi._1, hi._3)).iterator
-            }
-          }
+          pairIterator(si, sj, self = false, pairFn)
         }
       }
   }
+
+  /** Lazy survivor iterator over member pairs: all unordered (i<j)
+    * pairs of `left` when `self`, else the `left` × `right` cross
+    * product — each offered to `pairFn` with the lower id first.
+    * One flat loop, one survivor buffered. */
+  private def pairIterator[V, O](left: scala.collection.IndexedSeq[(Long, Int, V)],
+      right: scala.collection.IndexedSeq[(Long, Int, V)], self: Boolean,
+      pairFn: ((Long, V), (Long, V)) => Option[O]): Iterator[O] =
+    new scala.collection.AbstractIterator[O] {
+      private var i = 0
+      private var j = if (self) 1 else 0
+      private var pending: Option[O] = None
+      private def advance(): Unit = {
+        while (pending.isEmpty && i < left.length) {
+          if (j >= right.length) { i += 1; j = if (self) i + 1 else 0 }
+          else {
+            val a = left(i); val b = right(j); j += 1
+            pending =
+              if (self || a._1 < b._1) pairFn((a._1, a._3), (b._1, b._3))
+              else pairFn((b._1, b._3), (a._1, a._3))
+          }
+        }
+      }
+      override def hasNext: Boolean = { advance(); pending.nonEmpty }
+      override def next(): O = {
+        advance()
+        val o = pending.get; pending = None; o
+      }
+    }
 
   // ---------------------------------------------------------------- exact
 
