@@ -1,0 +1,223 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.concurrent.TrieMap
+
+/** One index-row replica per (member, label): the member's graph
+  * edges live WITHIN its label's graph, so `label` is both the
+  * traversal scope and — at rest — the partition column. */
+case class StitchedIndexRow(vec_id: Long, embedding: Array[Float],
+    label: Int, shard: Int, neighbors: Array[Long])
+
+/** Label-stitched Vamana family — the Filtered-DiskANN alternative to
+  * beam widening (Gollapudi et al., WWW'23 "Filtered-DiskANN", the
+  * StitchedVamana construction; reference repo rust-diskann has no
+  * filtered tier, so this extends the engine the way §6 of the paper
+  * extends DiskANN).
+  *
+  * [[VamanaIndex.searchFiltered]] serves a predicate through the ONE
+  * unfiltered graph and pays beam ≈ k/selectivity: at 1% selectivity
+  * the beam wades through ~100 non-matching neighbors per match. This
+  * tier instead builds a Vamana graph family PER LABEL, so a filtered
+  * query runs a NORMAL beam over exactly its label's subgraph —
+  * search cost tracks the MATCH SET, not the corpus.
+  *
+  * Scale shape (the reason this form wins at 100 TB):
+  *   - Build is one narrow per-label count (|labels| rows, driver-
+  *     bounded), one seed-rank window partitioned BY LABEL, and one
+  *     shard-exact repartition — per-label graphs build in parallel
+  *     across (label, cell) tasks, each capped at `targetShardRows`.
+  *   - At rest [[save]] writes `partitionBy("label")`: a filtered
+  *     query's scan prunes to its label's directories — a 1%-
+  *     selectivity search READS 1% of the index. Storage cost is one
+  *     replica per (member, label) — the multi-label trade the paper
+  *     makes explicit (stitching dedups nodes; the replicated layout
+  *     trades that memory back for partition pruning and zero shared
+  *     state, the cheap axis at rest).
+  *   - Serving probes only the target label's cells; the TopK merge
+  *     is the same bounded k-row-per-(query, cell) shuffle as the
+  *     plain tier. Within a big label the pivot-routing machinery of
+  *     the main tier applies unchanged (a label IS a corpus here).
+  *
+  * Labels arrive as a (vec_id, label) frame; multiple rows per
+  * vec_id = multi-label membership (the vector joins each of its
+  * labels' graphs). */
+object StitchedIndex {
+
+  /** Build the per-label graph family. Each label's corpus is split
+    * into ceil(n / targetShardRows) Voronoi cells seeded by its
+    * lowest-id members (the same deterministic seeding rule as
+    * [[VamanaIndex.shardAssign]], applied per label), and every
+    * (label, cell) builds one in-memory Vamana graph. Global shard
+    * ids are dense across labels so the shard-exact placement and
+    * every downstream groupBy-shard work unchanged. */
+  def build(emb: DataFrame, labels: DataFrame, params: VamanaParams,
+      targetShardRows: Int = 100000): Dataset[StitchedIndexRow] = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val lab = emb.select(col("vec_id"), col("embedding"))
+      .join(labels.select(col("vec_id"), col("label")), Seq("vec_id"))
+    // per-label sizes: one narrow aggregation, |labels| rows
+    val sizes = lab.groupBy($"label").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    require(sizes.nonEmpty, "stitched build: empty label join")
+    val nShards: Map[Int, Int] = sizes.map { case (l, n) =>
+      l -> math.max(1, ((n + targetShardRows - 1) / targetShardRows).toInt)
+    }.toMap
+    val totalShards = nShards.valuesIterator.sum
+    val offsets: Map[Int, Int] = {
+      var run = 0
+      sizes.map { case (l, _) =>
+        val o = run; run += nShards(l); l -> o
+      }.toMap
+    }
+    // per-label seed centroids: the nShards(l) lowest-id members of
+    // label l — a window partitioned by label (distributed), then a
+    // collect bounded by Σ shards ≈ corpus / targetShardRows (the
+    // same bound class as the routing table)
+    val nsDf = nShards.toSeq.toDF("label", "ns")
+    val seedRows: Array[(Int, Long, Array[Float])] = lab
+      .join(broadcast(nsDf), Seq("label"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"label").orderBy($"vec_id")))
+      .filter($"rk" <= $"ns")
+      .select($"label", $"vec_id", $"embedding")
+      .as[(Int, Long, Array[Float])].collect()
+    val centroids: Map[Int, Array[Array[Float]]] = seedRows
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val bc = s.sparkContext.broadcast((offsets, centroids))
+    // fused assignment: nearest within-label centroid → global shard
+    val assigned = lab.select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val (off, cents) = bc.value
+        it.map { case (id, v, l) =>
+          val cv = cents(l)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cv.length) {
+            val d = Metric.L2.eval(v, 0, cv(c), 0, v.length)
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          (id, v, l, off(l) + best)
+        }
+      }
+      .toDF("vec_id", "embedding", "label", "shard")
+    // shard-exact placement + per-(label, cell) in-memory builds —
+    // the buildAssigned tail, carrying the label through
+    VamanaIndex.placeByShard(assigned, totalShards)
+      .select(col("vec_id"), col("embedding"), col("label"), col("shard"))
+      .as[(Long, Array[Float], Int, Int)]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        rows.groupBy(_._4).iterator.flatMap { case (shard, group) =>
+          val sorted = group.sortBy(_._1)
+          val label = sorted(0)._3
+          val n = sorted.length
+          val dim = if (n == 0) 0 else sorted(0)._2.length
+          val flat = new Array[Float](n * dim)
+          var i = 0
+          while (i < n) {
+            System.arraycopy(sorted(i)._2, 0, flat, i * dim, dim); i += 1
+          }
+          val g = new VamanaGraph(flat, dim, n, params).build()
+          sorted.indices.iterator.map { li =>
+            StitchedIndexRow(sorted(li)._1, sorted(li)._2, label, shard,
+              g.graph(li).map(l => sorted(l)._1))
+          }
+        }
+      }
+  }
+
+  /** Filtered top-k: a NORMAL beam over the target label's graphs
+    * only. The label filter is a partition-prunable predicate on a
+    * [[load]]ed index; the per-cell searches and the bounded TopK
+    * merge are the plain tier's. Beam needs k-headroom, not
+    * 1/selectivity scaling — that is the entire point. */
+  def search(index: Dataset[StitchedIndexRow],
+      queries: Array[(Long, Array[Float])], k: Int, beamWidth: Int,
+      params: VamanaParams, target: Int): DataFrame = {
+    val s = index.sparkSession
+    import s.implicits._
+    val qB = s.sparkContext.broadcast(queries)
+    val perShard = index.filter(col("label") === target)
+      .repartition(col("shard"))
+      .as[StitchedIndexRow]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        rows.groupBy(_.shard).iterator.flatMap { case (shard, group) =>
+          val (g, sorted) = VamanaIndex.rebuildShardGraph(
+            group.map(r => IndexRow(r.vec_id, r.embedding, shard, r.neighbors)),
+            params)
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, k, beamWidth).iterator
+              .map { case (li, d) => (qid, sorted(li).vec_id, d) }
+          }
+        }
+      }.toDF("q_id", "nid", "dist")
+    graft.operators.VectorQueries.topkExplode(perShard, k)
+  }
+
+  /** Persist partitioned by label — the layout that turns the label
+    * predicate into partition pruning at any scale. */
+  def save(index: Dataset[StitchedIndexRow], params: VamanaParams,
+      path: String, targetShardRows: Int): Unit = {
+    index.toDF().write.mode("overwrite")
+      .partitionBy("label").parquet(s"$path/graph")
+    val meta =
+      s"""{"format":"graft-stitched-v1","metric":"${params.metric}",
+         |"max_degree":${params.maxDegree},"build_beam_width":${params.buildBeamWidth},
+         |"alpha":${params.alpha},"passes":${params.passes},
+         |"extra_seeds":${params.extraSeeds},"seed":${params.seed},
+         |"target_shard_rows":$targetShardRows}"""
+        .stripMargin.replace("\n", "")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/metadata.json"), meta)
+  }
+
+  def load(s: SparkSession, path: String): Dataset[StitchedIndexRow] = {
+    import s.implicits._
+    s.read.parquet(s"$path/graph")
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("int").as("label"), col("shard"), col("neighbors"))
+      .as[StitchedIndexRow]
+  }
+
+  // ----------------------------------------------------------- query
+
+  /** One stitched build per (sf dir, JVM) — build once, query many,
+    * like every index cache in [[VamanaIndex]]. The query-surface
+    * shard target keeps per-label cells comparable to the plain
+    * tier's shards at test SFs. */
+  private val cache = TrieMap.empty[String, Dataset[StitchedIndexRow]]
+
+  def cachedIndex(s: SparkSession, dir: String): Dataset[StitchedIndexRow] =
+    cache.getOrElseUpdate(dir, {
+      val emb = graft.Tables.embeddings(s, dir)
+      val idx = build(emb.select(col("vec_id"), col("embedding")),
+        emb.select(col("vec_id"), col("label")),
+        VamanaIndex.qParams, targetShardRows = 2000).persist()
+      idx.count()
+      idx
+    })
+
+  private[graft] def release(): Unit = {
+    cache.values.foreach(_.unpersist(blocking = false))
+    cache.clear()
+  }
+
+  /** Label-filtered top-k through the per-label stitched graphs
+    * (target label 3, same predicate as [[VamanaIndex.qVamanaFiltered]])
+    * at the PLAIN beam — no 1/selectivity widening — rows-only;
+    * recall floors, the ≤1%-selectivity contrast with the one-graph
+    * tier, determinism, and the partitioned save/load round-trip are
+    * pinned in StitchedIndexSpec. */
+  def qVamanaStitched(s: SparkSession, dir: String): DataFrame =
+    search(cachedIndex(s, dir), VamanaIndex.queriesArr(s, dir),
+      k = 10, beamWidth = 64, VamanaIndex.qParams, target = 3)
+}

@@ -1094,7 +1094,7 @@ object VamanaIndex {
     pivotCache.clear(); overlapPivotCache.clear(); overlapSplitCache.clear()
   }
 
-  private def queriesArr(s: SparkSession, dir: String): Array[(Long, Array[Float])] = {
+  private[graft] def queriesArr(s: SparkSession, dir: String): Array[(Long, Array[Float])] = {
     import s.implicits._
     Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
@@ -1561,6 +1561,7 @@ object VamanaIndex {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_get_vector" -> (qGetVector(_, _)),
     "q_vamana_filtered" -> (qVamanaFiltered(_, _)),
+    "q_vamana_stitched" -> (StitchedIndex.qVamanaStitched(_, _)),
     "q_vamana_deleted" -> (qVamanaDeleted(_, _)),
     "q_sharded_serve" -> (qShardedServe(_, _)),
     "q_vamana_degree" -> (qVamanaDegree(_, _)),
