@@ -768,6 +768,81 @@ object Dedup {
        |                             CAST(b.embedding AS DOUBLE[])) >= $CosineTau
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------- substring
+
+  /** Exact-substring window length: pairs share at least one exact
+    * run of this many characters (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * criterion; their 50-token threshold maps to a character window
+    * here). */
+  private val SubstrWindow = 40
+
+  /** Exact-substring dedup: every document pair sharing at least one
+    * exact [[SubstrWindow]]-character substring, with the count of
+    * distinct shared windows — the ExactSubstr criterion of Lee et
+    * al. 2021 (the C4/Pile cleanup), the dedup form that catches
+    * quote/boilerplate reuse MinHash's whole-document similarity
+    * dilutes away.
+    *
+    * Shape: one pruned scan → per-document sliding windows (an
+    * explode, linear in total characters) → 60-bit window keys
+    * (md5 prefix parsed to a LONG — 8 B through every exchange, the
+    * packed-gram lesson; the DuckDB oracle computes THE SAME key, so
+    * parity is exact by construction and a key collision — expected
+    * ~1e-6 at a million windows — would hit both sides identically)
+    * → DISTINCT (doc, key) → shared keys only (one count-window
+    * partitioned by key: almost every window is unique to its
+    * document, and running the pair kernel over millions of singleton
+    * blocks was 7.8 s of wall at sf0.1 before this filter) → the
+    * [[saltedPairs]] skew guard over the shared blocks (a boilerplate
+    * window held by thousands of docs is the expected hot block) →
+    * pair count = distinct shared windows. The shared-window table is
+    * corpus-derived and query-free, so it rides [[graft.PlanCache]]
+    * like the jaccard gram table (build-once/query-many). */
+  def qDedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = SubstrWindow
+    val shared = graft.PlanCache.getOrBuild(s, Family, s"substrShared:$dir")(
+      Tables.documents(s, dir)
+        .filter(length($"text") >= W)
+        .select($"doc_id", $"text",
+          explode(sequence(lit(1), length($"text") - (W - 1))).as("i"))
+        .select($"doc_id", expr(
+          s"cast(conv(substring(md5(substring(text, i, $W)), 1, 15), 16, 10) as bigint)"
+        ).as("h"))
+        .distinct()
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"h")))
+        .filter($"n" >= 2)
+        .select($"h".cast("string").as("block"), $"doc_id")
+        .as[(String, Long)])
+    val rows = shared.map { case (b, id) => (b, id, 0) }
+    saltedPairs(rows) { case ((ida, _), (idb, _)) => Some((ida, idb)) }
+      .toDF("doc_a", "doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val qDedupSubstringSql: String = {
+    val W = SubstrWindow
+    // the same 60-bit key as the Spark side: first 15 hex chars of
+    // the window md5, parsed as an integer — parity by construction
+    s"""WITH w AS (
+       |  SELECT DISTINCT doc_id, CAST(('0x' ||
+       |    substr(md5(substr(text, CAST(i AS INTEGER), $W)), 1, 15)) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      unnest(generate_series(1, length(text) - ${W - 1})) AS i
+       |    FROM documents WHERE length(text) >= $W
+       |  )
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*) AS n_shared
+       |FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- warmup
 
   /** Untimed bench warmup: materializes the shared cached inputs (the
@@ -796,6 +871,7 @@ object Dedup {
     "q_decontaminate" -> (qDecontaminate(_, _)),
     "q_dedup_simhash" -> (qDedupSimhash(_, _)),
     "q_dedup_jaccard" -> (qDedupJaccard(_, _)),
+    "q_dedup_substring" -> (qDedupSubstring(_, _)),
     "q_dedup_embed" -> (qDedupEmbed(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -808,5 +884,6 @@ object Dedup {
     "q_decontaminate" -> qDecontaminateSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
+    "q_dedup_substring" -> qDedupSubstringSql,
     "q_dedup_embed" -> qDedupEmbedSql)
 }
