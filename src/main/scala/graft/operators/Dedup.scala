@@ -823,6 +823,48 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The batch operator's 60-bit window key, computed JVM-side for
+    * the streaming twin ([[graft.streaming.StreamOps.streamingSubstringDedup]]):
+    * distinct keys of every [[SubstrWindow]]-CODEPOINT sliding window
+    * of `text`, in first-occurrence order. Value-identical to the
+    * batch expression `conv(substring(md5(substring(text, i, W)), 1,
+    * 15), 16, 10)` — Spark's `substring` counts code points and its
+    * `md5` hashes UTF-8 bytes, so the walk here is codepoint-offset
+    * based and the key is the md5's first 15 hex nibbles as an
+    * integer (StreamingSpec pins the equality on real corpus text). */
+  private[graft] def substringWindowKeys(text: String): Array[Long] = {
+    val W = SubstrWindow
+    val nCp = text.codePointCount(0, text.length)
+    if (nCp < W) return Array.empty
+    // char offset of each codepoint index (nCp + 1 entries)
+    val off = new Array[Int](nCp + 1)
+    var ci = 0
+    var cp = 0
+    while (cp < nCp) {
+      off(cp) = ci
+      ci += Character.charCount(text.codePointAt(ci))
+      cp += 1
+    }
+    off(nCp) = ci
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i + W <= nCp) {
+      md.reset()
+      val d = md.digest(text.substring(off(i), off(i + W))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex nibbles = bytes 0-6 plus byte 7's high nibble
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >> 4)
+      if (seen.add(v)) out += v
+      i += 1
+    }
+    out.toArray
+  }
+
   val qDedupSubstringSql: String = {
     val W = SubstrWindow
     // the same 60-bit key as the Spark side: first 15 hex chars of

@@ -25,6 +25,11 @@ case class SelectOut(
   * minhash band `band` with bottom-k-estimated Jaccard `est_jac`. */
 case class NearDupOut(doc_id: Long, matched_id: Long, band: Int, est_jac: Double)
 
+/** One exact-substring collision from the streaming substring-dedup
+  * operator: `doc_id` shares the 40-character window keyed `h` with
+  * the window's first-seen keeper `matched_id`. */
+case class SubstrDupOut(doc_id: Long, matched_id: Long, h: Long)
+
 /** One (band, signature)-keyed arrival for [[StreamOps.streamingNearDedup]]. */
 private[streaming] case class BandRow(doc_id: Long, j: Int, sig: Long, sketch: Array[Long])
 
@@ -101,6 +106,48 @@ object StreamOps {
           val keeper = state.getOption.getOrElse(ids.head)
           state.update(keeper)
           ids.iterator.map(id => DedupOut(id, keeper, id != keeper))
+      }
+  }
+
+  /** Streaming exact-substring dedup — the ingest-time form of
+    * [[graft.operators.Dedup.qDedupSubstring]] (the ExactSubstr
+    * criterion): each arriving doc flat-maps to its distinct 40-char
+    * window keys (the SAME 60-bit keys as the batch operator —
+    * [[graft.operators.Dedup.substringWindowKeys]] is pinned
+    * value-identical to the batch expression), state per window key
+    * remembers the first-seen keeper doc_id, and every later arrival
+    * holding that window emits a [[SubstrDupOut]] against the keeper.
+    *
+    * Contract vs the batch pair list: per window the stream flags
+    * arrivals against the window's KEEPER only (exact-dedup
+    * semantics, one long of state per distinct window — not the
+    * all-pairs list the batch operator materializes), so the set of
+    * docs flagged equals EXACTLY the set of docs with an
+    * earlier-arriving substring partner: a batch pair (a, b), a < b,
+    * shares a window whose keeper k ≤ a, so b is flagged (vs k); and
+    * a flagged doc shares its window with its keeper, so it appears
+    * as the later element of some batch pair. StreamingSpec pins that
+    * set equality on the real documents table. State shards by window
+    * key; within one batch ids process in sorted order, so the lowest
+    * co-batch holder becomes keeper — the batch keeper rule. No state
+    * timeout (synchronous-drain friendly); the event-time-TTL pattern
+    * of [[streamingDedupTtl]] applies unchanged at scale. */
+  def streamingSubstringDedup(docs: DataFrame): Dataset[SubstrDupOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.operators.Dedup.substringWindowKeys(text).iterator.map(h => (id, h))
+      }
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, SubstrDupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray.sorted
+          val keeper = state.getOption.getOrElse(ids.head)
+          state.update(keeper)
+          ids.iterator.filter(_ != keeper)
+            .map(id => SubstrDupOut(id, keeper, h))
       }
   }
 

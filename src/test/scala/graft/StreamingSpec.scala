@@ -127,6 +127,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.find(_._1 == 2L).get._2 && !out.find(_._1 == 3L).get._2)
   }
 
+  test("JVM substring window keys equal the batch expression on real corpus text") {
+    // the streaming twin computes the 60-bit window key JVM-side;
+    // the batch operator computes it as a Catalyst expression — this
+    // pins them value-identical on actual documents (codepoint
+    // walking, md5-of-UTF-8, 15-nibble parse)
+    val docs = Tables.documents(spark, SparkSpecBase.sf01)
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(50)
+    val W = 40
+    docs.foreach { case (id, text) =>
+      val jvm = operators.Dedup.substringWindowKeys(text).sorted.toSeq
+      val sqlKeys =
+        if (text.length < W) Seq.empty
+        else Seq(text).toDF("text")
+          .select($"text",
+            explode(sequence(lit(1), length($"text") - (W - 1))).as("i"))
+          .select(expr(
+            s"cast(conv(substring(md5(substring(text, i, $W)), 1, 15), 16, 10) as bigint)"
+          ).as("h"))
+          .distinct().as[Long].collect().sorted.toSeq
+      assert(jvm == sqlKeys, s"doc $id: JVM keys diverge from the batch expression")
+    }
+  }
+
+  test("streaming substring-dedup flags exactly the docs with an earlier substring partner") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch authority: the exact-substring pair list at sf0.01; the
+    // stream's flagged-doc set must equal the set of docs appearing
+    // as the LATER element of some batch pair (see the operator doc
+    // for why that equality is exact, not a floor)
+    val batchPairs = operators.Dedup.qDedupSubstring(spark, SparkSpecBase.sf01)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assume(batchPairs.nonEmpty, "no substring pairs at sf0.01 — corpus changed?")
+    val expected = batchPairs.map(_._2).toSet
+    val docs = Tables.documents(spark, SparkSpecBase.sf01)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingSubstringDedup(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("substr_vs_batch").start()
+    mem.addData(docs)
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("substr_vs_batch")
+      .select($"doc_id", $"matched_id").as[(Long, Long)].collect()
+    out.foreach { case (d, k) => assert(k < d,
+      s"keeper $k not earlier than flagged doc $d under sorted co-batch order") }
+    val flagged = out.map(_._1).toSet
+    assert(flagged == expected,
+      s"flagged set diverged: missing ${(expected -- flagged).take(5)}, " +
+        s"extra ${(flagged -- expected).take(5)}")
+    operators.Dedup.release(spark)
+  }
+
+  test("streaming substring-dedup matches across batches against the first-seen keeper") {
+    implicit val sqlCtx = spark.sqlContext
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // exactly 40 chars
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingSubstringDedup(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("substr_cross_batch").start()
+    mem.addData((1L, s"prefix one $shared tail one"),
+      (2L, "completely unrelated text with no common window at all.."))
+    q.processAllAvailable()
+    mem.addData((3L, s"другой контекст $shared and different ending"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("substr_cross_batch")
+      .select($"doc_id", $"matched_id").as[(Long, Long)].collect().toSet
+    assert(out.contains((3L, 1L)), s"batch-2 doc not flagged against batch-1 keeper: $out")
+    assert(!out.exists(_._1 == 2L), s"unrelated doc flagged: $out")
+  }
+
   test("streaming near-dedup flags exact and near duplicates across batches, not unrelated docs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
