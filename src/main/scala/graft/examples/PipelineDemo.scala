@@ -32,6 +32,11 @@ import graft.sources.VecsFormats
   *      via `spark.read.format("ivecs")`, and both serving modes
   *      scored against the FILE — the reference's benchmark protocol
   *      (examples/diskann_sift.rs:58-98).
+  *   6. FILTER: the label-stitched tier
+  *      ([[graft.index.StitchedIndex]]) built over the labeled
+  *      table, persisted `partitionBy("label")`, reloaded, and a
+  *      label-filtered search scored against the exact FILTERED
+  *      truth — predicate serving at a plain beam.
   *
   * Run: `sbt "runMain graft.examples.PipelineDemo [sfDir] [workDir]"`
   * — minutes at the default sf0.01. PipelineDemoSpec drives the same
@@ -42,7 +47,7 @@ object PipelineDemo {
   case class Result(
       nDocs: Long, nSelected: Long, nVectors: Long, nShards: Int,
       recallRouted: Double, recallFull: Double, nQueries: Long,
-      schedule: String)
+      schedule: String, recallFiltered: Double, filteredLabel: Int)
 
   def run(spark: SparkSession, sfDir: String, workDir: String): Result = {
     import spark.implicits._
@@ -111,8 +116,40 @@ object PipelineDemo {
       .join(qid, Seq("qrank")).select($"q_id", $"neighbor_id")
     def recallOf(approx: DataFrame): Double =
       VamanaIndex.recallDf(approx, fileGt).head().getDouble(0)
+
+    // -- 6. filtered serving: the label-stitched tier, persisted
+    // partitioned-by-label and reloaded — a predicate query at a
+    // PLAIN beam against exactly its label's graphs
+    val emb = Tables.embeddings(spark, sfDir)
+    val target = 3
+    val stitched = graft.index.StitchedIndex.build(
+      emb.select($"vec_id", $"embedding"), emb.select($"vec_id", $"label"),
+      params, targetShardRows = 2000)
+    val stitchedDir = s"$workDir/stitched"
+    graft.index.StitchedIndex.save(stitched, params, stitchedDir,
+      targetShardRows = 2000)
+    val sReloaded = graft.index.StitchedIndex.load(spark, stitchedDir)
+    val fQueries = emb.filter($"vec_id" % 25 === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val filtered = graft.index.StitchedIndex.search(
+      sReloaded, fQueries, k, beam, params, target)
+    // localCheckpoint: recallDf references its exact side twice, and
+    // the analyzer cannot self-dedup the custom KnnJoin logical plan
+    // (step 5 never hits this because the ivecs file round-trip
+    // breaks the lineage there)
+    val filteredGt = graft.plans.KnnJoin(
+      emb.filter($"label" === target).select($"vec_id", $"embedding"),
+      fQueries.toSeq.toDF("q_id", "qv"), k, params.metric,
+      excludeSelf = false)
+      .select($"q_id", $"neighbor_id")
+      .localCheckpoint()
+    val recallFiltered = VamanaIndex.recallDf(filtered, filteredGt)
+      .head().getDouble(0)
+
     val res = Result(nDocs, selected.count(), n, shards,
-      recallOf(routed), recallOf(full), queries.length.toLong, schedule)
+      recallOf(routed), recallOf(full), queries.length.toLong, schedule,
+      recallFiltered, target)
     reloaded.unpersist()
     res
   }
@@ -140,6 +177,8 @@ object PipelineDemo {
       println(s"[demo] recall@10 vs ivecs ground-truth file " +
         s"(${r.nQueries} queries): routed(nprobe=${r.nShards / 2}) " +
         f"${r.recallRouted}%.4f, full ${r.recallFull}%.4f")
+      println(s"[demo] stitched filtered serving (label=${r.filteredLabel}, " +
+        f"plain beam): recall@10 ${r.recallFiltered}%.4f vs exact filtered truth")
     } finally spark.stop()
   }
 }

@@ -23,5 +23,9 @@ class PipelineDemoSpec extends AnyFunSuite {
     assert(r.recallRouted >= 0.6, s"routed recall ${r.recallRouted}")
     // the reloaded index carried its persisted serving schedule
     assert(r.schedule.contains("\"dispatch_k_threshold\""), r.schedule)
+    // the stitched filtered step served from its reloaded
+    // label-partitioned layout at a plain beam
+    assert(r.recallFiltered >= 0.9,
+      s"filtered recall ${r.recallFiltered} (label ${r.filteredLabel})")
   }
 }
