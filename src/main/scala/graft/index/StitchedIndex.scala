@@ -73,17 +73,27 @@ object StitchedIndex {
         val o = run; run += nShards(l); l -> o
       }.toMap
     }
-    // per-label seed centroids: the nShards(l) lowest-id members of
-    // label l — a window partitioned by label (distributed), then a
-    // collect bounded by Σ shards ≈ corpus / targetShardRows (the
-    // same bound class as the routing table)
-    val nsDf = nShards.toSeq.toDF("label", "ns")
+    // per-label seed ids: the nShards(l) lowest vec_ids of label l —
+    // a bounded map-side-combining [[graft.operators.TopK]] aggregate
+    // (dist = id as double is order-isomorphic for any long, ties
+    // broken by the exact id), NOT a row_number window partitioned by
+    // label: that window funnels an entire label's rows into ONE sort
+    // task — the single-partition hazard at a billion-row label. The
+    // collect is bounded by Σ shards ≈ corpus / targetShardRows (the
+    // routing-table bound class); seed EMBEDDINGS then come from one
+    // broadcast join against the tiny (label, vec_id) seed set.
+    val tk = graft.operators.TopK.topk(nShards.valuesIterator.max)
+    val seedIdRows: Array[(Int, Array[Long])] = lab
+      .select($"label", $"vec_id")
+      .groupBy($"label")
+      .agg(tk($"vec_id", $"vec_id".cast("double")).as("t"))
+      .select($"label", $"t.ids")
+      .as[(Int, Array[Long])].collect()
+    val seedPairs = seedIdRows.toSeq.flatMap { case (l, ids) =>
+      ids.take(nShards(l)).map(id => (l, id))
+    }.toDF("label", "vec_id")
     val seedRows: Array[(Int, Long, Array[Float])] = lab
-      .join(broadcast(nsDf), Seq("label"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"label").orderBy($"vec_id")))
-      .filter($"rk" <= $"ns")
+      .join(broadcast(seedPairs), Seq("label", "vec_id"))
       .select($"label", $"vec_id", $"embedding")
       .as[(Int, Long, Array[Float])].collect()
     val centroids: Map[Int, Array[Array[Float]]] = seedRows
