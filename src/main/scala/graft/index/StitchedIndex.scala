@@ -57,8 +57,12 @@ object StitchedIndex {
       targetShardRows: Int = 100000): Dataset[StitchedIndexRow] = {
     val s = emb.sparkSession
     import s.implicits._
+    // dropDuplicates: a labels frame with repeated (vec_id, label)
+    // rows would silently build duplicate same-id nodes into one
+    // graph — one narrow 2-column exchange buys the guard
     val lab = emb.select(col("vec_id"), col("embedding"))
-      .join(labels.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(labels.select(col("vec_id"), col("label"))
+        .dropDuplicates("vec_id", "label"), Seq("vec_id"))
     // per-label sizes: one narrow aggregation, |labels| rows
     val sizes = lab.groupBy($"label").agg(count(lit(1)).as("n"))
       .as[(Int, Long)].collect().sortBy(_._1)
