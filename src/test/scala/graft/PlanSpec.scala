@@ -112,6 +112,47 @@ class PlanSpec extends AnyFunSuite {
       s"embeddings scanned more than once:\n$p")
   }
 
+  test("q_dedup_substring: pruned scan, shared-key filter feeds the pair kernel, no join") {
+    // the window table reads (doc_id, text) only; pair generation is
+    // the salted grouped kernel (no join of any kind); the documents
+    // scan happens exactly once per call (the cached shared table is
+    // per-session, so clear it first for a cold plan)
+    graft.PlanCache.release(spark, "dedup")
+    val p = planOf(operators.Dedup.qDedupSubstring(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    assert(p.contains("MapGroups"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned to (doc_id, text):\n$p")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"documents scanned more than once:\n$p")
+    // pair counts partial-aggregate map-side before the exchange
+    assert(p.contains("HashAggregate"), p)
+    graft.PlanCache.release(spark, "dedup")
+  }
+
+  test("q_vamana_stitched: serving path filters to the target label before any exchange") {
+    // the label filter must sit on the index-side scan (on a persisted
+    // index it becomes partition pruning); the serving merge is the
+    // bounded TopK object aggregate, and there is no join anywhere
+    val full = planOf(index.StitchedIndex.search(
+      index.StitchedIndex.cachedIndex(spark, sf),
+      Array((0L, new Array[Float](64))), 10, 64,
+      index.VamanaIndex.qParams, target = 3))
+    // the explain renders the cached index's BUILD plan below the
+    // InMemoryRelation boundary (whose label join is legitimate);
+    // the assertions audit the SERVING section above it
+    val p = full.substring(0, full.indexOf("InMemoryRelation"))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("Filter"), p)
+    val filterIdx = p.indexOf("Filter")
+    val exchangeIdx = p.lastIndexOf("Exchange")
+    assert(filterIdx > exchangeIdx,
+      // formatted plans list operators top-down from the sink, so the
+      // filter must appear BELOW (after) every serving exchange
+      s"label filter does not sit under the shard exchange:\n$p")
+  }
+
   test("q_dedup_embed: salted bucket-local pairs — no join, no cartesian, one scan") {
     // the salted pair kernel replaced the bucket self-join: pair
     // generation is a grouped in-task loop, so the plan must carry NO
