@@ -332,11 +332,15 @@ object Bench {
     // dir, so the artifact stays self-describing). Canonicalize
     // first: a relative invocation (SPARK_GRAFT_SF_DIR=testdata/
     // sf0.1) or a copied corpus must not silently disable the pass,
-    // so the check is on the normalized leaf name, not a literal
-    // absolute prefix.
+    // so the check is on the normalized leaf name — plus a row-count
+    // probe, because a leaf NAME is a weak proxy for content: a
+    // foreign corpus that merely lives in a dir called sf0.1 must
+    // not be ratio-gated against the baseline's timings.
     val atBaselineSf =
       java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize
-        .getFileName.toString == "sf0.1"
+        .getFileName.toString == "sf0.1" &&
+        (try Tables.documents(spark, sfDir).count() == 5000L
+         catch { case _: Throwable => false })
     if (baseline.nonEmpty && atBaselineSf) {
       val flagged = results.toSeq.flatMap { case (name, v) =>
         gateRatio.get(name).filter(r => v >= 0.2 && r > 2)
@@ -455,6 +459,7 @@ object Bench {
     // BENCH_LOCAL.json to keep the stdout line inside the tail budget
     // serving probes done — the index caches' bounded lifetime ends
     try index.VamanaIndex.releaseCaches() catch { case _: Throwable => }
+    try index.StitchedIndex.release() catch { case _: Throwable => }
     try PlanCache.releaseAll(spark) catch { case _: Throwable => }
 
     val jiffies1 = cpuJiffies()

@@ -59,10 +59,17 @@ object StitchedIndex {
     import s.implicits._
     // dropDuplicates: a labels frame with repeated (vec_id, label)
     // rows would silently build duplicate same-id nodes into one
-    // graph — one narrow 2-column exchange buys the guard
+    // graph — one narrow 2-column exchange buys the guard.
+    // Persisted for the build's span: three driver-side passes (sizes,
+    // seed ids, seed embeddings) read this frame before the final
+    // distributed build — unpersisted, each would re-run the scan +
+    // dedup exchange + join. Dropped (blocking=false) before return;
+    // the caller's first materialization recomputes the join once
+    // from source, so the total is 2 source executions, not 4+1.
     val lab = emb.select(col("vec_id"), col("embedding"))
       .join(labels.select(col("vec_id"), col("label"))
         .dropDuplicates("vec_id", "label"), Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-label sizes: one narrow aggregation, |labels| rows
     val sizes = lab.groupBy($"label").agg(count(lit(1)).as("n"))
       .as[(Int, Long)].collect().sortBy(_._1)
@@ -109,20 +116,17 @@ object StitchedIndex {
       .mapPartitions { it =>
         val (off, cents) = bc.value
         it.map { case (id, v, l) =>
-          val cv = cents(l)
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cv.length) {
-            val d = Metric.L2.eval(v, 0, cv(c), 0, v.length)
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          (id, v, l, off(l) + best)
+          (id, v, l, off(l) + VamanaIndex.nearestCell(v, cents(l)))
         }
       }
       .toDF("vec_id", "embedding", "label", "shard")
+    lab.unpersist(blocking = false)
     // shard-exact placement + per-(label, cell) in-memory builds —
-    // the buildAssigned tail, carrying the label through
+    // [[VamanaIndex.buildAssigned]]'s tail shape, re-stated here
+    // because the label must ride the row type end to end (IndexRow
+    // has no label slot, and widening it would touch every serving
+    // tier). A fix to the shared tail's ordering/dim logic belongs in
+    // BOTH places — keep them in sync.
     VamanaIndex.placeByShard(assigned, totalShards)
       .select(col("vec_id"), col("embedding"), col("label"), col("shard"))
       .as[(Long, Array[Float], Int, Int)]

@@ -48,6 +48,20 @@ object VamanaIndex {
     * dim floats), so it's collected once and broadcast; assignment is
     * then a zero-shuffle argmin pass over the scan — the only shuffle
     * in the whole build is the repartition by shard. */
+  /** Index of the L2-nearest centroid — the assignment argmin shared
+    * by [[shardAssign]], [[shardAssignOverlapped]]'s primary rule, and
+    * [[StitchedIndex.build]]'s per-label assignment. */
+  private[index] def nearestCell(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = Metric.L2.eval(v, 0, cents(c), 0, v.length)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   def shardAssign(emb: DataFrame, numShards: Int): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
@@ -58,16 +72,7 @@ object VamanaIndex {
     emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cv = bc.value
-        it.map { case (id, v) =>
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cv.length) {
-            val d = Metric.L2.eval(v, 0, cv(c), 0, v.length)
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          (id, v, best)
-        }
+        it.map { case (id, v) => (id, v, nearestCell(v, cv)) }
       }
       .toDF("vec_id", "embedding", "shard")
   }

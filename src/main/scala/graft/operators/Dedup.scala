@@ -836,24 +836,36 @@ object Dedup {
     val W = SubstrWindow
     val nCp = text.codePointCount(0, text.length)
     if (nCp < W) return Array.empty
-    // char offset of each codepoint index (nCp + 1 entries)
-    val off = new Array[Int](nCp + 1)
+    // encode ONCE and digest byte slices: a per-window substring +
+    // getBytes would allocate two objects and re-encode per window in
+    // an ingest-time hot loop. The offset table maps codepoint index →
+    // byte offset into the one encoding (UTF-8 concatenates exactly
+    // per code point, so every window is a contiguous slice).
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bOff = new Array[Int](nCp + 1)
     var ci = 0
+    var bi = 0
     var cp = 0
     while (cp < nCp) {
-      off(cp) = ci
-      ci += Character.charCount(text.codePointAt(ci))
+      bOff(cp) = bi
+      val c = text.codePointAt(ci)
+      ci += Character.charCount(c)
+      // lone (unpaired) surrogates encode as the 1-byte '?'
+      // replacement in getBytes — mirror that or the offsets desync
+      bi += (if (c < 0x80) 1 else if (c < 0x800) 2
+             else if (c >= 0xD800 && c <= 0xDFFF) 1
+             else if (c < 0x10000) 3 else 4)
       cp += 1
     }
-    off(nCp) = ci
+    bOff(nCp) = bi
     val md = java.security.MessageDigest.getInstance("MD5")
     val seen = new java.util.HashSet[java.lang.Long]()
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0
     while (i + W <= nCp) {
       md.reset()
-      val d = md.digest(text.substring(off(i), off(i + W))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(bytes, bOff(i), bOff(i + W) - bOff(i))
+      val d = md.digest()
       // first 15 hex nibbles = bytes 0-6 plus byte 7's high nibble
       var v = 0L
       var b = 0

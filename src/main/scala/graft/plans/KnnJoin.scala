@@ -191,7 +191,15 @@ object KnnJoin {
   /** kNN join `corpus ⋈_knn queries`: corpus (vec_id, embedding) ×
     * queries (q_id, qv) → (q_id, rank, neighbor_id, dist) global
     * top-k. Candidate pruning runs in [[KnnJoinExec]]; the global
-    * merge is the bounded TopK aggregate. */
+    * merge is the bounded TopK aggregate.
+    *
+    * KNOWN LIMITATION: a plan that references this result TWICE
+    * (e.g. a self-join, or `recallDf`, which aggregates its exact
+    * side and joins it back) fails analysis with "conflicting
+    * references" — the analyzer's relation dedup cannot re-instance
+    * the custom [[KnnJoinPlan]] node. Break the lineage first
+    * (`.localCheckpoint()`, or a file round-trip) — PipelineDemo
+    * step 6 shows the pattern. */
   def apply(corpus: DataFrame, queries: DataFrame, k: Int, metric: String,
       excludeSelf: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
