@@ -117,6 +117,33 @@ class StitchedIndexSpec extends AnyFunSuite {
     viaOrig.foreach(nid => assert(vecs.find(_._1 == nid).get._3 == orig))
   }
 
+  test("multi-cell labels: a label split across Voronoi cells still recalls its truth") {
+    // the env-gated 2M rehearsal is the only other multi-cell
+    // exercise — this pins the offsets/cell arithmetic (global shard
+    // ids, per-cell graphs, cross-cell TopK merge) in the default
+    // suite: targetShardRows=8 splits every ~20-member label into
+    // 2-3 cells
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val labels = Tables.embeddings(spark, dir).select($"vec_id", $"label")
+    val idx = StitchedIndex.build(emb, labels, VamanaIndex.qParams,
+      targetShardRows = 8)
+    val members = vecs.filter(_._3 == Target).map(v => (v._1, v._2))
+    val nCells = idx.filter($"label" === Target)
+      .select($"shard").distinct().count()
+    assert(nCells >= 2, s"label $Target not split: $nCells cell(s)")
+    val queries = vecs.filter(_._1 % 50 == 0).map(v => (v._1, v._2))
+    val res = StitchedIndex.search(idx, queries, 10, 64,
+      VamanaIndex.qParams, Target)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect()
+    val labelOf = vecs.map(v => v._1 -> v._3).toMap
+    res.foreach { case (q, nid) => assert(labelOf(nid) == Target,
+      s"q $q returned label ${labelOf(nid)} vector $nid") }
+    val recall = recallOf(res, queries, members, 10)
+    info(f"cells=$nCells recall@10=$recall%.4f")
+    assert(recall >= 0.9,
+      f"multi-cell recall@10 $recall%.4f under 0.9 across $nCells cells")
+  }
+
   test("stitched search is deterministic") {
     val a = StitchedIndex.qVamanaStitched(spark, dir).collect().toSeq
     val b = StitchedIndex.qVamanaStitched(spark, dir).collect().toSeq
