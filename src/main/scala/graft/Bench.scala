@@ -338,9 +338,25 @@ object Bench {
     // not be ratio-gated against the baseline's timings.
     val atBaselineSf =
       java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize
-        .getFileName.toString == "sf0.1" &&
-        (try Tables.documents(spark, sfDir).count() == 5000L
-         catch { case _: Throwable => false })
+        .getFileName.toString == "sf0.1" && {
+        // a failed probe silently disables the >2× self-defense pass —
+        // say so on stderr instead of swallowing it, so a regenerated
+        // corpus or a transient read failure is visible in the run log
+        val n = try Some(Tables.documents(spark, sfDir).count())
+          catch { case e: Throwable =>
+            System.err.println("[bench] sf0.1 row-count probe failed (" +
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}" +
+              ") — baseline >2x re-measure pass disabled"); None
+          }
+        n match {
+          case Some(5000L) => true
+          case Some(other) =>
+            System.err.println(s"[bench] dir is named sf0.1 but documents has " +
+              s"$other rows (baseline corpus has 5000) — baseline >2x " +
+              "re-measure pass disabled"); false
+          case None => false
+        }
+      }
     if (baseline.nonEmpty && atBaselineSf) {
       val flagged = results.toSeq.flatMap { case (name, v) =>
         gateRatio.get(name).filter(r => v >= 0.2 && r > 2)

@@ -110,6 +110,7 @@ object StitchedIndex {
     val centroids: Map[Int, Array[Array[Float]]] = seedRows
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
     val bc = s.sparkContext.broadcast((offsets, centroids))
+    pendingBc.synchronized { pendingBc += bc }
     // fused assignment: nearest within-label centroid → global shard
     val assigned = lab.select($"vec_id", $"embedding", $"label")
       .as[(Long, Array[Float], Int)]
@@ -200,10 +201,34 @@ object StitchedIndex {
 
   def load(s: SparkSession, path: String): Dataset[StitchedIndexRow] = {
     import s.implicits._
+    loadParams(path) // format-tag gate: fail loudly on a foreign dir
     s.read.parquet(s"$path/graph")
       .select(col("vec_id"), col("embedding"),
         col("label").cast("int").as("label"), col("shard"), col("neighbors"))
       .as[StitchedIndexRow]
+  }
+
+  /** The persisted build params (and shard-size target) of a [[save]]d
+    * stitched index, gated on the `graft-stitched-v1` format tag.
+    * Callers must serve with THESE params — a caller-supplied metric
+    * that diverges from the build metric would silently return
+    * wrong-distance results, never an error. */
+  def loadParams(path: String): (VamanaParams, Int) = {
+    val where = s"$path/metadata.json"
+    val n = MetaJson.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(where)))
+    val fmt = MetaJson.required(n, "format", where).asText()
+    require(fmt == "graft-stitched-v1",
+      s"not a graft stitched index: format='$fmt' in $where")
+    val p = VamanaParams(
+      maxDegree = MetaJson.required(n, "max_degree", where).asInt(),
+      buildBeamWidth = MetaJson.required(n, "build_beam_width", where).asInt(),
+      alpha = MetaJson.required(n, "alpha", where).asDouble(),
+      passes = MetaJson.required(n, "passes", where).asInt(),
+      extraSeeds = MetaJson.required(n, "extra_seeds", where).asInt(),
+      seed = MetaJson.required(n, "seed", where).asLong(),
+      metric = MetaJson.required(n, "metric", where).asText())
+    (p, MetaJson.required(n, "target_shard_rows", where).asInt())
   }
 
   // ----------------------------------------------------------- query
@@ -214,6 +239,22 @@ object StitchedIndex {
     * tier's shards at test SFs. */
   private val cache = TrieMap.empty[String, Dataset[StitchedIndexRow]]
 
+  /** Build-time broadcasts (offsets + centroids) pending release:
+    * [[build]] can't unpersist its own broadcast — the returned
+    * dataset's lineage still references it — so the handle parks here
+    * and [[trimBroadcasts]] unpersists once the caller has
+    * materialized. `unpersist`, not `destroy`: a later lineage
+    * recompute re-sends the value from the driver instead of failing,
+    * so the trim is always safe; without it repeated builds in one
+    * JVM accumulate broadcast blocks on driver and executors. */
+  private val pendingBc =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.broadcast.Broadcast[_]]
+
+  private[graft] def trimBroadcasts(): Unit = pendingBc.synchronized {
+    pendingBc.foreach(_.unpersist(blocking = false))
+    pendingBc.clear()
+  }
+
   def cachedIndex(s: SparkSession, dir: String): Dataset[StitchedIndexRow] =
     cache.getOrElseUpdate(dir, {
       val emb = graft.Tables.embeddings(s, dir)
@@ -221,12 +262,14 @@ object StitchedIndex {
         emb.select(col("vec_id"), col("label")),
         VamanaIndex.qParams, targetShardRows = 2000).persist()
       idx.count()
+      trimBroadcasts()
       idx
     })
 
   private[graft] def release(): Unit = {
     cache.values.foreach(_.unpersist(blocking = false))
     cache.clear()
+    trimBroadcasts()
   }
 
   /** Label-filtered top-k through the per-label stitched graphs

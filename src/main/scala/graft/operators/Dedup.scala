@@ -154,8 +154,11 @@ object Dedup {
           if (j >= right.length) { i += 1; j = if (self) i + 1 else 0 }
           else {
             val a = left(i); val b = right(j); j += 1
+            // the compare runs in BOTH modes: self-mode callers happen
+            // to pre-sort members (so a < b already holds), but the
+            // lower-id-first contract must not silently depend on that
             pending =
-              if (self || a._1 < b._1) pairFn((a._1, a._3), (b._1, b._3))
+              if (a._1 < b._1) pairFn((a._1, a._3), (b._1, b._3))
               else pairFn((b._1, b._3), (a._1, a._3))
           }
         }

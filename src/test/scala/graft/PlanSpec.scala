@@ -141,6 +141,8 @@ class PlanSpec extends AnyFunSuite {
     // the explain renders the cached index's BUILD plan below the
     // InMemoryRelation boundary (whose label join is legitimate);
     // the assertions audit the SERVING section above it
+    assert(full.contains("InMemoryRelation"),
+      s"cached-index boundary token missing from explain:\n$full")
     val p = full.substring(0, full.indexOf("InMemoryRelation"))
     assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)

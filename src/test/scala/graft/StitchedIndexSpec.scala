@@ -166,5 +166,22 @@ class StitchedIndexSpec extends AnyFunSuite {
     val b = StitchedIndex.search(loaded, queries, 10, 64,
       VamanaIndex.qParams, Target).collect().toSeq
     assert(a == b, "loaded index diverged from the in-memory build")
+    // the persisted params round-trip exactly, so callers can serve
+    // with the BUILD metric instead of trusting their own copy
+    val (p, tsr) = StitchedIndex.loadParams(path)
+    assert(p == VamanaIndex.qParams, s"persisted params diverged: $p")
+    assert(tsr == 2000)
+    // a dir that is not a stitched index must fail loudly at load, not
+    // serve wrong-metric results
+    val foreign = TempCleanup.onExit(
+      s"/tmp/graft_stitched_foreign_${spark.sparkContext.applicationId}")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(foreign))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$foreign/metadata.json"),
+      """{"format":"something-else"}""")
+    val e = intercept[IllegalArgumentException] {
+      StitchedIndex.load(spark, foreign)
+    }
+    assert(e.getMessage.contains("something-else"), e.getMessage)
   }
 }
