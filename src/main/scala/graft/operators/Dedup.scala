@@ -355,9 +355,15 @@ object Dedup {
       .toDF("src", "dst").cache()
     val labels = propagateMinLabels(s, edges)
     edges.unpersist(blocking = false) // labels are checkpointed; edges done
-    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy($"cluster_id")))
+    // cluster_size via aggregate + join, NOT a count window: a window
+    // partitioned by cluster_id funnels every member of a mega-cluster
+    // (48k docs in one loose-threshold component at the 10× rehearsal)
+    // into ONE sort task. The aggregate partial-combines map-side, its
+    // output is one row per cluster (broadcast-join-sized), and the
+    // probe side streams — no per-key sort anywhere.
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select($"node".as("doc_id"), $"label".as("cluster_id"), $"cluster_size")
       .orderBy($"doc_id")
   }
 
@@ -434,20 +440,25 @@ object Dedup {
     * (see the [[BucketCap]] note). */
   def qDedupClusterRep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // project to (doc_id, md5) BEFORE the window's exchange — the
-    // group key is the hash, so shuffling the text bytes themselves
-    // (the dominant column) would be pure waste. The quotient map
-    // feeds THREE consumers (the rep filter, selfOnly, the final
-    // member re-join): localCheckpoint materializes it once per call
-    // (a slim id-triple table even at corpus scale) instead of
-    // re-running the scan+window per consumer.
-    val w = Window.partitionBy($"h")
-    val groups = graft.PlanCache.getOrBuild(s, Family, s"exactGroups:$dir")(
-      Tables.documents(s, dir)
-        .select($"doc_id", md5($"text").as("h"))
-        .withColumn("rep_id", min($"doc_id").over(w))
-        .withColumn("grp_n", count(lit(1)).over(w))
-        .select($"doc_id", $"rep_id", $"grp_n")).localCheckpoint()
+    // project to (doc_id, md5) BEFORE any exchange — the group key is
+    // the hash, so shuffling the text bytes themselves (the dominant
+    // column) would be pure waste; the inner localCheckpoint runs the
+    // scan + md5 ONCE and both quotient consumers (the group aggregate
+    // and the probe side of the re-join) read the slim materialized
+    // pair table. Aggregate + join, NOT min/count windows partitioned
+    // by h: a replicated corpus makes md5 groups arbitrarily large,
+    // and a window sorts each whole group in one task while the
+    // aggregate partial-combines map-side and re-joins skew-free
+    // under AQE. The outer checkpoint then pins the quotient map for
+    // its THREE consumers (the rep filter, selfOnly, the final member
+    // re-join) instead of re-running the join per consumer.
+    val groups = graft.PlanCache.getOrBuild(s, Family, s"exactGroups:$dir")({
+      val hashes = Tables.documents(s, dir)
+        .select($"doc_id", md5($"text").as("h")).localCheckpoint()
+      val grpAgg = hashes.groupBy($"h")
+        .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("grp_n"))
+      hashes.join(grpAgg, "h").select($"doc_id", $"rep_id", $"grp_n")
+    }).localCheckpoint()
     val sets = graft.PlanCache.getOrBuild(s, Family, s"shingleSets:$dir")(
       shingleSets(s, dir))
     val reps = groups.filter($"doc_id" === $"rep_id")
@@ -472,10 +483,19 @@ object Dedup {
       .select($"rep_id".as("node"), $"rep_id".as("label"))
     val repLabels = edgeLabels.union(selfOnly)
     edges.unpersist(blocking = false)
+    // cluster sizes from the QUOTIENT, not a member-level count
+    // window: each rep row carries its group's member count, so
+    // Σ grp_n per label over the rep-label table (one row per GROUP)
+    // gives the member-level cluster size without sorting — or even
+    // aggregating — the member table; the mega-cluster skew note on
+    // [[qDedupCluster]] applies doubly here, since exact-collapse is
+    // the form meant for replica-heavy corpora.
+    val repN = groups.filter($"doc_id" === $"rep_id").select($"rep_id", $"grp_n")
+    val csizes = repLabels.join(repN, repLabels("node") === repN("rep_id"))
+      .groupBy($"label").agg(sum($"grp_n").as("cluster_size"))
     groups.join(repLabels, groups("rep_id") === repLabels("node"))
-      .select($"doc_id", $"label".as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .join(csizes, "label")
+      .select($"doc_id", $"label".as("cluster_id"), $"cluster_size")
       .orderBy($"doc_id")
   }
 

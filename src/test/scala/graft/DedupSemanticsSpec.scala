@@ -136,6 +136,34 @@ class DedupSemanticsSpec extends AnyFunSuite {
     assert(rep.toSeq == full.toSeq, "rep variant diverged from parent")
   }
 
+  test("skew-heavy corpus: cluster family agrees across forms and sizes the mega-cluster") {
+    // one md5 group of 400 verbatim copies + 300 copies of its
+    // near-dup — the replica regime the aggregate+join cluster-size
+    // path exists for (a count window would sort all 700 members of
+    // the merged cluster in one task); plus islands that must stay out
+    val d = "/tmp/graft_dedup_skew"
+    val words = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = words.replace("word30", "changed")
+    val lone = (1 to 60).map(i => s"zz$i").mkString(" ")
+    val docs = ((0 until 400).map(i => (i.toLong * 3, words)) ++
+      (0 until 300).map(i => (i.toLong * 3 + 1, nearDup)) ++
+      Seq((2000L, lone)))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val full = operators.Dedup.qDedupCluster(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rep = operators.Dedup.qDedupClusterRep(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rep.toSeq == full.toSeq, "rep variant diverged from parent on skew corpus")
+    // all 700 replicas merge into one cluster under the min id; the
+    // unrelated doc never enters the pair graph
+    assert(full.length == 700, s"expected 700 clustered docs, got ${full.length}")
+    assert(full.forall { case (_, cid, n) => cid == 0L && n == 700L },
+      full.take(5).toSeq.toString)
+    assert(!full.exists(_._1 == 2000L))
+  }
+
   test("rep variant matches the parent on the real sf0.001 corpus") {
     val dir = "/root/testdata/sf0.001"
     val full = operators.Dedup.qDedupCluster(spark, dir)
