@@ -281,6 +281,71 @@ case class HellingerDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Jensen-Shannon distance: √(0.5·Σ[p·ln(p/m) + q·ln(q/m)]) with
+  * m = (p+q)/2, natural log. Reference: anndists DistJensenShannon,
+  * which requires inputs already L1-normalized; this form
+  * self-normalizes (p_i = |x_i| / Σ|x|) so it agrees exactly with
+  * anndists on its own domain and extends to raw non-negative weight
+  * vectors, the same convention as [[HellingerDistance]]. 0·ln 0 = 0
+  * by continuity, and m > 0 whenever either term runs, so no division
+  * by zero; the divergence is clamped at 0 before the outer sqrt so
+  * float noise at identity can never yield NaN. Disjoint supports (and
+  * the one-zero-vector case) reach the metric's maximum √(ln 2);
+  * both-zero → 0. */
+case class JensenShannonDistance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "graft_js_distance"
+
+  override protected def loopCode(a: String, b: String, n: String, res: String, i: String): String =
+    s"""
+       |double sa = 0.0; double sb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  sa += Math.abs((double) $a.getFloat($i));
+       |  sb += Math.abs((double) $b.getFloat($i));
+       |}
+       |if (sa == 0.0 || sb == 0.0) { $res = (sa == sb) ? 0.0 : Math.sqrt(Math.log(2.0)); }
+       |else {
+       |  double acc = 0.0;
+       |  for (int $i = 0; $i < $n; $i++) {
+       |    double p = Math.abs((double) $a.getFloat($i)) / sa;
+       |    double q = Math.abs((double) $b.getFloat($i)) / sb;
+       |    double m = 0.5 * (p + q);
+       |    double t = 0.0;
+       |    if (p > 0.0) t += p * Math.log(p / m);
+       |    if (q > 0.0) t += q * Math.log(q / m);
+       |    acc += t;
+       |  }
+       |  $res = Math.sqrt(Math.max(0.0, 0.5 * acc));
+       |}
+     """.stripMargin
+
+  override protected def evalVectors(x: ArrayData, y: ArrayData): Double = {
+    var sa = 0.0; var sb = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) {
+      sa += math.abs(x.getFloat(i).toDouble)
+      sb += math.abs(y.getFloat(i).toDouble); i += 1
+    }
+    if (sa == 0.0 || sb == 0.0) { if (sa == sb) 0.0 else math.sqrt(math.log(2.0)) }
+    else {
+      var acc = 0.0; i = 0
+      while (i < n) {
+        val p = math.abs(x.getFloat(i).toDouble) / sa
+        val q = math.abs(y.getFloat(i).toDouble) / sb
+        val m = 0.5 * (p + q)
+        var t = 0.0
+        if (p > 0.0) t += p * math.log(p / m)
+        if (q > 0.0) t += q * math.log(q / m)
+        acc += t
+        i += 1
+      }
+      math.sqrt(math.max(0.0, 0.5 * acc))
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Inner product: Σ x·y. Reference: anndists DistDot (ranking by −dot). */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {
@@ -653,6 +718,7 @@ object VectorExprs {
   def dotProduct(a: Column, b: Column): Column = col2(DotProduct)(a, b)
   def jaccardDist(a: Column, b: Column): Column = col2(JaccardDistance)(a, b)
   def hellingerDist(a: Column, b: Column): Column = col2(HellingerDistance)(a, b)
+  def jsDist(a: Column, b: Column): Column = col2(JensenShannonDistance)(a, b)
   def intSqL2Dist(a: Column, b: Column): Column = col2(IntSqL2Distance)(a, b)
   def pqAdcDist(lut: Column, codes: Column, ksub: Int): Column =
     bridge.column(PqAdcDistance(bridge.expression(lut), bridge.expression(codes), ksub))

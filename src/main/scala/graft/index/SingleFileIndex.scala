@@ -61,15 +61,17 @@ object SingleFileIndex {
     "l1" -> "anndists::dist::distances::DistL1",
     "linf" -> "anndists::dist::distances::DistLinf",
     "jaccard" -> "anndists::dist::distances::DistJaccard",
-    "hellinger" -> "anndists::dist::distances::DistHellinger")
+    "hellinger" -> "anndists::dist::distances::DistHellinger",
+    "js" -> "anndists::dist::distances::DistJensenShannon")
 
   private[graft] def nameToMetric(name: String): String =
     MetricToName.collectFirst { case (m, n) if n == name => m }
       // Linf before L1 before L2: longest-substring first so DistLinf
       // can never be claimed by a shorter Dist* pattern
       .orElse(Seq("Linf", "L1", "L2", "Cosine", "Dot", "Hamming",
-          "Jaccard", "Hellinger")
-        .collectFirst { case s if name.contains("Dist" + s) => s.toLowerCase })
+          "Jaccard", "Hellinger", "JensenShannon")
+        .collectFirst { case s if name.contains("Dist" + s) =>
+          if (s == "JensenShannon") "js" else s.toLowerCase })
       .getOrElse(throw new IllegalArgumentException(
         s"unrecognized distance_name '$name' in single-file metadata — " +
           "refusing to silently serve with l2"))

@@ -112,10 +112,46 @@ object Metric {
       }
     }
   }
+  /** Jensen-Shannon distance over self-L1-normalized |x| — the
+    * anndists DistJensenShannon formula (√(0.5·Σ[p·ln(p/m) +
+    * q·ln(q/m)]), natural log, m = (p+q)/2; the crate assumes
+    * pre-normalized probability input) extended to raw weight vectors
+    * the same way [[Hellinger]] is; mirrors JensenShannonDistance.
+    * Disjoint-support distributions reach the metric's maximum
+    * √(ln 2), which is also the one-sided zero-vector value. */
+  case object JensenShannon extends Metric {
+    val name = "js"
+    def eval(a: Array[Float], ao: Int, b: Array[Float], bo: Int, dim: Int): Double = {
+      var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < dim) {
+        sa += math.abs(a(ao + i).toDouble); sb += math.abs(b(bo + i).toDouble)
+        i += 1
+      }
+      if (sa == 0.0 || sb == 0.0) { if (sa == sb) 0.0 else math.sqrt(math.log(2.0)) }
+      else {
+        var acc = 0.0; i = 0
+        while (i < dim) {
+          val p = math.abs(a(ao + i).toDouble) / sa
+          val q = math.abs(b(bo + i).toDouble) / sb
+          val m = 0.5 * (p + q)
+          // 0·ln 0 = 0 by continuity; m > 0 whenever either term runs
+          var t = 0.0
+          if (p > 0.0) t += p * math.log(p / m)
+          if (q > 0.0) t += q * math.log(q / m)
+          acc += t
+          i += 1
+        }
+        // float noise can push the divergence a hair negative at
+        // p == q; clamp before the sqrt so identity can never be NaN
+        math.sqrt(math.max(0.0, 0.5 * acc))
+      }
+    }
+  }
   def byName(n: String): Metric = n match {
     case "l2" => L2; case "cosine" => Cosine; case "dot" => Dot
     case "hamming" => Hamming; case "l1" => L1; case "linf" => Linf
     case "jaccard" => Jaccard; case "hellinger" => Hellinger
+    case "js" => JensenShannon
     case other => throw new IllegalArgumentException(s"unknown metric $other")
   }
 }

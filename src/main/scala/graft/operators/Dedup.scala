@@ -440,25 +440,7 @@ object Dedup {
     * (see the [[BucketCap]] note). */
   def qDedupClusterRep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // project to (doc_id, md5) BEFORE any exchange — the group key is
-    // the hash, so shuffling the text bytes themselves (the dominant
-    // column) would be pure waste; the inner localCheckpoint runs the
-    // scan + md5 ONCE and both quotient consumers (the group aggregate
-    // and the probe side of the re-join) read the slim materialized
-    // pair table. Aggregate + join, NOT min/count windows partitioned
-    // by h: a replicated corpus makes md5 groups arbitrarily large,
-    // and a window sorts each whole group in one task while the
-    // aggregate partial-combines map-side and re-joins skew-free
-    // under AQE. The outer checkpoint then pins the quotient map for
-    // its THREE consumers (the rep filter, selfOnly, the final member
-    // re-join) instead of re-running the join per consumer.
-    val groups = graft.PlanCache.getOrBuild(s, Family, s"exactGroups:$dir")({
-      val hashes = Tables.documents(s, dir)
-        .select($"doc_id", md5($"text").as("h")).localCheckpoint()
-      val grpAgg = hashes.groupBy($"h")
-        .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("grp_n"))
-      hashes.join(grpAgg, "h").select($"doc_id", $"rep_id", $"grp_n")
-    }).localCheckpoint()
+    val groups = exactGroups(s, dir)
     val sets = graft.PlanCache.getOrBuild(s, Family, s"shingleSets:$dir")(
       shingleSets(s, dir))
     val reps = groups.filter($"doc_id" === $"rep_id")
@@ -497,6 +479,37 @@ object Dedup {
       .join(csizes, "label")
       .select($"doc_id", $"label".as("cluster_id"), $"cluster_size")
       .orderBy($"doc_id")
+  }
+
+  /** The exact-group quotient map `(doc_id, rep_id, grp_n)`: rep_id =
+    * min doc_id of the doc's md5(text) group, grp_n = group size — the
+    * shared first step of every exact-collapse-first variant
+    * ([[qDedupClusterRep]], [[qDedupSubstringRep]],
+    * [[qDedupSimhashRep]]).
+    *
+    * Projects to (doc_id, md5) BEFORE any exchange — the group key is
+    * the hash, so shuffling the text bytes themselves (the dominant
+    * column) would be pure waste; the inner localCheckpoint runs the
+    * scan + md5 ONCE and both quotient consumers (the group aggregate
+    * and the probe side of the re-join) read the slim materialized
+    * pair table. Aggregate + join, NOT min/count windows partitioned
+    * by h: a replicated corpus makes md5 groups arbitrarily large, and
+    * a window sorts each whole group in one task while the aggregate
+    * partial-combines map-side and re-joins skew-free under AQE. The
+    * per-call checkpoint then pins the quotient map for its several
+    * consumers instead of re-running the join per consumer. */
+  private[graft] def exactGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.PlanCache.getOrBuild(s, Family, s"exactGroups:$dir")({
+      val hashes = Tables.documents(s, dir)
+        .select($"doc_id", md5($"text").as("h")).localCheckpoint()
+      val grpAgg = hashes.groupBy($"h")
+        .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("grp_n"))
+      // checkpoint INSIDE the builder: the flattened lineage is built
+      // once per (dir, JVM), not re-materialized on every call
+      hashes.join(grpAgg, "h").select($"doc_id", $"rep_id", $"grp_n")
+        .localCheckpoint()
+    })
   }
 
   /** Min-label connected components as UNROLLED neighbor-min +
@@ -554,16 +567,33 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 62-bit SimHash; candidates via 4 16-bit bands (pigeonhole-complete
-    * for hamming ≤ 3); verify by popcount of xor. */
-  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc 62-bit SimHash codes `(doc_id, code)`, cached per sf dir
+    * — shared by the full-corpus operator and the
+    * exact-collapse-first variant. */
+  private def simhashCodes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val coded = graft.PlanCache.getOrBuild(s, Family, s"simhashCodes:$dir")(
+    graft.PlanCache.getOrBuild(s, Family, s"simhashCodes:$dir")(
       Tables.documents(s, dir)
         .withColumn("th", graft.functions.HashExprs.tokenHashes($"text"))
         .filter(size($"th") >= 1)
         .withColumn("code", graft.functions.HashExprs.simHash62($"th"))
         .select($"doc_id", $"code"))
+  }
+
+  /** 62-bit SimHash; candidates via 4 16-bit bands (pigeonhole-complete
+    * for hamming ≤ 3); verify by popcount of xor. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashPairs(simhashCodes(s, dir))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The banded + skew-guarded SimHash pair kernel over an arbitrary
+    * `(doc_id, code)` frame: every pair within hamming ≤
+    * [[SimhashMaxHamming]], each emitted exactly once. */
+  private def simhashPairs(coded: DataFrame): DataFrame = {
+    val s = coded.sparkSession
+    import s.implicits._
     val bandExprs = (0 until 4).map(b => s"$b, shiftright(code, ${16 * b}) & 65535").mkString(", ")
     val bands = coded.selectExpr("doc_id", "code", s"stack(4, $bandExprs) AS (b, band)")
     // Bucket-local pair generation: one shuffle of 4·N band rows, then
@@ -601,7 +631,59 @@ object Dedup {
       }
     }
       .toDF("doc_a", "doc_b", "hamming")
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SimHash near-dup via EXACT-COLLAPSE-FIRST — the scale form of
+    * [[qDedupSimhash]] with byte-identical output (it shares the
+    * parent's oracle verbatim, so the gate proves the equivalence).
+    *
+    * Identical texts have identical token multisets, hence identical
+    * SimHash codes, so the [[qDedupClusterRep]] quotient argument
+    * applies: run the band+popcount kernel over one representative per
+    * md5(text) group, then expand — a cross-group member pair's
+    * hamming is its reps' hamming (same codes), and a group's own
+    * member pairs are all hamming 0 (xor = 0, emitted from band 0 in
+    * the parent). The parent's kernel is quadratic in replicas (a
+    * K-copy group puts K ids into every band bucket → Θ(K²) offered
+    * pairs per original collision — the regime whose sf10 arithmetic
+    * is 1.6e10 pairs); here kernel work returns to the distinct-text
+    * corpus and the remaining quadratic is the OUTPUT, which is the
+    * operator's contract. */
+  def qDedupSimhashRep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val groups = exactGroups(s, dir)
+    val reps = groups.filter($"doc_id" === $"rep_id")
+    // rep-only codes, checkpointed: the band kernel reads its input
+    // twice (salt-count aggregate + the explode) and the within-group
+    // path semi-joins it again
+    def repCoded = graft.PlanCache.getOrBuild(s, Family, s"simhashRepCodes:$dir")(
+      simhashCodes(s, dir).join(
+        reps.select($"rep_id".as("doc_id")), Seq("doc_id"), "left_semi")
+        .localCheckpoint())
+    // rep-level pair kernel cached like [[verifiedPairs]] — corpus-
+    // derived and query-free, so warm calls pay only the expansion
+    val repPairs = graft.PlanCache.getOrBuild(s, Family, s"simhashRepPairs:$dir")(
+      simhashPairs(repCoded)
+        .select($"doc_a".as("rep_a"), $"doc_b".as("rep_b"), $"hamming"))
+    // quotient expansion: every member pair across two colliding
+    // groups inherits the rep pair's hamming; member ids interleave
+    // across groups, so the lower-id-first contract is re-established
+    // per pair
+    val cross = repPairs
+      .join(groups.select($"rep_id".as("rep_a"), $"doc_id".as("m_a")), "rep_a")
+      .join(groups.select($"rep_id".as("rep_b"), $"doc_id".as("m_b")), "rep_b")
+      .select(least($"m_a", $"m_b").as("doc_a"),
+        greatest($"m_a", $"m_b").as("doc_b"), $"hamming")
+    // a size-≥2 group with a tokenizable text is all mutual hamming-0
+    // pairs; the skew guard bounds per-task work on mega-groups
+    val withinRows = groups.filter($"grp_n" >= 2)
+      .join(repCoded.select($"doc_id".as("rep_id")), Seq("rep_id"), "left_semi")
+      .select($"rep_id".cast("string").as("block"), $"doc_id", lit(0).as("z"))
+      .as[(String, Long, Int)]
+    val within = saltedPairs(withinRows) { case ((ida, _), (idb, _)) =>
+      Some((ida, idb, 0))
+    }.toDF("doc_a", "doc_b", "hamming")
+    cross.union(within).orderBy($"doc_a", $"doc_b")
   }
 
   val qDedupSimhashSql: String = {
@@ -824,16 +906,8 @@ object Dedup {
     * like the jaccard gram table (build-once/query-many). */
   def qDedupSubstring(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val W = SubstrWindow
     val shared = graft.PlanCache.getOrBuild(s, Family, s"substrShared:$dir")(
-      Tables.documents(s, dir)
-        .filter(length($"text") >= W)
-        .select($"doc_id", $"text",
-          explode(sequence(lit(1), length($"text") - (W - 1))).as("i"))
-        .select($"doc_id", expr(
-          s"cast(conv(substring(md5(substring(text, i, $W)), 1, 15), 16, 10) as bigint)"
-        ).as("h"))
-        .distinct()
+      windowKeys(Tables.documents(s, dir))
         .withColumn("n", count(lit(1)).over(Window.partitionBy($"h")))
         .filter($"n" >= 2)
         .select($"h".cast("string").as("block"), $"doc_id")
@@ -844,6 +918,90 @@ object Dedup {
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Distinct `(doc_id, h)` 60-bit window keys of every
+    * [[SubstrWindow]]-char sliding window — shared by the full-corpus
+    * operator and the exact-collapse-first variant. */
+  private def windowKeys(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val W = SubstrWindow
+    docs
+      .filter(length($"text") >= W)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(1), length($"text") - (W - 1))).as("i"))
+      .select($"doc_id", expr(
+        s"cast(conv(substring(md5(substring(text, i, $W)), 1, 15), 16, 10) as bigint)"
+      ).as("h"))
+      .distinct()
+  }
+
+  /** ExactSubstr pairs via EXACT-COLLAPSE-FIRST — the scale form of
+    * [[qDedupSubstring]] with byte-identical output (it shares the
+    * parent's oracle verbatim, so the gate proves the equivalence).
+    *
+    * The parent is quadratic in byte-identical replicas twice over: a
+    * K-copy group replicates every window key K× through the explode
+    * and the shuffle, and each colliding original pair fans out ×K²
+    * in the kernel — 7.0e9 pair emissions at the ×100 rehearsal.
+    * Identical texts have IDENTICAL window-key sets, so the
+    * [[qDedupClusterRep]] quotient argument applies verbatim: run the
+    * whole window→shared-key→pair chain over one representative per
+    * md5(text) group, then expand. A cross-group member pair's shared
+    * count is its reps' count (keys(member) == keys(rep), and every
+    * intersection key is held by ≥2 reps, so the rep-level shared-key
+    * filter loses nothing); a group's own member pairs share ALL the
+    * text's distinct windows (both identical sides hold every key),
+    * so their count is the rep's distinct-window total, read from the
+    * same materialized key table. Kernel work returns to the
+    * distinct-text corpus; the quadratic that remains is the OUTPUT,
+    * which is the operator's contract. */
+  def qDedupSubstringRep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val groups = exactGroups(s, dir)
+    val reps = groups.filter($"doc_id" === $"rep_id")
+    // rep-only window keys, checkpointed: three consumers (per-rep
+    // totals, the shared-key aggregate, the kernel's probe side) read
+    // one materialization of the expensive md5-explode chain
+    def repKeys = graft.PlanCache.getOrBuild(s, Family, s"substrRepKeys:$dir")(
+      windowKeys(Tables.documents(s, dir).join(
+        reps.select($"rep_id".as("doc_id")), Seq("doc_id"), "left_semi"))
+        .localCheckpoint())
+    // distinct-window totals per rep — the within-group pair count.
+    // Cached like the kernel: corpus-derived and query-free.
+    val nwin = graft.PlanCache.getOrBuild(s, Family, s"substrRepNwin:$dir")(
+      repKeys.groupBy($"doc_id").agg(count(lit(1)).as("nw")))
+    // the whole rep-level pair kernel rides PlanCache exactly like
+    // [[verifiedPairs]] (build once, query many): shared keys among
+    // reps via aggregate + join (not a count window — boilerplate keys
+    // are the hot-key case by construction), then the skew-guarded
+    // pair walk
+    val repPairs = graft.PlanCache.getOrBuild(s, Family, s"substrRepPairs:$dir")({
+      val keyCounts = repKeys.groupBy($"h").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 2).select($"h")
+      val shared = repKeys.join(keyCounts, "h")
+        .select($"h".cast("string").as("block"), $"doc_id")
+        .as[(String, Long)]
+      saltedPairs(shared.map { case (b, id) => (b, id, 0) }) {
+        case ((ida, _), (idb, _)) => Some((ida, idb))
+      }
+        .toDF("rep_a", "rep_b")
+        .groupBy($"rep_a", $"rep_b").agg(count(lit(1)).as("n_shared"))
+    })
+    val cross = repPairs
+      .join(groups.select($"rep_id".as("rep_a"), $"doc_id".as("m_a")), "rep_a")
+      .join(groups.select($"rep_id".as("rep_b"), $"doc_id".as("m_b")), "rep_b")
+      .select(least($"m_a", $"m_b").as("doc_a"),
+        greatest($"m_a", $"m_b").as("doc_b"), $"n_shared")
+    val withinRows = groups.filter($"grp_n" >= 2)
+      .join(nwin.select($"doc_id".as("rep_id"), $"nw"), "rep_id")
+      .select($"rep_id".cast("string").as("block"), $"doc_id", $"nw")
+      .as[(String, Long, Long)]
+    val within = saltedPairs(withinRows) { case ((ida, nw), (idb, _)) =>
+      Some((ida, idb, nw))
+    }.toDF("doc_a", "doc_b", "n_shared")
+    cross.union(within).orderBy($"doc_a", $"doc_b")
   }
 
   /** The batch operator's 60-bit window key, computed JVM-side for
@@ -900,6 +1058,98 @@ object Dedup {
     out.toArray
   }
 
+  /** Occurrence-rank encoding for the cut-list keeper rule: (doc_id,
+    * pos) packs into one BIGINT so "first occurrence wins" is a plain
+    * min aggregate in both engines. Bounds the document length at
+    * 2^20 chars (1 MiB of text — an order of magnitude above any
+    * pretraining doc after length filtering) and doc_id at 2^43. */
+  private val PosBound = 1L << 20
+
+  /** ExactSubstr EDIT output — the per-document cut list the shared-
+    * window pair evidence feeds (Lee et al. 2021 §3: of every set of
+    * byte-identical [[SubstrWindow]]-char spans, keep ONE occurrence
+    * and remove the rest). Deterministic keeper rule: the occurrence
+    * with the smallest (doc_id, pos) survives; every other occurrence
+    * of a duplicated window is marked, and a doc's marked [pos,
+    * pos+W−1] spans merge into maximal runs (overlapping OR exactly
+    * adjacent) — the `(doc_id, cut_start, cut_end, n_chars_cut)` rows
+    * a rewrite pass would apply.
+    *
+    * Scale shape: the occurrence table is linear in corpus characters
+    * (same explode as [[qDedupSubstring]], positions kept); the
+    * keeper is one map-side-combined min/count aggregate per key
+    * joined back (no per-key window — boilerplate keys are the hot
+    * case); the island merge runs in per-DOCUMENT windows, bounded by
+    * one document's length, the one partition key that cannot skew
+    * past its own text. */
+  def qDedupCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = SubstrWindow
+    val occ = Tables.documents(s, dir)
+      .filter(length($"text") >= W)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(1), length($"text") - (W - 1))).as("i"))
+      .select($"doc_id", $"i".cast("long").as("pos"), expr(
+        s"cast(conv(substring(md5(substring(text, i, $W)), 1, 15), 16, 10) as bigint)"
+      ).as("h"))
+      .withColumn("k", $"doc_id" * PosBound + $"pos")
+    val dupMin = occ.groupBy($"h")
+      .agg(count(lit(1)).as("n"), min($"k").as("kmin"))
+      .filter($"n" >= 2)
+      .select($"h", $"kmin")
+    val cuts = occ.join(dupMin, "h").filter($"k" > $"kmin")
+      .select($"doc_id", $"pos".as("s"), ($"pos" + (W - 1)).as("e"))
+    val ord = Window.partitionBy($"doc_id").orderBy($"s")
+    val marked = cuts
+      .withColumn("pmax",
+        max($"e").over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when($"pmax".isNull || $"s" > $"pmax" + 1, 1L).otherwise(0L))
+    marked
+      .withColumn("g",
+        sum($"brk").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"g")
+      .agg(min($"s").as("cut_start"), max($"e").as("cut_end"))
+      .select($"doc_id", $"cut_start", $"cut_end",
+        ($"cut_end" - $"cut_start" + 1).as("n_chars_cut"))
+      .orderBy($"doc_id", $"cut_start")
+  }
+
+  val qDedupCutsSql: String = {
+    val W = SubstrWindow
+    s"""WITH occ AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    CAST(('0x' ||
+       |      substr(md5(substr(text, CAST(i AS INTEGER), $W)), 1, 15)) AS BIGINT) AS h,
+       |    doc_id * $PosBound + CAST(i AS BIGINT) AS k
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      unnest(generate_series(1, length(text) - ${W - 1})) AS i
+       |    FROM documents WHERE length(text) >= $W
+       |  )
+       |), dupmin AS (
+       |  SELECT h, min(k) AS kmin FROM occ GROUP BY h HAVING count(*) >= 2
+       |), cuts AS (
+       |  SELECT o.doc_id, o.pos AS s, o.pos + ${W - 1} AS e
+       |  FROM occ o JOIN dupmin d ON d.h = o.h AND o.k > d.kmin
+       |), marked AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -$PosBound) + 1
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM cuts
+       |), grp AS (
+       |  SELECT doc_id, s, e,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM marked
+       |)
+       |SELECT doc_id, min(s) AS cut_start, max(e) AS cut_end,
+       |  max(e) - min(s) + 1 AS n_chars_cut
+       |FROM grp GROUP BY doc_id, g
+       |ORDER BY doc_id, cut_start""".stripMargin
+  }
+
   val qDedupSubstringSql: String = {
     val W = SubstrWindow
     // the same 60-bit key as the Spark side: first 15 hex chars of
@@ -947,8 +1197,11 @@ object Dedup {
     "q_dedup_cluster_rep" -> (qDedupClusterRep(_, _)),
     "q_decontaminate" -> (qDecontaminate(_, _)),
     "q_dedup_simhash" -> (qDedupSimhash(_, _)),
+    "q_dedup_simhash_rep" -> (qDedupSimhashRep(_, _)),
     "q_dedup_jaccard" -> (qDedupJaccard(_, _)),
     "q_dedup_substring" -> (qDedupSubstring(_, _)),
+    "q_dedup_substring_rep" -> (qDedupSubstringRep(_, _)),
+    "q_dedup_cuts" -> (qDedupCuts(_, _)),
     "q_dedup_embed" -> (qDedupEmbed(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -960,7 +1213,12 @@ object Dedup {
     "q_dedup_cluster_rep" -> qDedupClusterSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
+    // the rep variants are output-identical BY DESIGN — they share
+    // their parents' oracles verbatim, so the gate proves equivalence
+    "q_dedup_simhash_rep" -> qDedupSimhashSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_substring" -> qDedupSubstringSql,
+    "q_dedup_substring_rep" -> qDedupSubstringSql,
+    "q_dedup_cuts" -> qDedupCutsSql,
     "q_dedup_embed" -> qDedupEmbedSql)
 }

@@ -142,6 +142,41 @@ object VectorQueries {
       |      (acc, x) -> acc + x)))) END, 4) AS dist
       |FROM sums ORDER BY id_a""".stripMargin
 
+  /** Jensen-Shannon between the L1-normalized |embedding|
+    * distributions — like [[qDistHellinger]], the expression
+    * self-normalizes, so raw embeddings go in as-is (anndists
+    * DistJensenShannon assumes pre-normalized input). */
+  def qDistJs(s: SparkSession, dir: String): DataFrame =
+    distPairs(s, dir, jsDist)
+  val qDistJsSql: String =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         a.embedding AS va, b.embedding AS vb
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |), sums AS (
+      |  SELECT id_a, id_b, va, vb,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(va, x -> abs(x::DOUBLE))), (acc, x) -> acc + x) AS sa,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(vb, x -> abs(x::DOUBLE))), (acc, x) -> acc + x) AS sb
+      |  FROM pairs
+      |)
+      |SELECT id_a, id_b,
+      |  round(CASE WHEN sa = 0 OR sb = 0
+      |    THEN CASE WHEN sa = sb THEN 0.0 ELSE sqrt(ln(2.0)) END
+      |    ELSE sqrt(greatest(0.0, 0.5 * list_reduce(
+      |      list_prepend(0.0::DOUBLE, list_transform(range(1, len(va) + 1),
+      |        i -> (CASE WHEN abs(va[i]::DOUBLE) / sa > 0
+      |              THEN (abs(va[i]::DOUBLE) / sa) * ln((abs(va[i]::DOUBLE) / sa) /
+      |                   (0.5 * (abs(va[i]::DOUBLE) / sa + abs(vb[i]::DOUBLE) / sb)))
+      |              ELSE 0.0 END)
+      |           + (CASE WHEN abs(vb[i]::DOUBLE) / sb > 0
+      |              THEN (abs(vb[i]::DOUBLE) / sb) * ln((abs(vb[i]::DOUBLE) / sb) /
+      |                   (0.5 * (abs(va[i]::DOUBLE) / sa + abs(vb[i]::DOUBLE) / sb)))
+      |              ELSE 0.0 END))),
+      |      (acc, x) -> acc + x))) END, 4) AS dist
+      |FROM sums ORDER BY id_a""".stripMargin
+
   /** Sign-bit binarization (62 bits — bits 62/63 unused so the packed
     * code stays positive in both engines) + Hamming distance, the
     * analog of the reference's `DistHamming` over packed u64
@@ -840,6 +875,7 @@ object VectorQueries {
     "q_dist_hamming" -> (qDistHamming(_, _)),
     "q_dist_jaccard" -> (qDistJaccard(_, _)),
     "q_dist_hellinger" -> (qDistHellinger(_, _)),
+    "q_dist_js" -> (qDistJs(_, _)),
     "q_medoid" -> (qMedoid(_, _)),
     "q_knn_exact" -> (qKnnExact(_, _)),
     "q_knn_custom" -> (qKnnCustom(_, _)),
@@ -865,6 +901,7 @@ object VectorQueries {
     "q_dist_hamming" -> qDistHammingSql,
     "q_dist_jaccard" -> qDistJaccardSql,
     "q_dist_hellinger" -> qDistHellingerSql,
+    "q_dist_js" -> qDistJsSql,
     "q_medoid" -> qMedoidSql,
     "q_knn_exact" -> qKnnExactSql,
     "q_knn_custom" -> qKnnExactSql,

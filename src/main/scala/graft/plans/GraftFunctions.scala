@@ -76,6 +76,9 @@ object GraftFunctions {
     binary("graft_hellinger_distance",
       "(a, b) - Hellinger distance between two array<float> discrete distributions",
       HellingerDistance),
+    binary("graft_js_distance",
+      "(a, b) - Jensen-Shannon distance between two array<float> discrete distributions",
+      JensenShannonDistance),
     binary("graft_int_sql2_distance",
       "(a, b) - exact integer squared-L2 distance between two array<int> (u8 code) vectors, as double",
       IntSqL2Distance),

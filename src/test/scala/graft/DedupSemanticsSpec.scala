@@ -136,30 +136,36 @@ class DedupSemanticsSpec extends AnyFunSuite {
     assert(rep.toSeq == full.toSeq, "rep variant diverged from parent")
   }
 
-  test("skew-heavy corpus: cluster family agrees across forms and sizes the mega-cluster") {
-    // one md5 group of 400 verbatim copies + 300 copies of its
-    // near-dup — the replica regime the aggregate+join cluster-size
-    // path exists for (a count window would sort all 700 members of
-    // the merged cluster in one task); plus islands that must stay out
+  /** Replica-skew corpus: one md5 group of 180 verbatim copies + 120
+    * copies of its near-dup (interleaved ids, so cross-group pairs
+    * exercise the lower-id-first re-ordering) + one unrelated doc —
+    * the regime every exact-collapse-first form exists for. */
+  private lazy val skewDir: String = {
     val d = "/tmp/graft_dedup_skew"
     val words = (1 to 60).map(i => s"word$i").mkString(" ")
     val nearDup = words.replace("word30", "changed")
     val lone = (1 to 60).map(i => s"zz$i").mkString(" ")
-    val docs = ((0 until 400).map(i => (i.toLong * 3, words)) ++
-      (0 until 300).map(i => (i.toLong * 3 + 1, nearDup)) ++
+    val docs = ((0 until 180).map(i => (i.toLong * 3, words)) ++
+      (0 until 120).map(i => (i.toLong * 3 + 1, nearDup)) ++
       Seq((2000L, lone)))
       .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
-    val full = operators.Dedup.qDedupCluster(spark, d)
+    d
+  }
+
+  test("skew-heavy corpus: cluster family agrees across forms and sizes the mega-cluster") {
+    // a count window would sort all 300 members of the merged cluster
+    // in one task; the aggregate+join path must produce the same rows
+    val full = operators.Dedup.qDedupCluster(spark, skewDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val rep = operators.Dedup.qDedupClusterRep(spark, d)
+    val rep = operators.Dedup.qDedupClusterRep(spark, skewDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rep.toSeq == full.toSeq, "rep variant diverged from parent on skew corpus")
-    // all 700 replicas merge into one cluster under the min id; the
+    // all 300 replicas merge into one cluster under the min id; the
     // unrelated doc never enters the pair graph
-    assert(full.length == 700, s"expected 700 clustered docs, got ${full.length}")
-    assert(full.forall { case (_, cid, n) => cid == 0L && n == 700L },
+    assert(full.length == 300, s"expected 300 clustered docs, got ${full.length}")
+    assert(full.forall { case (_, cid, n) => cid == 0L && n == 300L },
       full.take(5).toSeq.toString)
     assert(!full.exists(_._1 == 2000L))
   }
@@ -172,5 +178,78 @@ class DedupSemanticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(full.nonEmpty, "sf0.001 corpus yielded no dup clusters")
     assert(rep.toSeq == full.toSeq)
+  }
+
+  test("substring rep variant is byte-identical to the parent on replica-bearing corpora") {
+    // repDir plants verbatim copies (within-group path), near-dup
+    // copies sharing windows (cross-group path), and texts under the
+    // 40-char window (must drop); sf0.001 covers organic sharing
+    for (d <- Seq(repDir, "/root/testdata/sf0.001")) {
+      val full = operators.Dedup.qDedupSubstring(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val rep = operators.Dedup.qDedupSubstringRep(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(full.nonEmpty, s"$d yielded no shared-window pairs")
+      assert(rep.toSeq == full.toSeq, s"substring rep diverged from parent on $d")
+    }
+  }
+
+  test("simhash rep variant is byte-identical to the parent on replica-bearing corpora") {
+    for (d <- Seq(repDir, "/root/testdata/sf0.001")) {
+      val full = operators.Dedup.qDedupSimhash(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val rep = operators.Dedup.qDedupSimhashRep(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(full.nonEmpty, s"$d yielded no simhash pairs")
+      assert(rep.toSeq == full.toSeq, s"simhash rep diverged from parent on $d")
+    }
+  }
+
+  test("substring cut-list: later occurrences of a shared span are cut as one merged run") {
+    // doc 1 carries the original 60-char span (all keepers — no cuts);
+    // doc 2 embeds one later copy; doc 3 embeds TWO copies (both cut).
+    // Fillers use disjoint letter families with counters, so the only
+    // duplicated 40-char windows are the 21 fully inside the span.
+    val d = "/tmp/graft_dedup_cuts"
+    val uniqueA = (0 until 25).map(i => f"A$i%03d").mkString // 100 chars
+    val span = (0 until 15).map(i => f"S$i%03d").mkString    // 60 chars
+    val uniqueB = (0 until 20).map(i => f"B$i%03d").mkString // 80 chars
+    val tailB = (0 until 10).map(i => f"C$i%03d").mkString   // 40 chars
+    // letters only: a digit-final filler would recreate doc 2's
+    // "<digit><span prefix>" window and extend doc 3's island by one
+    val xfill = (0 until 30).map(i => ('a' + (i % 26)).toChar).mkString // 30 chars
+    val docs = Seq(
+      (1L, uniqueA + span),
+      (2L, uniqueB + span + tailB),
+      (3L, span + xfill + span))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = operators.Dedup.qDedupCuts(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 2: span sits at 81..140 → cut windows start at 81..101 →
+    // one merged [81, 140] run; doc 3: spans at 1..60 and 91..150
+    assert(rows.toSeq == Seq(
+      (2L, 81L, 140L, 60L), (3L, 1L, 60L, 60L), (3L, 91L, 150L, 60L)),
+      rows.toSeq.toString)
+  }
+
+  test("rep variants match parents on the skew corpus (300-replica group)") {
+    // the regime the rep forms exist for: within-group pair counts and
+    // cross-group expansion must both survive a mega md5 group
+    val fullS = operators.Dedup.qDedupSubstring(spark, skewDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val repS = operators.Dedup.qDedupSubstringRep(spark, skewDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(repS.toSeq == fullS.toSeq, "substring rep diverged on skew corpus")
+    // every replica pair shares windows (copies share everything, the
+    // two texts share their unchanged runs) → the full C(300,2) output
+    assert(fullS.length == 300 * 299 / 2,
+      s"300 mutually-sharing replicas must emit all pairs, got ${fullS.length}")
+    val fullH = operators.Dedup.qDedupSimhash(spark, skewDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val repH = operators.Dedup.qDedupSimhashRep(spark, skewDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(repH.toSeq == fullH.toSeq, "simhash rep diverged on skew corpus")
   }
 }

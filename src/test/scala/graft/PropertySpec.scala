@@ -137,6 +137,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("jensen-shannon metric laws: identity, symmetry, [0, √ln2] bounds, scale-invariance") {
+    import graft.index.Metric
+    val vec = Gen.listOfN(6, Gen.chooseNum(0, 8).map(_.toFloat)).map(_.toArray)
+    val maxJs = math.sqrt(math.log(2.0))
+    for (s <- 1 to 300) {
+      val a = sample(vec, 7000L + s)
+      val b = sample(vec, 8000L + s)
+      // identity is exact: p == q termwise makes every ln(p/m) = ln 1
+      // = 0, so the divergence sum is exactly 0 before the sqrt
+      assert(Metric.JensenShannon.eval(a, 0, a, 0, 6) == 0.0, s"js identity, seed $s")
+      val dab = Metric.JensenShannon.eval(a, 0, b, 0, 6)
+      assert(dab == Metric.JensenShannon.eval(b, 0, a, 0, 6), s"js symmetry, seed $s")
+      assert(dab >= 0.0 && dab <= maxJs + 1e-12, s"js bounds $dab, seed $s")
+      // distributions: scaling raw weights is a no-op
+      val a2 = a.map(_ * 4f)
+      val jd = Metric.JensenShannon.eval(a2, 0, b, 0, 6) -
+        Metric.JensenShannon.eval(a, 0, b, 0, 6)
+      assert(math.abs(jd) < 1e-9, s"js scale-invariance, seed $s")
+      // triangle inequality: JS distance (the sqrt of the divergence)
+      // is a true metric (Endres & Schindelin 2003) — spot-pin it
+      val c = sample(vec, 9000L + s)
+      val dac = Metric.JensenShannon.eval(a, 0, c, 0, 6)
+      val dcb = Metric.JensenShannon.eval(c, 0, b, 0, 6)
+      assert(dab <= dac + dcb + 1e-9, s"js triangle, seed $s")
+    }
+  }
+
   test("compact bench line: parses as JSON with correct totals over seeded random runs") {
     // the committed artifact's renderer must never emit unparseable
     // output or a wrong total, whatever the run looked like — fuzz

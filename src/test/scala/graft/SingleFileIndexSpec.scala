@@ -56,7 +56,8 @@ class SingleFileIndexSpec extends AnyFunSuite {
   test("l1/linf/jaccard/hellinger indexes round-trip the file metric — never silently served as l2") {
     // regression: Metric.byName gained l1/linf before the single-file
     // metric maps did, so an exported l1 index reopened as l2
-    for (m <- Seq("l1", "linf", "jaccard", "hellinger")) {
+    val marker = Map("js" -> "DistJensenShannon")
+    for (m <- Seq("l1", "linf", "jaccard", "hellinger", "js")) {
       val p = VamanaParams(maxDegree = 8, buildBeamWidth = 16, metric = m)
       val vecs = Tables.embeddings(spark, SparkSpecBase.sf001).limit(80)
       val idx = VamanaIndex.build(vecs, p, numShards = 1)
@@ -65,7 +66,8 @@ class SingleFileIndexSpec extends AnyFunSuite {
       val (_, _, p2) = SingleFileIndex.importLocal(file)
       assert(p2.metric == m, s"metric $m reopened as ${p2.metric}")
       val mm = new MmapIndex(file)
-      try assert(mm.meta.distanceName.contains("Dist" + m.capitalize))
+      try assert(mm.meta.distanceName.contains(
+        marker.getOrElse(m, "Dist" + m.capitalize)))
       finally mm.close()
     }
   }

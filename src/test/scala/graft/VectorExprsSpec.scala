@@ -97,6 +97,38 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(Metric.byName("hellinger") eq Metric.Hellinger)
   }
 
+  test("jensen-shannon distance: hand values, kernel parity, zero vectors") {
+    // disjoint supports reach the metric's maximum √(ln 2); identical
+    // distributions (incl. proportional raw vectors) are 0
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (2L, Array(1f, 1f, 0f), Array(1f, 3f, 0f)),
+      (3L, Array(1f, 2f, 1f), Array(2f, 4f, 2f))).toDF("id", "a", "b")
+    val j = df.select($"id", jsDist($"a", $"b").as("d")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(j(1L) - math.sqrt(math.log(2.0))) < 1e-12)
+    assert(j(3L) < 1e-7)
+    // hand value: p=(.5,.5), q=(.25,.75), m=(.375,.625)
+    val hand = math.sqrt(0.5 * (
+      0.5 * math.log(0.5 / 0.375) + 0.25 * math.log(0.25 / 0.375) +
+        0.5 * math.log(0.5 / 0.625) + 0.75 * math.log(0.75 / 0.625)))
+    assert(math.abs(j(2L) - hand) < 1e-12, s"${j(2L)} vs $hand")
+    // zero vectors: both-zero → 0; one-zero → √(ln 2) — never NaN
+    val z = Seq(
+      (1L, Array(0f, 0f), Array(0f, 0f)),
+      (2L, Array(0f, 0f), Array(1f, 2f))).toDF("id", "a", "b")
+    val zj = z.select($"id", jsDist($"a", $"b")).as[(Long, Double)].collect().toMap
+    assert(zj(1L) == 0.0 && zj(2L) == math.sqrt(math.log(2.0)))
+    // graph-kernel Metric member mirrors the expression exactly
+    import graft.index.Metric
+    for ((_, a, b) <- Seq((1L, Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+        (2L, Array(1f, 2f, 3f), Array(4f, 5f, 6f)))) {
+      assert(Metric.JensenShannon.eval(a, 0, b, 0, 3) ==
+        Seq((a, b)).toDF("a", "b").select(jsDist($"a", $"b")).as[Double].head())
+    }
+    assert(Metric.byName("js") eq Metric.JensenShannon)
+  }
+
   test("interpreted eval matches codegen") {
     // force interpreted path via filter on the expression vs projected value
     val proj = df.select(l2Dist($"a", $"b").as("d")).as[Double].collect().sorted
@@ -195,6 +227,7 @@ class VectorExprsSpec extends AnyFunSuite {
       graft.functions.DotProduct(fa, fb),
       graft.functions.JaccardDistance(fa, fb),
       graft.functions.HellingerDistance(fa, fb),
+      graft.functions.JensenShannonDistance(fa, fb),
       graft.functions.IntSqL2Distance(ia, BoundReference(1, ArrayType(IntegerType), nullable = true)),
       graft.functions.PqAdcDistance(da, BoundReference(1, ArrayType(IntegerType), nullable = true), 4),
       graft.functions.NearestCell(fa, Array(0, 1), Array(Array(0f, 0f), Array(1f, 1f))),
