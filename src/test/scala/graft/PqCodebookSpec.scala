@@ -37,6 +37,27 @@ class PqCodebookSpec extends AnyFunSuite {
     assert(eTrained < eSeed, s"5 Lloyd iterations should beat the raw seed ($eSeed)")
   }
 
+  test("distributed trained codebooks beat the seed codebooks on the gated surface") {
+    // the Jégou §IV-A claim on the REAL corpus through the gate's own
+    // distributed Lloyd (q_knn_pq_trained's codebook): total corpus
+    // quantization error must drop vs the seed codebook, and the
+    // training must be deterministic call to call
+    val spark = SparkSpecBase.spark
+    import spark.implicits._
+    val dir = SparkSpecBase.sf001
+    val seed = operators.PQ.codebooks(spark, dir)
+    val trained = operators.PQ.trainedCodebooks(spark, dir)
+    assert(trained.sameElements(operators.PQ.trainedCodebooks(spark, dir)))
+    val corpus = Tables.embeddings(spark, dir)
+      .select($"embedding").as[Array[Float]].collect()
+    def totalErr(cb: Array[Float]): Double =
+      corpus.map(v => operators.PQ.encodeOne(v, cb)._2.sum).sum
+    val eSeed = totalErr(seed)
+    val eTrained = totalErr(trained)
+    assert(eTrained < eSeed,
+      s"distributed training worsened corpus error: $eSeed -> $eTrained")
+  }
+
   test("encodeAll equals the per-row kernel; ADC of a row equals its quantization error") {
     val cb = PqCodebook.train(vecs, dim, n, m = 4, ksub = 8, iters = 3)
     val bulk = cb.encodeAll(vecs, n)
