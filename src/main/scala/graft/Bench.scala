@@ -612,18 +612,41 @@ object Bench {
     "dedup_" -> "dd_", "text_" -> "tx_", "vamana_" -> "vam_",
     "dist_" -> "ds_", "knn_" -> "kn_", "hnsw_" -> "hn_")
 
+  /** Second-stage token abbreviations (r14 format shrink: the 93-row
+    * surface overflowed the window by ~5 rows at worst-case widths).
+    * Applied to the key AFTER the family prefix, cumulatively in
+    * listed order; the forward mapping stays injective over the live surface
+    * (BenchFormatSpec pins it), so every compact key still identifies
+    * exactly one query. Documented in BASELINE.md "Compact line
+    * format"; full names always appear in BENCH_LOCAL.json. */
+  private[graft] val CompactTokenAbbrev: Seq[(String, String)] = Seq(
+    "pipeline_select" -> "pipe_sel", "sample_stratified" -> "sample_strat",
+    "decontaminate" -> "decontam", "fingerprint" -> "fp",
+    "boilerplate" -> "boiler", "repetition" -> "repet",
+    "substring" -> "substr", "roundtrip" -> "rt",
+    "normalize" -> "norm", "sessionize" -> "sess",
+    "quantize" -> "quant", "_trained" -> "_tr",
+    "cluster" -> "clus", "filtered" -> "filt",
+    "features" -> "feat", "hellinger" -> "hell",
+    "hamming" -> "ham", "jaccard" -> "jac",
+    "recall" -> "rec", "outlier" -> "outl", "entropy" -> "entr")
+
   /** Compact query key: the uniform `q_` prefix carries no
     * information on a line where every key is a query, and at 80+
     * queries those two chars per entry are the difference between a
     * complete map and an omitted one. The six biggest family prefixes
-    * are further abbreviated per [[CompactAbbrev]]. A compact key `k`
-    * names query `q_<unabbreviated k>` when that exists, else `k`
-    * itself (`q1_agg`). */
+    * are abbreviated per [[CompactAbbrev]], long tokens per
+    * [[CompactTokenAbbrev]]. A compact key `k` names the unique query
+    * whose abbreviation it is (the mapping is injective over the live
+    * surface); keys with no abbreviation pass through (`q1_agg`). */
   private[graft] def compactKey(name: String): String = {
     val k = name.stripPrefix("q_")
-    CompactAbbrev.collectFirst {
-      case (fam, a) if k.startsWith(fam) => a + k.substring(fam.length)
+    val fam = CompactAbbrev.collectFirst {
+      case (f, a) if k.startsWith(f) => a + k.substring(f.length)
     }.getOrElse(k)
+    CompactTokenAbbrev.foldLeft(fam) { case (acc, (tok, code)) =>
+      if (acc.contains(tok)) acc.replace(tok, code) else acc
+    }
   }
 
   /** Render the compact stdout line. ZERO-OMISSION is the design goal

@@ -1085,20 +1085,30 @@ object Dedup {
   def qDedupCuts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val W = SubstrWindow
-    val occ = Tables.documents(s, dir)
-      .filter(length($"text") >= W)
-      .select($"doc_id", $"text",
-        explode(sequence(lit(1), length($"text") - (W - 1))).as("i"))
-      .select($"doc_id", $"i".cast("long").as("pos"), expr(
-        s"cast(conv(substring(md5(substring(text, i, $W)), 1, 15), 16, 10) as bigint)"
-      ).as("h"))
-      .withColumn("k", $"doc_id" * PosBound + $"pos")
-    val dupMin = occ.groupBy($"h")
-      .agg(count(lit(1)).as("n"), min($"k").as("kmin"))
-      .filter($"n" >= 2)
-      .select($"h", $"kmin")
-    val cuts = occ.join(dupMin, "h").filter($"k" > $"kmin")
-      .select($"doc_id", $"pos".as("s"), ($"pos" + (W - 1)).as("e"))
+    // the cut-occurrence table is corpus-derived and query-free, so it
+    // rides PlanCache like substrShared: the md5-explode (the corpus's
+    // every window, the dominant cost) and the keeper aggregate run
+    // once per (dir, JVM); the per-doc island merge below is the only
+    // per-call work. The occurrence frame is checkpointed INSIDE the
+    // builder — the keeper aggregate and the probe side of the re-join
+    // both read one materialization instead of re-hashing the corpus.
+    val cuts = graft.PlanCache.getOrBuild(s, Family, s"substrCuts:$dir")({
+      val occ = Tables.documents(s, dir)
+        .filter(length($"text") >= W)
+        .select($"doc_id", $"text",
+          explode(sequence(lit(1), length($"text") - (W - 1))).as("i"))
+        .select($"doc_id", $"i".cast("long").as("pos"), expr(
+          s"cast(conv(substring(md5(substring(text, i, $W)), 1, 15), 16, 10) as bigint)"
+        ).as("h"))
+        .withColumn("k", $"doc_id" * PosBound + $"pos")
+        .localCheckpoint()
+      val dupMin = occ.groupBy($"h")
+        .agg(count(lit(1)).as("n"), min($"k").as("kmin"))
+        .filter($"n" >= 2)
+        .select($"h", $"kmin")
+      occ.join(dupMin, "h").filter($"k" > $"kmin")
+        .select($"doc_id", $"pos".as("s"), ($"pos" + (W - 1)).as("e"))
+    })
     val ord = Window.partitionBy($"doc_id").orderBy($"s")
     val marked = cuts
       .withColumn("pmax",

@@ -85,7 +85,9 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("compact keys strip the uniform q_ prefix; q1_agg stays itself") {
     assert(Bench.compactKey("q_dist_l2") == "ds_l2")
-    assert(Bench.compactKey("q_dedup_cluster_rep") == "dd_cluster_rep")
+    assert(Bench.compactKey("q_dedup_cluster_rep") == "dd_clus_rep")
+    assert(Bench.compactKey("q_knn_pq_trained") == "kn_pq_tr")
+    assert(Bench.compactKey("q_dedup_substring") == "dd_substr")
     assert(Bench.compactKey("q_window") == "window")
     assert(Bench.compactKey("q1_agg") == "q1_agg")
     // the mapping is invertible over the live surface: no two queries

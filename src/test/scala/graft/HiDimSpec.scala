@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorExprs.cosineDist
+import graft.index.{MmapIndex, PqCodebook, SingleFileIndex, VamanaIndex, VamanaParams}
+
+/** High-dimensional rehearsal at the reference perf protocol's exact
+  * shape (reference examples/perf_test.rs:10-16: 1M vectors, dim 1536,
+  * cosine, max_degree 32, build beam 128, alpha 1.2, 2 passes,
+  * extra_seeds 2; perf_test.rs:86-89: 100 queries, k=10, serve beam
+  * 64; sequential latency over the first 10, then parallel
+  * throughput). Env-gated like Vec2MSpec:
+  * `GRAFT_HIDIM=1 GRAFT_TEST_CPUS=32 SPARK_DRIVER_MEM=48g
+  *  sbt "testOnly graft.HiDimSpec"`
+  * (optional `GRAFT_HIDIM_N` shrinks the corpus for smoke runs).
+  * Results recorded in BASELINE.md "Scale rehearsal — high-dim".
+  *
+  * The corpus is GENERATED in the executors (splitmix64 per (id, j),
+  * uniform [0,1) like the reference's rng.gen::<f32>()): 6.1 GB of
+  * vectors never touch parquet, and every scan regenerates them for
+  * nanoseconds per element. What this rehearsal exercises that the
+  * 2M dim-64 one cannot: the flat-shard arrays at 190 MB per (shard,
+  * task), the single-file row stride and mmap segment math at
+  * 6 KiB/vector, PQ subspace arithmetic at subDim 96, and the
+  * broadcast sizes of the query/GT frames at dim 1536. */
+class HiDimSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+
+  private def sm64(z0: Long): Long = {
+    var x = z0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Uniform [0,1) floats from the id — the reference protocol's
+    * vector domain, deterministic so any scan regenerates the same
+    * corpus and queries need no storage round-trip. */
+  private def genVec(id: Long, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      out(j) = (sm64(id * dim + j) >>> 40).toFloat / (1 << 24).toFloat
+      j += 1
+    }
+    out
+  }
+
+  test("high-dim rehearsal: 1M × dim-1536 build + routed serve + file tier (GRAFT_HIDIM)") {
+    assume(sys.env.contains("GRAFT_HIDIM"),
+      "GRAFT_HIDIM not set — high-dim rehearsal skipped")
+    val n = sys.env.get("GRAFT_HIDIM_N").map(_.toLong).getOrElse(1000000L)
+    val dim = 1536
+    import spark.implicits._
+    val emb = spark.range(n).map(id => (id, genVec(id, dim)))
+      .toDF("vec_id", "embedding")
+    val params = VamanaParams(maxDegree = 32, buildBeamWidth = 128,
+      alpha = 1.2, passes = 2, extraSeeds = 2, seed = 42L, metric = "cosine")
+
+    val t0 = System.nanoTime()
+    val idx = VamanaIndex.build(emb, params, numShards = 32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var served: org.apache.spark.sql.DataFrame = null
+    try {
+      assert(idx.count() === n)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      info(f"build: $buildS%.1f s for $n × $dim (beam 128, 2 passes, 32 shards)")
+
+      // the protocol's 100 queries — corpus rows regenerated locally
+      val step = math.max(1L, n / 100)
+      val queries = Array.tabulate(100)(i => (i * step, genVec(i * step, dim)))
+        .filter(_._1 < n)
+
+      val pivots = VamanaIndex.pivotTable(idx)
+      val t1 = System.nanoTime()
+      served = VamanaIndex.searchProbed(idx, queries, k = 10, beamWidth = 64,
+        params, nprobe = 4, pivots = Some(pivots)).persist()
+      val rows = served.count()
+      val serveS = (System.nanoTime() - t1) / 1e9
+      info(f"routed serve: $serveS%.2f s for ${queries.length} queries " +
+        f"(${queries.length / serveS}%.0f q/s)")
+      assert(rows === queries.length * 10L)
+
+      // exact ground truth over the full corpus (100 × n × dim)
+      val sampleDf = queries.toSeq.toDF("q_id", "qv")
+      val exact = operators.VectorQueries.topkExplode(
+        emb.join(broadcast(sampleDf))
+          .select($"q_id", $"vec_id".as("nid"),
+            cosineDist($"qv", $"embedding").as("dist")), 10)
+      val exactKth = exact.groupBy($"q_id").agg(max($"dist").as("kth"))
+      val hits = served.join(exactKth, "q_id")
+        .filter($"dist" <= $"kth" + 1e-4).count()
+      val recall = hits.toDouble / (queries.length * 10)
+      info(f"threshold recall@10: $recall%.3f over ${queries.length} queries")
+      assert(recall >= 0.5, f"recall $recall%.3f under the 0.5 rehearsal floor")
+
+      // file tier: export at the 6 KiB/vector stride, reopen mmap'd,
+      // run the protocol's resident-handle latency/throughput probes
+      val file = TempCleanup.onExit("/tmp/graft_hidim.idx")
+      val tE = System.nanoTime()
+      SingleFileIndex.export(idx, params, file)
+      info(f"single-file export: ${(System.nanoTime() - tE) / 1e9}%.1f s " +
+        f"(${new java.io.File(file).length() / (1L << 20)} MiB)")
+      val tO = System.nanoTime()
+      val mm = new MmapIndex(file)
+      try {
+        info(f"open: ${(System.nanoTime() - tO) / 1e6}%.1f ms")
+        assert(mm.meta.dim === dim)
+        // sequential latency, first 10 (perf_test.rs:103-115)
+        val seqUs = queries.take(10).map { case (_, qv) =>
+          val s = System.nanoTime()
+          val r = mm.search(qv, 10, 64)
+          assert(r.length === 10)
+          (System.nanoTime() - s) / 1e3
+        }
+        info(f"resident-handle latency: avg ${seqUs.sum / seqUs.length}%.0f µs over 10 sequential queries")
+        // parallel throughput over all 100 (perf_test.rs:122-135)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val tP = System.nanoTime()
+        val fs = queries.map { case (_, qv) => Future(mm.search(qv, 10, 64)) }
+        val all = Await.result(Future.sequence(fs.toSeq), Duration.Inf)
+        val parS = (System.nanoTime() - tP) / 1e9
+        assert(all.forall(_.length === 10), "a parallel query returned short results")
+        info(f"parallel throughput: ${queries.length / parS}%.0f q/s over ${queries.length} queries")
+      } finally mm.close()
+    } finally {
+      if (served != null) served.unpersist(blocking = false)
+      idx.unpersist(blocking = false)
+      VamanaIndex.releaseCaches()
+    }
+  }
+
+  test("PQ subspace math holds at dim 1536 (GRAFT_HIDIM)") {
+    assume(sys.env.contains("GRAFT_HIDIM"),
+      "GRAFT_HIDIM not set — high-dim rehearsal skipped")
+    // driver-local sample: training must reduce quantization error at
+    // subDim 96 exactly as it does at the gate's subDim 8
+    val dim = 1536
+    val nS = 2048
+    val flat = new Array[Float](nS * dim)
+    var i = 0
+    while (i < nS) {
+      System.arraycopy(genVec(i.toLong, dim), 0, flat, i * dim, dim)
+      i += 1
+    }
+    val seed = PqCodebook.train(flat, dim, nS, m = 16, ksub = 16, iters = 0)
+    val trained = PqCodebook.train(flat, dim, nS, m = 16, ksub = 16, iters = 3)
+    assert(seed.subDim === 96)
+    val eSeed = seed.meanSqError(flat, nS)
+    val eTrained = trained.meanSqError(flat, nS)
+    assert(eTrained < eSeed, s"high-dim training worsened MSE: $eSeed -> $eTrained")
+    // encode round-trip shape at the wide stride
+    val codes = trained.encodeAll(flat, nS)
+    assert(codes.length === nS * 16)
+  }
+}
