@@ -25,9 +25,10 @@ import graft.index.{MmapIndex, PqCodebook, SingleFileIndex, VamanaIndex, VamanaP
   * task), the single-file row stride and mmap segment math at
   * 6 KiB/vector, PQ subspace arithmetic at subDim 96, and the
   * broadcast sizes of the query/GT frames at dim 1536. */
-class HiDimSpec extends AnyFunSuite {
-  private lazy val spark = SparkSpecBase.spark
-
+/** Executor-side deterministic vector generator — a top-level object
+  * so dataset closures capture IT, never the (non-serializable)
+  * suite instance. */
+object HiDimGen extends Serializable {
   private def sm64(z0: Long): Long = {
     var x = z0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -38,7 +39,7 @@ class HiDimSpec extends AnyFunSuite {
   /** Uniform [0,1) floats from the id — the reference protocol's
     * vector domain, deterministic so any scan regenerates the same
     * corpus and queries need no storage round-trip. */
-  private def genVec(id: Long, dim: Int): Array[Float] = {
+  def genVec(id: Long, dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var j = 0
     while (j < dim) {
@@ -47,6 +48,11 @@ class HiDimSpec extends AnyFunSuite {
     }
     out
   }
+}
+
+class HiDimSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import HiDimGen.genVec
 
   test("high-dim rehearsal: 1M × dim-1536 build + routed serve + file tier (GRAFT_HIDIM)") {
     assume(sys.env.contains("GRAFT_HIDIM"),
@@ -90,11 +96,28 @@ class HiDimSpec extends AnyFunSuite {
           .select($"q_id", $"vec_id".as("nid"),
             cosineDist($"qv", $"embedding").as("dist")), 10)
       val exactKth = exact.groupBy($"q_id").agg(max($"dist").as("kth"))
-      val hits = served.join(exactKth, "q_id")
-        .filter($"dist" <= $"kth" + 1e-4).count()
-      val recall = hits.toDouble / (queries.length * 10)
-      info(f"threshold recall@10: $recall%.3f over ${queries.length} queries")
-      assert(recall >= 0.5, f"recall $recall%.3f under the 0.5 rehearsal floor")
+        .persist()
+      exactKth.count()
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+        df.join(exactKth, "q_id").filter($"dist" <= $"kth" + 1e-4).count()
+          .toDouble / (queries.length * 10)
+      // uniform [0,1)^1536 data is the distance-concentration worst
+      // case AND structureless for routing (true neighbors spread
+      // evenly over cells), so the routed floor is "beats the
+      // probed-fraction baseline", not an absolute number — the
+      // reference protocol (random data) measures no recall at all
+      val recallRouted = recallOf(served)
+      info(f"routed (nprobe 4/32) threshold recall@10: $recallRouted%.3f")
+      assert(recallRouted >= 4.0 / 32,
+        f"routed recall $recallRouted%.3f does not even reach the uniform 4/32 probe baseline")
+      // full serving (all shards) isolates GRAPH quality from routing
+      // — the stride/metric-bug detector this rehearsal exists for
+      val fullServe = VamanaIndex.searchProbed(idx, queries, k = 10,
+        beamWidth = 64, params, nprobe = 32, pivots = Some(pivots))
+      val recallFull = recallOf(fullServe)
+      info(f"full-serve threshold recall@10: $recallFull%.3f")
+      assert(recallFull >= 0.8,
+        f"full-serve recall $recallFull%.3f under the 0.8 floor — dim-scaling bug?")
 
       // file tier: export at the 6 KiB/vector stride, reopen mmap'd,
       // run the protocol's resident-handle latency/throughput probes
