@@ -20,6 +20,21 @@ import graft.index.{HnswIndex, HnswParams, HnswRow, IndexRow, VamanaIndex, Vaman
   * `vectors` is any DataFrame with (`vec_id: long`, `embedding:
   * array<float>`) — the Dataset-native analog of the reference's
   * `&[Vec<T>]` input.
+  *
+  * ==Facade vs DataFrame-native serving==
+  * This facade COLLECTS the query frame to the driver (the reference
+  * API takes a literal query batch, and broadcast-side query batches
+  * are small by contract — thousands, not millions). That is the
+  * right shape for interactive / reference-parity use, but it is NOT
+  * the scale path for query sets that are themselves tables: a
+  * pipeline joining a billion-row query table against an index should
+  * use the DataFrame-native operators directly —
+  * [[graft.index.VamanaIndex.searchProbed]] /
+  * [[graft.operators.VectorQueries]]'s kNN queries / the
+  * [[graft.plans.KnnJoin]] logical operator — which keep both sides
+  * distributed and never move vectors through the driver. The facade
+  * is a convenience skin over those same kernels, not a separate
+  * engine.
   */
 object GraftANN {
 

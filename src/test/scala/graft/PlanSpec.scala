@@ -155,6 +155,26 @@ class PlanSpec extends AnyFunSuite {
       s"label filter does not sit under the shard exchange:\n$p")
   }
 
+  test("q_dedup_cuts: island merge runs in per-document windows above the cached occurrences") {
+    // the md5-explode + keeper aggregate live under the cache
+    // boundary; the serving section above it must be pure per-doc
+    // windows + the island aggregate — no join re-enters, and the
+    // window partitions by doc_id (the one key that cannot skew past
+    // one document's own length)
+    val full = planOf(operators.Dedup.qDedupCuts(spark, sf))
+    assert(full.contains("InMemoryRelation"),
+      s"cut-occurrence cache boundary missing:\n$full")
+    val p = full.substring(0, full.indexOf("InMemoryRelation"))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    // window details render below the tree (past the cache boundary
+    // token), and the cached build itself plans no window, so the
+    // full-text check is unambiguous
+    assert(full.contains("windowspecdefinition(doc_id"),
+      s"island windows must partition by doc_id:\n$full")
+    graft.PlanCache.release(spark, "dedup")
+  }
+
   test("q_dedup_embed: salted bucket-local pairs — no join, no cartesian, one scan") {
     // the salted pair kernel replaced the bucket self-join: pair
     // generation is a grouped in-task loop, so the plan must carry NO
