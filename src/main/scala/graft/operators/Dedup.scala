@@ -496,8 +496,9 @@ object Dedup {
     * by h: a replicated corpus makes md5 groups arbitrarily large, and
     * a window sorts each whole group in one task while the aggregate
     * partial-combines map-side and re-joins skew-free under AQE. The
-    * per-call checkpoint then pins the quotient map for its several
-    * consumers instead of re-running the join per consumer. */
+    * builder-internal checkpoint (built once per dir and JVM, under
+    * the cache) then pins the quotient map for its several consumers
+    * instead of re-running the join per consumer. */
   private[graft] def exactGroups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.PlanCache.getOrBuild(s, Family, s"exactGroups:$dir")({
