@@ -172,14 +172,19 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
 
-  /** Exact dedup: md5(text) groups; keeper = lowest doc_id. */
+  /** Exact dedup: md5(text) groups; keeper = lowest doc_id.
+    *
+    * Reuses [[exactGroups]] (aggregate + join) rather than min/count
+    * windows partitioned by the hash: a window sorts each whole md5
+    * group in ONE task, so a mega-replica boilerplate text (10⁶
+    * copies at 100 TB) becomes a single-task sort, while the
+    * aggregate partial-combines map-side and the re-join stays
+    * skew-free under AQE. Output columns are identical, so the
+    * oracle (still the window-form SQL) pins the equivalence. */
   def qDedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy(md5($"text"))
-    Tables.documents(s, dir)
-      .withColumn("keeper_id", min($"doc_id").over(w))
-      .withColumn("n_copies", count(lit(1)).over(w))
-      .select($"doc_id", $"keeper_id", $"n_copies")
+    exactGroups(s, dir)
+      .select($"doc_id", $"rep_id".as("keeper_id"), $"grp_n".as("n_copies"))
       .orderBy($"doc_id")
   }
 
@@ -899,7 +904,12 @@ object Dedup {
     * → DISTINCT (doc, key) → shared keys only (one count-window
     * partitioned by key: almost every window is unique to its
     * document, and running the pair kernel over millions of singleton
-    * blocks was 7.8 s of wall at sf0.1 before this filter) → the
+    * blocks was 7.8 s of wall at sf0.1 before this filter; counted by
+    * aggregate + join, NOT a count window — a boilerplate window held
+    * by millions of docs is the expected hot key, and a window sorts
+    * the whole key group in one task while the aggregate
+    * partial-combines map-side, the same shape the rep form below
+    * always used) → the
     * [[saltedPairs]] skew guard over the shared blocks (a boilerplate
     * window held by thousands of docs is the expected hot block) →
     * pair count = distinct shared windows. The shared-window table is
@@ -907,12 +917,14 @@ object Dedup {
     * like the jaccard gram table (build-once/query-many). */
   def qDedupSubstring(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val shared = graft.PlanCache.getOrBuild(s, Family, s"substrShared:$dir")(
-      windowKeys(Tables.documents(s, dir))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy($"h")))
-        .filter($"n" >= 2)
+    val shared = graft.PlanCache.getOrBuild(s, Family, s"substrShared:$dir")({
+      val keys = windowKeys(Tables.documents(s, dir))
+      val sharedKeys = keys.groupBy($"h").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 2).select($"h")
+      keys.join(sharedKeys, "h")
         .select($"h".cast("string").as("block"), $"doc_id")
-        .as[(String, Long)])
+        .as[(String, Long)]
+    })
     val rows = shared.map { case (b, id) => (b, id, 0) }
     saltedPairs(rows) { case ((ida, _), (idb, _)) => Some((ida, idb)) }
       .toDF("doc_a", "doc_b")
@@ -1094,9 +1106,20 @@ object Dedup {
     // builder — the keeper aggregate and the probe side of the re-join
     // both read one materialization instead of re-hashing the corpus.
     val cuts = graft.PlanCache.getOrBuild(s, Family, s"substrCuts:$dir")({
+      // fail LOUDLY if the (doc_id, pos) packing below would collide:
+      // a doc longer than PosBound chars (or doc_id ≥ 2^43) would
+      // silently spill its positions into the next doc_id's key range
+      // and corrupt the first-occurrence-wins min. The check rides the
+      // same scan (one codegen'd branch per doc, no extra job) and is
+      // mirrored in qDedupCutsSql.
       val occ = Tables.documents(s, dir)
         .filter(length($"text") >= W)
-        .select($"doc_id", $"text",
+        .select($"doc_id",
+          when(length($"text") < PosBound.toInt && $"doc_id" < (1L << 43),
+            $"text").otherwise(raise_error(format_string(
+              s"qDedupCuts: doc_id %d (len %d) exceeds the packing bounds " +
+                s"(len < $PosBound, doc_id < 2^43)",
+              $"doc_id", length($"text")))).as("text"),
           explode(sequence(lit(1), length($"text") - (W - 1))).as("i"))
         .select($"doc_id", $"i".cast("long").as("pos"), expr(
           s"cast(conv(substring(md5(substring(text, i, $W)), 1, 15), 16, 10) as bigint)"
@@ -1134,7 +1157,10 @@ object Dedup {
        |      substr(md5(substr(text, CAST(i AS INTEGER), $W)), 1, 15)) AS BIGINT) AS h,
        |    doc_id * $PosBound + CAST(i AS BIGINT) AS k
        |  FROM (
-       |    SELECT doc_id, text,
+       |    SELECT doc_id,
+       |      CASE WHEN length(text) < $PosBound AND doc_id < ${1L << 43}
+       |        THEN text ELSE error('qDedupCuts: packing bounds exceeded')
+       |      END AS text,
        |      unnest(generate_series(1, length(text) - ${W - 1})) AS i
        |    FROM documents WHERE length(text) >= $W
        |  )

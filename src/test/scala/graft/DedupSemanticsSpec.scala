@@ -99,6 +99,21 @@ class DedupSemanticsSpec extends AnyFunSuite {
     assert(rows == Set((5L, 5L, 2L), (9L, 5L, 2L), (7L, 7L, 1L)))
   }
 
+  test("exact dedup sizes mega-replica groups via the aggregate+join path") {
+    // the r15 qDedupExact rides exactGroups (aggregate + join) instead
+    // of min/count windows — a window would sort each whole md5 group
+    // in one task. Pin the query ITSELF on the 300-doc skew corpus:
+    // one 180-copy group, one 120-copy group, one singleton.
+    val rows = operators.Dedup.qDedupExact(spark, skewDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 301)
+    assert(rows.count { case (_, k, n) => k == 0L && n == 180L } == 180)
+    assert(rows.count { case (_, k, n) => k == 1L && n == 120L } == 120)
+    assert(rows.toSeq.contains((2000L, 2000L, 1L)))
+    // ordered by doc_id per the oracle contract
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+  }
+
   /** Corpus exercising every path of the exact-collapse-first cluster
     * variant: verbatim copies of both sides of a near-dup pair
     * (quotient cross edges), an exact-only group with no near-dup

@@ -112,19 +112,25 @@ class PlanSpec extends AnyFunSuite {
       s"embeddings scanned more than once:\n$p")
   }
 
-  test("q_dedup_substring: pruned scan, shared-key filter feeds the pair kernel, no join") {
-    // the window table reads (doc_id, text) only; pair generation is
-    // the salted grouped kernel (no join of any kind); the documents
-    // scan happens exactly once per call (the cached shared table is
-    // per-session, so clear it first for a cold plan)
+  test("q_dedup_substring: pruned scan, aggregate+join shared-key filter, exchange reused") {
+    // r15: shared-key counting moved from a count window (each hot
+    // boilerplate key sorted in ONE task) to aggregate + join. The
+    // plan contract now: pair generation stays the salted grouped
+    // kernel (no cartesian), the documents scan reads (doc_id, text)
+    // only, and AQE REUSES the distinct's exchange for the key-count
+    // aggregate — the corpus is scanned once in the final plan and
+    // the small shared-key set joins back as a hash join (broadcast
+    // at this SF). The cached shared table is per-session, so clear
+    // it first for a cold plan.
     graft.PlanCache.release(spark, "dedup")
     val p = planOf(operators.Dedup.qDedupSubstring(spark, sf))
-    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("MapGroups"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"documents scan not pruned to (doc_id, text):\n$p")
-    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
-      s"documents scanned more than once:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"key-count aggregate does not reuse the distinct's exchange:\n$p")
+    assert(p.contains("HashJoin"), s"shared-key join is not a hash join:\n$p")
     // pair counts partial-aggregate map-side before the exchange
     assert(p.contains("HashAggregate"), p)
     graft.PlanCache.release(spark, "dedup")
