@@ -89,6 +89,47 @@ object Bench {
     (single, nThreads * single / par)
   } catch { case _: Throwable => (-1.0, -1.0) }
 
+  /** Sink for probe sums — reads must survive dead-code elimination. */
+  @volatile private var membwSink = 0L
+
+  /** Memory-bandwidth probe (r15; judge r14 task 1): sequential
+    * long-sum sweep over a 256 MiB array — single-thread, then the
+    * same array sliced across `nThreads` — in GB/s. The xorshift cal
+    * probe is CPU-bound and BLIND to memory-bandwidth co-tenancy:
+    * r14 committed a broad ~1.3× drift at HEALTHY cal with nothing in
+    * the artifact saying whether it was code or host. A per-family
+    * membw series makes that episode self-documenting the same way
+    * cal_series documents CPU starvation. The array is allocated per
+    * probe (kept alive it would steal 256 MiB from every query's
+    * working set); 2 sweeps ≈ 0.1 s at healthy bandwidth. */
+  private def membw(nThreads: Int): (Double, Double) = try {
+    val n = 32 << 20 // longs = 256 MiB, far past any L3
+    val a = new Array[Long](n)
+    java.util.Arrays.fill(a, 0x9E3779B97F4A7C15L)
+    def sweep(lo: Int, hi: Int): Long = {
+      var s = 0L; var i = lo
+      while (i < hi) { s += a(i); i += 1 }
+      s
+    }
+    membwSink += sweep(0, n) // touch + JIT warm
+    val t1 = System.nanoTime()
+    membwSink += sweep(0, n)
+    val d1 = (System.nanoTime() - t1) / 1e9
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val chunk = n / nThreads
+    val tp = System.nanoTime()
+    val fs = (0 until nThreads).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = sweep(t * chunk, if (t == nThreads - 1) n else (t + 1) * chunk)
+      })
+    }
+    fs.foreach(f => membwSink += f.get())
+    val dp = (System.nanoTime() - tp) / 1e9
+    pool.shutdown()
+    val bytes = 8.0 * n
+    (bytes / d1 / 1e9, bytes / dp / 1e9)
+  } catch { case _: Throwable => (-1.0, -1.0) }
+
   /** Time one full run: DataFrame CONSTRUCTION + materialization.
     * Construction is inside the timer because several operators do
     * real driver-coordinated work there (Lloyd iterations, label
@@ -130,6 +171,51 @@ object Bench {
       if (cal.isEmpty || rows.isEmpty) None else Some((cal, rows))
     }
   } catch { case _: Throwable => None }
+
+  /** The baseline-gate block's optional `serving` object — the
+    * headline operating point ({qps, lat_p95_ms}) the serving
+    * self-defense pass compares against. Absent → empty map → the
+    * pass is skipped (same never-fail rule as [[loadBaseline]]). */
+  private[graft] def loadServingBaseline(path: String = "BASELINE.md")
+      : Map[String, Double] = try {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val marker = "```json baseline-gate"
+    val i = text.indexOf(marker)
+    if (i < 0) Map.empty
+    else {
+      val j = text.indexOf("```", i + marker.length)
+      import org.json4s._
+      (org.json4s.jackson.JsonMethods.parse(
+        text.substring(i + marker.length, j)) \ "serving") match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    }
+  } catch { case _: Throwable => Map.empty }
+
+  /** Headline-probe degradation test (r15; judge r14 item 2): the
+    * serving qps/lat rows are the first thing a reader checks and
+    * were the only un-defended numbers on the line — r14 committed
+    * qps 181→145 and job p95 115→251 ms with nothing in the artifact
+    * saying whether that was code or host, because the per-query gate
+    * is 2× and the headline rows had NO gate. Fires when the headline
+    * qps drops >25% OR the job-path p95 more than doubles vs the
+    * recorded baseline operating point. Deliberately NOT
+    * capacity-scaled: the xorshift cal probe is CPU-bound and blind
+    * to the memory-bandwidth/IO contention that r14's episode showed;
+    * a false fire only costs one standalone serving re-pass. */
+  private[graft] def servingDegraded(qps: Double, p95Sec: Double,
+      base: Map[String, Double]): Boolean = {
+    val qpsBad = base.get("qps").exists(b => qps >= 0 && b > 0 && qps < 0.75 * b)
+    val latBad = base.get("lat_p95_ms").exists(b =>
+      p95Sec >= 0 && b > 0 && p95Sec * 1000.0 > 2.0 * b)
+    qpsBad || latBad
+  }
 
   /** Cumulative stop-the-world GC milliseconds of this JVM. Per-query
     * deltas distinguish "the operator is slow" from "the run is
@@ -248,6 +334,7 @@ object Bench {
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val gcPerQuery = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val calSeries = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val membwSeries = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val famOf = scala.collection.mutable.Map.empty[String, String]
     for ((fam, qs, warm, release) <- allFamilies) {
       qs.keys.foreach(famOf(_) = fam)
@@ -282,6 +369,9 @@ object Bench {
         // series makes starvation attributable per query instead of
         // smeared across one end-of-run number
         calSeries += fam -> calibrate(calThreads)._2
+        // membw rides the same per-family cadence — CPU capacity and
+        // memory bandwidth are independently contended on this host
+        membwSeries += fam -> membw(calThreads)._2
       }
     }
 
@@ -469,6 +559,31 @@ object Bench {
       (pctl(lats, 0.50), pctl(lats, 0.95), pctl(lats, 0.99))
     } catch { case e: Throwable => probeErr("latency_local_probe", e); errors += "latency_local_probe"; (-1.0, -1.0, -1.0) }
 
+    // Serving self-defense (r15 — see [[servingDegraded]]): when the
+    // headline pair reads degraded vs the recorded operating point,
+    // re-measure the headline probes standalone — same suite, fresh
+    // cal context — so the committed artifact itself says whether the
+    // drop is persistent (code) or episodic (host). Runs while the
+    // index caches are still warm, mirroring the per-query re-measure
+    // pass's re-warm discipline.
+    val servingRe = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val servingBase = if (atBaselineSf && !skipProbes) loadServingBaseline() else Map.empty[String, Double]
+    if (servingDegraded(qpsOverlap, p95, servingBase)) {
+      try {
+        val runs = (1 to 5).map { _ =>
+          val (sec, rows) = runOnce(index.VamanaIndex.qOverlapServe(spark, sfDir))
+          (rows / 10.0) / sec
+        }
+        servingRe += "qps" -> median(runs)
+        val lats = index.VamanaIndex.probedLatencies(spark, sfDir)
+        servingRe += "lat_p95_ms" -> pctl(lats, 0.95) * 1000.0
+        servingRe += "cal" -> calibrate(calThreads)._2
+        servingRe += "membw_gbps" -> membw(calThreads)._2
+      } catch { case e: Throwable =>
+        probeErr("serving_remeasure", e); errors += "serving_remeasure"
+      }
+    }
+
     // stdout carries the driver-contract fields plus the serving
     // numbers the judged protocol asks for; the secondary operating
     // points (full/overlap QPS pairs, build time) live only in
@@ -483,11 +598,15 @@ object Bench {
       if (jiffies1._2 <= jiffies0._2) -1.0
       else 100.0 * (jiffies1._1 - jiffies0._1) / (jiffies1._2 - jiffies0._2)
     val (cal1t, calCores) = calibrate(calThreads)
+    val (mbw1t, mbwPar) = membw(calThreads)
     // per-family capacity spread — a starved EPISODE (one family's
     // probe far under the others) reads directly off cal_lo vs cal_hi
     val calVals = calSeries.map(_._2).filter(_ > 0)
     val (calLo, calHi) =
       if (calVals.isEmpty) (-1.0, -1.0) else (calVals.min, calVals.max)
+    val mbwVals = membwSeries.map(_._2).filter(_ > 0)
+    val (mbwLo, mbwHi) =
+      if (mbwVals.isEmpty) (-1.0, -1.0) else (mbwVals.min, mbwVals.max)
     val gcTotalS = gcPerQuery.map(_._2).sum / 1000.0
     // Capacity-scaled total: each query's median scaled by (its
     // family's run cal / baseline cal) — the total as if the run had
@@ -535,11 +654,26 @@ object Bench {
       // [family lo, family hi] — the end-of-run probe is cal_cores in
       // BENCH_LOCAL.json
       "cal" -> s"[${fmtT(calLo, 1)},${fmtT(calHi, 1)}]",
+      // [family lo, family hi] aggregate GB/s — the co-tenancy signal
+      // cal can't see (r14's unexplained 1.3× drift); series + 1t in
+      // BENCH_LOCAL.json
+      "mbw" -> s"[${fmtF(mbwLo, 0)},${fmtF(mbwHi, 0)}]",
       "ts" -> fmtF(ts, 0),
-      "value_cal" -> fmtF(totalCal, 1))
+      "value_cal" -> fmtF(totalCal, 1)) ++
+      // fired serving self-defense: [standalone qps, standalone job
+      // p95 ms, cal at re-measure] — on the LINE, so the official
+      // artifact carries its own episode-vs-regression evidence
+      (if (servingRe.isEmpty) Nil else {
+        val m = servingRe.toMap
+        Seq("sv_re" -> (s"[${fmtF(m.getOrElse("qps", -1.0), 0)}," +
+          s"${fmtT(m.getOrElse("lat_p95_ms", -1.0), 0)}," +
+          s"${fmtT(m.getOrElse("cal", -1.0), 1)}]"))
+      })
     val extra = Seq(
       "steal_pct" -> stealPct, "cal_1t" -> cal1t, "cal_cores" -> calCores,
-      "cal_lo" -> calLo, "cal_hi" -> calHi, "gc_s" -> gcTotalS, "ts" -> ts,
+      "cal_lo" -> calLo, "cal_hi" -> calHi,
+      "membw_1t_gbps" -> mbw1t, "membw_gbps" -> mbwPar,
+      "membw_lo" -> mbwLo, "membw_hi" -> mbwHi, "gc_s" -> gcTotalS, "ts" -> ts,
       "value_cal" -> totalCal,
       "qps" -> qpsOverlap, "recall" -> recallOverlap,
       "qps_routed" -> qps, "recall_routed" -> recall, "recall100" -> recall100,
@@ -555,8 +689,10 @@ object Bench {
     // next round-boundary commit, so the official run's full map is
     // always one commit behind the official line, never lost.
     val auxMaps =
+      (if (servingRe.isEmpty) Nil else Seq("serving_re" -> servingRe.toSeq)) ++
       (if (remeasured.isEmpty) Nil else Seq("remeasured" -> remeasured.toSeq)) ++
-      Seq("gc_ms" -> gcPerQuery.toSeq, "cal_series" -> calSeries.toSeq) ++
+      Seq("gc_ms" -> gcPerQuery.toSeq, "cal_series" -> calSeries.toSeq,
+        "membw_series" -> membwSeries.toSeq) ++
       (if (remeasureCal.isEmpty) Nil else Seq("remeasure_cal" -> remeasureCal.toSeq))
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
@@ -614,18 +750,23 @@ object Bench {
 
   /** Second-stage token abbreviations (r14 format shrink: the 93-row
     * surface overflowed the window by ~5 rows at worst-case widths).
-    * Applied to the key AFTER the family prefix, cumulatively in
-    * listed order; the forward mapping stays injective over the live surface
+    * Matched on whole underscore-delimited TOKENS of the key (after
+    * the family prefix), never raw substrings — a cumulative
+    * replace-all let short codes like `rec`/`ham`/`fp` rewrite the
+    * middle of unrelated future query names across token boundaries,
+    * so injectivity rested entirely on the spec's today-surface pin.
+    * The forward mapping stays injective over the live surface
     * (BenchFormatSpec pins it), so every compact key still identifies
     * exactly one query. Documented in BASELINE.md "Compact line
     * format"; full names always appear in BENCH_LOCAL.json. */
-  private[graft] val CompactTokenAbbrev: Seq[(String, String)] = Seq(
-    "pipeline_select" -> "pipe_sel", "sample_stratified" -> "sample_strat",
+  private[graft] val CompactTokenAbbrev: Map[String, String] = Map(
+    "pipeline" -> "pipe", "select" -> "sel", "stratified" -> "strat",
     "decontaminate" -> "decontam", "fingerprint" -> "fp",
     "boilerplate" -> "boiler", "repetition" -> "repet",
     "substring" -> "substr", "roundtrip" -> "rt",
     "normalize" -> "norm", "sessionize" -> "sess",
-    "quantize" -> "quant", "_trained" -> "_tr",
+    "quantize" -> "quant", "trained" -> "tr",
+    "tokens" -> "tok", "ivfpq" -> "ipq",
     "cluster" -> "clus", "filtered" -> "filt",
     "features" -> "feat", "hellinger" -> "hell",
     "hamming" -> "ham", "jaccard" -> "jac",
@@ -644,9 +785,8 @@ object Bench {
     val fam = CompactAbbrev.collectFirst {
       case (f, a) if k.startsWith(f) => a + k.substring(f.length)
     }.getOrElse(k)
-    CompactTokenAbbrev.foldLeft(fam) { case (acc, (tok, code)) =>
-      if (acc.contains(tok)) acc.replace(tok, code) else acc
-    }
+    fam.split("_", -1)
+      .map(t => CompactTokenAbbrev.getOrElse(t, t)).mkString("_")
   }
 
   /** Render the compact stdout line. ZERO-OMISSION is the design goal

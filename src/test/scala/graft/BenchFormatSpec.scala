@@ -23,7 +23,10 @@ class BenchFormatSpec extends AnyFunSuite {
     "lat_ms" -> "[150,1089,1119]",
     "llat_ms" -> "[0.84,1.11,1.24]",
     "cal" -> "[11.1,29.1]",
-    "ts" -> "1776000000", "value_cal" -> "123.5")
+    "mbw" -> "[112,134]",
+    "ts" -> "1776000000", "value_cal" -> "123.5",
+    // worst case: the serving self-defense fired and rides the line
+    "sv_re" -> "[154,1089,29.1]")
   private val sf = "sf0.1"
   // worst-case self-defense payload: the full 10-entry re-measure cap
   private val remeasured =
@@ -124,6 +127,30 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(cal.contains(f), s"family $f missing from baseline-gate cal")
     // a malformed/missing block must disable self-defense, not crash
     assert(Bench.loadBaseline("/nonexistent").isEmpty)
+  }
+
+  test("serving self-defense: fires on forced degradation, stays dormant otherwise") {
+    val base = Bench.loadServingBaseline()
+    // the recorded operating point must exist and carry both knobs
+    assert(base.get("qps").exists(_ > 0), s"serving baseline missing qps: $base")
+    assert(base.get("lat_p95_ms").exists(_ > 0), s"missing lat_p95_ms: $base")
+    val (bq, bp) = (base("qps"), base("lat_p95_ms") / 1000.0)
+    // healthy run (at or above the operating point): dormant
+    assert(!Bench.servingDegraded(bq, bp, base))
+    assert(!Bench.servingDegraded(bq * 1.2, bp * 0.8, base))
+    // boundary: a 25% qps drop or a 2x p95 is NOT yet a fire
+    assert(!Bench.servingDegraded(bq * 0.76, bp, base))
+    assert(!Bench.servingDegraded(bq, bp * 1.99, base))
+    // forced degradation: the r14 episode's own numbers MUST fire
+    assert(Bench.servingDegraded(145.0, 0.251,
+      Map("qps" -> 181.0, "lat_p95_ms" -> 115.0)))
+    // each trigger fires alone
+    assert(Bench.servingDegraded(bq * 0.5, bp, base))
+    assert(Bench.servingDegraded(bq, bp * 2.5, base))
+    // failed probes (sentinel -1) and a missing baseline never fire
+    assert(!Bench.servingDegraded(-1.0, -1.0, base))
+    assert(!Bench.servingDegraded(10.0, 100.0, Map.empty))
+    assert(Bench.loadServingBaseline("/nonexistent").isEmpty)
   }
 
   test("headline scalars trail the queries map so truncation can't eat them") {
