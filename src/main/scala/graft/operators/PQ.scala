@@ -35,8 +35,17 @@ object PQ {
   /** PlanCache family tag (corpus PQ codes). */
   private[graft] val Family = "pq"
 
-  /** Drop the family's caches — see [[graft.PlanCache]]. */
-  def release(s: SparkSession): Unit = graft.PlanCache.release(s, Family)
+  /** Drop the family's caches — see [[graft.PlanCache]]. Also clears
+    * the trained-codebook memo: it is keyed by dir with no session
+    * tie, so a corpus regenerated in-place within one JVM (the
+    * test-fixture overwrite pattern) would otherwise keep serving
+    * stale trained codebooks while the code tables rebuilt against
+    * fresh data. */
+  def release(s: SparkSession): Unit = {
+    graft.PlanCache.release(s, Family)
+    trainedCbCache.clear()
+    trainedResCbCache.clear()
+  }
 
   private[graft] val M = 8       // subspaces
   private[graft] val SubDim = 8  // dims per subspace (dim 64 / M)
@@ -274,37 +283,48 @@ object PQ {
   private[graft] def trainedCodebooks(s: SparkSession, dir: String): Array[Float] =
     trainedCbCache.getOrElseUpdate(dir, {
       import s.implicits._
-      val sv = Tables.embeddings(s, dir)
-        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-      var cb = codebooks(s, dir)
-      for (_ <- 0 until TrainIters) {
-        val bc = s.sparkContext.broadcast(cb)
-        val avgRows = sv.flatMap { case (_, v) =>
-            val c = bc.value
-            (0 until M).iterator.map { sub =>
-              var best = 0; var bestD = Double.MaxValue; var j = 0
-              while (j < Ksub) {
-                val d = subSqL2(v, sub, c, j)
-                if (d < bestD) { bestD = d; best = j }
-                j += 1
-              }
-              (sub, best, v.slice(sub * SubDim, (sub + 1) * SubDim))
-            }
-          }
-          .toDF("sub", "code", "v")
-          .select($"sub", $"code", posexplode($"v"))
-          .toDF("sub", "code", "pos", "x")
-          .groupBy($"sub", $"code", $"pos")
-          .agg(avg($"x".cast("double")).cast("float").as("m"))
-          .as[(Int, Int, Int, Float)].collect()
-        val next = cb.clone() // empty codes keep their previous entry
-        for ((sub, code, pos, mF) <- avgRows)
-          next((sub * Ksub + code) * SubDim + pos) = mF
-        cb = next
-        bc.unpersist(blocking = false)
-      }
-      cb
+      lloydRounds(s, Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])],
+        codebooks(s, dir))
     })
+
+  /** The shared [[TrainIters]]-round distributed per-subspace Lloyd
+    * trainer behind [[trainedCodebooks]] (raw vectors) and
+    * [[trainedResCodebooks]] (residuals) — see [[trainedCodebooks]]
+    * for the full protocol notes. */
+  private def lloydRounds(s: SparkSession,
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      seed: Array[Float]): Array[Float] = {
+    import s.implicits._
+    var cb = seed
+    for (_ <- 0 until TrainIters) {
+      val bc = s.sparkContext.broadcast(cb)
+      val avgRows = vecs.flatMap { case (_, v) =>
+          val c = bc.value
+          (0 until M).iterator.map { sub =>
+            var best = 0; var bestD = Double.MaxValue; var j = 0
+            while (j < Ksub) {
+              val d = subSqL2(v, sub, c, j)
+              if (d < bestD) { bestD = d; best = j }
+              j += 1
+            }
+            (sub, best, v.slice(sub * SubDim, (sub + 1) * SubDim))
+          }
+        }
+        .toDF("sub", "code", "v")
+        .select($"sub", $"code", posexplode($"v"))
+        .toDF("sub", "code", "pos", "x")
+        .groupBy($"sub", $"code", $"pos")
+        .agg(avg($"x".cast("double")).cast("float").as("m"))
+        .as[(Int, Int, Int, Float)].collect()
+      val next = cb.clone() // empty codes keep their previous entry
+      for ((sub, code, pos, mF) <- avgRows)
+        next((sub * Ksub + code) * SubDim + pos) = mF
+      cb = next
+      bc.unpersist(blocking = false)
+    }
+    cb
+  }
 
   private def trainedCodesDf(s: SparkSession, dir: String): DataFrame =
     graft.PlanCache.getOrBuild(s, Family, s"trainedCodes:$dir") {
@@ -665,7 +685,17 @@ object PQ {
     * cell-restricted, TopK bounded, rerank touches Cand·|queries|
     * full vectors. Fully deterministic → fully hash-checked end to
     * end. */
-  def qKnnIvfPqRes(s: SparkSession, dir: String): DataFrame = {
+  def qKnnIvfPqRes(s: SparkSession, dir: String): DataFrame =
+    resAdcSearch(s, dir, resCodebooks(s, dir), resCodesDf(s, dir))
+
+  /** The residual-ADC pipeline tail shared by the seed and trained
+    * variants ([[qKnnIvfPqRes]] / [[qKnnIvfPqResTrained]]): probe
+    * ranking, one residual LUT per (query, probed cell) against
+    * `cbArr`, cell-restricted codegen'd ADC over `codes`, bounded
+    * top-Cand merge, exact rerank — the residual twin of
+    * [[adcSearch]]. */
+  private def resAdcSearch(s: SparkSession, dir: String,
+      cbArr: Array[Float], codes: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val queries = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
@@ -684,7 +714,7 @@ object PQ {
 
     // one LUT per (query, probed cell): the query's residual against
     // THAT cell's centroid, tabled against the residual codebooks
-    val bcR = s.sparkContext.broadcast(resCodebooks(s, dir))
+    val bcR = s.sparkContext.broadcast(cbArr)
     val qres = probes.join(queries, "q_id").join(broadcast(cents), "cell")
       .select($"q_id", $"cell".cast("long").as("cell"),
         zip_with($"qv", $"cv", (a, b) => a - b).as("qrv"))
@@ -696,7 +726,7 @@ object PQ {
       .toDF("q_id", "cell", "lut")
 
     // ADC over probed cells only — codes already carry their cell
-    val adc = resCodesDf(s, dir)
+    val adc = codes
       .select($"vec_id".as("nid"), $"codes".as("nc"), $"cell")
       .join(broadcast(probeLuts), "cell")
       .filter($"nid" =!= $"q_id")
@@ -715,8 +745,61 @@ object PQ {
 
   private val Dim = M * SubDim
 
-  val qKnnIvfPqResSql: String =
-    s"""WITH cents AS (
+  /** Trained-residual memo — same JVM-lifetime rationale (and the
+    * same [[release]] clear hook) as [[trainedCbCache]]. */
+  private val trainedResCbCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Float]]
+
+  /** Trained RESIDUAL codebooks: [[TrainIters]] rounds of the same
+    * distributed per-subspace Lloyd ([[lloydRounds]]) over the
+    * per-cell residuals x − c(x), seeded from [[resCodebooks]] —
+    * Jégou et al. TPAMI 2011 §IV-A's production configuration
+    * (`by_residual=true` WITH a trained product quantizer): the
+    * codebook spends its entries on the within-cell noise scale,
+    * which is what preserves ADC recall as ncells grows (the 100 TB
+    * regime; ResidualPqSpec records the 0.866-vs-0.144 candidate-
+    * recall win on clustered data). One codebook SHARED across
+    * cells, as §IV-A trains it — per-cell codebooks would multiply
+    * codebook storage ×ncells for no §IV-A mandate. */
+  private[graft] def trainedResCodebooks(s: SparkSession, dir: String): Array[Float] =
+    trainedResCbCache.getOrElseUpdate(dir, {
+      import s.implicits._
+      lloydRounds(s,
+        residualsDf(s, dir).select($"vec_id", $"rv").as[(Long, Array[Float])],
+        resCodebooks(s, dir))
+    })
+
+  /** (vec_id, cell, codes) under the TRAINED residual codebooks —
+    * memoized like [[resCodesDf]]. */
+  private def trainedResCodesDf(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(s, Family, s"trainedRescodes:$dir") {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(trainedResCodebooks(s, dir))
+      residualsDf(s, dir)
+        .select($"vec_id", $"cell".cast("long").as("cell"), $"rv")
+        .as[(Long, Long, Array[Float])]
+        .mapPartitions { it =>
+          val cb = bc.value
+          it.map { case (id, cell, rv) => (id, cell, encodeOne(rv, cb)._1) }
+        }
+        .toDF("vec_id", "cell", "codes")
+    }
+
+  /** `q_knn_ivfpq_res_trained`: the [[qKnnIvfPqRes]] pipeline on
+    * TRAINED residual codebooks — the full production IVF+PQ (Jégou
+    * §IV-A): coarse cells restrict the scan, Lloyd-trained residual
+    * codebooks rank it, exact rerank finishes. Both Lloyd rounds are
+    * unrolled in the DuckDB oracle (the `q_knn_pq_trained`
+    * technique), so the whole train→encode→probe→ADC→rerank chain is
+    * hash-verified. */
+  def qKnnIvfPqResTrained(s: SparkSession, dir: String): DataFrame =
+    resAdcSearch(s, dir, trainedResCodebooks(s, dir), trainedResCodesDf(s, dir))
+
+  /** Shared residual-chain CTE prefix (both residual variants):
+    * cents/assign/resv = per-vector residuals, rcb0 = the SEED
+    * residual codebook, rsv = per-(vec, sub) residual subvectors. */
+  private val resChainCtes: String =
+    s"""cents AS (
        |  SELECT vec_id AS cell, embedding AS cvf, CAST(embedding AS DOUBLE[]) AS cv
        |  FROM embeddings WHERE vec_id < ${VectorQueries.NCELLS}
        |), assign AS (
@@ -731,7 +814,7 @@ object PQ {
        |  FROM embeddings e
        |  JOIN assign a ON a.vec_id = e.vec_id
        |  JOIN cents c ON c.cell = a.cell
-       |), rcb AS (
+       |), rcb0 AS (
        |  SELECT CAST(t.s AS INTEGER) AS sub,
        |    CAST(r.vec_id - ${VectorQueries.NCELLS} AS INTEGER) AS j,
        |    r.rv[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS cv
@@ -742,12 +825,49 @@ object PQ {
        |  SELECT vec_id, cell, CAST(t.s AS INTEGER) AS sub,
        |    rv[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS v
        |  FROM resv, unnest(range(0, $M)) AS t(s)
-       |), rencd AS (
-       |  SELECT rsv.vec_id, rsv.cell, rsv.sub, rcb.j,
+       |)""".stripMargin
+
+  /** One Lloyd round over the residual subvectors, rcb{n-1} → rcb{n}
+    * — the residual twin of [[trainedCbCtes]]'s round generator
+    * (argmin assignment, per-(sub, code, pos) double average
+    * FLOAT-rounded, empty codes inheriting via the left join). */
+  private def resLloydRound(n: Int): String = {
+    val prev = s"rcb${n - 1}"
+    s"""rtencd$n AS (
+       |  SELECT r.vec_id, r.sub, r.v, cb.j,
        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${SubDim + 1}),
-       |      i -> (rsv.v[i]::DOUBLE - rcb.cv[i]::DOUBLE) * (rsv.v[i]::DOUBLE - rcb.cv[i]::DOUBLE))),
+       |      i -> (r.v[i]::DOUBLE - cb.cv[i]::DOUBLE) * (r.v[i]::DOUBLE - cb.cv[i]::DOUBLE))),
        |      (acc, x) -> acc + x) AS dd
-       |  FROM rsv JOIN rcb ON rcb.sub = rsv.sub
+       |  FROM rsv r JOIN $prev cb ON cb.sub = r.sub
+       |), rtasg$n AS (
+       |  SELECT vec_id, sub, v, j FROM (
+       |    SELECT vec_id, sub, v, j,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, j) AS rn
+       |    FROM rtencd$n
+       |  ) WHERE rn = 1
+       |), rtcagg$n AS (
+       |  SELECT sub, j, list(avg_v ORDER BY d)::FLOAT[] AS cv
+       |  FROM (
+       |    SELECT sub, j, t.d AS d, avg(v[t.d + 1]::DOUBLE) AS avg_v
+       |    FROM rtasg$n, unnest(range(0, $SubDim)) AS t(d)
+       |    GROUP BY sub, j, t.d
+       |  ) GROUP BY sub, j
+       |), rcb$n AS (
+       |  SELECT p.sub, p.j, coalesce(c.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN rtcagg$n c ON c.sub = p.sub AND c.j = p.j
+       |)""".stripMargin
+  }
+
+  /** The residual-ADC tail against codebook CTE `rcb` — encode,
+    * probe, per-(query, cell) residual LUTs, cell-joined ADC,
+    * top-Cand, exact rerank. */
+  private def resTailSql(rcb: String): String =
+    s"""rencd AS (
+       |  SELECT rsv.vec_id, rsv.cell, rsv.sub, $rcb.j,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${SubDim + 1}),
+       |      i -> (rsv.v[i]::DOUBLE - $rcb.cv[i]::DOUBLE) * (rsv.v[i]::DOUBLE - $rcb.cv[i]::DOUBLE))),
+       |      (acc, x) -> acc + x) AS dd
+       |  FROM rsv JOIN $rcb ON $rcb.sub = rsv.sub
        |), renc AS (
        |  SELECT vec_id, cell, sub, j AS code FROM (
        |    SELECT vec_id, cell, sub, j,
@@ -772,11 +892,11 @@ object PQ {
        |    qrv[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS v
        |  FROM qres, unnest(range(0, $M)) AS t(s)
        |), rlut AS (
-       |  SELECT q_id, qrs.cell, rcb.sub, rcb.j AS code,
+       |  SELECT q_id, qrs.cell, $rcb.sub, $rcb.j AS code,
        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${SubDim + 1}),
-       |      i -> (qrs.v[i]::DOUBLE - rcb.cv[i]::DOUBLE) * (qrs.v[i]::DOUBLE - rcb.cv[i]::DOUBLE))),
+       |      i -> (qrs.v[i]::DOUBLE - $rcb.cv[i]::DOUBLE) * (qrs.v[i]::DOUBLE - $rcb.cv[i]::DOUBLE))),
        |      (acc, x) -> acc + x) AS d
-       |  FROM qrs JOIN rcb ON rcb.sub = qrs.sub
+       |  FROM qrs JOIN $rcb ON $rcb.sub = qrs.sub
        |), adc AS (
        |  SELECT l.q_id, e.vec_id AS nid,
        |    list_reduce(list_prepend(0.0::DOUBLE, list(l.d ORDER BY l.sub)),
@@ -803,6 +923,15 @@ object PQ {
        |)
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
        |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
+
+  val qKnnIvfPqResSql: String =
+    s"""WITH $resChainCtes,
+       |${resTailSql("rcb0")}""".stripMargin
+
+  val qKnnIvfPqResTrainedSql: String =
+    s"""WITH $resChainCtes,
+       |${(1 to TrainIters).map(resLloydRound).mkString(",\n")},
+       |${resTailSql(s"rcb$TrainIters")}""".stripMargin
 
   // ------------------------------------------------- two-tier file serving
 
@@ -852,11 +981,13 @@ object PQ {
     "q_knn_pq_trained" -> (qKnnPqTrained(_, _)),
     "q_knn_ivfpq" -> (qKnnIvfPq(_, _)),
     "q_knn_ivfpq_res" -> (qKnnIvfPqRes(_, _)),
+    "q_knn_ivfpq_res_trained" -> (qKnnIvfPqResTrained(_, _)),
     "q_pq_serve" -> (qPqServe(_, _)))
   val oracles: Map[String, String] = Map(
     "q_pq_encode" -> qPqEncodeSql,
     "q_knn_pq" -> qKnnPqSql,
     "q_knn_pq_trained" -> qKnnPqTrainedSql,
     "q_knn_ivfpq" -> qKnnIvfPqSql,
-    "q_knn_ivfpq_res" -> qKnnIvfPqResSql)
+    "q_knn_ivfpq_res" -> qKnnIvfPqResSql,
+    "q_knn_ivfpq_res_trained" -> qKnnIvfPqResTrainedSql)
 }

@@ -67,6 +67,148 @@ object TextAnalysis {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- bpe
+
+  /** Committed BPE merge table — a REAL (if small) byte-pair-encoding
+    * vocab, so token counts mean what a training-mixture budget means
+    * by them (the `n_bpe_est` ceil(len/4) estimate in [[qTextTokens]]
+    * stays as the cheap screen). Learned OFFLINE with standard
+    * frequency BPE (Sennrich et al. 2016: repeatedly merge the most
+    * frequent adjacent token pair; ties broken to the
+    * lexicographically smallest pair) over the sf0.01 documents
+    * corpus, 64 merges — then committed here as the vocab artifact,
+    * the way production tokenizers ship a frozen merges.txt. Rank =
+    * list position. */
+  private[graft] val BpeMerges: Vector[(String, String)] = Vector(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
+    "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
+    "r" -> "ow", "at" -> "c", "atc" -> "h", "b" -> "atch", "a" -> "n",
+    "c" -> "an", "s" -> "can", "c" -> "o", "c" -> "u", "co" -> "lu",
+    "colu" -> "m", "colum" -> "n", "cu" -> "st", "cust" -> "o",
+    "custo" -> "mer", "f" -> "i", "fi" -> "l", "fil" -> "t",
+    "filt" -> "er", "a" -> "l", "al" -> "l", "m" -> "all",
+    "s" -> "mall", "g" -> "e", "l" -> "ow", "mer" -> "ge",
+    "s" -> "low", "c" -> "t", "ct" -> "or", "d" -> "er",
+    "e" -> "ctor", "or" -> "der", "v" -> "ector", "in" -> "e",
+    "l" -> "ine", "a" -> "b", "ab" -> "l", "abl" -> "e", "at" -> "a",
+    "d" -> "ata", "t" -> "able", "u" -> "p", "a" -> "g", "ag" -> "g",
+    "a" -> "lu", "alu" -> "e", "v" -> "alue", "e" -> "y", "k" -> "ey")
+
+  /** BPE-encode one word against [[BpeMerges]]: start from single
+    * code points; repeatedly apply the LOWEST-RANK merge whose pair
+    * occurs anywhere, at its LEFTMOST occurrence, until no merge
+    * applies. One occurrence per step (not GPT-2's all-occurrences
+    * batch) — on a frozen vocab the two differ only when a merge
+    * CREATES a strictly lower-ranked pair mid-word, and the one-step
+    * rule is what a recursive SQL CTE can replay EXACTLY, which is
+    * the parity contract here (the oracle runs this loop verbatim).
+    * Word-local by construction, so the distributed form memoizes per
+    * partition and never shuffles text. */
+  private[graft] def bpeTokens(w: String): Array[String] = {
+    var toks: Array[String] = {
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val c = w.codePointAt(i)
+        val n = Character.charCount(c)
+        b += w.substring(i, i + n)
+        i += n
+      }
+      b.result()
+    }
+    var merging = true
+    while (merging && toks.length > 1) {
+      var found = -1
+      var m = 0
+      while (found < 0 && m < BpeMerges.length) {
+        val (l, r) = BpeMerges(m)
+        var i = 0
+        while (found < 0 && i < toks.length - 1) {
+          if (toks(i) == l && toks(i + 1) == r) found = i
+          i += 1
+        }
+        if (found < 0) m += 1
+      }
+      if (found < 0) merging = false
+      else {
+        val nt = new Array[String](toks.length - 1)
+        System.arraycopy(toks, 0, nt, 0, found)
+        nt(found) = toks(found) + toks(found + 1)
+        System.arraycopy(toks, found + 2, nt, found + 1, toks.length - found - 2)
+        toks = nt
+      }
+    }
+    toks
+  }
+
+  /** `q_text_tokens_bpe`: whitespace-token and REAL-BPE token counts
+    * per document over the committed [[BpeMerges]] vocab — the counts
+    * an actual training-mixture budget is written in, next to
+    * [[qTextTokens]]'s regex estimate. Scale shape: one pruned scan →
+    * explode → per-PARTITION memoized word encode (tokenization is
+    * word-local; the memo makes repeated words free without any
+    * distinct/join exchange) → one map-side-combined aggregate on
+    * doc_id. The DuckDB oracle replays the merge loop with a
+    * recursive CTE over the distinct words — every merge decision
+    * hash-checked. */
+  def qTextTokensBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(expr(WordsExpr)).as("w"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { case (id, w) =>
+          (id, memo.getOrElseUpdate(w, bpeTokens(w).length.toLong))
+        }
+      }
+      .toDF("doc_id", "w_tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_ws_tokens"), sum($"w_tok").as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val qTextTokensBpeSql: String = {
+    val ms = BpeMerges
+      .map { case (l, r) => s"{'l': '$l', 'r': '$r'}" }.mkString("[", ", ", "]")
+    // the lowest-rank applicable merge = FIRST element of the
+    // rank-ordered filter; its leftmost occurrence located on the
+    // space-padded token string, spliced out, one merge per recursion
+    // step — the exact loop bpeTokens runs
+    def applicable(seq: String) =
+      s"list_filter($ms, m -> instr(' ' || $seq || ' ', ' ' || m.l || ' ' || m.r || ' ') > 0)"
+    s"""WITH RECURSIVE w AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+       |  FROM documents
+       |), dw AS (
+       |  SELECT DISTINCT w FROM w
+       |), enc AS (
+       |  SELECT w, array_to_string(list_transform(range(1, length(w) + 1),
+       |    i -> substr(w, CAST(i AS INTEGER), 1)), ' ') AS seq
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT w, trim(substr(p, 1, pos) || lr || substr(p, pos + length(lr) + 2)) AS seq
+       |  FROM (
+       |    SELECT w, p, b.l || b.r AS lr,
+       |      instr(p, ' ' || b.l || ' ' || b.r || ' ') AS pos
+       |    FROM (
+       |      SELECT w, ' ' || seq || ' ' AS p, ${applicable("seq")}[1] AS b
+       |      FROM enc
+       |    ) WHERE b IS NOT NULL
+       |  )
+       |), done AS (
+       |  SELECT w, len(string_split(seq, ' ')) AS w_tok
+       |  FROM enc WHERE len(${applicable("seq")}) = 0
+       |)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_ws_tokens,
+       |  CAST(sum(w_tok) AS BIGINT) AS n_bpe_tokens
+       |FROM w JOIN done USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- quality
 
   /** THE whitespace tokenization, as one SQL fragment — every text
@@ -877,6 +1019,7 @@ object TextAnalysis {
     "q_pipeline_select" -> (qPipelineSelect(_, _)),
     "q_doc_stats" -> (qDocStats(_, _)),
     "q_text_tokens" -> (qTextTokens(_, _)),
+    "q_text_tokens_bpe" -> (qTextTokensBpe(_, _)),
     "q_text_quality" -> (qTextQuality(_, _)),
     "q_text_lang" -> (qTextLang(_, _)),
     "q_text_fingerprint" -> (qTextFingerprint(_, _)),
@@ -896,6 +1039,7 @@ object TextAnalysis {
     "q_text_entropy" -> qTextEntropySql,
     "q_doc_stats" -> qDocStatsSql,
     "q_text_tokens" -> qTextTokensSql,
+    "q_text_tokens_bpe" -> qTextTokensBpeSql,
     "q_text_quality" -> qTextQualitySql,
     "q_text_lang" -> qTextLangSql,
     "q_text_fingerprint" -> qTextFingerprintSql,

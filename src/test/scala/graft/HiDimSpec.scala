@@ -48,11 +48,32 @@ object HiDimGen extends Serializable {
     }
     out
   }
+
+  /** Mixture-of-Gaussians-ish clustered corpus: point = center(id mod
+    * nCenters) + uniform ±0.06 noise per coordinate. Center spread
+    * (coordinates U[0,1), expected inter-center L2 ≈ 16 at dim 1536)
+    * dwarfs the within-cluster spread (≈ 1.9), so true neighbors are
+    * same-cluster — the structure every real embedding corpus has and
+    * uniform noise lacks. Centers draw from a disjoint id stream;
+    * ids interleave clusters, so the first 32 corpus vectors (the
+    * seeded Voronoi centroids) land one per cluster. */
+  def genClusteredVec(id: Long, dim: Int, nCenters: Int): Array[Float] = {
+    val c = (id % nCenters).toInt
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      val center = (sm64(1000000000L + c.toLong * dim + j) >>> 40).toFloat / (1 << 24).toFloat
+      val noise = ((sm64(3000000000L + id * dim + j) >>> 40).toFloat / (1 << 24).toFloat - 0.5f) * 0.12f
+      out(j) = center + noise
+      j += 1
+    }
+    out
+  }
 }
 
 class HiDimSpec extends AnyFunSuite {
   private lazy val spark = SparkSpecBase.spark
-  import HiDimGen.genVec
+  import HiDimGen.{genClusteredVec, genVec}
 
   test("high-dim rehearsal: 1M × dim-1536 build + routed serve + file tier (GRAFT_HIDIM)") {
     assume(sys.env.contains("GRAFT_HIDIM"),
@@ -155,6 +176,119 @@ class HiDimSpec extends AnyFunSuite {
       } finally mm.close()
     } finally {
       if (served != null) served.unpersist(blocking = false)
+      idx.unpersist(blocking = false)
+      VamanaIndex.releaseCaches()
+    }
+  }
+
+  test("capped 1M × 1536 build: buildCapped vs the Voronoi straggler wall (GRAFT_HIDIM_CAP)") {
+    assume(sys.env.contains("GRAFT_HIDIM_CAP"),
+      "GRAFT_HIDIM_CAP not set — capped high-dim rehearsal skipped")
+    // the r14 rehearsal ran the UNCAPPED reference-protocol shape and
+    // paid an 8187 s wall — 3 seeded-Voronoi cells ran alone for
+    // ~100 min while 29 cores idled, the exact pathology buildCapped
+    // exists to kill. This is the engine's own scale path at the same
+    // 1M × 1536 shape: FFD-packed sub-shards bound every build task
+    // at 1.5× the average, so the wall tracks total work / cores.
+    val n = sys.env.get("GRAFT_HIDIM_N").map(_.toLong).getOrElse(1000000L)
+    val dim = 1536
+    import spark.implicits._
+    val emb = spark.range(n).map(id => (id, genVec(id, dim)))
+      .toDF("vec_id", "embedding")
+    val params = VamanaParams(maxDegree = 32, buildBeamWidth = 128,
+      alpha = 1.2, passes = 2, extraSeeds = 2, seed = 42L, metric = "cosine")
+    val t0 = System.nanoTime()
+    val idx = VamanaIndex.buildCapped(emb, params, numShards = 32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(idx.count() === n)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      val shards = idx.select("shard").distinct().count().toInt
+      info(f"capped build: $buildS%.1f s for $n × $dim across $shards shards " +
+        "(uncapped r14 datapoint: 8187 s)")
+      // graph quality through the split — the same full-serve floor as
+      // the uncapped rehearsal, so the cap is proven not to cost recall
+      val step = math.max(1L, n / 100)
+      val queries = Array.tabulate(100)(i => (i * step, genVec(i * step, dim)))
+        .filter(_._1 < n)
+      val pivots = VamanaIndex.pivotTable(idx)
+      val fullServe = VamanaIndex.searchProbed(idx, queries, k = 10,
+        beamWidth = 64, params, nprobe = shards, pivots = Some(pivots))
+      val sampleDf = queries.toSeq.toDF("q_id", "qv")
+      val exact = operators.VectorQueries.topkExplode(
+        emb.join(broadcast(sampleDf))
+          .select($"q_id", $"vec_id".as("nid"),
+            cosineDist($"qv", $"embedding").as("dist")), 10)
+      val exactKth = exact.groupBy($"q_id").agg(max($"dist").as("kth")).persist()
+      exactKth.count()
+      val recallFull = fullServe.join(exactKth, "q_id")
+        .filter($"dist" <= $"kth" + 1e-4).count().toDouble / (queries.length * 10)
+      info(f"full-serve threshold recall@10 through the capped build: $recallFull%.3f")
+      assert(recallFull >= 0.8,
+        f"capped-build full-serve recall $recallFull%.3f under the 0.8 floor")
+      exactKth.unpersist(blocking = false)
+    } finally {
+      idx.unpersist(blocking = false)
+      VamanaIndex.releaseCaches()
+    }
+  }
+
+  test("clustered high-dim routing control: pivot routing recovers on structured data (GRAFT_HIDIM_CLU)") {
+    assume(sys.env.contains("GRAFT_HIDIM_CLU"),
+      "GRAFT_HIDIM_CLU not set — clustered routing control skipped")
+    // the r14 rehearsal recorded the NEGATIVE finding (routed recall ≈
+    // nprobe/ncells on structureless uniform data); this is the
+    // positive control at the same dim: on clustered data — what every
+    // real embedding corpus is — pivot-set routing must recover most
+    // of the full-serve recall at nprobe=4 of 32, which is the claim
+    // the sf10 routed-0.810 figure rests on at dim 64.
+    val n = sys.env.get("GRAFT_HIDIM_CLU_N").map(_.toLong).getOrElse(200000L)
+    val dim = 1536
+    val nCenters = 32
+    import spark.implicits._
+    val emb = spark.range(n).map(id => (id, genClusteredVec(id, dim, nCenters)))
+      .toDF("vec_id", "embedding")
+    val params = VamanaParams(maxDegree = 32, buildBeamWidth = 128,
+      alpha = 1.2, passes = 2, extraSeeds = 2, seed = 42L, metric = "cosine")
+    val t0 = System.nanoTime()
+    val idx = VamanaIndex.buildCapped(emb, params, numShards = 32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(idx.count() === n)
+      info(f"clustered build: ${(System.nanoTime() - t0) / 1e9}%.1f s for $n × $dim")
+      val shards = idx.select("shard").distinct().count().toInt
+      val step = math.max(1L, n / 100)
+      val queries = Array.tabulate(100)(i =>
+        (i * step, genClusteredVec(i * step, dim, nCenters)))
+        .filter(_._1 < n)
+      val pivots = VamanaIndex.pivotTable(idx)
+      val routed = VamanaIndex.searchProbed(idx, queries, k = 10, beamWidth = 64,
+        params, nprobe = 4, pivots = Some(pivots))
+      val fullServe = VamanaIndex.searchProbed(idx, queries, k = 10,
+        beamWidth = 64, params, nprobe = shards, pivots = Some(pivots))
+      val sampleDf = queries.toSeq.toDF("q_id", "qv")
+      val exact = operators.VectorQueries.topkExplode(
+        emb.join(broadcast(sampleDf))
+          .select($"q_id", $"vec_id".as("nid"),
+            cosineDist($"qv", $"embedding").as("dist")), 10)
+      val exactKth = exact.groupBy($"q_id").agg(max($"dist").as("kth")).persist()
+      exactKth.count()
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+        df.join(exactKth, "q_id").filter($"dist" <= $"kth" + 1e-4).count()
+          .toDouble / (queries.length * 10)
+      val rRouted = recallOf(routed)
+      val rFull = recallOf(fullServe)
+      info(f"clustered dim-1536 recall@10: routed(4/$shards) $rRouted%.3f " +
+        f"vs full $rFull%.3f (structureless ceiling ≈ ${4.0 / shards}%.3f)")
+      assert(rFull >= 0.8, f"full-serve recall $rFull%.3f under 0.8 on clustered data")
+      // the control itself: routing must beat the structureless
+      // ceiling by a wide margin AND recover most of full-serve
+      assert(rRouted >= 5 * 4.0 / shards,
+        f"routed recall $rRouted%.3f fails the 5× ceiling margin")
+      assert(rRouted >= 0.6 * rFull,
+        f"routed recall $rRouted%.3f under 60%% of full $rFull%.3f")
+      exactKth.unpersist(blocking = false)
+    } finally {
       idx.unpersist(blocking = false)
       VamanaIndex.releaseCaches()
     }

@@ -45,11 +45,21 @@ class ResidualPqSpec extends AnyFunSuite {
         .head().getDouble(0)
     val free = recallOf(operators.PQ.qKnnIvfPq(spark, dir))
     val res = recallOf(operators.PQ.qKnnIvfPqRes(spark, dir))
-    info(f"recall@10 residual-free=$free%.4f residual=$res%.4f (probe ceiling 0.50)")
+    // the r15 gated trained-residual chain (q_knn_ivfpq_res_trained):
+    // two distributed Lloyd rounds over the residuals — §IV-A's
+    // production configuration, now oracle-verified end to end
+    val resT = recallOf(operators.PQ.qKnnIvfPqResTrained(spark, dir))
+    info(f"recall@10 residual-free=$free%.4f residual=$res%.4f " +
+      f"trained-residual=$resT%.4f (probe ceiling 0.50)")
     // determinism floors at the measured sf0.01 values (chains are
     // fully deterministic; slack only against corpus regeneration)
     assert(free >= 0.44, f"residual-free recall@10 $free%.4f under its 0.44 floor")
     assert(res >= 0.34, f"residual recall@10 $res%.4f under its 0.34 floor")
+    // training must not LOSE to the seed residual codebook — Lloyd
+    // lowers residual quantization error, which is what ADC ranks by
+    assert(resT >= res, f"trained residual $resT%.4f under seed residual $res%.4f")
+    assert(resT >= 0.37, f"trained residual recall@10 $resT%.4f under its 0.37 floor " +
+      "(measured 0.39 at sf0.01)")
     operators.PQ.release(spark)
   }
 
