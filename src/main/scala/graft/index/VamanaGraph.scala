@@ -418,15 +418,18 @@ final class VamanaGraph(
     wLen
   }
 
-  /** Per-instance serving scratch, reused across queries (a graph
-    * instance serves one task thread; the epoch marks make reuse
-    * allocation-free). */
-  private lazy val servingScratch = new Scratch
+  /** Serving scratch, reused across queries (the epoch marks make
+    * reuse allocation-free). Thread-LOCAL, not per-instance: a graph
+    * held in [[VamanaIndex.ShardGraphCache]] outlives one task and
+    * can be searched by several task threads concurrently — a shared
+    * Scratch would race on the epoch marks and frontier arrays. */
+  private val servingScratch =
+    ThreadLocal.withInitial[Scratch](() => new Scratch)
 
   /** Serving-path search: top-k (local idx, dist) for an external query
     * vector (reference lib.rs:635-701). */
   def search(q: Array[Float], k: Int, beamWidth: Int): Array[(Int, Double)] = {
-    val s = servingScratch
+    val s = servingScratch.get()
     val bw = math.max(beamWidth, k)
     val wIds = new Array[Int](bw)
     val wDists = new Array[Double](bw)
@@ -460,7 +463,7 @@ final class VamanaGraph(
     * floors). */
   def searchFiltered(q: Array[Float], k: Int, beamWidth: Int,
       allow: Int => Boolean): Array[(Int, Double)] = {
-    val s = servingScratch
+    val s = servingScratch.get()
     val bw = math.max(beamWidth, k)
     val wIds = new Array[Int](bw)
     val wDists = new Array[Double](bw)

@@ -776,6 +776,63 @@ object VamanaIndex {
     (g, sorted)
   }
 
+  /** Executor-resident shard-graph cache — the warm serving tier of
+    * the Spark job path. Every serve job used to pay deserialization
+    * of the persisted rows PLUS [[rebuildShardGraph]] per shard per
+    * run; a long-lived serving executor does that work ONCE (the same
+    * "build once, serve many" economics as the reference loading
+    * `index.db` once — and as this repo's own resident file handle,
+    * whose per-query cost is ~300× below the job path's).
+    *
+    * Keyed by (index token, partition id): a token names one
+    * immutable materialized index ([[cachedIndex]] /
+    * [[cachedOverlapIndex]] mint one per build), and a persisted
+    * Dataset's partition contents are deterministic, so the cached
+    * graphs are exactly what re-scanning would rebuild. On a hit the
+    * task never consumes its input iterator — no row deserialization
+    * at all. On a cluster each executor warms its own partitions'
+    * entries (tasks are partition-affine under locality scheduling;
+    * a migrated task just rebuilds once on its new executor).
+    *
+    * Bounded: entries stop being added past `GRAFT_GRAPH_CACHE_MB`
+    * (default 4 GiB, ~2× the sf-×1000 rehearsal index) — past the cap
+    * serves degrade to rebuild-per-run, never OOM. Cleared by
+    * [[releaseCaches]] alongside the plan caches it shadows. */
+  private[graft] object ShardGraphCache {
+    private val cache =
+      TrieMap.empty[(String, Int), Map[Int, (VamanaGraph, Array[IndexRow])]]
+    private val bytesUsed = new java.util.concurrent.atomic.AtomicLong(0L)
+    private def capBytes: Long =
+      sys.env.get("GRAFT_GRAPH_CACHE_MB").map(_.toLong << 20)
+        .getOrElse(4096L << 20)
+
+    /** Graphs for this partition: cached, or rebuilt from `it` (and
+      * cached when under the byte cap). */
+    def getOrRebuild(token: String, pid: Int, it: Iterator[IndexRow],
+        params: VamanaParams): Map[Int, (VamanaGraph, Array[IndexRow])] =
+      cache.get((token, pid)) match {
+        case Some(m) => m
+        case None =>
+          val rows = it.toArray
+          val m = rows.groupBy(_.shard).map { case (sh, group) =>
+            sh -> rebuildShardGraph(group, params)
+          }
+          // flat vectors + adjacency are held twice (rows + graph)
+          val est = rows.iterator.map(r =>
+            64L + 8L * r.embedding.length + 16L * r.neighbors.length).sum
+          if (bytesUsed.get() + est <= capBytes &&
+              cache.putIfAbsent((token, pid), m).isEmpty)
+            bytesUsed.addAndGet(est)
+          m
+      }
+
+    def clear(): Unit = { cache.clear(); bytesUsed.set(0L) }
+
+    /** Entry count — test observability (ProbedSearchSpec pins that
+      * the serving queries actually populate the warm tier). */
+    private[graft] def size: Int = cache.size
+  }
+
   // ---------------------------------------------------------------- search
 
   /** Batch beam search. `queries`: (q_id, qv). Returns
@@ -795,27 +852,46 @@ object VamanaIndex {
       beamWidth: Int,
       params: VamanaParams,
       probeShards: Option[Set[Int]] = None,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      resident: Option[String] = None): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
     val qB = s.sparkContext.broadcast(queries)
-    val pruned = probeShards match {
-      case Some(set) => index.filter(col("shard").isin(set.toSeq: _*))
-      case None => index
-    }
-    val perShard = pruned.mapPartitions { it =>
-      val rows = it.toArray
-      rows.groupBy(_.shard).iterator.flatMap { case (_, group) =>
-        val (g, sorted) = rebuildShardGraph(group, params)
-        // search beyond k when dropping self so k true neighbors remain
-        val kLocal = if (excludeSelf) k + 1 else k
-        qB.value.iterator.flatMap { case (qid, qv) =>
-          g.search(qv, kLocal, beamWidth).iterator
-            .map { case (li, d) => (qid, sorted(li).vec_id, d) }
-            .filter { case (q, nid, _) => !(excludeSelf && q == nid) }
-        }
+    def serveShard(shard: Int, g: VamanaGraph, sorted: Array[IndexRow])
+        : Iterator[(Long, Long, Double)] = {
+      // search beyond k when dropping self so k true neighbors remain
+      val kLocal = if (excludeSelf) k + 1 else k
+      qB.value.iterator.flatMap { case (qid, qv) =>
+        g.search(qv, kLocal, beamWidth).iterator
+          .map { case (li, d) => (qid, sorted(li).vec_id, d) }
+          .filter { case (q, nid, _) => !(excludeSelf && q == nid) }
       }
-    }.toDF("q_id", "nid", "dist")
+    }
+    val perShard = (resident match {
+      // warm tier: graphs come from ShardGraphCache (a hit never
+      // consumes `it` — zero deserialization); shard pruning moves
+      // inside the closure so partition contents stay filter-free
+      // (the cache key is (token, pid), which must name ONE content)
+      case Some(token) =>
+        index.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          ShardGraphCache.getOrRebuild(token, pid, it, params).iterator
+            .filter { case (sh, _) => probeShards.forall(_.contains(sh)) }
+            .flatMap { case (sh, (g, sorted)) => serveShard(sh, g, sorted) }
+        }
+      case None =>
+        val pruned = probeShards match {
+          case Some(set) => index.filter(col("shard").isin(set.toSeq: _*))
+          case None => index
+        }
+        pruned.mapPartitions { it =>
+          val rows = it.toArray
+          rows.groupBy(_.shard).iterator.flatMap { case (sh, group) =>
+            val (g, sorted) = rebuildShardGraph(group, params)
+            serveShard(sh, g, sorted)
+          }
+        }
+    }).toDF("q_id", "nid", "dist")
     VectorQueries.topkExplode(perShard, k)
   }
 
@@ -980,7 +1056,8 @@ object VamanaIndex {
       excludeSelf: Boolean = false,
       routing: Option[Array[(Int, Array[Float])]] = None,
       distinctMerge: Boolean = false,
-      pivots: Option[Array[(Int, Array[Array[Float]])]] = None): DataFrame = {
+      pivots: Option[Array[(Int, Array[Array[Float]])]] = None,
+      resident: Option[String] = None): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
     val table: Array[(Int, Array[Array[Float]])] = pivots.getOrElse(
@@ -993,24 +1070,43 @@ object VamanaIndex {
         .map { case (shard, _, qid2, qv2) => (shard, (qid2, qv2)) }
     }.groupBy(_._1).map { case (shard, rows) => shard -> rows.map(_._2) }
     val bc = s.sparkContext.broadcast(routed)
-    val probedShards = routed.keySet
-    val perShard = index.filter(col("shard").isin(probedShards.toSeq: _*))
-      .mapPartitions { it =>
-        val rows = it.toArray
-        rows.groupBy(_.shard).iterator.flatMap { case (shard, group) =>
-          bc.value.get(shard) match {
-            case None => Iterator.empty
-            case Some(myQueries) =>
-              val (g, sorted) = rebuildShardGraph(group, params)
-              val kLocal = if (excludeSelf) k + 1 else k
-              myQueries.iterator.flatMap { case (qid, qv) =>
-                g.search(qv, kLocal, beamWidth).iterator
-                  .map { case (li, d) => (qid, sorted(li).vec_id, d) }
-                  .filter { case (q, nid, _) => !(excludeSelf && q == nid) }
-              }
+    def serveShard(shard: Int, g: VamanaGraph, sorted: Array[IndexRow])
+        : Iterator[(Long, Long, Double)] =
+      bc.value.get(shard) match {
+        case None => Iterator.empty
+        case Some(myQueries) =>
+          val kLocal = if (excludeSelf) k + 1 else k
+          myQueries.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, kLocal, beamWidth).iterator
+              .map { case (li, d) => (qid, sorted(li).vec_id, d) }
+              .filter { case (q, nid, _) => !(excludeSelf && q == nid) }
           }
+      }
+    val perShard = (resident match {
+      // warm tier (see [[ShardGraphCache]]): no shard filter on the
+      // scan — (token, pid) must name one immutable content — and the
+      // per-shard query routing inside the closure prunes work
+      // instead; a cache hit consumes nothing from `it`
+      case Some(token) =>
+        index.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          ShardGraphCache.getOrRebuild(token, pid, it, params).iterator
+            .flatMap { case (sh, (g, sorted)) => serveShard(sh, g, sorted) }
         }
-      }.toDF("q_id", "nid", "dist")
+      case None =>
+        val probedShards = routed.keySet
+        index.filter(col("shard").isin(probedShards.toSeq: _*))
+          .mapPartitions { it =>
+            val rows = it.toArray
+            rows.groupBy(_.shard).iterator.flatMap { case (shard, group) =>
+              if (!bc.value.contains(shard)) Iterator.empty
+              else {
+                val (g, sorted) = rebuildShardGraph(group, params)
+                serveShard(shard, g, sorted)
+              }
+            }
+          }
+    }).toDF("q_id", "nid", "dist")
     VectorQueries.topkExplode(perShard, k, distinctIds = distinctMerge)
   }
 
@@ -1032,8 +1128,22 @@ object VamanaIndex {
     cache.getOrElseUpdate(dir, {
       val idx = build(Tables.embeddings(s, dir), qParams, qShards).persist()
       idx.count() // materialize
+      residentTokens("plain:" + dir) = newToken("plain", dir)
       idx
     })
+
+  /** Resident-tier tokens, minted once per materialized cached index
+    * (plain/overlap per dir) — they key [[ShardGraphCache]] entries to
+    * ONE immutable build, so a re-built index after [[releaseCaches]]
+    * can never be served stale graphs. */
+  private val residentTokens = TrieMap.empty[String, String]
+  private val tokenCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def newToken(kind: String, dir: String): String =
+    s"$kind:$dir:${tokenCounter.incrementAndGet()}"
+  private def plainToken(dir: String): Option[String] =
+    residentTokens.get("plain:" + dir)
+  private def overlapToken(dir: String): Option[String] =
+    residentTokens.get("overlap:" + dir)
 
   /** Build-time routing table, computed once per cached index — the
     * in-JVM analog of reading it back from metadata.json. */
@@ -1072,6 +1182,7 @@ object VamanaIndex {
       overlapSplitCache(dir) = split
       val idx = built.persist()
       idx.count()
+      residentTokens("overlap:" + dir) = newToken("overlap", dir)
       idx
     })
 
@@ -1097,14 +1208,26 @@ object VamanaIndex {
     }
     routingCache.clear(); overlapRoutingCache.clear()
     pivotCache.clear(); overlapPivotCache.clear(); overlapSplitCache.clear()
+    ShardGraphCache.clear(); residentTokens.clear(); queriesCache.clear()
   }
 
-  private[graft] def queriesArr(s: SparkSession, dir: String): Array[(Long, Array[Float])] = {
-    import s.implicits._
-    Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
-      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-      .collect().sortBy(_._1)
-  }
+  /** The standard serving query batch, memoized per sf dir: a serving
+    * run holds its query workload in hand — re-scanning the corpus
+    * parquet for the SAME deterministic batch on every serve call was
+    * a measured ~0.15–0.23 s fixed cost per run at sf0.1 (≈ half the
+    * job-path serve wall), all of it artifact, none of it serving.
+    * The batch is n/50 rows of dim floats (sf10: ~1 MB; the ×1000
+    * rehearsal: ~10 MB) — driver-resident is the right home.
+    * Released with the index caches ([[releaseCaches]]). */
+  private val queriesCache = TrieMap.empty[String, Array[(Long, Array[Float])]]
+
+  private[graft] def queriesArr(s: SparkSession, dir: String): Array[(Long, Array[Float])] =
+    queriesCache.getOrElseUpdate(dir, {
+      import s.implicits._
+      Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+    })
 
   /** Degree histogram of the built graph (rows-only: stochastic-free
     * but graph-build is not SQL-expressible). */
@@ -1120,14 +1243,15 @@ object VamanaIndex {
     * line up with the exact ground truth for recall). */
   def qVamanaSearch(s: SparkSession, dir: String): DataFrame =
     search(cachedIndex(s, dir), queriesArr(s, dir), K, searchBeam, qParams,
-      excludeSelf = true)
+      excludeSelf = true, resident = plainToken(dir))
 
   /** Routed search at nprobe=4 of 8 shards — the partition-pruned
     * serving path, ranking shards by the pivot SET (rows-only; recall
     * bounds pinned in ProbedSearchSpec). */
   def qVamanaProbed(s: SparkSession, dir: String): DataFrame =
     searchProbed(cachedIndex(s, dir), queriesArr(s, dir), K, searchBeam, qParams,
-      nprobe = 4, excludeSelf = true, pivots = Some(cachedPivots(s, dir)))
+      nprobe = 4, excludeSelf = true, pivots = Some(cachedPivots(s, dir)),
+      resident = plainToken(dir))
 
   /** Routed search over the OVERLAPPED index — same queries, knobs,
     * and nprobe as [[qVamanaProbed]], so the two rows-only results
@@ -1138,7 +1262,8 @@ object VamanaIndex {
   def qOverlapServe(s: SparkSession, dir: String): DataFrame =
     searchProbed(cachedOverlapIndex(s, dir), queriesArr(s, dir), K, searchBeam,
       qParams, nprobe = 4, excludeSelf = true,
-      pivots = Some(cachedOverlapPivots(s, dir)), distinctMerge = true)
+      pivots = Some(cachedOverlapPivots(s, dir)), distinctMerge = true,
+      resident = overlapToken(dir))
 
   /** recall@10 of the overlapped probed config (Bench's
     * `recall_overlap`, paired with `qps_overlap`). */
@@ -1182,11 +1307,13 @@ object VamanaIndex {
     val np = if (highRecall) HighRecallNprobe else ServeNprobe
     if (k <= LargeKThreshold)
       searchProbed(cachedIndex(s, dir), queries, k, beam, qParams,
-        nprobe = np, excludeSelf = true, pivots = Some(cachedPivots(s, dir)))
+        nprobe = np, excludeSelf = true, pivots = Some(cachedPivots(s, dir)),
+        resident = plainToken(dir))
     else
       searchProbed(cachedOverlapIndex(s, dir), queries, k, beam, qParams,
         nprobe = np, excludeSelf = true,
-        pivots = Some(cachedOverlapPivots(s, dir)), distinctMerge = true)
+        pivots = Some(cachedOverlapPivots(s, dir)), distinctMerge = true,
+        resident = overlapToken(dir))
   }
 
   /** The serving schedule as persisted JSON — one normative copy,
@@ -1447,7 +1574,8 @@ object VamanaIndex {
     * (reference bigann.rs reports the k=100 row at full search). */
   def fullRecallAt(s: SparkSession, dir: String, k: Int): Double = {
     val approx = search(cachedIndex(s, dir), queriesArr(s, dir), k,
-      math.max(searchBeam, 4 * k), qParams, excludeSelf = true)
+      math.max(searchBeam, 4 * k), qParams, excludeSelf = true,
+      resident = plainToken(dir))
     recallDf(approx, VectorQueries.qKnnExactK(s, dir, k)).head().getDouble(0)
   }
 
@@ -1462,7 +1590,8 @@ object VamanaIndex {
     latencySample(queriesArr(s, dir)).map { q =>
       val t0 = System.nanoTime()
       searchProbed(idx, Array(q), K, searchBeam, qParams, nprobe = 4,
-        excludeSelf = true, pivots = Some(pivots))
+        excludeSelf = true, pivots = Some(pivots),
+        resident = plainToken(dir))
         .queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }

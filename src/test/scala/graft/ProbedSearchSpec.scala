@@ -179,6 +179,31 @@ class ProbedSearchSpec extends AnyFunSuite {
     } finally VamanaIndex.releaseCaches()
   }
 
+  test("resident tier: repeat serves hit the shard-graph cache and are row-identical") {
+    // the warm serving tier (ShardGraphCache) must be a pure cache:
+    // run 1 populates it (miss path), run 2 serves from it (hit path,
+    // zero row deserialization) — identical rows, or the tier is
+    // changing answers. Also pins that the serving queries actually
+    // reach the cache (a silently-unwired token would regress the
+    // serve wall without failing anything).
+    val dir = SparkSpecBase.sf001
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+      val miss = pairs(VamanaIndex.qOverlapServe(spark, dir))
+      assert(VamanaIndex.ShardGraphCache.size > 0,
+        "qOverlapServe did not populate the resident shard-graph cache")
+      val hit = pairs(VamanaIndex.qOverlapServe(spark, dir))
+      assert(miss == hit,
+        s"warm tier drifted: ${miss.diff(hit).size} lost, ${hit.diff(miss).size} gained")
+      val missP = pairs(VamanaIndex.qVamanaProbed(spark, dir))
+      val hitP = pairs(VamanaIndex.qVamanaProbed(spark, dir))
+      assert(missP == hitP, "plain probed tier drifted across cache hit")
+    } finally VamanaIndex.releaseCaches()
+    assert(VamanaIndex.ShardGraphCache.size == 0,
+      "releaseCaches left resident shard graphs behind")
+  }
+
   test("pivot table persists in metadata.json and serves identically") {
     val dir = SparkSpecBase.sf001
     val idx = VamanaIndex.cachedIndex(spark, dir)
