@@ -84,30 +84,82 @@ object HnswIndex {
     (HnswGraph.fromAdjacency(flat, dim, n, hp, adj), sorted)
   }
 
+  /** Executor-resident rebuilt shard graphs — the HNSW twin of
+    * [[VamanaIndex.ShardGraphCache]] (same (index token, partition)
+    * keying, same zero-deserialization hit path, same rationale: a
+    * serving executor loads the graph once). Shares the Vamana tier's
+    * rebuild-per-run degradation past the byte cap. Cleared by
+    * [[release]]. */
+  private[graft] object GraphCache {
+    private val cache =
+      TrieMap.empty[(String, Int), Map[Int, (HnswGraph, Array[HnswRow])]]
+    private val bytesUsed = new java.util.concurrent.atomic.AtomicLong(0L)
+    private def capBytes: Long =
+      sys.env.get("GRAFT_GRAPH_CACHE_MB").map(_.toLong << 20)
+        .getOrElse(4096L << 20)
+
+    def getOrRebuild(token: String, pid: Int, it: Iterator[HnswRow],
+        hp: HnswParams): Map[Int, (HnswGraph, Array[HnswRow])] =
+      cache.get((token, pid)) match {
+        case Some(m) => m
+        case None =>
+          val rows = it.toArray
+          val m = rows.groupBy(_.shard).map { case (sh, group) =>
+            sh -> rebuildShardGraph(group, hp)
+          }
+          val est = rows.iterator.map(r =>
+            64L + 8L * r.embedding.length +
+              16L * r.layers.iterator.map(_.length.toLong).sum).sum
+          if (bytesUsed.get() + est <= capBytes &&
+              cache.putIfAbsent((token, pid), m).isEmpty)
+            bytesUsed.addAndGet(est)
+          m
+      }
+
+    def clear(): Unit = { cache.clear(); bytesUsed.set(0L) }
+    private[graft] def size: Int = cache.size
+  }
+
   /** Batch search, identical harness shape to [[VamanaIndex.search]]:
-    * broadcast queries, per-shard ef-search, bounded TopK merge. */
+    * broadcast queries, per-shard ef-search, bounded TopK merge.
+    * `resident` routes through [[GraphCache]] (see
+    * [[VamanaIndex.search]]'s twin parameter). */
   def search(
       index: Dataset[HnswRow],
       queries: Array[(Long, Array[Float])],
       k: Int,
       ef: Int,
       hp: HnswParams,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      resident: Option[String] = None): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
     val qB = s.sparkContext.broadcast(queries)
-    val perShard = index.mapPartitions { it =>
-      val rows = it.toArray
-      rows.groupBy(_.shard).iterator.flatMap { case (_, group) =>
-        val (g, sorted) = rebuildShardGraph(group, hp)
-        val kLocal = if (excludeSelf) k + 1 else k
-        qB.value.iterator.flatMap { case (qid, qv) =>
-          g.search(qv, kLocal, ef).iterator
-            .map { case (li, d) => (qid, sorted(li).vec_id, d) }
-            .filter { case (q, nid, _) => !(excludeSelf && q == nid) }
-        }
+    def serveShard(g: HnswGraph, sorted: Array[HnswRow])
+        : Iterator[(Long, Long, Double)] = {
+      val kLocal = if (excludeSelf) k + 1 else k
+      qB.value.iterator.flatMap { case (qid, qv) =>
+        g.search(qv, kLocal, ef).iterator
+          .map { case (li, d) => (qid, sorted(li).vec_id, d) }
+          .filter { case (q, nid, _) => !(excludeSelf && q == nid) }
       }
-    }.toDF("q_id", "nid", "dist")
+    }
+    val perShard = (resident match {
+      case Some(token) =>
+        index.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          GraphCache.getOrRebuild(token, pid, it, hp).iterator
+            .flatMap { case (_, (g, sorted)) => serveShard(g, sorted) }
+        }
+      case None =>
+        index.mapPartitions { it =>
+          val rows = it.toArray
+          rows.groupBy(_.shard).iterator.flatMap { case (_, group) =>
+            val (g, sorted) = rebuildShardGraph(group, hp)
+            serveShard(g, sorted)
+          }
+        }
+    }).toDF("q_id", "nid", "dist")
     VectorQueries.topkExplode(perShard, k)
   }
 
@@ -439,31 +491,50 @@ object HnswIndex {
     cache.getOrElseUpdate(dir, {
       val idx = build(graft.Tables.embeddings(s, dir), qHp, qShards).cache()
       idx.count() // materialize once; build cost never leaks into serving
+      residentTokens(dir) = s"hnsw:$dir:${tokenCounter.incrementAndGet()}"
       idx
     })
+
+  /** Resident-tier tokens, minted per materialized cached index (the
+    * [[VamanaIndex]] contract: a rebuilt index never serves stale
+    * graphs). */
+  private val residentTokens = TrieMap.empty[String, String]
+  private val tokenCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def residentToken(dir: String): Option[String] =
+    residentTokens.get(dir)
 
   /** Unpersist and drop every cached HNSW index — the bench calls
     * this after the family's reps so the comparison family's storage
     * doesn't stay pinned under later allocation-heavy queries. */
-  def release(): Unit =
+  def release(): Unit = {
     cache.keys.foreach { k =>
       cache.remove(k).foreach { ds =>
         try ds.unpersist(blocking = true) catch { case _: Throwable => }
       }
     }
-
-  private def benchQueries(s: SparkSession, dir: String): Array[(Long, Array[Float])] = {
-    import s.implicits._
-    graft.Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().sortBy(_._1)
+    GraphCache.clear(); residentTokens.clear(); benchQueriesCache.clear()
   }
+
+  /** Bench query batch, memoized per sf dir (the [[VamanaIndex]]
+    * rationale: the batch is deterministic and tiny — re-scanning
+    * parquet for it on every serve run measured ~0.2 s of pure
+    * artifact at sf0.1). Released with [[release]]. */
+  private val benchQueriesCache =
+    TrieMap.empty[String, Array[(Long, Array[Float])]]
+
+  private def benchQueries(s: SparkSession, dir: String): Array[(Long, Array[Float])] =
+    benchQueriesCache.getOrElseUpdate(dir, {
+      import s.implicits._
+      graft.Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+    })
 
   /** Full (all-shard) HNSW search over the bench query set — the HNSW
     * twin of qVamanaSearch, at equal search budget (ef = beam = 64). */
   def qHnswSearch(s: SparkSession, dir: String): DataFrame =
     search(cachedIndex(s, dir), benchQueries(s, dir), K, searchEf, qHp,
-      excludeSelf = true)
+      excludeSelf = true, resident = residentToken(dir))
 
   /** recall@10 of [[qHnswSearch]] vs exact brute force — the number
     * Bench prints next to Vamana's so the two index families are
@@ -508,7 +579,7 @@ object HnswIndex {
     val filesMatch = pairs(serveFiles(s, filesDir, subset, K, searchEf,
       excludeSelf = true)) ==
       pairs(search(cachedIndex(s, dir), subset, K, searchEf, qHp,
-        excludeSelf = true))
+        excludeSelf = true, resident = residentToken(dir)))
     re.agg(
       count(lit(1)).as("num_vectors"),
       countDistinct(col("shard")).as("num_shards"),

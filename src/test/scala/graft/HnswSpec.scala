@@ -101,6 +101,24 @@ class HnswSpec extends AnyFunSuite {
     assert(byQ.nonEmpty && byQ.forall(_._2 == 10), byQ.toSeq.toString)
   }
 
+  test("resident tier: repeat q_hnsw_search hits the graph cache and is row-identical") {
+    // the HNSW twin of the VamanaIndex resident-tier pin: run 1
+    // populates GraphCache, run 2 serves from it with zero row
+    // deserialization — identical rows or the cache is changing
+    // answers; release() must drain it.
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val miss = pairs(HnswIndex.qHnswSearch(spark, SparkSpecBase.sf001))
+    assert(HnswIndex.GraphCache.size > 0,
+      "qHnswSearch did not populate the resident graph cache")
+    val hit = pairs(HnswIndex.qHnswSearch(spark, SparkSpecBase.sf001))
+    assert(miss == hit,
+      s"warm tier drifted: ${miss.diff(hit).size} lost, ${hit.diff(miss).size} gained")
+    HnswIndex.release()
+    assert(HnswIndex.GraphCache.size == 0,
+      "release left resident HNSW graphs behind")
+  }
+
   test("save → open → search identical to the in-memory index (hnsw_sift.rs dump/reload)") {
     val path = "/tmp/graft_hnsw_spec_idx"
     val hp = HnswParams(m = 8, efConstruction = 32, seed = 7L, metric = "cosine")
