@@ -150,6 +150,23 @@ class StitchedIndexSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("hot-label resident serve is row-identical to the one-shot search path") {
+    // qVamanaStitched rides the persisted-label + resident-graph tier;
+    // the generic search() runs the per-call filter + shuffle +
+    // rebuild. Same kernel, same beam, same merge -> same rows, or
+    // the resident tier is changing answers.
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val resident = pairs(StitchedIndex.qVamanaStitched(spark, dir))
+    val queries = vecs.filter(_._1 % 50 == 0).map(v => (v._1, v._2))
+    val oneShot = pairs(StitchedIndex.search(
+      StitchedIndex.cachedIndex(spark, dir), queries, 10, 64,
+      VamanaIndex.qParams, target = Target))
+    assert(resident == oneShot,
+      s"resident tier drifted: ${resident.diff(oneShot).size} extra, " +
+        s"${oneShot.diff(resident).size} missing")
+  }
+
   test("save/load round-trip: label-partitioned layout, row-identical serving") {
     val idx = StitchedIndex.cachedIndex(spark, dir)
     val path = TempCleanup.onExit(
