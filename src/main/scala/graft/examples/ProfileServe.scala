@@ -49,6 +49,25 @@ object ProfileServe {
         VamanaIndex.searchProbed(ov, q, 10, 64, VamanaIndex.qParams, 4,
           excludeSelf = true, pivots = Some(pv), distinctMerge = true)
           .queryExecution.toRdd.count())
+    // single-query job-path latency: AQE's per-exchange stage
+    // materialization is a fixed driver round-trip that dwarfs a
+    // 40-row serving shuffle — measure both settings
+    val one = Array(q.head)
+    def lat(): Double = {
+      val t0 = System.nanoTime()
+      VamanaIndex.searchProbed(VamanaIndex.cachedIndex(spark, dir), one, 10, 64,
+        VamanaIndex.qParams, 4,
+        excludeSelf = true, pivots = Some(VamanaIndex.cachedPivots(spark, dir)))
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for (aqe <- Seq("true", "false", "true", "false")) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      val xs = (1 to 15).map(_ => lat()).sorted
+      println(f"PROF single-query lat aqe=$aqe%-5s p50 ${xs(7) * 1000}%.1f ms  " +
+        f"p95 ${xs(13) * 1000}%.1f ms")
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.stop()
   }
 }

@@ -1587,14 +1587,33 @@ object VamanaIndex {
   def probedLatencies(s: SparkSession, dir: String): Array[Double] = {
     val idx = cachedIndex(s, dir)
     val pivots = cachedPivots(s, dir)
-    latencySample(queriesArr(s, dir)).map { q =>
-      val t0 = System.nanoTime()
-      searchProbed(idx, Array(q), K, searchBeam, qParams, nprobe = 4,
-        excludeSelf = true, pivots = Some(pivots),
-        resident = plainToken(dir))
-        .queryExecution.toRdd.count()
-      (System.nanoTime() - t0) / 1e9
+    withAqeOff(s) {
+      latencySample(queriesArr(s, dir)).map { q =>
+        val t0 = System.nanoTime()
+        searchProbed(idx, Array(q), K, searchBeam, qParams, nprobe = 4,
+          excludeSelf = true, pivots = Some(pivots),
+          resident = plainToken(dir))
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
     }
+  }
+
+  /** Run `body` with adaptive query execution off, restoring the
+    * session's setting after. A single-query serve job is a FIXED
+    * tiny plan (one scan-and-search stage into a ≤k·nprobe-row top-k
+    * exchange): AQE's per-exchange stage materialization and runtime
+    * re-planning are pure driver round-trips on it — measured at
+    * sf0.1, disabling AQE cuts single-query job p95 from ~252–298 ms
+    * to ~175–209 ms at identical results. Batch serving keeps AQE
+    * (coalescing pays there); only the per-query latency protocol —
+    * the shape a production point-query path would pin — turns it
+    * off. */
+  private def withAqeOff[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
   }
 
   /** Latency probes time queries ONE AT A TIME, so their cost is
