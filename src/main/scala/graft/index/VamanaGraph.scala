@@ -422,14 +422,31 @@ final class VamanaGraph(
     * reuse allocation-free). Thread-LOCAL, not per-instance: a graph
     * held in [[VamanaIndex.ShardGraphCache]] outlives one task and
     * can be searched by several task threads concurrently — a shared
-    * Scratch would race on the epoch marks and frontier arrays. */
+    * Scratch would race on the epoch marks and frontier arrays.
+    * Soft-referenced: a Scratch holds two Array[Int](n) (~8n bytes),
+    * so a cache-resident graph could otherwise retain one copy per
+    * idle task thread for the cache lifetime — memory the
+    * GRAFT_GRAPH_CACHE_MB accounting does not see (32 threads × a
+    * 100k-node shard ≈ 25 MiB per graph). Under memory pressure the
+    * GC reclaims idle copies; an active search just reallocates. */
   private val servingScratch =
-    ThreadLocal.withInitial[Scratch](() => new Scratch)
+    ThreadLocal.withInitial[java.lang.ref.SoftReference[Scratch]](
+      () => new java.lang.ref.SoftReference(new Scratch))
+
+  private def servingScratchGet(): Scratch = {
+    val s = servingScratch.get().get()
+    if (s != null) s
+    else {
+      val fresh = new Scratch
+      servingScratch.set(new java.lang.ref.SoftReference(fresh))
+      fresh
+    }
+  }
 
   /** Serving-path search: top-k (local idx, dist) for an external query
     * vector (reference lib.rs:635-701). */
   def search(q: Array[Float], k: Int, beamWidth: Int): Array[(Int, Double)] = {
-    val s = servingScratch.get()
+    val s = servingScratchGet()
     val bw = math.max(beamWidth, k)
     val wIds = new Array[Int](bw)
     val wDists = new Array[Double](bw)
@@ -463,7 +480,7 @@ final class VamanaGraph(
     * floors). */
   def searchFiltered(q: Array[Float], k: Int, beamWidth: Int,
       allow: Int => Boolean): Array[(Int, Double)] = {
-    val s = servingScratch.get()
+    val s = servingScratchGet()
     val bw = math.max(beamWidth, k)
     val wIds = new Array[Int](bw)
     val wDists = new Array[Double](bw)

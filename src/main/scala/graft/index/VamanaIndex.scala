@@ -799,30 +799,64 @@ object VamanaIndex {
     * serves degrade to rebuild-per-run, never OOM. Cleared by
     * [[releaseCaches]] alongside the plan caches it shadows. */
   private[graft] object ShardGraphCache {
-    private val cache =
-      TrieMap.empty[(String, Int), Map[Int, (VamanaGraph, Array[IndexRow])]]
+    private val log = org.slf4j.LoggerFactory.getLogger("graft.ShardGraphCache")
+    // value carries its byte estimate so eviction can decrement the
+    // shared counter exactly
+    private val cache = TrieMap.empty[(String, Int),
+      (Map[Int, (VamanaGraph, Array[IndexRow])], Long)]
     private val bytesUsed = new java.util.concurrent.atomic.AtomicLong(0L)
     private def capBytes: Long =
-      sys.env.get("GRAFT_GRAPH_CACHE_MB").map(_.toLong << 20)
-        .getOrElse(4096L << 20)
+      sys.env.get("GRAFT_GRAPH_CACHE_MB")
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .map(_ << 20).getOrElse(4096L << 20)
 
     /** Graphs for this partition: cached, or rebuilt from `it` (and
-      * cached when under the byte cap). */
+      * cached when under the byte cap).
+      *
+      * Superseded-build eviction: tokens are `kind:dir:counter`, so a
+      * cached entry sharing this token's `kind:dir:` prefix under a
+      * DIFFERENT counter names an older materialization of the same
+      * index. Executor JVMs on a real cluster never see the driver's
+      * [[releaseCaches]]; without eviction here, rebuilt indexes would
+      * pin dead graphs until the cap filled and resident serving
+      * silently degraded to rebuild-per-run. Correctness never
+      * depended on this (tokens already prevent stale serves) — only
+      * memory does. */
     def getOrRebuild(token: String, pid: Int, it: Iterator[IndexRow],
         params: VamanaParams): Map[Int, (VamanaGraph, Array[IndexRow])] =
       cache.get((token, pid)) match {
-        case Some(m) => m
+        case Some((m, _)) => m
         case None =>
+          val prefix = token.substring(0, token.lastIndexOf(':') + 1)
+          cache.keysIterator
+            .filter(k => k._1 != token && k._1.startsWith(prefix))
+            .foreach(k => cache.remove(k)
+              .foreach { case (_, e) => bytesUsed.addAndGet(-e) })
           val rows = it.toArray
           val m = rows.groupBy(_.shard).map { case (sh, group) =>
             sh -> rebuildShardGraph(group, params)
           }
-          // flat vectors + adjacency are held twice (rows + graph)
+          // flat vectors + adjacency are held twice (rows + graph);
+          // the serving scratch is soft-referenced (VamanaGraph), so
+          // it needs no allowance here — GC reclaims idle copies
           val est = rows.iterator.map(r =>
             64L + 8L * r.embedding.length + 16L * r.neighbors.length).sum
-          if (bytesUsed.get() + est <= capBytes &&
-              cache.putIfAbsent((token, pid), m).isEmpty)
-            bytesUsed.addAndGet(est)
+          // reserve first (addAndGet), roll back on cap-exceed or lost
+          // putIfAbsent race — check-then-act across two atomics let
+          // concurrent misses collectively overshoot the cap
+          if (bytesUsed.addAndGet(est) <= capBytes) {
+            if (cache.putIfAbsent((token, pid), (m, est)).isEmpty)
+              log.info(s"miss: rebuilt ${m.size} shard graphs for " +
+                s"($token, p$pid), cached ${est >> 20} MiB " +
+                s"(${bytesUsed.get() >> 20}/${capBytes >> 20} MiB used)")
+            else bytesUsed.addAndGet(-est)
+          } else {
+            bytesUsed.addAndGet(-est)
+            log.warn(s"miss over cap: serving ($token, p$pid) uncached " +
+              s"— ${est >> 20} MiB would exceed the " +
+              s"${capBytes >> 20} MiB GRAFT_GRAPH_CACHE_MB bound; " +
+              "resident tier is degrading to rebuild-per-run")
+          }
           m
       }
 
@@ -831,6 +865,10 @@ object VamanaIndex {
     /** Entry count — test observability (ProbedSearchSpec pins that
       * the serving queries actually populate the warm tier). */
     private[graft] def size: Int = cache.size
+
+    /** Byte-accounting observability — ProbedSearchSpec pins that
+      * superseded-token eviction returns its bytes. */
+    private[graft] def bytes: Long = bytesUsed.get()
   }
 
   // ---------------------------------------------------------------- search

@@ -247,9 +247,15 @@ class HiDimSpec extends AnyFunSuite {
       else {
         assert(r64 >= 0.4,
           f"recall $r64%.3f below the stride-bug floor at the protocol beam")
-        assert(r128 > r64,
-          f"beam 128 recall $r128%.3f did not improve on beam 64's $r64%.3f " +
+        // >= (not >): at 100 q × 10 the 1/1000 granularity can tie two
+        // healthy beams; the absolute beam-128 floor (vs the recorded
+        // 0.617@64 datapoint) is what catches a genuine regression
+        assert(r128 >= r64,
+          f"beam 128 recall $r128%.3f regressed below beam 64's $r64%.3f " +
             "— beam must stay the recall lever")
+        assert(r128 >= 0.65,
+          f"beam 128 recall $r128%.3f under the 0.65 absolute floor " +
+            "(recorded capped-build datapoint: 0.617@64 / higher @128)")
       }
       exactKth.unpersist(blocking = false)
     } finally {

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.index.{VamanaIndex, VamanaParams}
+import graft.index.{IndexRow, VamanaIndex, VamanaParams}
 
 /** Routed (nprobe) search quality: recall must rise monotonically with
   * probed shards and reach 1.0 when all shards are probed (routing
@@ -202,6 +202,37 @@ class ProbedSearchSpec extends AnyFunSuite {
     } finally VamanaIndex.releaseCaches()
     assert(VamanaIndex.ShardGraphCache.size == 0,
       "releaseCaches left resident shard graphs behind")
+  }
+
+  test("resident tier: superseded-build tokens evict and return their bytes") {
+    // executor JVMs never see the driver's releaseCaches() on a real
+    // cluster — a rebuilt index (new token counter, same kind:dir
+    // prefix) must evict the old build's graphs on its first miss, or
+    // the byte cap fills with dead entries and resident serving
+    // silently degrades to rebuild-per-run with the cap pinned.
+    val rows = Array.tabulate(16) { i =>
+      IndexRow(i.toLong, Array.tabulate(4)(d => (i * 4 + d).toFloat / 64f),
+        shard = i % 2, neighbors = Array((i + 1L) % 16))
+    }
+    def serve(token: String) =
+      VamanaIndex.ShardGraphCache.getOrRebuild(token, 0, rows.iterator, params)
+    VamanaIndex.ShardGraphCache.clear()
+    try {
+      serve("plain:/specdir:1")
+      val b1 = VamanaIndex.ShardGraphCache.bytes
+      assert(VamanaIndex.ShardGraphCache.size == 1 && b1 > 0,
+        "miss path did not cache under the cap")
+      serve("plain:/specdir:2") // supersedes counter 1, same kind:dir
+      assert(VamanaIndex.ShardGraphCache.size == 1,
+        "superseded-token entry was not evicted on insert")
+      assert(VamanaIndex.ShardGraphCache.bytes == b1,
+        "eviction did not return the superseded entry's bytes")
+      serve("overlap:/specdir:1") // different kind — must coexist
+      assert(VamanaIndex.ShardGraphCache.size == 2,
+        "eviction crossed the kind:dir prefix boundary")
+    } finally VamanaIndex.ShardGraphCache.clear()
+    assert(VamanaIndex.ShardGraphCache.bytes == 0L,
+      "clear() left the byte counter non-zero")
   }
 
   test("pivot table persists in metadata.json and serves identically") {
