@@ -4,22 +4,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Multimodal column plumbing: opaque `binary` payloads with typed,
-  * deterministic metadata extraction and a frame-sampling planner.
+/** Multimodal columns: REAL image payloads (PPM "P6" — see
+  * [[PpmCodec]]) carried as opaque `binary`, with typed metadata, a
+  * genuine header-parse decode, real pixel feature extraction, a real
+  * nearest-neighbor resampler, and a frame-sampling planner.
   *
-  * The real decode (image/audio codec) is STUBBED — this container has
-  * no media libraries — behind `fakeDecodeHex`: a deterministic
-  * pseudo-decoder that reads "header fields" out of the payload's md5
-  * hex. Everything around the stub is the real Spark plumbing you'd
-  * ship: binary column synthesis, typed metadata schema, explode-based
-  * frame batch planning, partition-friendly single-pass scans. To go
-  * live you swap `fakeDecodeHex` for a real codec inside the same
-  * `mapPartitions`/expression slot (batched per partition, one codec
-  * instance per task — the Scala analog of a pandas-UDF batch).
+  * Since r16 the decode is NOT a stub: every document carries a
+  * well-formed P6 image (ASCII header + RGB raster) synthesized
+  * deterministically from the document text (no camera data ships in
+  * the corpus), and the operators parse those bytes with the real
+  * codec — magic, whitespace/comment grammar, maxval, raster math.
+  * Swap the synthesized payloads for a parquet of real files and
+  * nothing in the operator path changes. The decode runs inside
+  * batched `mapPartitions` (one codec scope per batch — the Scala
+  * analog of a pandas-UDF `mapInPandas` batch); the DuckDB oracle
+  * replays the SAME bytes by constructing the identical payload in
+  * SQL and checking the decoded dimensions/pixel sums against it.
   *
-  * Hex→int parsing is done with a char-fold (`instr` on a hex
-  * alphabet) that both Spark and DuckDB evaluate identically, so even
-  * the stub decode is oracle-checked.
+  * The frame planner (`q_mm_frames`) deliberately stays
+  * metadata-driven: at 100 TB you plan frame sampling from the
+  * catalog's stored dims, not by decoding every payload — the decode
+  * belongs on the per-frame worker that consumes the plan.
   */
 object Multimodal {
 
@@ -34,22 +39,21 @@ object Multimodal {
       s"ci -> (instr('0123456789abcdef', substring($e, ci, 1)) - 1)::BIGINT)), " +
       s"(acc, c) -> acc * 16 + c) AS BIGINT)"
 
-  /** Deterministic fake payload: 16 md5 bytes of the text — stands in
-    * for real image/audio/video bytes. */
-  private val payloadCol = "unhex(md5(text))"
+  /** Decode batch size — one codec scope per batch, amortizing any
+    * per-batch setup a real codec library would have. */
+  private val DecodeBatch = 64
 
   // ---------------------------------------------------------------- metadata
 
-  /** The UNSORTED metadata projection every q_mm_* query composes on.
-    * Factored out of [[qMmMeta]] so downstream consumers never inherit
-    * its presentation `orderBy`: Catalyst's EliminateSorts cannot
-    * recurse through a Generate node, so composing q_mm_frames on the
-    * sorted frame left a wasted full range-partition exchange + sort
-    * of the meta rows below the explode. */
+  /** The UNSORTED metadata frame (catalog view): media type, stored
+    * dims, frame count — all deterministic functions of the doc text's
+    * md5, standing in for a real catalog's stored metadata. Factored
+    * out of [[qMmMeta]] so downstream planners (frames/resize) never
+    * inherit its presentation `orderBy` (Catalyst's EliminateSorts
+    * cannot recurse through a Generate node). */
   private def metaFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .withColumn("payload", expr(payloadCol))
       .withColumn("hex", md5($"text"))
       .withColumn("media_type",
         element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -59,53 +63,102 @@ object Multimodal {
       .withColumn("n_frames",
         when($"media_type" === "video", (expr(sparkHexToInt("substring(hex, 7, 2)")) % 120 + 8).cast("int"))
           .otherwise(lit(1)))
-      .select($"doc_id", $"media_type", $"width", $"height", $"n_frames",
-        length($"payload").cast("int").as("payload_bytes"))
+      .select($"doc_id", $"hex", $"media_type", $"width", $"height", $"n_frames")
   }
 
-  /** Binary payload + typed metadata decode (STUB decode, real schema):
-    * media_type from source id, width/height/fps/frames from "header"
-    * bytes. */
+  /** Real P6 payload, synthesized in-plan: ASCII header
+    * `P6\n{w} {h}\n255\n` + a `w*h*3`-byte RGB raster (the doc's md5
+    * bytes tiled). Byte-for-byte reproducible by the oracle's SQL
+    * twin [[payloadCteSql]], and a well-formed image any PPM tool
+    * renders. NULL text → NULL payload in both engines. */
+  private val ppmPayloadSql: String =
+    "concat(" +
+      "cast(concat('P6', chr(10), cast(width as string), ' ', " +
+      "cast(height as string), chr(10), '255', chr(10)) as binary), " +
+      "unhex(substring(repeat(hex, cast(ceil(width * height * 3 / 16.0) as int)), " +
+      "1, width * height * 6)))"
+
+  private def payloadFrame(s: SparkSession, dir: String): DataFrame =
+    metaFrame(s, dir).withColumn("payload", expr(ppmPayloadSql))
+
+  /** Typed metadata + REAL header decode: width/height/payload_bytes
+    * are parsed out of the P6 bytes by [[PpmCodec.decodeHeader]]
+    * (media_type and n_frames stay catalog metadata — a still-image
+    * container has no frame count). The oracle checks the decoded
+    * dims against the values it embedded when constructing the same
+    * payload — a parser drift fails the hash. */
   def qMmMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    metaFrame(s, dir).orderBy($"doc_id")
+    payloadFrame(s, dir)
+      .select($"doc_id", $"media_type", $"n_frames", $"payload")
+      .as[(Long, String, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap { batch =>
+          batch.map { case (id, mt, nf, bytes) =>
+            if (bytes == null)
+              (id, mt, nf, None: Option[Int], None: Option[Int], None: Option[Int])
+            else {
+              val hdr = PpmCodec.decodeHeader(bytes)
+              (id, mt, nf, Some(hdr.width), Some(hdr.height), Some(bytes.length))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "media_type", "n_frames", "width", "height", "payload_bytes")
+      .select($"doc_id", $"media_type", $"width", $"height", $"n_frames",
+        $"payload_bytes")
+      .orderBy($"doc_id")
   }
 
   /** The ONE oracle-side metadata CTE chain every q_mm_* oracle
-    * interpolates — the SQL twin of [[metaFrame]], so a stub-header
-    * change can never be applied to one oracle and missed in another.
-    * payload_bytes derives from the same synthesized payload as the
-    * Spark side (a NULL text yields NULL in both engines, never a
-    * hardcoded 16). */
+    * interpolates — the SQL twin of [[metaFrame]], so a metadata
+    * change can never be applied to one oracle and missed in
+    * another. */
   private val metaCte: String =
-    s"""h AS (SELECT doc_id, md5(text) AS hex,
-       |  octet_length(unhex(md5(text)))::INTEGER AS payload_bytes
-       |  FROM documents),
+    s"""h AS (SELECT doc_id, md5(text) AS hex FROM documents),
        |m0 AS (
-       |  SELECT doc_id, hex, payload_bytes,
+       |  SELECT doc_id, hex,
        |    ['image', 'audio', 'video'][(${duckHexToInt("substring(hex, 1, 2)")} % 3 + 1)::INTEGER] AS media_type,
        |    (${duckHexToInt("substring(hex, 3, 2)")} % 64 + 16)::INTEGER AS width,
        |    (${duckHexToInt("substring(hex, 5, 2)")} % 64 + 16)::INTEGER AS height
        |  FROM h
        |),
        |m AS (
-       |  SELECT doc_id, hex, payload_bytes, media_type, width, height,
+       |  SELECT doc_id, hex, media_type, width, height,
        |    CASE WHEN media_type = 'video'
        |         THEN (${duckHexToInt("substring(hex, 7, 2)")} % 120 + 8)::INTEGER
        |         ELSE 1 END AS n_frames
        |  FROM m0
        |)""".stripMargin
 
+  /** Oracle twin of [[ppmPayloadSql]]: the identical P6 bytes,
+    * constructed in DuckDB. */
+  // NOTE: no line here may begin with `||` — the interpolating
+  // oracles apply stripMargin AFTER splicing this in, which would eat
+  // one pipe of a line-leading concat operator.
+  private val payloadCteSql: String =
+    "p AS (SELECT doc_id, " +
+      "encode('P6' || chr(10) || width || ' ' || height || chr(10) || " +
+      "'255' || chr(10)) || " +
+      "unhex(substring(repeat(hex, CAST(ceil(width * height * 3 / 16.0) AS INTEGER)), " +
+      "1, width * height * 6)) AS payload FROM m)"
+
   val qMmMetaSql: String =
-    s"""WITH $metaCte
-       |SELECT doc_id, media_type, width, height, n_frames, payload_bytes
-       |FROM m ORDER BY doc_id""".stripMargin
+    s"""WITH $metaCte,
+       |$payloadCteSql
+       |SELECT m.doc_id, media_type, width, height, n_frames,
+       |  octet_length(payload)::INTEGER AS payload_bytes
+       |FROM m JOIN p ON m.doc_id = p.doc_id
+       |ORDER BY m.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- frames
 
   /** Frame-sampling plan for video payloads: every 8th frame, with the
     * byte offset a decoder would seek to — the explode gives the
-    * (doc, frame) work-list a downstream batched decoder consumes. */
+    * (doc, frame) work-list a downstream batched decoder consumes.
+    * Metadata-driven BY DESIGN: the plan reads stored dims, decoding
+    * nothing (see the object doc — at 100 TB the decode belongs on
+    * the worker consuming this plan, not on the planner). */
   def qMmFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     metaFrame(s, dir)
@@ -126,29 +179,28 @@ object Multimodal {
 
   // ---------------------------------------------------------------- features
 
-  /** Batched feature extraction — the Scala analog of a pandas-UDF
-    * `mapInPandas` decoder: payloads stream through `mapPartitions`
-    * in fixed-size batches, one "codec" invocation per batch (real
-    * codecs amortize model/handle setup per batch, which is the whole
-    * point of the shape). The decode itself is the deterministic STUB
-    * (mean byte brightness) so even this path is oracle-checked. */
+  /** Batched feature extraction over REAL decoded pixels — the Scala
+    * analog of a pandas-UDF `mapInPandas` decoder: payloads stream
+    * through `mapPartitions` in fixed-size batches; each payload is
+    * parsed by the real codec and the brightness is the mean of its
+    * RGB raster (header bytes excluded — that is what makes it an
+    * image feature, not a byte hash). NULL/empty payloads are DEFINED
+    * inputs → 0.0, never an NPE or NaN; the oracle's CASE mirrors the
+    * same rule. */
   def extractFeatures(payloads: DataFrame, batchSize: Int): DataFrame = {
     val s = payloads.sparkSession
     import s.implicits._
     payloads.select($"doc_id", $"payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // one codec call per batch (stub: per-payload mean byte)
           batch.map { case (id, bytes) =>
-            // null (e.g. a NULL-text doc's unhex(md5(NULL)) payload)
-            // and empty payloads are DEFINED inputs → 0.0, never an
-            // NPE or NaN; the oracle's CASE mirrors the same rule
             val brightness =
               if (bytes == null || bytes.isEmpty) 0.0
               else {
+                val (_, _, raster) = PpmCodec.decode(bytes)
                 var sum = 0L
-                bytes.foreach(b => sum += (b & 0xff))
-                math.round(sum.toDouble / bytes.length / 255.0 * 10000) / 10000.0
+                raster.foreach(b => sum += (b & 0xff))
+                math.round(sum.toDouble / raster.length / 255.0 * 10000) / 10000.0
               }
             (id, brightness)
           }
@@ -159,67 +211,104 @@ object Multimodal {
 
   def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val payloads = graft.Tables.documents(s, dir)
-      .select($"doc_id", expr(payloadCol).as("payload"))
-    extractFeatures(payloads, batchSize = 64).orderBy($"doc_id")
+    extractFeatures(
+      payloadFrame(s, dir).select($"doc_id", $"payload"), batchSize = DecodeBatch)
+      .orderBy($"doc_id")
   }
 
+  /** Oracle: raster byte k is md5-byte (k mod 16) — the tiled
+    * construction — so the raster sum over L = w*h*3 bytes is
+    * (full tiles)·Σbytes + the leading remainder, all exact integer
+    * arithmetic; brightness divides at the end. */
   val qMmFeaturesSql: String =
     s"""WITH $metaCte,
        |b AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, width, height,
        |    CASE WHEN hex IS NULL THEN NULL
        |         ELSE list_transform(range(0, 16),
        |           i -> ${duckHexToInt("substring(hex, 2*i + 1, 2)")}) END AS bytes
        |  FROM m
+       |),
+       |rs AS (
+       |  SELECT doc_id,
+       |    width::BIGINT * height * 3 AS L,
+       |    list_sum(bytes) * (width::BIGINT * height * 3 // 16)
+       |      + COALESCE(list_sum(bytes[1:((width::BIGINT * height * 3) % 16)::INTEGER]), 0)
+       |      AS raster_sum
+       |  FROM b WHERE bytes IS NOT NULL
        |)
-       |SELECT doc_id,
-       |  CASE WHEN bytes IS NULL THEN 0.0
-       |       ELSE round(CAST(list_sum(bytes) AS DOUBLE) / len(bytes) / 255.0, 4)
-       |       END AS brightness
-       |FROM b ORDER BY doc_id""".stripMargin
+       |SELECT m.doc_id,
+       |  CASE WHEN rs.doc_id IS NULL THEN 0.0
+       |       ELSE round(CAST(raster_sum AS DOUBLE) / L / 255.0, 4) END AS brightness
+       |FROM m LEFT JOIN rs ON m.doc_id = rs.doc_id
+       |ORDER BY m.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- resize
 
-  /** Resize planning for image/video payloads — the remaining member
-    * of the decode / feature-extract / resize / frame-sample quartet:
-    * fit each payload into a [[ResizeBox]]×[[ResizeBox]] box
-    * preserving aspect ratio (standard vision-model preprocessing,
-    * never upscaling). With the stub decoder the resize IS the plan —
-    * target dims via floor (floor is bit-identical across engines,
-    * unlike banker's-vs-half-up rounding), the scale factor, and the
-    * output byte volume a real resampler would emit. The pixel loop
-    * slots into the same batched mapPartitions shape as
-    * [[extractFeatures]] when a codec exists. */
+  /** Resize: fit each decoded image into a [[ResizeBox]]×[[ResizeBox]]
+    * box preserving aspect ratio (standard vision-model
+    * preprocessing, never upscaling) and RUN the resample — real
+    * nearest-neighbor pixel loop over the decoded raster
+    * ([[PpmCodec.resample]]). `resampled_sum` is the exact byte sum
+    * of the resampled raster — the checksum that proves the oracle
+    * and the engine produced the same pixels; `out_bytes` is the
+    * full-payload output volume (× n_frames for video). Target dims
+    * via floor (bit-identical across engines, unlike
+    * banker's-vs-half-up rounding). */
   private val ResizeBox = 32.0
 
   def qMmResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    metaFrame(s, dir)
+    payloadFrame(s, dir)
       .filter($"media_type" =!= "audio")
-      .withColumn("scale",
-        least(lit(ResizeBox) / $"width", lit(ResizeBox) / $"height", lit(1.0)))
-      .withColumn("out_w", greatest(floor($"width" * $"scale"), lit(1.0)).cast("int"))
-      .withColumn("out_h", greatest(floor($"height" * $"scale"), lit(1.0)).cast("int"))
-      .select($"doc_id", $"media_type", $"width", $"height",
-        round($"scale", 4).as("scale"), $"out_w", $"out_h",
-        ($"out_w".cast("long") * $"out_h" * 3L * $"n_frames").as("out_bytes"))
+      .select($"doc_id", $"media_type", $"n_frames", $"payload")
+      .as[(Long, String, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap { batch =>
+          batch.map { case (id, mt, nf, bytes) =>
+            val (w, h, raster) = PpmCodec.decode(bytes)
+            val scale = math.min(1.0, math.min(ResizeBox / w, ResizeBox / h))
+            val outW = math.max(1, math.floor(w * scale).toInt)
+            val outH = math.max(1, math.floor(h * scale).toInt)
+            val out = PpmCodec.resample(w, h, raster, outW, outH)
+            var sum = 0L
+            out.foreach(b => sum += (b & 0xff))
+            (id, mt, w, h, math.round(scale * 10000) / 10000.0,
+              outW, outH, outW.toLong * outH * 3L * nf, sum)
+          }
+        }
+      }
+      .toDF("doc_id", "media_type", "width", "height", "scale",
+        "out_w", "out_h", "out_bytes", "resampled_sum")
       .orderBy($"doc_id")
   }
 
+  /** Oracle resample: output pixel (oy, ox, c) reads source byte
+    * ((oy·h//outH)·w + (ox·w//outW))·3 + c, whose value is md5-byte
+    * (index mod 16) under the tiled raster — the same integer
+    * mapping [[PpmCodec.resample]] runs, replayed per-pixel in SQL. */
   val qMmResizeSql: String =
     s"""WITH $metaCte,
-       |r AS (
+       |b AS (
        |  SELECT doc_id, media_type, width, height, n_frames,
+       |    list_transform(range(0, 16),
+       |      i -> ${duckHexToInt("substring(hex, 2*i + 1, 2)")}) AS bytes,
        |    least($ResizeBox / width, $ResizeBox / height, 1.0) AS raw_scale
        |  FROM m WHERE media_type <> 'audio'
+       |),
+       |r AS (
+       |  SELECT *, greatest(floor(width * raw_scale), 1)::INTEGER AS out_w,
+       |    greatest(floor(height * raw_scale), 1)::INTEGER AS out_h
+       |  FROM b
        |)
        |SELECT doc_id, media_type, width, height,
-       |  round(raw_scale, 4) AS scale,
-       |  greatest(floor(width * raw_scale), 1)::INTEGER AS out_w,
-       |  greatest(floor(height * raw_scale), 1)::INTEGER AS out_h,
-       |  greatest(floor(width * raw_scale), 1)::BIGINT *
-       |    greatest(floor(height * raw_scale), 1)::BIGINT * 3 * n_frames AS out_bytes
+       |  round(raw_scale, 4) AS scale, out_w, out_h,
+       |  out_w::BIGINT * out_h * 3 * n_frames AS out_bytes,
+       |  CAST(list_sum(flatten(list_transform(range(0, out_h), oy ->
+       |    list_transform(range(0, out_w * 3), oxc ->
+       |      bytes[1 + ((((oy * height // out_h) * width
+       |        + ((oxc // 3) * width) // out_w) * 3 + oxc % 3) % 16)::INTEGER]
+       |    )))) AS BIGINT) AS resampled_sum
        |FROM r ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
