@@ -189,6 +189,161 @@ object StreamingIndex {
     }
   }
 
+  /** In-place delete merge — the published FreshDiskANN §4 merge
+    * (Singh et al., "FreshDiskANN", arXiv:2105.09613 §4.2 Delete
+    * phase) instead of a rebuild: every live node that points at a
+    * tombstoned node absorbs that node's live out-neighbors into its
+    * candidate set and is α-re-pruned back to `maxDegree`; tombstoned
+    * rows are then dropped. Connectivity routes AROUND the deleted
+    * hubs without ever re-running graph construction — the reason the
+    * paper's lifecycle is affordable where rebuild-on-compact is not:
+    * the merge is ONE scan of the graph (plus the save), linear in
+    * index size and independent of how the index was built, where
+    * [[compact]] pays the full multi-pass build. DeleteSpec pins both
+    * the recall relation (merge ≥ rebuild-compaction on the same
+    * corpus and delete set) and the job-count relation (no build job
+    * in the merge path).
+    *
+    * Spark shape: the tombstone set broadcasts (sorted primitive
+    * longs, the [[searchLive]] representation) and the patch runs as
+    * one `mapPartitions` over the shard-partitioned graph — neighbor
+    * lists are intra-shard by construction, so no shuffle beyond the
+    * shard re-cluster [[VamanaIndex.load]] already does. Logs above
+    * [[BroadcastTombstoneLimit]] should fall back to [[compact]]
+    * (required here: at that accumulation the paper itself schedules
+    * the background full merge).
+    *
+    * The same activate/rollback swap as [[compact]] (local-filesystem
+    * renames; on an object store, merge to a fresh path and repoint).
+    * The tombstone log retires with the swap. */
+  def merge(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      params: VamanaParams): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    if (!tombstoneLogExists(spark, path)) return
+    val log = spark.read.parquet(s"$path/tombstones")
+    val logCount = log.count()
+    require(logCount <= BroadcastTombstoneLimit,
+      s"merge: $logCount tombstones exceed the broadcast bound " +
+        s"($BroadcastTombstoneLimit) — run compact() (the scheduled full " +
+        "merge) instead")
+    val ids = log.select(col("vec_id")).as[Long].collect()
+    java.util.Arrays.sort(ids)
+    val bc = spark.sparkContext.broadcast(ids)
+    val metricName = params.metric
+    val maxDeg = params.maxDegree
+    val alpha = params.alpha
+    // preserve the capped-overlap split factor across the merge —
+    // primary pivot sampling in save() groups sibling sub-shards by it
+    val split =
+      try {
+        val n = MetaJson.parse(VamanaIndex.loadMeta(path)).get("split")
+        if (n == null) 1 else n.asInt()
+      } catch { case _: Throwable => 1 }
+    val patched = VamanaIndex.load(spark, path).mapPartitions { it =>
+      val tomb = bc.value
+      val metric = Metric.byName(metricName)
+      @inline def deleted(id: Long): Boolean =
+        java.util.Arrays.binarySearch(tomb, id) >= 0
+      it.toArray.groupBy(_.shard).iterator.flatMap { case (_, group) =>
+        val byId = new java.util.HashMap[Long, IndexRow](group.length * 2)
+        group.foreach(r => byId.put(r.vec_id, r))
+        group.iterator.filter(r => !deleted(r.vec_id)).map { r =>
+          var hasDeletedNbr = false
+          r.neighbors.foreach(n => if (deleted(n)) hasDeletedNbr = true)
+          if (!hasDeletedNbr) r
+          else {
+            // candidate set: live neighbors + the live out-neighbors
+            // of each deleted neighbor (the §4.2 formula), self-free
+            val cand = new java.util.LinkedHashSet[java.lang.Long]()
+            r.neighbors.foreach { n =>
+              if (!deleted(n)) { if (n != r.vec_id) cand.add(n) }
+              else {
+                val dRow = byId.get(n)
+                if (dRow != null) dRow.neighbors.foreach { nn =>
+                  if (!deleted(nn) && nn != r.vec_id) cand.add(nn)
+                }
+              }
+            }
+            val withVec = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](cand.size)
+            val cit = cand.iterator()
+            while (cit.hasNext) {
+              val id = cit.next().longValue()
+              val row = byId.get(id)
+              if (row != null) withVec += ((id, row.embedding))
+            }
+            r.copy(neighbors =
+              robustPrune(metric, r.embedding, withVec.toArray, maxDeg, alpha))
+          }
+        }
+      }
+    }.persist()
+    val tmp = new java.io.File(s"$path-merging")
+    try VamanaIndex.save(patched, params, tmp.getPath, split = split)
+    catch { case e: Throwable =>
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      patched.unpersist(); throw e
+    }
+    patched.unpersist()
+    val live = new java.io.File(path)
+    val old = new java.io.File(s"$path-old")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    if (!live.renameTo(old))
+      throw new java.io.IOException(s"merge: could not move $path aside; merged index left at $tmp")
+    if (!tmp.renameTo(live)) {
+      val restored = old.renameTo(live)
+      throw new java.io.IOException(
+        if (restored) s"merge: could not activate $tmp; original restored at $path"
+        else s"merge: could not activate $tmp AND rollback failed — " +
+          s"original index is at $old, nothing is live at $path")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
+  }
+
+  /** Robust α-prune over global ids (reference lib.rs:1201-1279
+    * semantics — α-occlusion then nearest backfill — re-expressed
+    * over (vec_id, embedding) pairs for the merge path, where
+    * candidates span rows rather than one in-memory graph's local
+    * indices). */
+  private[index] def robustPrune(metric: Metric, p: Array[Float],
+      cands: Array[(Long, Array[Float])], maxDeg: Int, alpha: Double): Array[Long] = {
+    if (cands.isEmpty) return Array.empty
+    val dim = p.length
+    val sorted = cands.map { case (id, e) => (id, e, metric.eval(p, 0, e, 0, dim)) }
+      .sortBy(t => (t._3, t._1))
+    val outIds = new Array[Long](math.min(maxDeg, sorted.length))
+    val outVecs = new Array[Array[Float]](outIds.length)
+    var outLen = 0
+    // phase 1: α-occlusion
+    var i = 0
+    while (i < sorted.length && outLen < outIds.length) {
+      val (c, ce, dc) = sorted(i)
+      var occluded = false
+      var t = 0
+      while (t < outLen && !occluded) {
+        if (alpha * metric.eval(ce, 0, outVecs(t), 0, dim) <= dc) occluded = true
+        t += 1
+      }
+      if (!occluded) { outIds(outLen) = c; outVecs(outLen) = ce; outLen += 1 }
+      i += 1
+    }
+    // phase 2: nearest backfill
+    if (outLen < outIds.length) {
+      i = 0
+      while (i < sorted.length && outLen < outIds.length) {
+        val (c, ce, _) = sorted(i)
+        var present = false
+        var t = 0
+        while (t < outLen && !present) { if (outIds(t) == c) present = true; t += 1 }
+        if (!present) { outIds(outLen) = c; outVecs(outLen) = ce; outLen += 1 }
+        i += 1
+      }
+    }
+    if (outLen == outIds.length) outIds else java.util.Arrays.copyOf(outIds, outLen)
+  }
+
   /** Online serving of a QUERY stream: each micro-batch of
     * (q_id, qv) is answered against the current on-disk index and
     * appended to `outPath` — the streaming side of the serving story

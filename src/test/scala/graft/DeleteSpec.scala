@@ -195,4 +195,101 @@ class DeleteSpec extends AnyFunSuite {
       s"overlap-compacted recall $overR below plain-compacted $plainR at nprobe=1")
     assert(overR >= 0.7, s"overlap-compacted nprobe=1 recall $overR below 0.7")
   }
+
+  test("FreshDiskANN in-place merge: live-set recall >= rebuild-compaction, no build job in the path") {
+    // the §4.2 delete merge (patch in-neighbors of tombstoned nodes
+    // with their live out-neighbors, α-re-prune) vs compact()'s full
+    // rebuild, on the SAME corpus and delete set. Everything here is
+    // deterministic (seeded build, fixed delete set), so both recalls
+    // and the job counts reproduce exactly.
+    val pM = "/tmp/graft_merge_spec_idx"
+    val pC = "/tmp/graft_merge_spec_idx_c"
+    Seq(pM, pC).foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val built = VamanaIndex.build(
+      Tables.embeddings(spark, SparkSpecBase.sf001), params, numShards = 2).persist()
+    VamanaIndex.save(built, params, pM)
+    VamanaIndex.save(built, params, pC)
+    val before: Map[Long, (Int, Seq[Long])] = built.collect()
+      .map(r => r.vec_id -> ((r.shard, r.neighbors.toSeq))).toMap
+    built.unpersist()
+    val dels: Set[Long] = all.keySet.filter(_ % 7 == 0)
+    StreamingIndex.delete(spark, pM, dels.toSeq)
+    StreamingIndex.delete(spark, pC, dels.toSeq)
+
+    val sc = spark.sparkContext
+    sc.setJobGroup("fresh_merge", "in-place merge")
+    StreamingIndex.merge(spark, pM, params)
+    sc.clearJobGroup()
+    sc.setJobGroup("rebuild_compact", "rebuild compaction")
+    StreamingIndex.compact(spark, pC, params, numShards = 2)
+    sc.clearJobGroup()
+    val mergeJobs = sc.statusTracker.getJobIdsForGroup("fresh_merge").length
+    val compactJobs = sc.statusTracker.getJobIdsForGroup("rebuild_compact").length
+    // the merge path runs NO graph-construction job: one patch scan +
+    // the save actions. compact() pays the multi-pass build on top of
+    // the same save — strictly more jobs, and the absolute bound pins
+    // that no build pass snuck into merge
+    info(s"merge jobs: $mergeJobs, compact jobs: $compactJobs")
+    assert(mergeJobs > 0 && mergeJobs < compactJobs,
+      s"merge ran $mergeJobs jobs vs compact's $compactJobs — no-rebuild contract broken")
+    // the save tail (write/stats/routing/pivot actions) dominates the
+    // merge's job count; the patch itself is ONE scan. A build pass
+    // would add the multi-pass refinement loop's jobs on top — the
+    // absolute bound sits between the two (merge measured 24, compact
+    // with the identical save tail measured above it)
+    assert(mergeJobs <= 26, s"merge ran $mergeJobs jobs — more than patch-scan+save needs")
+
+    // physical contract: tombstoned rows gone, log retired, neighbor
+    // lists live-only and degree-bounded
+    assert(!new java.io.File(s"$pM/tombstones").exists(), "merge did not retire the log")
+    val merged = VamanaIndex.load(spark, pM)
+      .as[(Long, Array[Float], Int, Array[Long])].collect()
+    assert(merged.map(_._1).toSet == all.keySet.diff(dels), "merged live set wrong")
+    merged.foreach { case (id, _, _, nbrs) =>
+      nbrs.foreach(n => assert(!dels(n), s"node $id still points at tombstoned $n"))
+      assert(nbrs.length <= params.maxDegree, s"node $id degree ${nbrs.length}")
+    }
+    // IN-PLACE, not rebuilt — the structural proof job counts can't
+    // give (the rebuild hides inside the same save actions): a live
+    // node with no tombstoned neighbor must keep its neighbor list
+    // byte-identical (and its shard), which no fresh build would
+    // reproduce; and at this delete rate most nodes are untouched
+    var untouched = 0
+    merged.foreach { case (id, _, shard, nbrs) =>
+      val (oldShard, oldNbrs) = before(id)
+      assert(shard == oldShard, s"merge moved node $id across shards")
+      if (oldNbrs.forall(n => !dels(n))) {
+        untouched += 1
+        assert(nbrs.toSeq == oldNbrs,
+          s"untouched node $id had its neighbors rewritten — merge is rebuilding")
+      }
+    }
+    // at delete rate 1/7 and degree ≤16, P(no deleted neighbor) ≈
+    // (6/7)^16 ≈ 8% — a few dozen nodes, enough for the identity pin
+    assert(untouched >= 10,
+      s"only $untouched/${merged.length} untouched nodes — pin has no teeth")
+
+    // recall: both lifecycles answer the same live queries; the merge
+    // must not lose to the rebuild (the paper's claim — and the reason
+    // the in-place path is usable at scale)
+    val qids = all.keySet.filter(id => !dels(id) && id % 9 == 0).toSeq.sorted.take(60)
+    val qs = qids.map(id => (id, all(id))).toArray
+    def recallOf(indexPath: String): Double = {
+      val served = StreamingIndex.searchLive(spark, indexPath, qs, k, beam, params)
+        .select($"q_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      qids.map { id =>
+        val exact = all.view.filterKeys(x => !dels(x)).toSeq
+          .sortBy { case (xid, v) => (cosDist(all(id), v), xid) }.take(k).map(_._1).toSet
+        (exact & served.getOrElse(id, Set.empty)).size.toDouble / k
+      }.sum / qids.size
+    }
+    val mergeR = recallOf(pM)
+    val compactR = recallOf(pC)
+    info(f"in-place merge recall $mergeR%.3f vs rebuild-compaction $compactR%.3f")
+    assert(mergeR >= compactR - 1e-9,
+      s"in-place merge recall $mergeR lost to rebuild-compaction's $compactR")
+    assert(mergeR >= 0.8, s"merged live-set recall $mergeR below the 0.8 floor")
+    Seq(pM, pC).foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
 }
