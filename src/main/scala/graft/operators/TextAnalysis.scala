@@ -69,42 +69,52 @@ object TextAnalysis {
 
   // ------------------------------------------------------------- bpe
 
-  /** Committed BPE merge table — a REAL (if small) byte-pair-encoding
-    * vocab, so token counts mean what a training-mixture budget means
-    * by them (the `n_bpe_est` ceil(len/4) estimate in [[qTextTokens]]
-    * stays as the cheap screen). Learned OFFLINE with standard
-    * frequency BPE (Sennrich et al. 2016: repeatedly merge the most
-    * frequent adjacent token pair; ties broken to the
-    * lexicographically smallest pair) over the sf0.01 documents
-    * corpus, 64 merges — then committed here as the vocab artifact,
-    * the way production tokenizers ship a frozen merges.txt. Rank =
-    * list position. */
-  private[graft] val BpeMerges: Vector[(String, String)] = Vector(
-    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
-    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
-    "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
-    "r" -> "ow", "at" -> "c", "atc" -> "h", "b" -> "atch", "a" -> "n",
-    "c" -> "an", "s" -> "can", "c" -> "o", "c" -> "u", "co" -> "lu",
-    "colu" -> "m", "colum" -> "n", "cu" -> "st", "cust" -> "o",
-    "custo" -> "mer", "f" -> "i", "fi" -> "l", "fil" -> "t",
-    "filt" -> "er", "a" -> "l", "al" -> "l", "m" -> "all",
-    "s" -> "mall", "g" -> "e", "l" -> "ow", "mer" -> "ge",
-    "s" -> "low", "c" -> "t", "ct" -> "or", "d" -> "er",
-    "e" -> "ctor", "or" -> "der", "v" -> "ector", "in" -> "e",
-    "l" -> "ine", "a" -> "b", "ab" -> "l", "abl" -> "e", "at" -> "a",
-    "d" -> "ata", "t" -> "able", "u" -> "p", "a" -> "g", "ag" -> "g",
-    "a" -> "lu", "alu" -> "e", "v" -> "alue", "e" -> "y", "k" -> "ey")
+  /** Committed BPE merge table — a REAL byte-pair-encoding vocab, so
+    * token counts mean what a training-mixture budget means by them
+    * (the `n_bpe_est` ceil(len/4) estimate in [[qTextTokens]] stays as
+    * the cheap screen). Learned OFFLINE by [[BpeVocab.learn]] driven
+    * through [[graft.examples.BpeTrain]] (standard frequency BPE,
+    * Sennrich et al. 2016: repeatedly merge the most frequent adjacent
+    * token pair, ties to the lexicographically smallest) over the
+    * sf0.1 documents corpus, 1024 merges — shipped as the frozen
+    * `bpe_merges.txt` resource, the way production tokenizers ship a
+    * merges.txt artifact. Rank = line/list position. Re-running
+    * BpeTrain over the same corpus reproduces the file
+    * byte-for-byte. */
+  // lazy: BpeTrain (the trainer that PRODUCES the resource) touches
+  // this object for WordsExpr before the artifact exists
+  private[graft] lazy val BpeMerges: Vector[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "bpe_merges.txt missing from classpath resources")
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map { l =>
+          val i = l.indexOf(' ')
+          require(i > 0 && i < l.length - 1, s"malformed merge line: '$l'")
+          (l.substring(0, i), l.substring(i + 1))
+        }.toVector
+    } finally in.close()
+  }
+
+  /** Pair → rank lookup — makes the encode loop O(word length) per
+    * round instead of O(vocab × word length), which is what lets the
+    * vocab scale from the r15 64-merge table to the committed 1024
+    * without the tokenizer becoming the scan's bottleneck. */
+  private[graft] lazy val BpeRanks: Map[(String, String), Int] =
+    BpeMerges.iterator.zipWithIndex.toMap
 
   /** BPE-encode one word against [[BpeMerges]]: start from single
-    * code points; repeatedly apply the LOWEST-RANK merge whose pair
-    * occurs anywhere, at its LEFTMOST occurrence, until no merge
-    * applies. One occurrence per step (not GPT-2's all-occurrences
-    * batch) — on a frozen vocab the two differ only when a merge
-    * CREATES a strictly lower-ranked pair mid-word, and the one-step
-    * rule is what a recursive SQL CTE can replay EXACTLY, which is
-    * the parity contract here (the oracle runs this loop verbatim).
-    * Word-local by construction, so the distributed form memoizes per
-    * partition and never shuffles text. */
+    * code points; each round applies the LOWEST-RANK merge present
+    * anywhere in the word to ALL its non-overlapping occurrences,
+    * left to right — the standard batch rule (GPT-2 bpe.py's loop;
+    * Sennrich §2.2), and the same rule [[BpeVocab.learn]] applied
+    * while learning, so inference segmentations match training
+    * statistics. The DuckDB oracle replays the identical round loop
+    * (one recursion step per round, all-occurrences replace via the
+    * doubled-delimiter trick). Word-local by construction, so the
+    * distributed form memoizes per partition and never shuffles
+    * text. */
   private[graft] def bpeTokens(w: String): Array[String] = {
     var toks: Array[String] = {
       val b = Array.newBuilder[String]
@@ -117,26 +127,28 @@ object TextAnalysis {
       }
       b.result()
     }
-    var merging = true
-    while (merging && toks.length > 1) {
-      var found = -1
-      var m = 0
-      while (found < 0 && m < BpeMerges.length) {
-        val (l, r) = BpeMerges(m)
-        var i = 0
-        while (found < 0 && i < toks.length - 1) {
-          if (toks(i) == l && toks(i + 1) == r) found = i
-          i += 1
-        }
-        if (found < 0) m += 1
+    var merging = toks.length > 1
+    while (merging) {
+      // lowest-rank pair present in this round
+      var best = Int.MaxValue
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = BpeRanks.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
       }
-      if (found < 0) merging = false
+      if (best == Int.MaxValue) merging = false
       else {
-        val nt = new Array[String](toks.length - 1)
-        System.arraycopy(toks, 0, nt, 0, found)
-        nt(found) = toks(found) + toks(found + 1)
-        System.arraycopy(toks, found + 2, nt, found + 1, toks.length - found - 2)
-        toks = nt
+        val (l, r) = BpeMerges(best)
+        val out = Array.newBuilder[String]
+        i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+        if (toks.length <= 1) merging = false
       }
     }
     toks
@@ -169,16 +181,29 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  val qTextTokensBpeSql: String = {
+  /** SQL string literal with single quotes doubled — merge tokens
+    * come from corpus words, which can contain quote characters. */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The rank-ordered merge list as one SQL struct-array literal and
+    * the round-step CTE chain, shared by [[qTextTokensBpeSql]] and
+    * [[qPackChunksBpeSql]] so the two oracles can never replay
+    * different vocabs. Each recursion step is one ROUND of the batch
+    * rule [[bpeTokens]] runs: the lowest-rank applicable merge (first
+    * element of the rank-ordered filter) replaces ALL its
+    * non-overlapping occurrences left-to-right. All-occurrence
+    * replacement on a delimited token string is exact under the
+    * doubled-delimiter trick: with every separator doubled, adjacent
+    * occurrences no longer share a boundary space, so replace() hits
+    * each of them exactly once — the same left-to-right
+    * non-overlapping semantics as the Scala loop. */
+  private def bpeEncCtes: String = {
     val ms = BpeMerges
-      .map { case (l, r) => s"{'l': '$l', 'r': '$r'}" }.mkString("[", ", ", "]")
-    // the lowest-rank applicable merge = FIRST element of the
-    // rank-ordered filter; its leftmost occurrence located on the
-    // space-padded token string, spliced out, one merge per recursion
-    // step — the exact loop bpeTokens runs
+      .map { case (l, r) => s"{'l': ${sqlLit(l)}, 'r': ${sqlLit(r)}}" }
+      .mkString("[", ", ", "]")
     def applicable(seq: String) =
       s"list_filter($ms, m -> instr(' ' || $seq || ' ', ' ' || m.l || ' ' || m.r || ' ') > 0)"
-    s"""WITH RECURSIVE w AS (
+    s"""w AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
        |  FROM documents
        |), dw AS (
@@ -188,26 +213,29 @@ object TextAnalysis {
        |    i -> substr(w, CAST(i AS INTEGER), 1)), ' ') AS seq
        |  FROM dw
        |  UNION ALL
-       |  SELECT w, trim(substr(p, 1, pos) || lr || substr(p, pos + length(lr) + 2)) AS seq
+       |  SELECT w,
+       |    trim(replace(
+       |      replace(' ' || replace(seq, ' ', '  ') || ' ',
+       |              ' ' || b.l || '  ' || b.r || ' ',
+       |              ' ' || b.l || b.r || ' '),
+       |      '  ', ' ')) AS seq
        |  FROM (
-       |    SELECT w, p, b.l || b.r AS lr,
-       |      instr(p, ' ' || b.l || ' ' || b.r || ' ') AS pos
-       |    FROM (
-       |      SELECT w, ' ' || seq || ' ' AS p, ${applicable("seq")}[1] AS b
-       |      FROM enc
-       |    ) WHERE b IS NOT NULL
-       |  )
+       |    SELECT w, seq, ${applicable("seq")}[1] AS b FROM enc
+       |  ) WHERE b IS NOT NULL
        |), done AS (
        |  SELECT w, len(string_split(seq, ' ')) AS w_tok
        |  FROM enc WHERE len(${applicable("seq")}) = 0
-       |)
+       |)""".stripMargin
+  }
+
+  lazy val qTextTokensBpeSql: String =
+    s"""WITH RECURSIVE $bpeEncCtes
        |SELECT doc_id,
        |  CAST(count(*) AS BIGINT) AS n_ws_tokens,
        |  CAST(sum(w_tok) AS BIGINT) AS n_bpe_tokens
        |FROM w JOIN done USING (w)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- quality
 
@@ -528,6 +556,19 @@ object TextAnalysis {
         .repartitionByRange($"source", $"doc_id")
         .sortWithinPartitions($"source", $"doc_id")
         .as[(Long, String, Long)])
+    packByCounts(s, ranged)
+  }
+
+  /** The hierarchical prefix-sum pack over (doc_id, source, n_tokens)
+    * rows, range-partitioned and sorted by (source, doc_id): per-
+    * partition subtotals → driver offset table (|partitions|×|sources|
+    * rows, tiny) → broadcast → one streaming pass assigns (chunk_id,
+    * chunk_off). Shared by [[qPackChunks]] (whitespace counts) and
+    * [[qPackChunksBpe]] (real tokenizer counts) — the packing law is
+    * the same, only the budget unit changes. */
+  private def packByCounts(s: SparkSession,
+      ranged: org.apache.spark.sql.Dataset[(Long, String, Long)]): DataFrame = {
+    import s.implicits._
     val subtotals: Array[(Int, String, Long)] = ranged.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         // LinkedHashMap: sources within a partition stay in encounter
@@ -581,6 +622,60 @@ object TextAnalysis {
        |  SELECT doc_id, source,
        |    CAST(len(list_filter(string_split(text, ' '), w -> w != '')) AS BIGINT) AS n_tokens
        |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+       |  FROM t
+       |)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(floor(cum_prev / $ChunkTokens.0) AS BIGINT) AS chunk_id,
+       |  CAST(cum_prev % $ChunkTokens AS BIGINT) AS chunk_off
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** `q_pack_chunks_bpe`: the same pack, budgeted in REAL tokenizer
+    * counts — the number a training run actually packs sequences by
+    * (whitespace counts under-budget long words and over-budget short
+    * ones; a 2048-token context window is a BPE budget). Counts come
+    * from the same per-partition-memoized [[bpeTokens]] encode as
+    * [[qTextTokensBpe]] (explode_outer keeps zero-word docs at
+    * n_tokens 0 — every doc must land in a chunk), then the identical
+    * hierarchical prefix-sum pack. One extra exchange vs the
+    * whitespace form (the doc-level aggregate under the range
+    * repartition) — the price of real counts, still nothing
+    * quadratic. */
+  def qPackChunksBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranged = graft.PlanCache.getOrBuild(s, Family, s"packRangedBpe:$dir")(
+      Tables.documents(s, dir)
+        .select($"doc_id", $"source", explode_outer(expr(WordsExpr)).as("w"))
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          val memo = scala.collection.mutable.HashMap.empty[String, Long]
+          it.map { case (id, src, w) =>
+            (id, src,
+              if (w == null) 0L
+              else memo.getOrElseUpdate(w, bpeTokens(w).length.toLong))
+          }
+        }
+        .toDF("doc_id", "source", "w_tok")
+        .groupBy($"doc_id", $"source")
+        .agg(sum($"w_tok").as("n_tokens"))
+        .repartitionByRange($"source", $"doc_id")
+        .sortWithinPartitions($"source", $"doc_id")
+        .select($"doc_id", $"source", $"n_tokens")
+        .as[(Long, String, Long)])
+    packByCounts(s, ranged)
+  }
+
+  lazy val qPackChunksBpeSql: String =
+    s"""WITH RECURSIVE $bpeEncCtes,
+       |bc AS (
+       |  SELECT doc_id, CAST(sum(w_tok) AS BIGINT) AS n
+       |  FROM w JOIN done USING (w) GROUP BY doc_id
+       |), t AS (
+       |  SELECT d.doc_id, d.source, COALESCE(bc.n, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN bc ON d.doc_id = bc.doc_id
        |), c AS (
        |  SELECT doc_id, source, n_tokens,
        |    COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -1026,9 +1121,10 @@ object TextAnalysis {
     "q_text_bigram_ll" -> (qTextBigramLL(_, _)),
     "q_sample_stratified" -> (qSampleStratified(_, _)),
     "q_pack_chunks" -> (qPackChunks(_, _)),
+    "q_pack_chunks_bpe" -> (qPackChunksBpe(_, _)),
     "q_text_entropy" -> (qTextEntropy(_, _)))
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
     "q_sql_text" -> qSqlTextSql,
     "q_text_pii" -> qTextPiiSql,
     "q_text_boilerplate" -> qTextBoilerplateSql,
@@ -1036,6 +1132,7 @@ object TextAnalysis {
     "q_tfidf_terms" -> qTfidfTermsSql,
     "q_pipeline_select" -> qPipelineSelectSql,
     "q_pack_chunks" -> qPackChunksSql,
+    "q_pack_chunks_bpe" -> qPackChunksBpeSql,
     "q_text_entropy" -> qTextEntropySql,
     "q_doc_stats" -> qDocStatsSql,
     "q_text_tokens" -> qTextTokensSql,
