@@ -292,4 +292,39 @@ class DeleteSpec extends AnyFunSuite {
     assert(mergeR >= 0.8, s"merged live-set recall $mergeR below the 0.8 floor")
     Seq(pM, pC).foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
   }
+
+  test("in-place merge on an OVERLAP index: every replica of a deleted id goes, split survives") {
+    // the headline tier replicates ids across shards — the merge must
+    // drop ALL replicas (rows and edges) shard-locally, keep the
+    // replicated graph serving under distinctMerge, and carry the
+    // capped build's split factor through the re-save (primary pivot
+    // sampling groups sibling sub-shards by it)
+    val p = "/tmp/graft_merge_overlap_spec_idx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val (built, split) = VamanaIndex.buildOverlappedCapped(
+      Tables.embeddings(spark, SparkSpecBase.sf001), params, numShards = 2, overlap = 2)
+    VamanaIndex.save(built, params, p, split = split)
+    val dels: Set[Long] = all.keySet.filter(_ % 6 == 0)
+    StreamingIndex.delete(spark, p, dels.toSeq)
+    StreamingIndex.merge(spark, p, params)
+    val merged = VamanaIndex.load(spark, p)
+      .as[(Long, Array[Float], Int, Array[Long])].collect()
+    val liveIds = merged.map(_._1).toSet
+    assert(liveIds == all.keySet.diff(dels), "overlap merge changed the live id set")
+    assert(merged.length > liveIds.size, "overlap merge lost the replicas")
+    merged.foreach { case (id, _, _, nbrs) =>
+      nbrs.foreach(n => assert(!dels(n), s"replica row $id still points at tombstoned $n")) }
+    // split factor must survive the merge's re-save
+    val meta = graft.index.MetaJson.parse(VamanaIndex.loadMeta(p))
+    assert(meta.get("split").asInt() == split,
+      s"merge dropped split=$split from metadata")
+    // and the merged replicated graph still serves correctly
+    val qs = Seq(1L, 7L, 13L).map(id => (id, all(id))).toArray
+    val got = VamanaIndex.search(VamanaIndex.load(spark, p), qs, k, beam, params)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect()
+    qs.foreach { case (id, _) =>
+      assert(got.filter(_._1 == id).map(_._2).contains(id),
+        s"live $id not found by the merged overlap index") }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+  }
 }
