@@ -327,6 +327,8 @@ object Bench {
         () => operators.VectorQueries.release(spark)),
       ("pq", operators.PQ.queries, noop,
         () => operators.PQ.release(spark)),
+      ("opq", operators.Opq.queries, noop,
+        () => operators.Opq.release(spark)),
       ("dedup", operators.Dedup.queries,
         () => operators.Dedup.warm(spark, sfDir),
         () => operators.Dedup.release(spark)),
@@ -803,7 +805,11 @@ object Bench {
     "chunks" -> "ch", "serve" -> "sv", "search" -> "s",
     "window" -> "win", "exact" -> "ex", "deleted" -> "del",
     "degree" -> "deg", "encode" -> "enc", "bucket" -> "bkt",
-    "stream" -> "str")
+    "stream" -> "str",
+    // r16 second shrink (the 99-query surface: +q_opq_encode,
+    // +q_knn_opq, +q_dedup_semantic)
+    "semantic" -> "sem", "simhash" -> "sh", "minhash" -> "mh",
+    "stitched" -> "stit", "surface" -> "surf", "bigram" -> "bg")
 
   /** Compact query key: the uniform `q_` prefix carries no
     * information on a line where every key is a query, and at 80+

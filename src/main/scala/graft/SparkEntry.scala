@@ -22,12 +22,12 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.TextAnalysis.queries ++ multimodal.Multimodal.queries ++
       operators.KMeans.queries ++ operators.SourceQueries.queries ++
-      operators.PQ.queries
+      operators.PQ.queries ++ operators.Opq.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.VectorQueries.oracles ++
       index.VamanaIndex.oracles ++ operators.Dedup.oracles ++
       operators.TextAnalysis.oracles ++ multimodal.Multimodal.oracles ++
       operators.KMeans.oracles ++ operators.SourceQueries.oracles ++
-      operators.PQ.oracles
+      operators.PQ.oracles ++ operators.Opq.oracles
 }

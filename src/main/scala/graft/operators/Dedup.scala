@@ -1223,6 +1223,158 @@ object Dedup {
     * reps complete so later allocation-heavy families run against a
     * drained storage pool instead of GC-thrashing over pinned blocks
     * (the BENCH_r06 ensemble collapse). */
+  // ------------------------------------------------ semantic (SemDeDup)
+
+  private[graft] val SemTau = 0.3
+
+  /** Cosine similarity, double left-to-right — the exact arithmetic
+    * DuckDB's `list_cosine_similarity` replays (the [[qDedupEmbed]]
+    * parity form). Zero-norm → 0.0. */
+  private[graft] def cosineSim(va: Array[Float], vb: Array[Float]): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    val n = math.min(va.length, vb.length)
+    while (i < n) {
+      val xi = va(i).toDouble; val yi = vb(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  /** `q_dedup_semantic` — SemDeDup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the embedding space,
+    * call any within-cluster pair with cosine ≥ τ a semantic
+    * duplicate, and keep ONE member per duplicate group — the paper's
+    * rule keeps the member with the LOWEST cosine to its cluster
+    * centroid (the most atypical copy, preserving diversity).
+    * Clusters are the deterministic IVF seed cells
+    * ([[VectorQueries.ivfAssign]]; at 100 TB the centroids come from
+    * sampled k-means — the assignment join is the same shape), so the
+    * whole chain — assign → within-cell pairs → connected components
+    * → keep rule — is replayed exactly by the DuckDB oracle.
+    *
+    * Scale shape: the only all-pairs surface is WITHIN a cell (the
+    * same bounded-block shape as the LSH/banded families, skew-
+    * guarded by [[saltedPairs]] — SemDeDup's clustering exists
+    * precisely to make web-scale dedup sub-quadratic); components
+    * ride [[propagateMinLabels]] (O(E·rounds), no closure
+    * materialization); the keep rule is one map-side-combined
+    * aggregate re-joined broadcast-sized. Output: one row per member
+    * of a duplicate group with group id/size, centroid cosine, keep
+    * flag. */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val av = emb.join(VectorQueries.ivfAssign(s, dir), "vec_id")
+    val rows = av.select($"cell".cast("string").as("block"), $"vec_id", $"embedding")
+      .as[(String, Long, Array[Float])]
+    val pairs = saltedPairs(rows) { case ((ida, va), (idb, vb)) =>
+      if (cosineSim(va, vb) >= SemTau) Some((ida, idb)) else None
+    }.toDF("id_a", "id_b")
+    val edges = pairs.union(pairs.select($"id_b", $"id_a"))
+      .toDF("src", "dst").cache()
+    val labels = propagateMinLabels(s, edges) // (node, label)
+    edges.unpersist(blocking = false)
+    // centroid cosine of every duplicate-group member (centroid = its
+    // cell's seed vector — NCELLS×dim floats, broadcast)
+    val cents = Tables.embeddings(s, dir)
+      .filter($"vec_id" < VectorQueries.NCELLS)
+      .select($"vec_id".cast("int"), $"embedding")
+      .as[(Int, Array[Float])].collect().toMap
+    val bcC = s.sparkContext.broadcast(cents)
+    val members = labels.join(av, $"node" === $"vec_id")
+      .select($"vec_id", $"label", $"cell", $"embedding")
+      .as[(Long, Long, Int, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.map { case (id, label, cell, v) =>
+          (id, label, math.rint(cosineSim(v, cs(cell)) * 1e4) / 1e4)
+        }
+      }.toDF("vec_id", "group_id", "c_sim")
+    val grp = members.groupBy($"group_id")
+      .agg(count(lit(1)).as("group_n"),
+        min(struct($"c_sim", $"vec_id")).as("k"))
+      .select($"group_id", $"group_n", $"k.vec_id".as("keep_id"))
+    members.join(broadcast(grp), "group_id")
+      .select($"vec_id", $"group_id", $"group_n", $"c_sim",
+        when($"vec_id" === $"keep_id", 1).otherwise(0).as("keep"))
+      .orderBy($"vec_id")
+  }
+
+  /** DuckDB replay of [[qDedupSemantic]] — IVF assignment (the
+    * q_ivf_assign rule), within-cell cosine pairs, min-label
+    * components as 8 materialized pointer-doubling rounds (reach 2⁸ ≥
+    * any within-cell component diameter; poison row on
+    * non-convergence, the [[qDedupClusterSql]] convention), then the
+    * lowest-centroid-cosine keep rule. */
+  val qDedupSemanticSql: String = {
+    val rounds = 8
+    val roundCtes = (0 until rounds).map { i =>
+      s"""nm$i AS MATERIALIZED (
+         |  SELECT e.s AS n, min(x.l) AS m FROM edges e JOIN lab$i x ON x.n = e.d GROUP BY e.s
+         |), half$i AS MATERIALIZED (
+         |  SELECT l.n, least(l.l, coalesce(nm.m, l.l)) AS l
+         |  FROM lab$i l LEFT JOIN nm$i nm ON nm.n = l.n
+         |), lab${i + 1} AS MATERIALIZED (
+         |  SELECT a.n, least(a.l, b.l) AS l FROM half$i a JOIN half$i b ON b.n = a.l
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cents AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < ${VectorQueries.NCELLS}
+       |), dct AS (
+       |  SELECT e.vec_id, cell,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), cv) AS dist
+       |  FROM embeddings e CROSS JOIN cents
+       |), a AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM dct
+       |  ) WHERE rn = 1
+       |), p AS MATERIALIZED (
+       |  SELECT a1.vec_id AS ia, a2.vec_id AS ib
+       |  FROM a a1 JOIN a a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+       |  JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+       |  JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+       |  WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+       |                               CAST(e2.embedding AS DOUBLE[])) >= $SemTau
+       |), edges AS MATERIALIZED (
+       |  SELECT ia AS s, ib AS d FROM p UNION ALL SELECT ib, ia FROM p
+       |), lab0 AS MATERIALIZED (
+       |  SELECT DISTINCT s AS n, s AS l FROM edges
+       |),
+       |$roundCtes,
+       |unconverged AS (
+       |  SELECT l.n FROM lab$rounds l
+       |  JOIN edges e ON e.s = l.n JOIN lab$rounds x ON x.n = e.d
+       |  GROUP BY l.n, l.l HAVING min(x.l) < l.l
+       |), cs AS MATERIALIZED (
+       |  SELECT l.n AS vec_id, l.l AS group_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 4) AS c_sim
+       |  FROM lab$rounds l
+       |  JOIN a ON a.vec_id = l.n
+       |  JOIN cents c ON c.cell = a.cell
+       |  JOIN embeddings e ON e.vec_id = l.n
+       |), grp AS (
+       |  SELECT group_id, count(*) AS group_n FROM cs GROUP BY group_id
+       |), keepers AS (
+       |  SELECT group_id, vec_id AS keep_id FROM (
+       |    SELECT group_id, vec_id,
+       |      row_number() OVER (PARTITION BY group_id ORDER BY c_sim, vec_id) AS rn
+       |    FROM cs
+       |  ) WHERE rn = 1
+       |)
+       |SELECT vec_id, group_id, group_n, c_sim, keep FROM (
+       |  SELECT cs.vec_id, cs.group_id, CAST(g.group_n AS BIGINT) AS group_n,
+       |    cs.c_sim,
+       |    CAST(CASE WHEN cs.vec_id = k.keep_id THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |  FROM cs JOIN grp g USING (group_id) JOIN keepers k USING (group_id)
+       |  UNION ALL
+       |  SELECT -1, -1, CAST(-1 AS BIGINT), -1, CAST(-1 AS INTEGER) FROM unconverged
+       |) ORDER BY vec_id""".stripMargin
+  }
+
   def release(s: SparkSession): Unit = graft.PlanCache.release(s, Family)
 
   // ---------------------------------------------------------------- registry
@@ -1239,7 +1391,8 @@ object Dedup {
     "q_dedup_substring" -> (qDedupSubstring(_, _)),
     "q_dedup_substring_rep" -> (qDedupSubstringRep(_, _)),
     "q_dedup_cuts" -> (qDedupCuts(_, _)),
-    "q_dedup_embed" -> (qDedupEmbed(_, _)))
+    "q_dedup_embed" -> (qDedupEmbed(_, _)),
+    "q_dedup_semantic" -> (qDedupSemantic(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -1257,5 +1410,6 @@ object Dedup {
     "q_dedup_substring" -> qDedupSubstringSql,
     "q_dedup_substring_rep" -> qDedupSubstringSql,
     "q_dedup_cuts" -> qDedupCutsSql,
-    "q_dedup_embed" -> qDedupEmbedSql)
+    "q_dedup_embed" -> qDedupEmbedSql,
+    "q_dedup_semantic" -> qDedupSemanticSql)
 }

@@ -1,0 +1,340 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Optimized Product Quantization (OPQ, Ge et al., CVPR'13 /
+  * TPAMI'14): rotate the space with a learned orthonormal matrix `R`
+  * before PQ so the variance (and thus quantization error) is
+  * balanced across the M subspaces, then run the unchanged PQ
+  * encode→ADC→rerank chain on `R·x`. This is the parametric variant
+  * (OPQ-P, §5 of the paper): eigendecompose the data covariance and
+  * allocate eigen-dimensions to subspaces balancing the per-subspace
+  * eigenvalue product — closed-form, no alternating optimization, and
+  * the production default in public ANN libraries when data is
+  * roughly Gaussian.
+  *
+  * Like the BPE vocabulary ([[TextAnalysis.BpeMerges]]), the rotation
+  * is LEARNED OFFLINE ([[graft.examples.OpqTrain]] — distributed
+  * moment scan, driver-local 64×64 Jacobi eigendecomposition) and
+  * ships as a frozen resource (`opq_rotation.txt`), the way FAISS
+  * persists a trained `OPQMatrix`. Everything downstream is therefore
+  * deterministic and oracle-replayable: the DuckDB oracle carries the
+  * same float literals and replays rotation (double left-to-right
+  * accumulation, FLOAT-rounded outputs), encode, ADC and rerank term
+  * for term.
+  *
+  * Scale shape: the rotation is dim² floats (16 KiB) — broadcast; the
+  * rotate pass is a zero-shuffle mapPartitions projection, folded
+  * into the same scan that PQ-encodes, so OPQ costs ONE extra
+  * dim²-flop kernel per vector at 100 TB and nothing in shuffle.
+  *
+  * Reference anchor: the reference engine quantizes raw slices
+  * (rust-diskann's PQ path); OPQ is the published upgrade the same
+  * codebook budget buys when the embedding covariance is anisotropic.
+  */
+object Opq {
+
+  /** PlanCache family tag (rotated corpus + codes). */
+  private[graft] val Family = "opq"
+
+  def release(s: SparkSession): Unit = graft.PlanCache.release(s, Family)
+
+  private[graft] val Dim = PQ.M * PQ.SubDim // 64
+
+  // ------------------------------------------------------- training
+
+  /** Mean + covariance accumulated in vec_id order (caller sorts) —
+    * driver-local by design: the trainer's distributed step is the
+    * scan that delivers the vectors; the 64×64 second-moment matrix
+    * is the only state. Returns (count, mean, covariance row-major).
+    */
+  private[graft] def moments(vecs: Iterator[Array[Float]]): (Long, Array[Double], Array[Double]) = {
+    val n = Dim
+    val sum = new Array[Double](n)
+    val xx = new Array[Double](n * n)
+    var cnt = 0L
+    vecs.foreach { v =>
+      require(v.length == n, s"dim ${v.length} != $n")
+      var i = 0
+      while (i < n) {
+        val xi = v(i).toDouble
+        sum(i) += xi
+        var j = 0
+        while (j < n) { xx(i * n + j) += xi * v(j).toDouble; j += 1 }
+        i += 1
+      }
+      cnt += 1
+    }
+    require(cnt > 1, "need at least 2 vectors")
+    val mean = sum.map(_ / cnt)
+    val cov = new Array[Double](n * n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        cov(i * n + j) = xx(i * n + j) / cnt - mean(i) * mean(j)
+        j += 1
+      }
+      i += 1
+    }
+    (cnt, mean, cov)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric n×n matrix —
+    * textbook (Golub & Van Loan §8.5): sweep all (p,q) pairs, each
+    * rotation zeroing a(p,q), until the off-diagonal Frobenius mass
+    * is numerically zero. Returns (eigenvalues, eigenvectors
+    * column-major: V(i*n+k) = component i of eigenvector k), with
+    * A = V · diag(λ) · Vᵀ. dim 64 → ~8 sweeps, microseconds. */
+  private[graft] def jacobiEigen(aIn: Array[Double], n: Int): (Array[Double], Array[Double]) = {
+    val a = aIn.clone()
+    val v = new Array[Double](n * n)
+    var i = 0
+    while (i < n) { v(i * n + i) = 1.0; i += 1 }
+    def off(): Double = {
+      var s = 0.0; var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) { val x = a(p * n + q); s += 2 * x * x; q += 1 }
+        p += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-20) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p * n + q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q * n + q) - a(p * n + p)) / (2.0 * apq)
+            // tan of the rotation angle — the smaller root, |t| <= 1
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            // update A = Jᵀ A J on rows/cols p, q
+            var k = 0
+            while (k < n) {
+              val akp = a(k * n + p); val akq = a(k * n + q)
+              a(k * n + p) = c * akp - s * akq
+              a(k * n + q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p * n + k); val aqk = a(q * n + k)
+              a(p * n + k) = c * apk - s * aqk
+              a(q * n + k) = s * apk + c * aqk
+              k += 1
+            }
+            // accumulate V = V · J
+            k = 0
+            while (k < n) {
+              val vkp = v(k * n + p); val vkq = v(k * n + q)
+              v(k * n + p) = c * vkp - s * vkq
+              v(k * n + q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val eig = new Array[Double](n)
+    i = 0
+    while (i < n) { eig(i) = a(i * n + i); i += 1 }
+    (eig, v)
+  }
+
+  /** Eigenvalue allocation (Ge et al. §5 "eigenvalue allocation"):
+    * visit eigen-dims in descending-λ order; each goes to the
+    * non-full bucket with the smallest current log-product of
+    * eigenvalues (tie → lowest bucket). Balances per-subspace
+    * variance products, which is what equalizes per-subspace
+    * quantization error under a shared code budget. Returns, per
+    * output slot j (bucket-major), the eigen index it carries. */
+  private[graft] def allocate(eig: Array[Double], m: Int, subDim: Int): Array[Int] = {
+    val order = eig.indices.sortBy(i => (-eig(i), i))
+    val logSum = new Array[Double](m)
+    val buckets = Array.fill(m)(Vector.empty[Int])
+    order.foreach { e =>
+      var best = -1; var bestLs = Double.MaxValue
+      var b = 0
+      while (b < m) {
+        if (buckets(b).length < subDim && logSum(b) < bestLs) {
+          bestLs = logSum(b); best = b
+        }
+        b += 1
+      }
+      buckets(best) :+= e
+      logSum(best) += math.log(math.max(eig(e), 1e-12))
+    }
+    buckets.flatten.toArray
+  }
+
+  /** Assemble the flat out-major rotation: rot(j·Dim + i) = weight of
+    * input i in output j, output slot j carrying eigenvector
+    * `order(j)` — i.e. y = Pᵀ·Uᵀ·x with P the allocation permutation.
+    * FLOAT-rounded: this is the exact artifact both engines replay. */
+  private[graft] def buildRotation(eigvecs: Array[Double], order: Array[Int]): Array[Float] = {
+    val n = Dim
+    require(order.length == n)
+    val rot = new Array[Float](n * n)
+    var j = 0
+    while (j < n) {
+      val k = order(j)
+      var i = 0
+      while (i < n) { rot(j * n + i) = eigvecs(i * n + k).toFloat; i += 1 }
+      j += 1
+    }
+    rot
+  }
+
+  // ------------------------------------------------ frozen rotation
+
+  /** The committed rotation (out-major flat, [[Dim]]²) — learned once
+    * from the sf0.1 corpus by [[graft.examples.OpqTrain]]. */
+  lazy val Rotation: Array[Float] = {
+    val in = getClass.getResourceAsStream("/graft/opq_rotation.txt")
+    require(in != null, "missing resource graft/opq_rotation.txt — run graft.examples.OpqTrain")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val r = src.getLines().filter(_.nonEmpty)
+        .flatMap(_.split(" ").iterator.map(_.toFloat)).toArray
+      require(r.length == Dim * Dim, s"rotation has ${r.length} entries, want ${Dim * Dim}")
+      r
+    } finally src.close()
+  }
+
+  /** y_j = Σᵢ rot(j·Dim+i)·x_i — double accumulation left-to-right
+    * over i, FLOAT-rounded per output coordinate; the DuckDB replay
+    * is the same ordered prepend-reduce. */
+  private[graft] def rotate(v: Array[Float], rot: Array[Float]): Array[Float] = {
+    val n = Dim
+    val out = new Array[Float](n)
+    var j = 0
+    while (j < n) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += rot(j * n + i).toDouble * v(i).toDouble; i += 1 }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    out
+  }
+
+  /** Rotated corpus `(vec_id, embedding)` — broadcast rotation,
+    * zero-shuffle mapPartitions, memoized per (dir, session) like
+    * [[PQ.codesDf]]. */
+  private[graft] def rotatedEmbeddings(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(s, Family, s"rotated:$dir") {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(Rotation)
+      Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val r = bc.value
+          it.map { case (id, v) => (id, rotate(v, r)) }
+        }
+        .toDF("vec_id", "embedding")
+    }
+
+  /** Seed codebooks over the ROTATED corpus — same rule as
+    * [[PQ.codebooks]] (subvector slices of the Ksub lowest-id
+    * vectors), applied after rotation so codebooks live in the space
+    * they quantize. */
+  private[graft] def rotatedCodebooks(s: SparkSession, dir: String): Array[Float] = {
+    import s.implicits._
+    val rot = Rotation
+    PQ.packCodebooks(Tables.embeddings(s, dir).filter($"vec_id" < PQ.Ksub)
+      .select($"vec_id".cast("int"), $"embedding")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(p => rotate(p._2, rot)))
+  }
+
+  private def rotatedCodesDf(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(s, Family, s"codes:$dir") {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(rotatedCodebooks(s, dir))
+      rotatedEmbeddings(s, dir)
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cb = bc.value
+          it.map { case (id, v) => (id, PQ.encodeOne(v, cb)._1) }
+        }
+        .toDF("vec_id", "codes")
+    }
+
+  // --------------------------------------------------------- queries
+
+  /** `q_opq_encode`: OPQ codes + per-subspace quantization error for
+    * every vector — `q_pq_encode` on the rotated corpus, fully
+    * hash-verified (the oracle rotates with the same float literals
+    * and replays the argmin). */
+  def qOpqEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(rotatedCodebooks(s, dir))
+    rotatedEmbeddings(s, dir)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cb = bc.value
+        it.flatMap { case (id, v) =>
+          val (codes, errs) = PQ.encodeOne(v, cb)
+          (0 until PQ.M).iterator.map { sub =>
+            (id, sub, codes(sub), math.rint(errs(sub) * 1e4) / 1e4)
+          }
+        }
+      }
+      .toDF("vec_id", "sub", "code", "sub_err")
+      .orderBy($"vec_id", $"sub")
+  }
+
+  /** `q_knn_opq`: the full OPQ search chain — rotate, seed-codebook
+    * encode, ADC candidate scan, exact rerank in the rotated space
+    * (R is orthonormal, so rotated-L2 IS L2 up to float rounding;
+    * staying in one space keeps the chain hash-checkable end to
+    * end). Identical pipeline and plan shape to `q_knn_pq` — the
+    * rotation adds one broadcast projection to the encode scan. */
+  def qKnnOpq(s: SparkSession, dir: String): DataFrame =
+    PQ.adcSearchOn(s, rotatedEmbeddings(s, dir),
+      rotatedCodebooks(s, dir), rotatedCodesDf(s, dir))
+
+  // --------------------------------------------------------- oracles
+
+  /** Rotated-corpus CTEs: `rot` carries the frozen rotation as ONE
+    * flat FLOAT[] literal (the same decimal strings [[Rotation]]
+    * parses — both engines bind identical floats); `re` rebuilds each
+    * rotated vector with the kernel's ordered double reduce. */
+  private def rotatedCtes: String = {
+    val lit = Rotation.map(_.toString).mkString("[", ", ", "]")
+    s"""rot AS (SELECT $lit::FLOAT[] AS rm),
+       |re AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(0, $Dim), j ->
+       |    CAST(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${Dim + 1}),
+       |      i -> rm[j * $Dim + i]::DOUBLE * embedding[i]::DOUBLE)),
+       |      (acc, x) -> acc + x) AS FLOAT)) AS embedding
+       |  FROM embeddings, rot
+       |),
+       |""".stripMargin
+  }
+
+  lazy val qOpqEncodeSql: String =
+    s"""WITH ${rotatedCtes}${PQ.encodeCtesOn("re")}
+       |SELECT vec_id, sub, code, round(dd, 4) AS sub_err
+       |FROM enc ORDER BY vec_id, sub""".stripMargin
+
+  lazy val qKnnOpqSql: String = PQ.knnPqSqlOn(rotatedCtes, "re")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_opq_encode" -> (qOpqEncode(_, _)),
+    "q_knn_opq" -> (qKnnOpq(_, _)))
+  lazy val oracles: Map[String, String] = Map(
+    "q_opq_encode" -> qOpqEncodeSql,
+    "q_knn_opq" -> qKnnOpqSql)
+}

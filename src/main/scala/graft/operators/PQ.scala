@@ -57,7 +57,7 @@ object PQ {
     * layout cb[(s·Ksub + j)·SubDim + i] — entry j of subspace s is the
     * s-th SubDim-slice of seed j. Shared by the raw-vector and
     * residual codebooks. */
-  private def packCodebooks(seeds: Array[Array[Float]]): Array[Float] = {
+  private[graft] def packCodebooks(seeds: Array[Array[Float]]): Array[Float] = {
     require(seeds.length == Ksub, s"need $Ksub seed vectors, found ${seeds.length}")
     val out = new Array[Float](M * Ksub * SubDim)
     var sub = 0
@@ -99,7 +99,7 @@ object PQ {
     * lut[sub·Ksub + j] = squared L2 between v's sub-th slice and
     * codebook entry (sub, j). One definition shared by every ADC
     * query-side kernel. */
-  private def lutOf(v: Array[Float], cb: Array[Float]): Array[Double] = {
+  private[graft] def lutOf(v: Array[Float], cb: Array[Float]): Array[Double] = {
     val lut = new Array[Double](M * Ksub)
     var sub = 0
     while (sub < M) {
@@ -176,16 +176,16 @@ object PQ {
     * enc = per-(vec_id, sub) argmin code. Double math matches the
     * Scala kernel term for term (ordered prepend-reduce = the
     * left-to-right while loop). */
-  private val encodeCtes: String =
+  private[graft] def encodeCtesOn(src: String): String =
     s"""cb AS (
        |  SELECT CAST(t.s AS INTEGER) AS sub, CAST(vec_id AS INTEGER) AS j,
        |    embedding[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS cv
-       |  FROM embeddings, unnest(range(0, $M)) AS t(s)
+       |  FROM $src, unnest(range(0, $M)) AS t(s)
        |  WHERE vec_id < $Ksub
        |), sv AS (
        |  SELECT vec_id, CAST(t.s AS INTEGER) AS sub,
        |    embedding[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS v
-       |  FROM embeddings, unnest(range(0, $M)) AS t(s)
+       |  FROM $src, unnest(range(0, $M)) AS t(s)
        |), encd AS (
        |  SELECT sv.vec_id, sv.sub, cb.j,
        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, $SubDim + 1),
@@ -199,6 +199,8 @@ object PQ {
        |    FROM encd
        |  ) WHERE rn = 1
        |)""".stripMargin
+
+  private val encodeCtes: String = encodeCtesOn("embeddings")
 
   val qPqEncodeSql: String =
     s"""WITH $encodeCtes
@@ -220,12 +222,20 @@ object PQ {
     * per-query LUTs against `cbArr`, codegen'd m-lookup candidate
     * scan over `codes`, bounded top-Cand merge, exact rerank. */
   private def adcSearch(s: SparkSession, dir: String,
+      cbArr: Array[Float], codes: DataFrame): DataFrame =
+    adcSearchOn(s, Tables.embeddings(s, dir), cbArr, codes)
+
+  /** [[adcSearch]] over an arbitrary `(vec_id, embedding)` frame —
+    * queries are the `vec_id % 50` subset of `emb`, rerank reads full
+    * vectors from `emb`. Lets the OPQ chain run the identical
+    * pipeline over the rotated corpus ([[Opq]]). */
+  private[graft] def adcSearchOn(s: SparkSession, emb: DataFrame,
       cbArr: Array[Float], codes: DataFrame): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(cbArr)
 
     // per-query ADC lookup tables (M·Ksub doubles each — tiny)
-    val luts = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+    val luts = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id", $"embedding")
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -245,10 +255,10 @@ object PQ {
       .select($"q_id", explode($"tk.ids").as("nid"))
 
     // full-precision rerank of the surviving candidates only
-    val q = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+    val q = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
     val candQ = cand.join(q, "q_id")
-    val d = Tables.embeddings(s, dir).select($"vec_id".as("nid"), $"embedding".as("v"))
+    val d = emb.select($"vec_id".as("nid"), $"embedding".as("v"))
       .join(broadcast(candQ), "nid")
       .select($"q_id", $"nid", l2Dist($"qv", $"v").as("dist"))
     VectorQueries.topkExplode(d, K)
@@ -292,7 +302,7 @@ object PQ {
     * trainer behind [[trainedCodebooks]] (raw vectors) and
     * [[trainedResCodebooks]] (residuals) — see [[trainedCodebooks]]
     * for the full protocol notes. */
-  private def lloydRounds(s: SparkSession,
+  private[graft] def lloydRounds(s: SparkSession,
       vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
       seed: Array[Float]): Array[Float] = {
     import s.implicits._
@@ -447,11 +457,15 @@ object PQ {
        |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
   }
 
-  val qKnnPqSql: String =
-    s"""WITH $encodeCtes,
+  /** The full seed-codebook encode→LUT→ADC→rerank statement over an
+    * arbitrary source CTE/table `src` (must expose `vec_id,
+    * embedding`), with `extraCtes` prepended — "" and "embeddings"
+    * give [[qKnnPqSql]]; [[Opq]] passes its rotated-corpus CTEs. */
+  private[graft] def knnPqSqlOn(extraCtes: String, src: String): String =
+    s"""WITH $extraCtes${encodeCtesOn(src)},
        |q AS (
        |  SELECT vec_id AS q_id, embedding AS qv
-       |  FROM embeddings WHERE vec_id % 50 = 0
+       |  FROM $src WHERE vec_id % 50 = 0
        |), qs AS (
        |  SELECT q_id, CAST(t.s AS INTEGER) AS sub,
        |    qv[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS v
@@ -479,8 +493,8 @@ object PQ {
        |  SELECT c.q_id, c.nid,
        |    list_distance(CAST(eq.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[])) AS dist
        |  FROM cand c
-       |  JOIN embeddings eq ON eq.vec_id = c.q_id
-       |  JOIN embeddings en ON en.vec_id = c.nid
+       |  JOIN $src eq ON eq.vec_id = c.q_id
+       |  JOIN $src en ON en.vec_id = c.nid
        |), r AS (
        |  SELECT q_id, nid, dist,
        |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nid) AS rn
@@ -488,6 +502,8 @@ object PQ {
        |)
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
        |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
+
+  val qKnnPqSql: String = knnPqSqlOn("", "embeddings")
 
   /** `q_knn_ivfpq` — the IVF+ADC composition (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 §IV:

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Opq, PQ}
+
+/** OPQ (Ge et al., CVPR'13) pins: the committed rotation is
+  * orthonormal and reproducible from the corpus it was trained on,
+  * the Jacobi kernel is a real eigendecomposition, the eigenvalue
+  * allocation is a balanced partition, and — the published claim —
+  * rotating before PQ reduces the trained quantization error on the
+  * real corpus. */
+class OpqSpec extends AnyFunSuite {
+
+  private val n = Opq.Dim
+
+  test("committed rotation is orthonormal (R Rᵀ = I within float tolerance)") {
+    val r = Opq.Rotation
+    assert(r.length == n * n)
+    var j = 0
+    while (j < n) {
+      var k = j
+      while (k < n) {
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += r(j * n + i).toDouble * r(k * n + i).toDouble; i += 1 }
+        val want = if (j == k) 1.0 else 0.0
+        assert(math.abs(dot - want) < 1e-4, s"row($j)·row($k) = $dot, want $want")
+        k += 1
+      }
+      j += 1
+    }
+  }
+
+  test("rotation preserves L2 distances (orthonormality in action)") {
+    val rng = new scala.util.Random(7)
+    val r = Opq.Rotation
+    for (_ <- 0 until 10) {
+      val a = Array.fill(n)(rng.nextFloat() - 0.5f)
+      val b = Array.fill(n)(rng.nextFloat() - 0.5f)
+      def l2(x: Array[Float], y: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < n) { val d = x(i).toDouble - y(i).toDouble; s += d * d; i += 1 }
+        math.sqrt(s)
+      }
+      val raw = l2(a, b)
+      val rot = l2(Opq.rotate(a, r), Opq.rotate(b, r))
+      assert(math.abs(raw - rot) < 1e-3 * (1.0 + raw),
+        s"rotation distorted L2: $raw -> $rot")
+    }
+  }
+
+  test("jacobiEigen decomposes a known matrix and reconstructs a random symmetric one") {
+    // [[2,1],[1,2]] -> eigenvalues {1, 3}
+    val (e2, _) = Opq.jacobiEigen(Array(2.0, 1.0, 1.0, 2.0), 2)
+    assert(e2.sorted.zip(Array(1.0, 3.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+
+    val m = 8
+    val rng = new scala.util.Random(11)
+    val a = new Array[Double](m * m)
+    for (i <- 0 until m; j <- i until m) {
+      val x = rng.nextDouble() - 0.5
+      a(i * m + j) = x; a(j * m + i) = x
+    }
+    val (eig, v) = Opq.jacobiEigen(a, m)
+    // A = V diag(eig) Vᵀ
+    for (i <- 0 until m; j <- 0 until m) {
+      var s = 0.0
+      var k = 0
+      while (k < m) { s += v(i * m + k) * eig(k) * v(j * m + k); k += 1 }
+      assert(math.abs(s - a(i * m + j)) < 1e-9, s"reconstruction off at ($i,$j)")
+    }
+  }
+
+  test("allocate partitions all dims into equal buckets, balancing eigenvalue products") {
+    val rng = new scala.util.Random(3)
+    val eig = Array.fill(n)(math.exp(rng.nextDouble() * 6 - 3)) // spread 3 decades
+    val order = Opq.allocate(eig, PQ.M, PQ.SubDim)
+    assert(order.length == n && order.toSet == (0 until n).toSet)
+    val logProducts = order.grouped(PQ.SubDim)
+      .map(_.map(e => math.log(eig(e))).sum).toArray
+    // the greedy balance must beat the unrotated-order partition by a wide margin
+    val naive = eig.indices.sortBy(i => (-eig(i), i)).grouped(PQ.SubDim)
+      .map(_.map(e => math.log(eig(e))).sum).toArray
+    val spread = logProducts.max - logProducts.min
+    val naiveSpread = naive.max - naive.min
+    assert(spread < naiveSpread / 2,
+      s"allocation barely balanced: spread $spread vs naive $naiveSpread")
+  }
+
+  test("committed artifact is reproduced by retraining on its corpus (sf0.1)") {
+    val spark = SparkSpecBase.spark
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).map(_._2)
+    val (_, _, cov) = Opq.moments(vecs.iterator)
+    val (eig, v) = Opq.jacobiEigen(cov, n)
+    val rot = Opq.buildRotation(v, Opq.allocate(eig, PQ.M, PQ.SubDim))
+    assert(rot.sameElements(Opq.Rotation),
+      "retraining on sf0.1 did not reproduce the committed opq_rotation.txt")
+  }
+
+  test("OPQ claim: rotation lowers the trained-PQ corpus quantization error (sf0.01)") {
+    val spark = SparkSpecBase.spark
+    import spark.implicits._
+    val dir = SparkSpecBase.sf001
+
+    val rawTrained = PQ.trainedCodebooks(spark, dir)
+    val rotVecs = Opq.rotatedEmbeddings(spark, dir)
+      .as[(Long, Array[Float])]
+    val rotTrained = PQ.lloydRounds(spark, rotVecs, Opq.rotatedCodebooks(spark, dir))
+
+    val rawCorpus = Tables.embeddings(spark, dir)
+      .select($"embedding").as[Array[Float]].collect()
+    val rotCorpus = rotVecs.collect().map(_._2)
+    def totalErr(corpus: Array[Array[Float]], cb: Array[Float]): Double =
+      corpus.map(v => PQ.encodeOne(v, cb)._2.sum).sum
+
+    val eRaw = totalErr(rawCorpus, rawTrained)
+    val eRot = totalErr(rotCorpus, rotTrained)
+    assert(eRot < eRaw,
+      s"OPQ rotation did not lower trained quantization error: raw $eRaw vs rotated $eRot")
+  }
+}
