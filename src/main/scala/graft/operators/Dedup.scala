@@ -1253,28 +1253,64 @@ object Dedup {
     * whole chain — assign → within-cell pairs → connected components
     * → keep rule — is replayed exactly by the DuckDB oracle.
     *
-    * Scale shape: the only all-pairs surface is WITHIN a cell (the
-    * same bounded-block shape as the LSH/banded families, skew-
-    * guarded by [[saltedPairs]] — SemDeDup's clustering exists
-    * precisely to make web-scale dedup sub-quadratic); components
-    * ride [[propagateMinLabels]] (O(E·rounds), no closure
-    * materialization); the keep rule is one map-side-combined
-    * aggregate re-joined broadcast-sized. Output: one row per member
-    * of a duplicate group with group id/size, centroid cosine, keep
-    * flag. */
+    * Scale shape: the only all-pairs surface is WITHIN a cell —
+    * SemDeDup's clustering exists precisely to make web-scale dedup
+    * sub-quadratic — and because components cannot span cells, the
+    * pair scan AND the connected components run in ONE cell-local
+    * task (groupByKey + per-cell min-label union-find: no iterative
+    * driver loop, no pair shuffle; cell size is the bound, capacity-
+    * capped kmeans cells at 100 TB). The keep rule is one map-side-
+    * combined aggregate re-joined broadcast-sized. Output: one row
+    * per member of a duplicate group with group id/size, centroid
+    * cosine, keep flag. */
   def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
     val av = emb.join(VectorQueries.ivfAssign(s, dir), "vec_id")
-    val rows = av.select($"cell".cast("string").as("block"), $"vec_id", $"embedding")
-      .as[(String, Long, Array[Float])]
-    val pairs = saltedPairs(rows) { case ((ida, va), (idb, vb)) =>
-      if (cosineSim(va, vb) >= SemTau) Some((ida, idb)) else None
-    }.toDF("id_a", "id_b")
-    val edges = pairs.union(pairs.select($"id_b", $"id_a"))
-      .toDF("src", "dst").cache()
-    val labels = propagateMinLabels(s, edges) // (node, label)
-    edges.unpersist(blocking = false)
+    // Components NEVER span cells (pairs are within-cell by
+    // construction), so the whole pairs → connected-components chain
+    // is CELL-LOCAL: one groupByKey(cell) task runs the pair scan AND
+    // a min-label union-find over its own slice — no global iterative
+    // propagation (whose per-round driver barrier + localCheckpoint
+    // is the dedup-cluster family's cost floor), no pair
+    // materialization into a shuffle. Task memory/work is bounded by
+    // the cell — which is exactly the bound SemDeDup's clustering
+    // stage exists to create (capacity-capped kmeans cells at 100 TB,
+    // the buildCapped contract).
+    val labels = av.select($"cell", $"vec_id", $"embedding")
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.map { case (_, id, v) => (id, v) }
+          .toArray.sortInPlaceBy(_._1)
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        val inPair = scala.collection.mutable.LongMap.empty[Unit]
+        var i = 0
+        while (i < members.length - 1) {
+          var j = i + 1
+          while (j < members.length) {
+            if (cosineSim(members(i)._2, members(j)._2) >= SemTau) {
+              val a = members(i)._1; val b = members(j)._1
+              inPair(a) = (); inPair(b) = ()
+              val ra = find(a); val rb = find(b)
+              if (ra != rb) {
+                if (ra < rb) parent(rb) = ra else parent(ra) = rb
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        inPair.keys.toArray.sorted.iterator.map(k => (k, find(k)))
+      }
+      .toDF("node", "label")
     // centroid cosine of every duplicate-group member (centroid = its
     // cell's seed vector — NCELLS×dim floats, broadcast)
     val cents = Tables.embeddings(s, dir)
