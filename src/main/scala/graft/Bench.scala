@@ -809,7 +809,10 @@ object Bench {
     // r16 second shrink (the 99-query surface: +q_opq_encode,
     // +q_knn_opq, +q_dedup_semantic)
     "semantic" -> "sem", "simhash" -> "sh", "minhash" -> "mh",
-    "stitched" -> "stit", "surface" -> "surf", "bigram" -> "bg")
+    "stitched" -> "stit", "surface" -> "surf", "bigram" -> "bg",
+    // r16 third shrink (the 101-query surface: +q_knn_opq_trained)
+    "binary" -> "bin", "assign" -> "asg", "events" -> "ev",
+    "frames" -> "fr", "custom" -> "cust")
 
   /** Compact query key: the uniform `q_` prefix carries no
     * information on a line where every key is a query, and at 80+

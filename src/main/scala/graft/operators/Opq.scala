@@ -40,7 +40,10 @@ object Opq {
   /** PlanCache family tag (rotated corpus + codes). */
   private[graft] val Family = "opq"
 
-  def release(s: SparkSession): Unit = graft.PlanCache.release(s, Family)
+  def release(s: SparkSession): Unit = {
+    graft.PlanCache.release(s, Family)
+    trainedRotCbCache.clear()
+  }
 
   private[graft] val Dim = PQ.M * PQ.SubDim // 64
 
@@ -306,6 +309,49 @@ object Opq {
     PQ.adcSearchOn(s, rotatedEmbeddings(s, dir),
       rotatedCodebooks(s, dir), rotatedCodesDf(s, dir))
 
+  // ---------------------------------------------------- trained OPQ
+
+  /** Trained-on-rotated codebook memo — the [[PQ.trainedCodebooks]]
+    * convention (deterministic, JVM-lifetime, cleared on release). */
+  private val trainedRotCbCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Float]]
+
+  /** Codebooks from [[PQ.TrainIters]] distributed Lloyd rounds over
+    * the ROTATED corpus, seeded from [[rotatedCodebooks]] — OPQ-P's
+    * full production configuration (Ge et al. §5 pair the learned
+    * rotation with k-means-trained sub-codebooks; FAISS ships exactly
+    * this as OPQMatrix + trained ProductQuantizer). */
+  private[graft] def trainedRotatedCodebooks(s: SparkSession, dir: String): Array[Float] =
+    trainedRotCbCache.getOrElseUpdate(dir, {
+      import s.implicits._
+      PQ.lloydRounds(s, rotatedEmbeddings(s, dir).as[(Long, Array[Float])],
+        rotatedCodebooks(s, dir))
+    })
+
+  private def trainedRotCodesDf(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(s, Family, s"codesT:$dir") {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(trainedRotatedCodebooks(s, dir))
+      rotatedEmbeddings(s, dir)
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cb = bc.value
+          it.map { case (id, v) => (id, PQ.encodeOne(v, cb)._1) }
+        }
+        .toDF("vec_id", "codes")
+    }
+
+  /** `q_knn_opq_trained`: the q_knn_opq chain on TRAINED codebooks —
+    * rotate, two distributed Lloyd rounds in the rotated space, ADC,
+    * exact rerank; both Lloyd rounds unrolled in the DuckDB oracle on
+    * the rotated CTE (the q_knn_pq_trained technique), so the full
+    * production configuration is hash-gated end to end. */
+  def qKnnOpqTrained(s: SparkSession, dir: String): DataFrame =
+    PQ.adcSearchOn(s, rotatedEmbeddings(s, dir),
+      trainedRotatedCodebooks(s, dir), trainedRotCodesDf(s, dir))
+
+  lazy val qKnnOpqTrainedSql: String = PQ.knnPqTrainedSqlOn(rotatedCtes, "re")
+
   // --------------------------------------- binary (sign-bit) quantization
 
   private val BinCand = 50
@@ -427,9 +473,11 @@ object Opq {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_opq_encode" -> (qOpqEncode(_, _)),
     "q_knn_opq" -> (qKnnOpq(_, _)),
+    "q_knn_opq_trained" -> (qKnnOpqTrained(_, _)),
     "q_knn_binary" -> (qKnnBinary(_, _)))
   lazy val oracles: Map[String, String] = Map(
     "q_opq_encode" -> qOpqEncodeSql,
     "q_knn_opq" -> qKnnOpqSql,
+    "q_knn_opq_trained" -> qKnnOpqTrainedSql,
     "q_knn_binary" -> qKnnBinarySql)
 }

@@ -361,7 +361,7 @@ object PQ {
     * argmin assignment carrying the subvector, per-(sub, code, pos)
     * double average FLOAT-rounded, empty codes inheriting the prior
     * entry via the left join. */
-  private val trainedCbCtes: String = {
+  private[graft] def trainedCbCtesOn(src: String): String = {
     def round(n: Int): String = {
       val prev = s"cb${n - 1}"
       s"""encd$n AS (
@@ -391,19 +391,24 @@ object PQ {
     s"""cb0 AS (
        |  SELECT CAST(t.s AS INTEGER) AS sub, CAST(vec_id AS INTEGER) AS j,
        |    embedding[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS cv
-       |  FROM embeddings, unnest(range(0, $M)) AS t(s)
+       |  FROM $src, unnest(range(0, $M)) AS t(s)
        |  WHERE vec_id < $Ksub
        |), sv AS (
        |  SELECT vec_id, CAST(t.s AS INTEGER) AS sub,
        |    embedding[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS v
-       |  FROM embeddings, unnest(range(0, $M)) AS t(s)
+       |  FROM $src, unnest(range(0, $M)) AS t(s)
        |),
        |${(1 to TrainIters).map(round).mkString(",\n")}""".stripMargin
   }
 
-  val qKnnPqTrainedSql: String = {
+  private val trainedCbCtes: String = trainedCbCtesOn("embeddings")
+
+  /** The full trained-codebook statement over an arbitrary source —
+    * "" and "embeddings" give [[qKnnPqTrainedSql]]; [[Opq]] passes
+    * its rotated-corpus CTEs (`q_knn_opq_trained`). */
+  private[graft] def knnPqTrainedSqlOn(extraCtes: String, src: String): String = {
     val cbT = s"cb$TrainIters"
-    s"""WITH $trainedCbCtes,
+    s"""WITH $extraCtes${trainedCbCtesOn(src)},
        |encdT AS (
        |  SELECT sv.vec_id, sv.sub, cb.j,
        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, $SubDim + 1),
@@ -418,7 +423,7 @@ object PQ {
        |  ) WHERE rn = 1
        |), q AS (
        |  SELECT vec_id AS q_id, embedding AS qv
-       |  FROM embeddings WHERE vec_id % 50 = 0
+       |  FROM $src WHERE vec_id % 50 = 0
        |), qs AS (
        |  SELECT q_id, CAST(t.s AS INTEGER) AS sub,
        |    qv[t.s * $SubDim + 1 : t.s * $SubDim + $SubDim] AS v
@@ -446,8 +451,8 @@ object PQ {
        |  SELECT c.q_id, c.nid,
        |    list_distance(CAST(eq.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[])) AS dist
        |  FROM cand c
-       |  JOIN embeddings eq ON eq.vec_id = c.q_id
-       |  JOIN embeddings en ON en.vec_id = c.nid
+       |  JOIN $src eq ON eq.vec_id = c.q_id
+       |  JOIN $src en ON en.vec_id = c.nid
        |), r AS (
        |  SELECT q_id, nid, dist,
        |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nid) AS rn
@@ -456,6 +461,8 @@ object PQ {
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
        |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
   }
+
+  val qKnnPqTrainedSql: String = knnPqTrainedSqlOn("", "embeddings")
 
   /** The full seed-codebook encode→LUT→ADC→rerank statement over an
     * arbitrary source CTE/table `src` (must expose `vec_id,
