@@ -812,7 +812,12 @@ object Bench {
     "stitched" -> "stit", "surface" -> "surf", "bigram" -> "bg",
     // r16 third shrink (the 101-query surface: +q_knn_opq_trained)
     "binary" -> "bin", "assign" -> "asg", "events" -> "ev",
-    "frames" -> "fr", "custom" -> "cust")
+    "frames" -> "fr", "custom" -> "cust",
+    // r16 fourth shrink (the 102-query surface: +q_sample_temperature)
+    "temperature" -> "temp", "sample" -> "smp", "vector" -> "vec",
+    "overlap" -> "ovl", "kmeans" -> "km", "terms" -> "t",
+    "medoid" -> "med", "quality" -> "qual", "resize" -> "rsz",
+    "sharded" -> "shd", "salted" -> "slt")
 
   /** Compact query key: the uniform `q_` prefix carries no
     * information on a line where every key is a query, and at 80+

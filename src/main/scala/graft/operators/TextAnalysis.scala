@@ -482,6 +482,86 @@ object TextAnalysis {
       |FROM r WHERE (rn - 1) % 5 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- temperature mixing
+
+  private val MixAlpha = 0.7       // temperature exponent (XLM-R §3.1)
+  private val MixBudgetFrac = 0.5  // target corpus fraction, in chars
+  private val MixHashMod = 1000000L
+
+  /** `q_sample_temperature` — temperature-smoothed source mixing, the
+    * standard LM-training data-mix schedule (exponentiated weighting,
+    * XLM-R / Conneau et al. 2020 §3.1; the same p_i^α form GPT-3's
+    * dataset table documents): per-source sampling weights
+    * w_s ∝ chars_s^α renormalized, a per-source budget
+    * `MixBudgetFrac·total·w_s`, and per-document selection by
+    * DETERMINISTIC HASH RATE — doc selected iff
+    * md5(doc_id) mod 10⁶ < round(rate_s·10⁶). α < 1 up-weights small
+    * sources toward uniform (their rate caps at 1.0) and down-weights
+    * dominant ones — the mix a multilingual/multi-domain training run
+    * actually feeds.
+    *
+    * Scale shape: ONE map-side-combined aggregate over sources (the
+    * weight table is |sources| rows — driver math, broadcast back),
+    * then a map-only hash filter on the corpus scan: no window, no
+    * per-source sort, no shuffle of documents at all — the reason
+    * production samplers hash-rate rather than rank. Weight/Z math is
+    * ordered (sources sorted, left-to-right double fold) so the
+    * DuckDB oracle replays it exactly via an ORDER BY source list
+    * reduce. */
+  def qSampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tot = Tables.documents(s, dir)
+      .groupBy($"source").agg(sum($"n_chars").as("cs"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val tchars = tot.map(_._2).sum
+    val zsum = tot.foldLeft(0.0) { case (a, (_, cs)) =>
+      a + math.pow(cs.toDouble, MixAlpha)
+    }
+    val rates = tot.map { case (src, cs) =>
+      val w = math.pow(cs.toDouble, MixAlpha) / zsum
+      val rate = math.min(1.0, ((MixBudgetFrac * tchars) * w) / cs)
+      (src, math.rint(w * 1e4) / 1e4, math.rint(rate * 1e4) / 1e4,
+        math.rint(rate * MixHashMod).toLong)
+    }
+    val rateDf = s.createDataFrame(rates.toSeq)
+      .toDF("source", "mix_w", "samp_rate", "thr")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .join(broadcast(rateDf), "source")
+      .select($"doc_id", $"source", $"mix_w", $"samp_rate",
+        when($"h" % MixHashMod < $"thr", 1).otherwise(0).as("sel"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB replay of [[qSampleTemperature]] — same ordered Z fold
+    * (list reduce over sources sorted by name), same expression tree
+    * for the rate, same md5-mod threshold. */
+  val qSampleTemperatureSql: String =
+    s"""WITH tot AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS cs
+       |  FROM documents GROUP BY source
+       |), z AS (
+       |  SELECT
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list(pow(cs::DOUBLE, $MixAlpha) ORDER BY source)),
+       |      (a, x) -> a + x) AS zsum,
+       |    CAST(sum(cs) AS BIGINT) AS tchars
+       |  FROM tot
+       |), rates AS (
+       |  SELECT source,
+       |    round(pow(cs::DOUBLE, $MixAlpha) / zsum, 4) AS mix_w,
+       |    round(least(1.0, (($MixBudgetFrac * tchars) * (pow(cs::DOUBLE, $MixAlpha) / zsum)) / cs), 4) AS samp_rate,
+       |    CAST(round(least(1.0, (($MixBudgetFrac * tchars) * (pow(cs::DOUBLE, $MixAlpha) / zsum)) / cs) * $MixHashMod, 0) AS BIGINT) AS thr
+       |  FROM tot, z
+       |)
+       |SELECT d.doc_id, d.source, r.mix_w, r.samp_rate,
+       |  CAST(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % $MixHashMod < r.thr THEN 1 ELSE 0 END AS INTEGER) AS sel
+       |FROM documents d JOIN rates r USING (source)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- entropy
 
   /** Character-level Shannon entropy per document — the classic
@@ -1120,6 +1200,7 @@ object TextAnalysis {
     "q_text_fingerprint" -> (qTextFingerprint(_, _)),
     "q_text_bigram_ll" -> (qTextBigramLL(_, _)),
     "q_sample_stratified" -> (qSampleStratified(_, _)),
+    "q_sample_temperature" -> (qSampleTemperature(_, _)),
     "q_pack_chunks" -> (qPackChunks(_, _)),
     "q_pack_chunks_bpe" -> (qPackChunksBpe(_, _)),
     "q_text_entropy" -> (qTextEntropy(_, _)))
@@ -1141,5 +1222,6 @@ object TextAnalysis {
     "q_text_lang" -> qTextLangSql,
     "q_text_fingerprint" -> qTextFingerprintSql,
     "q_text_bigram_ll" -> qTextBigramLLSql,
-    "q_sample_stratified" -> qSampleStratifiedSql)
+    "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_sample_temperature" -> qSampleTemperatureSql)
 }

@@ -93,7 +93,7 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.compactKey("q_dedup_substring") == "dd_substr")
     assert(Bench.compactKey("q_window") == "win")
     assert(Bench.compactKey("q_pack_chunks_bpe") == "pack_ch_bpe")
-    assert(Bench.compactKey("q_overlap_serve") == "overlap_sv")
+    assert(Bench.compactKey("q_overlap_serve") == "ovl_sv")
     assert(Bench.compactKey("q_vamana_search") == "vam_s")
     assert(Bench.compactKey("q1_agg") == "q1_agg")
     // the mapping is invertible over the live surface: no two queries
