@@ -444,6 +444,105 @@ object Opq {
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
        |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
 
+  /** `q_knn_ivf_binary` — the two reductions COMPOSED (the IVF+PQ
+    * pattern with sign codes in place of ADC): probe ranking
+    * restricts candidates to nprobe/ncells of the corpus (partition
+    * pruning) AND each candidate costs one xor+popcount over an
+    * 8-byte word. At the billion-vector tier this is the cheapest
+    * honest first pass there is — cells×words is the scan footprint,
+    * and the word fits the cache line the id already occupies. Chain:
+    * probe ranking (q_knn_ivf's exact rule) → Hamming scan of probed
+    * cells only → bounded top-Cand → exact rerank; fully
+    * deterministic → fully hash-checked like both parents. */
+  def qKnnIvfBinary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val queries = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val cents = Tables.embeddings(s, dir)
+      .filter($"vec_id" < VectorQueries.NCELLS)
+      .select($"vec_id".as("cell"), $"embedding".as("cv"))
+    val probeW = Window.partitionBy($"q_id").orderBy($"cdist", $"cell")
+    val probes = queries.join(broadcast(cents))
+      .select($"q_id", $"cell", l2Dist($"qv", $"cv").as("cdist"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter($"rn" <= VectorQueries.NPROBE)
+      .select($"q_id", $"cell")
+    // the query's own sign word rides with its probe rows (tiny set)
+    val probeQ = probes.join(
+      bitCodes(s, dir).filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("q_id"), $"code".as("qc")), "q_id")
+    val h = bitCodes(s, dir)
+      .join(VectorQueries.ivfAssign(s, dir), "vec_id")
+      .select($"vec_id".as("nid"), $"code".as("nc"), $"cell")
+      .join(broadcast(probeQ), "cell")
+      .filter($"nid" =!= $"q_id")
+      .select($"q_id", $"nid",
+        bit_count($"nc".bitwiseXOR($"qc")).cast("double").as("hdist"))
+    val tk = TopK.topk(BinCand)
+    val cand = h.groupBy($"q_id").agg(tk($"nid", $"hdist").as("tk"))
+      .select($"q_id", explode($"tk.ids").as("nid"))
+    val d = Tables.embeddings(s, dir).select($"vec_id".as("nid"), $"embedding".as("v"))
+      .join(broadcast(cand.join(queries, "q_id")), "nid")
+      .select($"q_id", $"nid", l2Dist($"qv", $"v").as("dist"))
+    VectorQueries.topkExplode(d, K)
+  }
+
+  /** DuckDB replay of [[qKnnIvfBinary]] — the q_knn_ivf probe CTEs
+    * composed with the binary pack/Hamming/rerank chain. */
+  lazy val qKnnIvfBinarySql: String =
+    s"""WITH coded AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(range(0, 62),
+       |      i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS code
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < ${VectorQueries.NCELLS}
+       |), assign_d AS (
+       |  SELECT e.vec_id, cell,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), cv) AS dist
+       |  FROM embeddings e CROSS JOIN cents
+       |), assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM assign_d) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 50 = 0
+       |), probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY list_distance(qv, cv), cell) AS rn
+       |    FROM q CROSS JOIN cents) WHERE rn <= ${VectorQueries.NPROBE}
+       |), h AS (
+       |  SELECT p.q_id, c.vec_id AS nid, bit_count(xor(c.code, qc.code)) AS hd
+       |  FROM coded c
+       |  JOIN assign a ON a.vec_id = c.vec_id
+       |  JOIN probes p ON p.cell = a.cell
+       |  JOIN coded qc ON qc.vec_id = p.q_id
+       |  WHERE c.vec_id <> p.q_id
+       |), cand AS (
+       |  SELECT q_id, nid FROM (
+       |    SELECT q_id, nid,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY hd, nid) AS rn
+       |    FROM h
+       |  ) WHERE rn <= $BinCand
+       |), d AS (
+       |  SELECT c.q_id, c.nid,
+       |    list_distance(CAST(eq.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[])) AS dist
+       |  FROM cand c
+       |  JOIN embeddings eq ON eq.vec_id = c.q_id
+       |  JOIN embeddings en ON en.vec_id = c.nid
+       |), r AS (
+       |  SELECT q_id, nid, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nid) AS rn
+       |  FROM d
+       |)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
+       |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
+
   // --------------------------------------------------------- oracles
 
   /** Rotated-corpus CTEs: `rot` carries the frozen rotation as ONE
@@ -474,10 +573,12 @@ object Opq {
     "q_opq_encode" -> (qOpqEncode(_, _)),
     "q_knn_opq" -> (qKnnOpq(_, _)),
     "q_knn_opq_trained" -> (qKnnOpqTrained(_, _)),
-    "q_knn_binary" -> (qKnnBinary(_, _)))
+    "q_knn_binary" -> (qKnnBinary(_, _)),
+    "q_knn_ivf_binary" -> (qKnnIvfBinary(_, _)))
   lazy val oracles: Map[String, String] = Map(
     "q_opq_encode" -> qOpqEncodeSql,
     "q_knn_opq" -> qKnnOpqSql,
     "q_knn_opq_trained" -> qKnnOpqTrainedSql,
-    "q_knn_binary" -> qKnnBinarySql)
+    "q_knn_binary" -> qKnnBinarySql,
+    "q_knn_ivf_binary" -> qKnnIvfBinarySql)
 }
