@@ -13,7 +13,12 @@ import graft.sources.VecsFormats
   *
   *   1. SELECT: quality-score, language-gate, and exact-dedup the
   *      documents table (the batch selection pipeline,
-  *      [[graft.operators.TextAnalysis.qPipelineSelect]]).
+  *      [[graft.operators.TextAnalysis.qPipelineSelect]]), then drop
+  *      SemDeDup non-keepers ([[graft.operators.Dedup.qDedupSemantic]]
+  *      — embedding-space duplicates survive text dedup) and draw the
+  *      temperature-mixed sample
+  *      ([[graft.operators.TextAnalysis.qSampleTemperature]]) — the
+  *      r16 stages in the order a training-data pipeline runs them.
   *   2. INTERCHANGE: export the selected vectors as sharded `.fvecs`
   *      (executor-parallel) and read them back through the DataSource
   *      V2 connector — ids become POSITIONAL, the benchmark formats'
@@ -45,7 +50,8 @@ import graft.sources.VecsFormats
 object PipelineDemo {
 
   case class Result(
-      nDocs: Long, nSelected: Long, nVectors: Long, nShards: Int,
+      nDocs: Long, nSelected: Long, nAfterSem: Long, nAfterMix: Long,
+      nVectors: Long, nShards: Int,
       recallRouted: Double, recallFull: Double, nQueries: Long,
       schedule: String, recallFiltered: Double, filteredLabel: Int)
 
@@ -57,8 +63,24 @@ object PipelineDemo {
 
     // -- 1. selection: dedup keeper ∧ English ∧ quality ≥ 0.5
     val nDocs = Tables.documents(spark, sfDir).count()
-    val selected = graft.operators.TextAnalysis.qPipelineSelect(spark, sfDir)
+    val textSelected = graft.operators.TextAnalysis.qPipelineSelect(spark, sfDir)
       .select($"doc_id")
+    val nTextSelected = textSelected.count()
+
+    // -- 1b. semantic dedup (SemDeDup): drop the non-keeper members
+    // of every embedding-space duplicate group — the r16 stage a
+    // training-data pipeline runs AFTER text filters (near-identical
+    // meaning survives exact/fuzzy text dedup)
+    val semDrops = graft.operators.Dedup.qDedupSemantic(spark, sfDir)
+      .filter($"keep" === 0).select($"vec_id".as("doc_id"))
+    val afterSem = textSelected.join(semDrops, Seq("doc_id"), "left_anti")
+    val nAfterSem = afterSem.count()
+
+    // -- 1c. temperature mixing: the chars^0.7 source schedule's
+    // deterministic hash-rate draw — what the run actually feeds
+    val mixKeep = graft.operators.TextAnalysis.qSampleTemperature(spark, sfDir)
+      .filter($"sel" === 1).select($"doc_id")
+    val selected = afterSem.join(mixKeep, Seq("doc_id"), "left_semi")
 
     // -- 2. interchange: selected vectors → sharded fvecs → DSv2 read
     val corpusSel = Tables.embeddings(spark, sfDir)
@@ -147,7 +169,8 @@ object PipelineDemo {
     val recallFiltered = VamanaIndex.recallDf(filtered, filteredGt)
       .head().getDouble(0)
 
-    val res = Result(nDocs, selected.count(), n, shards,
+    val res = Result(nDocs, nTextSelected, nAfterSem, selected.count(),
+      n, shards,
       recallOf(routed), recallOf(full), queries.length.toLong, schedule,
       recallFiltered, target)
     reloaded.unpersist()
@@ -170,7 +193,8 @@ object PipelineDemo {
     try {
       val r = run(spark, sfDir, workDir)
       println(s"[demo] documents: ${r.nDocs} -> selected ${r.nSelected} " +
-        s"(dedup + lang + quality)")
+        s"(dedup + lang + quality) -> ${r.nAfterSem} (semantic dedup) " +
+        s"-> ${r.nAfterMix} (temperature mix)")
       println(s"[demo] indexed ${r.nVectors} vectors, ${r.nShards} shards " +
         s"(capped overlap-2), saved + reloaded from $workDir/index")
       println(s"[demo] serving schedule: ${r.schedule}")

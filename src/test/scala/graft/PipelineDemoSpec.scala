@@ -13,8 +13,13 @@ class PipelineDemoSpec extends AnyFunSuite {
     val r = examples.PipelineDemo.run(spark, SparkSpecBase.sf001, work)
     assert(r.nDocs > 0 && r.nSelected > 0 && r.nSelected < r.nDocs,
       s"selection should drop some docs: ${r.nSelected}/${r.nDocs}")
-    assert(r.nVectors == r.nSelected,
-      s"index corpus ${r.nVectors} != selected ${r.nSelected}")
+    // each r16 stage may only shrink the set, and the mix must bite
+    assert(r.nAfterSem <= r.nSelected && r.nAfterMix <= r.nAfterSem,
+      s"stages grew the set: ${r.nSelected} -> ${r.nAfterSem} -> ${r.nAfterMix}")
+    assert(r.nAfterMix > 0 && r.nAfterMix < r.nSelected,
+      s"semantic dedup + mixing dropped nothing: ${r.nAfterMix}/${r.nSelected}")
+    assert(r.nVectors == r.nAfterMix,
+      s"index corpus ${r.nVectors} != final selection ${r.nAfterMix}")
     // full (all-shard, id-distinct) search over the overlap index must
     // dominate the routed mode, and both clear serving floors
     assert(r.recallFull >= r.recallRouted - 1e-9,
