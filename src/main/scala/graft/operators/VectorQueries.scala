@@ -416,7 +416,7 @@ object VectorQueries {
     * centroids (vectors with vec_id < NCELLS). At scale the centroids
     * come from sampled k-means; the assignment join is the same. */
   /** Seed centroids collected once (NCELLS × dim floats). */
-  private def seedCents(s: SparkSession, dir: String): Array[(Int, Array[Float])] = {
+  private[graft] def seedCents(s: SparkSession, dir: String): Array[(Int, Array[Float])] = {
     import s.implicits._
     Tables.embeddings(s, dir).filter($"vec_id" < NCELLS)
       .select($"vec_id".cast("int"), $"embedding")

@@ -25,6 +25,10 @@ case class SelectOut(
   * minhash band `band` with bottom-k-estimated Jaccard `est_jac`. */
 case class NearDupOut(doc_id: Long, matched_id: Long, band: Int, est_jac: Double)
 
+/** One matched semantic duplicate from
+  * [[StreamOps.streamingSemanticDedup]]. */
+case class SemDupOut(vec_id: Long, matched_id: Long, cell: Int, cos_sim: Double)
+
 /** One exact-substring collision from the streaming substring-dedup
   * operator: `doc_id` shares the 40-character window keyed `h` with
   * the window's first-seen keeper `matched_id`. */
@@ -205,6 +209,68 @@ object StreamOps {
             arrivals.map(r => (r.doc_id, r.sketch)), key._1, tau)
           state.update(keepers)
           out.iterator
+      }
+  }
+
+  /** Streaming SemDeDup — the ingest-time twin of
+    * [[graft.operators.Dedup.qDedupSemantic]] (Abbas et al. 2023):
+    * arrivals are assigned to their nearest centroid cell (the batch
+    * operator's exact rule: L2 with sqrt, strict `<` over
+    * id-ascending centroids → lowest cell wins ties), keyed by cell,
+    * and flagged against up to `maxKeepers` held keeper vectors per
+    * cell at cosine ≥ `tau` — the same keeper-slot state discipline
+    * as [[streamingNearDedup]] (bounded per-cell state, re-ingested
+    * ids never re-consume slots). Emits one row per (arrival, keeper)
+    * semantic-duplicate match.
+    *
+    * `cents` is the frozen centroid set (at scale: the sampled
+    * k-means centroids the batch pipeline trains — a stream can't
+    * derive centroids from data it hasn't seen). With unbounded
+    * keepers and a single micro-batch the emitted pair set equals the
+    * batch operator's within-cell τ-pair set exactly (StreamingSpec
+    * pins this on the real corpus); bounded keepers trade the tail of
+    * each cell for O(cells·maxKeepers·dim) total state. */
+  def streamingSemanticDedup(vecs: DataFrame,
+      cents: Array[(Int, Array[Float])], tau: Double = 0.3,
+      maxKeepers: Int = MaxKeepers): Dataset[SemDupOut] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents.sortBy(_._1))
+    vecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = bc.value
+        var best = -1; var bestD = Double.MaxValue
+        cs.foreach { case (cell, cv) =>
+          var acc = 0.0; var i = 0
+          val n = math.min(v.length, cv.length)
+          while (i < n) {
+            val d = v(i).toDouble - cv(i).toDouble; acc += d * d; i += 1
+          }
+          val dist = math.sqrt(acc)
+          if (dist < bestD) { bestD = dist; best = cell }
+        }
+        (best, id, v)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Array[Float])], SemDupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cell: Int, rows: Iterator[(Int, Long, Array[Float])],
+         state: GroupState[List[(Long, Array[Float])]]) =>
+          var keepers = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[SemDupOut]
+          rows.toArray.sortBy(_._2).foreach { case (_, id, v) =>
+            keepers.foreach { case (kid, kv) =>
+              if (kid != id) {
+                val sim = graft.operators.Dedup.cosineSim(kv, v)
+                if (sim >= tau)
+                  out += SemDupOut(id, kid, cell, math.rint(sim * 1e4) / 1e4)
+              }
+            }
+            if (keepers.size < maxKeepers && !keepers.exists(_._1 == id))
+              keepers = keepers :+ ((id, v))
+          }
+          state.update(keepers)
+          out.result().iterator
       }
   }
 

@@ -481,4 +481,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch),
       s"streaming ${streamed.length} vs batch ${batch.length}")
   }
+
+  test("streaming semantic dedup flags cosine dups within a cell across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    // two far-apart centroids; vectors near each
+    val cents = Array(
+      (0, Array.fill(dim)(10f)), (1, Array.fill(dim)(-10f)))
+    def near(base: Float, jitter: Float) =
+      Array.tabulate(dim)(i => base + (if (i == 0) jitter else 0f))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.streamingSemanticDedup(
+      mem.toDS().toDF("vec_id", "embedding"), cents, tau = 0.9)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("semdup").start()
+    mem.addData((1L, near(10f, 0.1f)), (2L, near(-10f, 0.1f)))
+    q.processAllAvailable()
+    // batch 2: a near-copy of 1 (same cell, cosine ~1), an opposite-
+    // cell near-copy of 2, and an in-cell but DISSIMILAR vector
+    val dissim = Array.tabulate(dim)(i => if (i % 2 == 0) 30f else -8f)
+    mem.addData((3L, near(10f, 0.2f)), (4L, near(-10f, 0.3f)), (5L, dissim))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("semdup")
+      .select($"vec_id", $"matched_id", $"cell").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(pairs.contains((3L, 1L, 0)), s"missing in-cell dup pair in $pairs")
+    assert(pairs.contains((4L, 2L, 1)), s"missing cross-batch dup pair in $pairs")
+    assert(!pairs.exists { case (a, b, _) => a == 5L || b == 5L },
+      s"dissimilar vector flagged in $pairs")
+  }
+
+  test("streaming semantic dedup equals the batch within-cell pair set on the real corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    // unbounded keepers + one micro-batch: the streamed (arrival,
+    // earlier-keeper) matches must be EXACTLY the batch operator's
+    // within-cell cosine>=tau pair set (higher id flags against lower)
+    val dir = SparkSpecBase.sf001
+    val cents = operators.VectorQueries.seedCents(spark, dir)
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.streamingSemanticDedup(
+      mem.toDS().toDF("vec_id", "embedding"), cents,
+      tau = operators.Dedup.SemTau, maxKeepers = vecs.length)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("semdup_vs_batch").start()
+    mem.addData(vecs.toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("semdup_vs_batch")
+      .select($"vec_id", $"matched_id").as[(Long, Long)].collect().toSet
+    // batch authority, recomputed with the operator's own kernels
+    val assign = operators.VectorQueries.ivfAssign(spark, dir)
+      .as[(Long, Int)].collect().toMap
+    val byId = vecs.toMap
+    val expected = (for {
+      (a, _) <- vecs; (b, _) <- vecs
+      if a < b && assign(a) == assign(b) &&
+        operators.Dedup.cosineSim(byId(a), byId(b)) >= operators.Dedup.SemTau
+    } yield (b, a)).toSet
+    assert(streamed == expected,
+      s"streamed ${streamed.size} pairs != batch ${expected.size}: " +
+        s"missing ${(expected -- streamed).take(5)}, " +
+        s"extra ${(streamed -- expected).take(5)}")
+  }
 }
