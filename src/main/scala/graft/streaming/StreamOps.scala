@@ -235,43 +235,91 @@ object StreamOps {
       maxKeepers: Int = MaxKeepers): Dataset[SemDupOut] = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(cents.sortBy(_._1))
-    vecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val cs = bc.value
-        var best = -1; var bestD = Double.MaxValue
-        cs.foreach { case (cell, cv) =>
-          var acc = 0.0; var i = 0
-          val n = math.min(v.length, cv.length)
-          while (i < n) {
-            val d = v(i).toDouble - cv(i).toDouble; acc += d * d; i += 1
-          }
-          val dist = math.sqrt(acc)
-          if (dist < bestD) { bestD = dist; best = cell }
-        }
-        (best, id, v)
-      }
-      .groupByKey(_._1)
+    semCellAssigned(vecs, cents, withTs = false)
+      .as[(Long, Array[Float], Int)]
+      .groupByKey(_._3)
       .flatMapGroupsWithState[List[(Long, Array[Float])], SemDupOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (cell: Int, rows: Iterator[(Int, Long, Array[Float])],
+        (cell: Int, rows: Iterator[(Long, Array[Float], Int)],
          state: GroupState[List[(Long, Array[Float])]]) =>
-          var keepers = state.getOption.getOrElse(Nil)
-          val out = Seq.newBuilder[SemDupOut]
-          rows.toArray.sortBy(_._2).foreach { case (_, id, v) =>
-            keepers.foreach { case (kid, kv) =>
-              if (kid != id) {
-                val sim = graft.operators.Dedup.cosineSim(kv, v)
-                if (sim >= tau)
-                  out += SemDupOut(id, kid, cell, math.rint(sim * 1e4) / 1e4)
-              }
-            }
-            if (keepers.size < maxKeepers && !keepers.exists(_._1 == id))
-              keepers = keepers :+ ((id, v))
-          }
+          val (keepers, out) = semMatch(state.getOption.getOrElse(Nil),
+            rows.toArray.sortBy(_._1).map(r => (r._1, r._2)),
+            cell, tau, maxKeepers)
           state.update(keepers)
-          out.result().iterator
+          out.iterator
       }
+  }
+
+  /** Event-time-TTL semantic dedup — the at-scale ingest form, the
+    * [[streamingNearDedupTtl]] discipline applied to cell-keyed
+    * keeper vectors: input carries an event-time `ts` column, and a
+    * cell's keeper slots EXPIRE once the watermark passes its newest
+    * event + `ttlMs`. Matching within the TTL is identical to
+    * [[streamingSemanticDedup]] (shared assignment expression +
+    * [[semMatch]]); after expiry a re-arrival starts a fresh cell
+    * slate — the bounded-state trade, explicit. */
+  def streamingSemanticDedupTtl(vecs: DataFrame,
+      cents: Array[(Int, Array[Float])], ttlMs: Long, tau: Double = 0.3,
+      maxKeepers: Int = MaxKeepers,
+      lateness: String = "10 minutes"): Dataset[SemDupOut] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    semCellAssigned(vecs, cents, withTs = true)
+      .withWatermark("ts", lateness)
+      .as[(Long, Array[Float], Int, java.sql.Timestamp)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(List[(Long, Array[Float])], Long), SemDupOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (cell: Int, rows: Iterator[(Long, Array[Float], Int, java.sql.Timestamp)],
+         state: GroupState[(List[(Long, Array[Float])], Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrivals = rows.toArray.sortBy(_._1)
+            val (prevKeepers, prevMax) =
+              state.getOption.getOrElse((Nil, Long.MinValue))
+            val (keepers, out) = semMatch(prevKeepers,
+              arrivals.map(r => (r._1, r._2)), cell, tau, maxKeepers)
+            val maxMs = math.max(prevMax, arrivals.map(_._4.getTime).max)
+            state.update((keepers, maxMs))
+            setEventTimeTtl(state, maxMs, ttlMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** Shared assignment projection of both semantic-dedup forms: the
+    * batch operator's own codegen'd nearest-cell expression
+    * ([[graft.functions.VectorExprs.nearestCell]] — bit-identical
+    * rule, no serde boundary, and the `ts` column survives for the
+    * TTL form's watermark). */
+  private def semCellAssigned(vecs: DataFrame,
+      cents: Array[(Int, Array[Float])], withTs: Boolean): DataFrame = {
+    val cols = Seq(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+      graft.functions.VectorExprs.nearestCell(col("embedding"), cents.sortBy(_._1))
+        .as("cell")) ++ (if (withTs) Seq(col("ts")) else Nil)
+    vecs.select(cols: _*)
+  }
+
+  /** Keeper-slot matching shared by both semantic-dedup forms — the
+    * [[nearDupMatch]] discipline over raw vectors + the batch cosine
+    * kernel. */
+  private def semMatch(keepers0: List[(Long, Array[Float])],
+      arrivals: Seq[(Long, Array[Float])], cell: Int, tau: Double,
+      maxKeepers: Int): (List[(Long, Array[Float])], Seq[SemDupOut]) = {
+    var keepers = keepers0
+    val out = Seq.newBuilder[SemDupOut]
+    arrivals.foreach { case (id, v) =>
+      keepers.foreach { case (kid, kv) =>
+        if (kid != id) {
+          val sim = graft.operators.Dedup.cosineSim(kv, v)
+          if (sim >= tau)
+            out += SemDupOut(id, kid, cell, math.rint(sim * 1e4) / 1e4)
+        }
+      }
+      if (keepers.size < maxKeepers && !keepers.exists(_._1 == id))
+        keepers = keepers :+ ((id, v))
+    }
+    (keepers, out.result())
   }
 
   /** The shared banding pipeline of both near-dedup forms: shingle →

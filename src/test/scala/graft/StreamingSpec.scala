@@ -511,6 +511,41 @@ class StreamingSpec extends AnyFunSuite {
       s"dissimilar vector flagged in $pairs")
   }
 
+  test("event-time TTL semantic dedup: in-cell match within TTL, slots expire past it") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val dim = 8
+    val cents = Array((0, Array.fill(dim)(10f)), (1, Array.fill(dim)(-10f)))
+    def near(base: Float, jitter: Float) =
+      Array.tabulate(dim)(i => base + (if (i == 0) jitter else 0f))
+    val mem = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val q = StreamOps.streamingSemanticDedupTtl(
+        mem.toDS().toDF("vec_id", "embedding", "ts"), cents,
+        ttlMs = 60 * 60000L, tau = 0.9, lateness = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("semdup_ttl").start()
+    mem.addData((1L, near(10f, 0.1f), ts(60)))
+    q.processAllAvailable()
+    // within TTL: the in-cell near-copy flags against keeper 1
+    mem.addData((2L, near(10f, 0.2f), ts(61)))
+    q.processAllAvailable()
+    // advance the watermark far past cell 0's TTL through the OTHER
+    // cell (touching cell 0 would refresh its newest-event time),
+    // then let the expiry fire on the following batch
+    mem.addData((3L, near(-10f, 0.2f), ts(400)))
+    q.processAllAvailable()
+    mem.addData((4L, near(-10f, 0.1f), ts(401)))
+    q.processAllAvailable()
+    // after expiry: the same vector pairs with NOTHING (slot gone)
+    mem.addData((5L, near(10f, 0.3f), ts(402)))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("semdup_ttl")
+      .select($"vec_id", $"matched_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 1L)), s"within-TTL dup not flagged: $pairs")
+    assert(!pairs.exists(_._1 == 5L),
+      s"vector 5 arrived after the cell slot's TTL and must start fresh: $pairs")
+  }
+
   test("streaming semantic dedup equals the batch within-cell pair set on the real corpus") {
     implicit val sqlCtx = spark.sqlContext
     // unbounded keepers + one micro-batch: the streamed (arrival,
