@@ -377,8 +377,26 @@ object Dedup {
     * connected component. Shared by [[qDedupCluster]] (full-graph
     * edges) and [[qDedupClusterRep]] (representative-graph edges). */
   private[graft] def propagateMinLabels(
-      s: SparkSession, edges: DataFrame): DataFrame = {
+      s: SparkSession, edges0: DataFrame): DataFrame = {
     import s.implicits._
+    // SIZE the iterative frames to the edge set: every round is two
+    // joins + a localCheckpoint over frames that are KBs at bench SF
+    // (a few thousand pair rows), and at 32 shuffle partitions the
+    // per-round cost is pure task-scheduling overhead — measured ~45%
+    // of the whole cluster query. The clamp keeps one task per ~500k
+    // edges at scale (a 10⁹-edge graph still fans out to 200
+    // partitions) while tiny graphs run on 4.
+    val edgeCount = edges0.count() // edges are cached by the callers
+    val nParts = math.max(4, math.min(200, (edgeCount / 500000L).toInt))
+    val edges = edges0.repartition(nParts, $"dst")
+    // every round's joins/aggregates inherit the SESSION shuffle
+    // width, so scope it to the loop (each round's localCheckpoint
+    // MATERIALIZES inside the try, so no lazy plan escapes with the
+    // narrow setting; the mains execute queries sequentially, so the
+    // scoped set/restore cannot race a concurrent plan)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", nParts.toString)
+    try {
     // seed each node with min(node, min(neighbor)) — fuses the first
     // propagation round into initialization, so near-clique dup
     // clusters (diameter 2-3) converge in 1-2 loop rounds
@@ -416,6 +434,7 @@ object Dedup {
     require(changed == 0,
       s"label propagation did not converge in $maxRounds rounds")
     labels
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Duplicate clusters via EXACT-COLLAPSE-FIRST — the scale form of
