@@ -308,4 +308,30 @@ class PlanSpec extends AnyFunSuite {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
       s"documents scanned more than once:\n$p")
   }
+
+  test("q_sample_temperature: map-only hash filter over a broadcast rate table, no window") {
+    val plan = planOf(operators.TextAnalysis.qSampleTemperature(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"temperature sampling must not rank/sort per source:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the doc scan must never shuffle for the join:\n$plan")
+  }
+
+  test("q_knn_binary: codes scan joins broadcast query codes; rerank side broadcasts too") {
+    val plan = planOf(operators.Opq.qKnnBinary(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"query codes must broadcast against the corpus scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join anywhere in the binary chain:\n$plan")
+  }
+
+  test("q_dedup_semantic: one cell-keyed exchange feeds the union-find, no pair join") {
+    val plan = planOf(operators.Dedup.qDedupSemantic(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation must stay inside the per-cell task:\n$plan")
+    assert(plan.contains("FlatMapGroups") || plan.contains("MapGroups"),
+      s"the cell-local union-find task is missing:\n$plan")
+  }
 }
