@@ -54,8 +54,13 @@ object Opq {
     * scan that delivers the vectors; the 64×64 second-moment matrix
     * is the only state. Returns (count, mean, covariance row-major).
     */
-  private[graft] def moments(vecs: Iterator[Array[Float]]): (Long, Array[Double], Array[Double]) = {
-    val n = Dim
+  private[graft] def moments(vecs: Iterator[Array[Float]]): (Long, Array[Double], Array[Double]) =
+    momentsOf(vecs, Dim)
+
+  /** Dimension-parametric [[moments]] — the serving-tier form
+    * ([[trainRotation]]); Jacobi is O(n³·sweeps), so keep n ≲ 256
+    * driver-side (beyond that, real systems call LAPACK). */
+  private[graft] def momentsOf(vecs: Iterator[Array[Float]], n: Int): (Long, Array[Double], Array[Double]) = {
     val sum = new Array[Double](n)
     val xx = new Array[Double](n * n)
     var cnt = 0L
@@ -172,8 +177,18 @@ object Opq {
       var best = -1; var bestLs = Double.MaxValue
       var b = 0
       while (b < m) {
-        if (buckets(b).length < subDim && logSum(b) < bestLs) {
-          bestLs = logSum(b); best = b
+        // an EMPTY bucket ranks below any partial product (−∞, not
+        // log 1 = 0): with eigenvalues < 1 — every near-unit-scale
+        // embedding corpus — partial log-products are negative, so
+        // treating empty as 0 sent EVERY leading eigendirection into
+        // bucket 0 until it filled (measured: all four factors of a
+        // rank-4 corpus in one subspace, rotated PQ error WORSE than
+        // raw). Spreading the m largest eigenvalues first is what the
+        // paper's λ > 1 setting gets implicitly, and it makes the
+        // greedy scale-invariant in effect.
+        val ls = if (buckets(b).isEmpty) Double.NegativeInfinity else logSum(b)
+        if (buckets(b).length < subDim && ls < bestLs) {
+          bestLs = ls; best = b
         }
         b += 1
       }
@@ -187,8 +202,11 @@ object Opq {
     * input i in output j, output slot j carrying eigenvector
     * `order(j)` — i.e. y = Pᵀ·Uᵀ·x with P the allocation permutation.
     * FLOAT-rounded: this is the exact artifact both engines replay. */
-  private[graft] def buildRotation(eigvecs: Array[Double], order: Array[Int]): Array[Float] = {
-    val n = Dim
+  private[graft] def buildRotation(eigvecs: Array[Double], order: Array[Int]): Array[Float] =
+    buildRotationOf(eigvecs, order, Dim)
+
+  private[graft] def buildRotationOf(eigvecs: Array[Double], order: Array[Int],
+      n: Int): Array[Float] = {
     require(order.length == n)
     val rot = new Array[Float](n * n)
     var j = 0
@@ -199,6 +217,38 @@ object Opq {
       j += 1
     }
     rot
+  }
+
+  /** One-call dimension-parametric OPQ-P trainer — the serving-tier
+    * form (the gated queries use the frozen 64-dim artifact; a
+    * serve-time index over a real-dim corpus trains its own rotation
+    * the same way it trains its [[graft.index.PqCodebook]]):
+    * covariance → cyclic Jacobi → eigenvalue allocation → out-major
+    * rotation. Deterministic for a fixed input order. Driver-side
+    * Jacobi is O(n³·sweeps), so the dim is bounded (beyond ~512 a
+    * real system calls LAPACK — documented, not hidden). */
+  def trainRotation(vecs: Array[Array[Float]], m: Int): Array[Float] = {
+    require(vecs.nonEmpty, "empty training set")
+    val n = vecs.head.length
+    require(n % m == 0, s"dim $n not divisible by m=$m")
+    require(n <= 512, s"driver-side Jacobi is O(n^3); dim $n exceeds the 512 bound")
+    val (_, _, cov) = momentsOf(vecs.iterator, n)
+    val (eig, v) = jacobiEigen(cov, n)
+    buildRotationOf(v, allocate(eig, m, n / m), n)
+  }
+
+  /** Dimension-parametric [[rotate]]. */
+  private[graft] def rotateOf(v: Array[Float], rot: Array[Float], n: Int): Array[Float] = {
+    val out = new Array[Float](n)
+    var j = 0
+    while (j < n) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += rot(j * n + i).toDouble * v(i).toDouble; i += 1 }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    out
   }
 
   // ------------------------------------------------ frozen rotation
@@ -220,19 +270,8 @@ object Opq {
   /** y_j = Σᵢ rot(j·Dim+i)·x_i — double accumulation left-to-right
     * over i, FLOAT-rounded per output coordinate; the DuckDB replay
     * is the same ordered prepend-reduce. */
-  private[graft] def rotate(v: Array[Float], rot: Array[Float]): Array[Float] = {
-    val n = Dim
-    val out = new Array[Float](n)
-    var j = 0
-    while (j < n) {
-      var acc = 0.0
-      var i = 0
-      while (i < n) { acc += rot(j * n + i).toDouble * v(i).toDouble; i += 1 }
-      out(j) = acc.toFloat
-      j += 1
-    }
-    out
-  }
+  private[graft] def rotate(v: Array[Float], rot: Array[Float]): Array[Float] =
+    rotateOf(v, rot, Dim)
 
   /** Rotated corpus `(vec_id, embedding)` — broadcast rotation,
     * zero-shuffle mapPartitions, memoized per (dir, session) like
