@@ -817,7 +817,15 @@ object Bench {
     "temperature" -> "temp", "sample" -> "smp", "vector" -> "vec",
     "overlap" -> "ovl", "kmeans" -> "km", "terms" -> "t",
     "medoid" -> "med", "quality" -> "qual", "resize" -> "rsz",
-    "sharded" -> "shd", "salted" -> "slt")
+    "sharded" -> "shd", "salted" -> "slt",
+    // r17 shrink (the 104-query surface: +q_knn_binary_rot); legend
+    // updated in BASELINE.md "Compact line format" — keys renamed by
+    // this batch read under the r17 legend in BENCH_r17+ artifacts
+    "cosine" -> "cos", "probed" -> "prb", "ivecs" -> "iv",
+    "stats" -> "st", "embed" -> "em", "range" -> "rng",
+    "index" -> "idx", "funnel" -> "fnl", "join" -> "jn",
+    "meta" -> "mt", "reach" -> "rch",
+    "vecs" -> "vc", "hdf5" -> "h5", "sql" -> "sq", "value" -> "val")
 
   /** Compact query key: the uniform `q_` prefix carries no
     * information on a line where every key is a query, and at 80+

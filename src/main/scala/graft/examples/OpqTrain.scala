@@ -39,7 +39,11 @@ object OpqTrain {
     val (eig, v) = graft.operators.Opq.jacobiEigen(cov, graft.operators.Opq.Dim)
     System.err.println(f"[opq-train] jacobi in ${(System.nanoTime() - t0) / 1e6}%.1f ms; " +
       f"eig range [${eig.min}%.3e, ${eig.max}%.3e]")
-    val order = graft.operators.Opq.allocate(eig, 8, 8)
+    // allocate for the SAME (m, subDim) shape the serving path
+    // derives from the PQ constants — literals here would silently
+    // desync the trained rotation if PQ.M/SubDim ever change
+    val order = graft.operators.Opq.allocate(eig,
+      graft.operators.PQ.M, graft.operators.PQ.SubDim)
     val rot = graft.operators.Opq.buildRotation(v, order)
     val n = graft.operators.Opq.Dim
     val body = (0 until n).map { j =>

@@ -156,25 +156,37 @@ object StitchedIndex {
     * only. The label filter is a partition-prunable predicate on a
     * [[load]]ed index; the per-cell searches and the bounded TopK
     * merge are the plain tier's. Beam needs k-headroom, not
-    * 1/selectivity scaling — that is the entire point. */
+    * 1/selectivity scaling — that is the entire point.
+    *
+    * `tombstones`: optional SORTED delete log, honored exactly as in
+    * the plain tier ([[VamanaIndex.searchExcludingSorted]]): a
+    * deleted id is excluded from RESULTS in every label's graph it
+    * replicates into, but keeps ROUTING until a compaction pass —
+    * the FreshDiskANN lazy-delete trade carried through the stitched
+    * tier. */
   def search(index: Dataset[StitchedIndexRow],
       queries: Array[(Long, Array[Float])], k: Int, beamWidth: Int,
-      params: VamanaParams, target: Int): DataFrame = {
+      params: VamanaParams, target: Int,
+      tombstones: Array[Long] = Array.emptyLongArray): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
     val qB = s.sparkContext.broadcast(queries)
+    val exB = s.sparkContext.broadcast(tombstones)
     val perShard = index.filter(col("label") === target)
       .repartition(col("shard"))
       .as[StitchedIndexRow]
       .mapPartitions { it =>
         val rows = it.toArray
+        val ex = exB.value
         rows.groupBy(_.shard).iterator.flatMap { case (shard, group) =>
           val (g, sorted) = VamanaIndex.rebuildShardGraph(
             group.map(r => IndexRow(r.vec_id, r.embedding, shard, r.neighbors)),
             params)
           qB.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, k, beamWidth).iterator
-              .map { case (li, d) => (qid, sorted(li).vec_id, d) }
+            (if (ex.length == 0) g.search(qv, k, beamWidth)
+             else g.searchFiltered(qv, k, beamWidth,
+               li => java.util.Arrays.binarySearch(ex, sorted(li).vec_id) < 0))
+              .iterator.map { case (li, d) => (qid, sorted(li).vec_id, d) }
           }
         }
       }.toDF("q_id", "nid", "dist")

@@ -942,11 +942,20 @@ object VamanaIndex {
     * result collection filters. The label join is one narrow-column
     * shuffle here — at 100 TB store attributes in the index rows at
     * build time (or co-bucket both tables on vec_id) and it
-    * disappears. Widen `beamWidth` ≈ k / selectivity. */
+    * disappears. Widen `beamWidth` ≈ k / selectivity.
+    *
+    * `tombstones`: optional SORTED delete log (the
+    * [[searchExcludingSorted]] convention — broadcast primitive
+    * longs, binary-search per collect). Deleted ids are excluded
+    * from RESULTS but keep ROUTING, exactly as in the plain tier
+    * (FreshDiskANN lazy delete): the allow predicate becomes
+    * label==target AND live, and traversal stays unfiltered either
+    * way. */
   def searchFiltered(
       index: Dataset[IndexRow], labels: DataFrame,
       queries: Array[(Long, Array[Float])], k: Int, beamWidth: Int,
-      params: VamanaParams, target: Int): DataFrame = {
+      params: VamanaParams, target: Int,
+      tombstones: Array[Long] = Array.emptyLongArray): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
     // Int.MinValue is the reserved unlabeled sentinel below; a caller
@@ -960,6 +969,7 @@ object VamanaIndex {
     // shard graphs and collapsing recall whenever the labels frame
     // covers only part of the corpus (a natural way to call this API)
     val Unlabeled = Int.MinValue
+    val exB = s.sparkContext.broadcast(tombstones)
     val perShard = index
       .join(labels.select(col("vec_id"), col("label")), Seq("vec_id"), "left")
       .select(col("vec_id"), col("embedding"), col("shard"), col("neighbors"),
@@ -968,13 +978,16 @@ object VamanaIndex {
       .as[(Long, Array[Float], Int, Array[Long], Int)]
       .mapPartitions { it =>
         val rows = it.toArray
+        val ex = exB.value
         rows.groupBy(_._3).iterator.flatMap { case (_, group) =>
           val srt = group.sortBy(_._1)
           val labelOf = srt.map(_._5)
           val (g, sorted) = rebuildShardGraph(
             srt.map(t => IndexRow(t._1, t._2, t._3, t._4)), params)
           qB.value.iterator.flatMap { case (qid, qv) =>
-            g.searchFiltered(qv, k, beamWidth, li => labelOf(li) == target)
+            g.searchFiltered(qv, k, beamWidth, li => labelOf(li) == target &&
+                (ex.length == 0 ||
+                  java.util.Arrays.binarySearch(ex, sorted(li).vec_id) < 0))
               .iterator.map { case (li, d) => (qid, sorted(li).vec_id, d) }
           }
         }

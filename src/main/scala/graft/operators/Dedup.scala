@@ -383,20 +383,28 @@ object Dedup {
     // joins + a localCheckpoint over frames that are KBs at bench SF
     // (a few thousand pair rows), and at 32 shuffle partitions the
     // per-round cost is pure task-scheduling overhead — measured ~45%
-    // of the whole cluster query. The clamp keeps one task per ~500k
-    // edges at scale (a 10⁹-edge graph still fans out to 200
-    // partitions) while tiny graphs run on 4.
+    // of the whole cluster query. The width SCALES with the edge set
+    // (one task per ~500k edges: a 10⁹-edge graph fans out to 2000
+    // partitions, a 10¹¹-edge one to 20000 — the executor-count
+    // ceiling of a real cluster, not a constant that silently turns
+    // into 5×10⁸ edges/task) while tiny graphs run on 4.
     val edgeCount = edges0.count() // edges are cached by the callers
-    val nParts = math.max(4, math.min(200, (edgeCount / 500000L).toInt))
-    val edges = edges0.repartition(nParts, $"dst")
-    // every round's joins/aggregates inherit the SESSION shuffle
-    // width, so scope it to the loop (each round's localCheckpoint
-    // MATERIALIZES inside the try, so no lazy plan escapes with the
-    // narrow setting; the mains execute queries sequentially, so the
-    // scoped set/restore cannot race a concurrent plan)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", nParts.toString)
-    try {
+    // GRAFT_PROP_FLOOR: dev knob for A/B-ing the narrow-loop floor
+    // against the pre-r16 session width (the r16→r17 resize episode —
+    // see BASELINE "cluster-family width A/B")
+    val floor = sys.env.get("GRAFT_PROP_FLOOR").map(_.toInt).getOrElse(4)
+    val nParts = math.max(floor, math.min(20000, (edgeCount / 500000L).toInt))
+    // every round's joins/aggregates inherit the session shuffle
+    // width, so run the WHOLE loop on a CHILD session (shared
+    // SparkContext — same executors, caches and checkpoint RDDs —
+    // but its own SQLConf): the narrow width is scoped to the loop's
+    // plans by construction, with no set/restore on the caller's
+    // session and nothing for a concurrent query (a streaming twin,
+    // a parallel test suite) to race against.
+    val loopS = s.newSession()
+    loopS.conf.set("spark.sql.shuffle.partitions", nParts.toString)
+    val edges = loopS.createDataFrame(edges0.toDF().rdd, edges0.schema)
+      .repartition(nParts, $"dst")
     // seed each node with min(node, min(neighbor)) — fuses the first
     // propagation round into initialization, so near-clique dup
     // clusters (diameter 2-3) converge in 1-2 loop rounds
@@ -433,8 +441,11 @@ object Dedup {
     // diverge from the oracle's exact closure)
     require(changed == 0,
       s"label propagation did not converge in $maxRounds rounds")
-    labels
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // hand the result back on the CALLER's session (the final frame
+    // is localCheckpoint-backed, so .rdd is the materialized blocks,
+    // not a replan); downstream joins then plan with the caller's
+    // own shuffle width
+    s.createDataFrame(labels.toDF().rdd, labels.schema)
   }
 
   /** Duplicate clusters via EXACT-COLLAPSE-FIRST — the scale form of
@@ -1282,23 +1293,20 @@ object Dedup {
     * combined aggregate re-joined broadcast-sized. Output: one row
     * per member of a duplicate group with group id/size, centroid
     * cosine, keep flag. */
-  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+  /** The cell-local pair-scan + min-label union-find kernel shared by
+    * [[qDedupSemantic]] (deterministic seed cells) and
+    * [[semDeDupCapped]] (trained capacity-capped cells): ONE task per
+    * cell scans its own pairs and unions its own components — cell
+    * size is the only work bound, which is exactly the bound the
+    * clustering/capping stage exists to enforce. Emits `(node,
+    * label)` for every member of a ≥2-member duplicate group, label =
+    * min member id. */
+  private def cellComponents(
+      av: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
+      tau: Double): DataFrame = {
+    val s = av.sparkSession
     import s.implicits._
-    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-    val av = emb.join(VectorQueries.ivfAssign(s, dir), "vec_id")
-    // Components NEVER span cells (pairs are within-cell by
-    // construction), so the whole pairs → connected-components chain
-    // is CELL-LOCAL: one groupByKey(cell) task runs the pair scan AND
-    // a min-label union-find over its own slice — no global iterative
-    // propagation (whose per-round driver barrier + localCheckpoint
-    // is the dedup-cluster family's cost floor), no pair
-    // materialization into a shuffle. Task memory/work is bounded by
-    // the cell — which is exactly the bound SemDeDup's clustering
-    // stage exists to create (capacity-capped kmeans cells at 100 TB,
-    // the buildCapped contract).
-    val labels = av.select($"cell", $"vec_id", $"embedding")
-      .as[(Int, Long, Array[Float])]
-      .groupByKey(_._1)
+    av.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val members = it.map { case (_, id, v) => (id, v) }
           .toArray.sortInPlaceBy(_._1)
@@ -1315,7 +1323,7 @@ object Dedup {
         while (i < members.length - 1) {
           var j = i + 1
           while (j < members.length) {
-            if (cosineSim(members(i)._2, members(j)._2) >= SemTau) {
+            if (cosineSim(members(i)._2, members(j)._2) >= tau) {
               val a = members(i)._1; val b = members(j)._1
               inPair(a) = (); inPair(b) = ()
               val ra = find(a); val rb = find(b)
@@ -1330,6 +1338,25 @@ object Dedup {
         inPair.keys.toArray.sorted.iterator.map(k => (k, find(k)))
       }
       .toDF("node", "label")
+  }
+
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val av = emb.join(VectorQueries.ivfAssign(s, dir), "vec_id")
+    // Components NEVER span cells (pairs are within-cell by
+    // construction), so the whole pairs → connected-components chain
+    // is CELL-LOCAL: one groupByKey(cell) task runs the pair scan AND
+    // a min-label union-find over its own slice — no global iterative
+    // propagation (whose per-round driver barrier + localCheckpoint
+    // is the dedup-cluster family's cost floor), no pair
+    // materialization into a shuffle. Task memory/work is bounded by
+    // the cell — which is exactly the bound SemDeDup's clustering
+    // stage exists to create (capacity-capped kmeans cells at 100 TB,
+    // the buildCapped contract).
+    val labels = cellComponents(
+      av.select($"cell", $"vec_id", $"embedding")
+        .as[(Int, Long, Array[Float])], SemTau)
     // centroid cosine of every duplicate-group member (centroid = its
     // cell's seed vector — NCELLS×dim floats, broadcast)
     val cents = Tables.embeddings(s, dir)
@@ -1428,6 +1455,72 @@ object Dedup {
        |  UNION ALL
        |  SELECT -1, -1, CAST(-1 AS BIGINT), -1, CAST(-1 AS INTEGER) FROM unconverged
        |) ORDER BY vec_id""".stripMargin
+  }
+
+  /** SemDeDup at the 100 TB operating point — [[qDedupSemantic]]'s
+    * chain with its two scale knobs made REAL instead of assumed:
+    * clusters come from TRAINED k-means centroids
+    * ([[KMeans.trainedCentroidsOf]], the paper's actual clustering
+    * stage) and every cell is CAPACITY-CAPPED by the index tier's
+    * first-fit-decreasing re-tag ([[graft.index.VamanaIndex
+    * .capAssignment]]) — so the O(cell²) pair scan's per-task work is
+    * bounded by `capFactor · n / nCells` REGARDLESS of corpus skew (a
+    * web corpus's near-duplicate mass concentrates exactly the way
+    * SkewedCorpusSpec's 80/20 ball does, and an uncapped hot cell is
+    * a quadratic straggler). The trade is explicit and inherent to
+    * SemDeDup: duplicate pairs split across (sub-)cells are not
+    * scanned — capping narrows the scan scope the same way the
+    * paper's clustering does, one level further down.
+    *
+    * Keep rule and output schema are the parent's: one row per member
+    * of a ≥2-member duplicate group, keep = lowest cosine to the
+    * TRAINED parent-cell centroid (most atypical member, Abbas et al.
+    * §2). Deterministic end to end (seeded Lloyd, FFD over measured
+    * slice histograms, min-label union-find). */
+  def semDeDupCapped(emb: DataFrame, nCells: Int, capFactor: Double = 1.5,
+      tau: Double = SemTau, lloydIters: Int = 2): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val points = emb.select(col("vec_id"), col("embedding"))
+    val cents = KMeans.trainedCentroidsOf(points, nCells, lloydIters)
+    val assigned = KMeans.assign(points, cents)
+      .select($"vec_id", $"embedding", $"cell".as("shard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (recapped, totalShards) =
+      graft.index.VamanaIndex.capAssignment(assigned, nCells, capFactor)
+    val maxSplit = totalShards / nCells
+    val labels = cellComponents(
+      recapped.select($"shard".cast("int"), $"vec_id", $"embedding")
+        .as[(Int, Long, Array[Float])], tau)
+    // centroid cosine vs the TRAINED PARENT cell (sub-shard id / split
+    // factor recovers the parent — capAssignment's dense re-tag rule)
+    val bcC = s.sparkContext.broadcast(cents.toMap)
+    val members = labels
+      .join(recapped.select($"vec_id", $"shard", $"embedding"),
+        $"node" === $"vec_id")
+      .select($"vec_id", $"label", ($"shard" / maxSplit).cast("int").as("pcell"),
+        $"embedding")
+      .as[(Long, Long, Int, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.map { case (id, label, pcell, v) =>
+          (id, label, math.rint(cosineSim(v, cs(pcell)) * 1e4) / 1e4)
+        }
+      }.toDF("vec_id", "group_id", "c_sim")
+    val grp = members.groupBy($"group_id")
+      .agg(count(lit(1)).as("group_n"),
+        min(struct($"c_sim", $"vec_id")).as("k"))
+      .select($"group_id", $"group_n", $"k.vec_id".as("keep_id"))
+    // eager materialization so the persisted assignment can be
+    // RELEASED before return (the buildCapped ownership contract);
+    // the output is duplicate-group members only — small
+    val out = members.join(broadcast(grp), "group_id")
+      .select($"vec_id", $"group_id", $"group_n", $"c_sim",
+        when($"vec_id" === $"keep_id", 1).otherwise(0).as("keep"))
+      .orderBy($"vec_id")
+      .localCheckpoint(true)
+    assigned.unpersist(blocking = false)
+    out
   }
 
   def release(s: SparkSession): Unit = graft.PlanCache.release(s, Family)

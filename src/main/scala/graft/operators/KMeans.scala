@@ -98,13 +98,26 @@ object KMeans {
     * query and the trained-IVF search path. */
   private[graft] def trainedCentroids(s: SparkSession, dir: String): Array[(Int, Array[Float])] = {
     import s.implicits._
-    val points = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-    // same spelling as the oracle (WHERE vec_id < K): a pushed-down
+    trainedCentroidsOf(
+      Tables.embeddings(s, dir).select($"vec_id", $"embedding"), K, Iters)
+  }
+
+  /** [[trainedCentroids]] over ANY `(vec_id, embedding)` frame with a
+    * caller-chosen k — the form other operators compose with (e.g.
+    * [[Dedup.semDeDupCapped]]'s clustering stage). Seeding and the
+    * per-iteration shape are identical: k lowest-id vectors, then
+    * `iters` rounds of zero-shuffle assignment + map-side-combined
+    * k-row recompute. */
+  private[graft] def trainedCentroidsOf(points: DataFrame, k: Int,
+      iters: Int): Array[(Int, Array[Float])] = {
+    val s = points.sparkSession
+    import s.implicits._
+    // same spelling as the oracle (WHERE vec_id < k): a pushed-down
     // scan filter, not a global sort+limit
-    var cents: Array[(Int, Array[Float])] = points.filter($"vec_id" < K)
+    var cents: Array[(Int, Array[Float])] = points.filter($"vec_id" < k)
       .select($"vec_id".cast("int"), $"embedding")
       .as[(Int, Array[Float])].collect().sortBy(_._1)
-    for (_ <- 0 until Iters) {
+    for (_ <- 0 until iters) {
       val assigned = assign(points, cents)
       cents = recompute(assigned).as[(Int, Array[Float])].collect().sortBy(_._1)
     }

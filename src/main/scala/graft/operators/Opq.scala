@@ -231,7 +231,11 @@ object Opq {
     require(vecs.nonEmpty, "empty training set")
     val n = vecs.head.length
     require(n % m == 0, s"dim $n not divisible by m=$m")
-    require(n <= 512, s"driver-side Jacobi is O(n^3); dim $n exceeds the 512 bound")
+    // Jacobi at the 1536-dim serving shape is ~8 sweeps × n³/2 ≈
+    // 1.5e10 flops ≈ tens of seconds driver-side — acceptable for
+    // OFFLINE training (HiDimSpec measures it); past ~2048 call
+    // LAPACK in a real deployment
+    require(n <= 2048, s"driver-side Jacobi is O(n^3); dim $n exceeds the 2048 bound")
     val (_, _, cov) = momentsOf(vecs.iterator, n)
     val (eig, v) = jacobiEigen(cov, n)
     buildRotationOf(v, allocate(eig, m, n / m), n)
@@ -351,7 +355,14 @@ object Opq {
   // ---------------------------------------------------- trained OPQ
 
   /** Trained-on-rotated codebook memo — the [[PQ.trainedCodebooks]]
-    * convention (deterministic, JVM-lifetime, cleared on release). */
+    * convention (deterministic, JVM-lifetime, cleared on release).
+    * Keyed by dir ONLY (not per-session like [[graft.PlanCache]]),
+    * which assumes a dir's corpus is IMMUTABLE within a JVM lifetime
+    * — true for every caller here (testdata dirs never mutate; the
+    * mains are one-shot). [[release]] clears it for all dirs; that
+    * over-clearing is harmless because the entries are deterministic
+    * recomputes, never stale state. A caller that rewrites a corpus
+    * in place must release() in between. */
   private val trainedRotCbCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Float]]
 
@@ -406,10 +417,14 @@ object Opq {
     * the committed OPQ rotation is eigenvalue-ALLOCATED PCA, which
     * concentrates variance per dimension. On this corpus the OPQ
     * rotation measurably HURT binary candidate recall (0.67 vs 0.71
-    * raw, top-50 candidates at sf0.01) and the corpus is already
-    * near-isotropic, so a dedicated random-rotation artifact would
-    * buy nothing — recorded as a negative finding, the raw pack is
-    * the honest configuration. */
+    * raw, top-50 candidates at sf0.01), and r17 extended the finding
+    * to the RANDOM rotation too (0.59 — the corpus-independent
+    * hyperplane-LSH floor; this synthetic corpus is axis-structured,
+    * so the raw axes are already better-than-random hyperplanes).
+    * The raw pack stays the default; the rotated variant ships as
+    * [[qKnnBinaryRot]] — the safe choice for corpora that are NOT
+    * axis-friendly (sparse stress: raw 0.14 vs rotated 0.55,
+    * OpqSpec). */
   private def bitCodes(s: SparkSession, dir: String): DataFrame =
     graft.PlanCache.getOrBuild(s, Family, s"bits:$dir") {
       import s.implicits._
@@ -427,9 +442,17 @@ object Opq {
     * run (no LUT, cache-line friendly). Plan shape = q_knn_pq's
     * (codes scan × broadcast query codes, bounded TopK, rerank
     * touches only Cand·|queries| full vectors). */
-  def qKnnBinary(s: SparkSession, dir: String): DataFrame = {
+  def qKnnBinary(s: SparkSession, dir: String): DataFrame =
+    knnBinaryOn(s, dir, bitCodes(s, dir))
+
+  /** The shared sign-bit chain over ANY coded frame `(vec_id, code)`:
+    * Hamming candidate scan vs broadcast query words, bounded
+    * top-[[BinCand]], exact L2 rerank on the RAW corpus (rotations
+    * are orthonormal, so raw-space rerank is the right final metric
+    * for every code variant — and it keeps the output dist column
+    * byte-comparable across variants). */
+  private def knnBinaryOn(s: SparkSession, dir: String, coded: DataFrame): DataFrame = {
     import s.implicits._
-    val coded = bitCodes(s, dir)
     val q = coded.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"code".as("qc"))
     val h = coded.select($"vec_id".as("nid"), $"code".as("nc"))
@@ -449,15 +472,17 @@ object Opq {
     VectorQueries.topkExplode(d, K)
   }
 
-  /** DuckDB replay of [[qKnnBinary]] — the q_dist_hamming oracle's
-    * 62-bit pack, Hamming candidate ranking (ties → lower id, the
-    * TopK rule), exact rerank. */
-  lazy val qKnnBinarySql: String =
-    s"""WITH coded AS (
+  /** DuckDB replay of the [[knnBinaryOn]] chain — the q_dist_hamming
+    * oracle's 62-bit pack over `codeSrc` (raw `embeddings`, or a
+    * rotated CTE prepended via `ctePrefix`), Hamming candidate
+    * ranking (ties → lower id, the TopK rule), exact rerank on the
+    * RAW corpus. */
+  private def knnBinarySqlOn(ctePrefix: String, codeSrc: String): String =
+    s"""WITH ${ctePrefix}coded AS (
        |  SELECT vec_id,
        |    CAST(list_sum(list_transform(range(0, 62),
        |      i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS code
-       |  FROM embeddings
+       |  FROM $codeSrc
        |), q AS (
        |  SELECT vec_id AS q_id, code AS qc FROM coded WHERE vec_id % 50 = 0
        |), h AS (
@@ -482,6 +507,120 @@ object Opq {
        |)
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, round(dist, 4) AS dist
        |FROM r WHERE rn <= $K ORDER BY q_id, rank""".stripMargin
+
+  lazy val qKnnBinarySql: String = knnBinarySqlOn("", "embeddings")
+
+  // --------------------------- randomly-rotated sign bits (RaBitQ-style)
+
+  /** Seed of the frozen random rotation — part of the artifact
+    * contract the way [[PQ.Ksub]] seeding is. */
+  private[graft] val BinRotSeed = 0x9a17b2c4e01dL
+
+  /** Deterministic random orthonormal matrix: splitmix64 →
+    * Box–Muller Gaussians (StrictMath throughout, so the draw is
+    * bit-identical on every JVM/platform) → modified Gram–Schmidt in
+    * double → FLOAT-rounded out-major flat. This is RaBitQ's
+    * pre-conditioner (Gao & Long, SIGMOD'24: sign-bit codes estimate
+    * angles well only when variance is ISOTROPIC; a random rotation
+    * delivers isotropy corpus-independently — unlike the OPQ
+    * rotation, whose eigenvalue allocation CONCENTRATES variance and
+    * measurably hurt binary recall here, the negative finding at
+    * [[bitCodes]]). */
+  private[graft] def randomRotationOf(n: Int, seed: Long): Array[Float] = {
+    var z = seed
+    def nextLong(): Long = {
+      z += 0x9e3779b97f4a7c15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def unit(): Double = (nextLong() >>> 11).toDouble / (1L << 53).toDouble
+    def gauss(): Double = {
+      val u1 = 1.0 - unit() // (0, 1] — log never sees 0
+      val u2 = unit()
+      StrictMath.sqrt(-2.0 * StrictMath.log(u1)) *
+        StrictMath.cos(2.0 * StrictMath.PI * u2)
+    }
+    val rows = Array.fill(n)(Array.fill(n)(gauss()))
+    var j = 0
+    while (j < n) {
+      var k = 0
+      while (k < j) {
+        var dot = 0.0; var i = 0
+        while (i < n) { dot += rows(j)(i) * rows(k)(i); i += 1 }
+        i = 0
+        while (i < n) { rows(j)(i) -= dot * rows(k)(i); i += 1 }
+        k += 1
+      }
+      var nrm = 0.0; var i = 0
+      while (i < n) { nrm += rows(j)(i) * rows(j)(i); i += 1 }
+      nrm = StrictMath.sqrt(nrm)
+      // n iid Gaussians are degenerate with probability 0; a seed
+      // that hit it would need a different seed, loudly
+      require(nrm > 1e-9, s"degenerate Gaussian draw at row $j (seed $seed)")
+      i = 0
+      while (i < n) { rows(j)(i) /= nrm; i += 1 }
+      j += 1
+    }
+    val out = new Array[Float](n * n)
+    j = 0
+    while (j < n) {
+      var i = 0
+      while (i < n) { out(j * n + i) = rows(j)(i).toFloat; i += 1 }
+      j += 1
+    }
+    out
+  }
+
+  /** The frozen random rotation ([[Dim]]², ~16 KiB — broadcast). */
+  lazy val BinRotation: Array[Float] = randomRotationOf(Dim, BinRotSeed)
+
+  /** Sign-bit codes of the RANDOMLY-ROTATED corpus — the RaBitQ-tier
+    * code: rotate is the same zero-shuffle mapPartitions kernel as
+    * [[rotatedEmbeddings]], the pack is [[VectorQueries.sparkBitCode]]
+    * unchanged. */
+  private def rotBitCodes(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(s, Family, s"binrot:$dir") {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(BinRotation)
+      Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val r = bc.value
+          it.map { case (id, v) => (id, rotate(v, r)) }
+        }
+        .toDF("vec_id", "embedding")
+        .select($"vec_id", expr(VectorQueries.sparkBitCode).as("code"))
+    }
+
+  /** `q_knn_binary_rot`: sign-bit search after the frozen RANDOM
+    * rotation — the RaBitQ configuration of the binary tier. Same
+    * storage (one 62-bit word/vector), same Hamming scan and raw-
+    * space rerank as [[qKnnBinary]]; the rotation costs one
+    * broadcast dim²-flop kernel folded into the coding scan, nothing
+    * in shuffle.
+    *
+    * What the rotation buys — MEASURED, both directions (OpqSpec):
+    * it makes the code's quality CORPUS-INDEPENDENT, at the price of
+    * corpus-specific structure the raw axes may already capture. On
+    * the bench corpus (axis-structured synthetic) raw wins: 0.71 vs
+    * 0.59 candidate recall@50→10 at sf0.01 — the rotated figure is
+    * the hyperplane-LSH floor any rotation of any corpus gets. On an
+    * axis-PATHOLOGICAL corpus (6-of-64 sparse, where zero and
+    * negative coordinates collapse into the same bit) the raw pack
+    * craters to 0.14 while the rotated one holds 0.55 — the 4×
+    * insurance RaBitQ's preconditioner exists for. Production rule:
+    * raw for corpora validated axis-friendly, rotated as the safe
+    * default for unknown/sparse/adversarial embeddings. */
+  def qKnnBinaryRot(s: SparkSession, dir: String): DataFrame =
+    knnBinaryOn(s, dir, rotBitCodes(s, dir))
+
+  /** DuckDB replay of [[qKnnBinaryRot]] — the rotation literals
+    * replayed like OPQ's, then the binary chain on the rotated CTE
+    * (rerank stays on raw `embeddings`). */
+  lazy val qKnnBinaryRotSql: String =
+    knnBinarySqlOn(rotationCtes(BinRotation), "re")
 
   /** `q_knn_ivf_binary` — the two reductions COMPOSED (the IVF+PQ
     * pattern with sign codes in place of ADC): probe ranking
@@ -584,12 +723,12 @@ object Opq {
 
   // --------------------------------------------------------- oracles
 
-  /** Rotated-corpus CTEs: `rot` carries the frozen rotation as ONE
-    * flat FLOAT[] literal (the same decimal strings [[Rotation]]
-    * parses — both engines bind identical floats); `re` rebuilds each
-    * rotated vector with the kernel's ordered double reduce. */
-  private def rotatedCtes: String = {
-    val lit = Rotation.map(_.toString).mkString("[", ", ", "]")
+  /** Rotated-corpus CTEs: `rot` carries a rotation as ONE flat
+    * FLOAT[] literal (the same decimal strings the Scala side binds —
+    * both engines see identical floats); `re` rebuilds each rotated
+    * vector with the kernel's ordered double reduce. */
+  private def rotationCtes(rot: Array[Float]): String = {
+    val lit = rot.map(_.toString).mkString("[", ", ", "]")
     s"""rot AS (SELECT $lit::FLOAT[] AS rm),
        |re AS MATERIALIZED (
        |  SELECT vec_id, list_transform(range(0, $Dim), j ->
@@ -600,6 +739,10 @@ object Opq {
        |),
        |""".stripMargin
   }
+
+  /** The frozen OPQ rotation's CTEs ([[rotationCtes]] of
+    * [[Rotation]]). */
+  private def rotatedCtes: String = rotationCtes(Rotation)
 
   lazy val qOpqEncodeSql: String =
     s"""WITH ${rotatedCtes}${PQ.encodeCtesOn("re")}
@@ -613,11 +756,13 @@ object Opq {
     "q_knn_opq" -> (qKnnOpq(_, _)),
     "q_knn_opq_trained" -> (qKnnOpqTrained(_, _)),
     "q_knn_binary" -> (qKnnBinary(_, _)),
+    "q_knn_binary_rot" -> (qKnnBinaryRot(_, _)),
     "q_knn_ivf_binary" -> (qKnnIvfBinary(_, _)))
   lazy val oracles: Map[String, String] = Map(
     "q_opq_encode" -> qOpqEncodeSql,
     "q_knn_opq" -> qKnnOpqSql,
     "q_knn_opq_trained" -> qKnnOpqTrainedSql,
     "q_knn_binary" -> qKnnBinarySql,
+    "q_knn_binary_rot" -> qKnnBinaryRotSql,
     "q_knn_ivf_binary" -> qKnnIvfBinarySql)
 }

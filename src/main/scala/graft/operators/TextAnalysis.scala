@@ -513,6 +513,11 @@ object TextAnalysis {
     val tot = Tables.documents(s, dir)
       .groupBy($"source").agg(sum($"n_chars").as("cs"))
       .as[(String, Long)].collect().sortBy(_._1)
+    // a zero-char source would make rate = x/0 → NaN, which
+    // thr-collapses to 0 silently while the oracle's 0-division
+    // behaves differently — fail loudly on the degenerate corpus
+    tot.foreach { case (src, cs) =>
+      require(cs > 0, s"source '$src' has zero total n_chars") }
     val tchars = tot.map(_._2).sum
     val zsum = tot.foldLeft(0.0) { case (a, (_, cs)) =>
       a + math.pow(cs.toDouble, MixAlpha)

@@ -327,4 +327,111 @@ class DeleteSpec extends AnyFunSuite {
         s"live $id not found by the merged overlap index") }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
   }
+
+  test("tombstones through FILTERED serving: live-set recall, and exclusion == relabeling") {
+    // the delete log must reach every serving path, not just the
+    // plain tier: filtered search drops tombstoned ids from RESULTS
+    // while they keep ROUTING (the same lazy-delete contract).
+    val emb = Tables.embeddings(spark, SparkSpecBase.sf001)
+    val idx = VamanaIndex.build(emb, params, numShards = 2).cache()
+    val labels = emb.select($"vec_id",
+      ($"vec_id" % 3).cast("int").as("label"))
+    val target = 1
+    val dels: Array[Long] = all.keySet.filter(id => id % 3 == 1 && id % 2 == 0)
+      .toArray.sorted
+    val qs = Seq(1L, 7L, 13L).map(id => (id, all(id))).toArray
+    val got = VamanaIndex.searchFiltered(idx, labels, qs, k, beam, params,
+        target, tombstones = dels)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, nid) =>
+      assert(nid % 3 == target, s"off-label $nid served")
+      assert(java.util.Arrays.binarySearch(dels, nid) < 0, s"tombstoned $nid served")
+    }
+    // live-set recall vs exact cosine top-k over LIVE target-label ids
+    val recall = qs.map { case (qid, qv) =>
+      val truth = all.toSeq
+        .filter { case (id, _) => id % 3 == target &&
+          java.util.Arrays.binarySearch(dels, id) < 0 }
+        .sortBy { case (id, v) => (cosDist(qv, v), id) }.take(k).map(_._1).toSet
+      val mine = got.filter(_._1 == qid).map(_._2).toSet
+      (truth & mine).size.toDouble / k
+    }.sum / qs.length
+    info(s"filtered live-set recall@$k = $recall")
+    assert(recall >= 0.9, s"filtered live-set recall $recall < 0.9")
+    // ROW-IDENTITY: excluding by tombstone must equal excluding by
+    // relabeling the same ids to a non-target label — the two allow
+    // predicates are extensionally equal over an identical traversal
+    val relabeled = emb.select($"vec_id",
+      org.apache.spark.sql.functions.when(
+        $"vec_id".isInCollection(dels.toSeq), 2)
+        .otherwise(($"vec_id" % 3).cast("int")).as("label"))
+    val viaRelabel = VamanaIndex.searchFiltered(idx, relabeled, qs, k, beam,
+        params, target)
+      .select($"q_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    val viaTombs = VamanaIndex.searchFiltered(idx, labels, qs, k, beam, params,
+        target, tombstones = dels)
+      .select($"q_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(viaTombs.sameElements(viaRelabel),
+      "tombstone exclusion diverged from the equivalent relabeling")
+    idx.unpersist()
+  }
+
+  test("tombstones through STITCHED serving: exclusion row-identity and multi-label coverage") {
+    import graft.index.StitchedIndex
+    val emb = Tables.embeddings(spark, SparkSpecBase.sf001)
+    // multi-label membership: every id carries label id%3; ids %7==0
+    // ALSO join label 2 — a delete must vanish from BOTH graphs
+    val labels = emb.select($"vec_id", ($"vec_id" % 3).cast("int").as("label"))
+      .union(emb.filter($"vec_id" % 7 === 0)
+        .select($"vec_id", org.apache.spark.sql.functions.lit(2).as("label")))
+    val idx = StitchedIndex.build(emb, labels, params, targetShardRows = 1000)
+      .cache()
+    val dels: Array[Long] = all.keySet.filter(id => id % 14 == 0).toArray.sorted
+    val qs = Seq(1L, 7L, 13L).map(id => (id, all(id))).toArray
+    for (target <- 0 to 2) {
+      val got = StitchedIndex.search(idx, qs, k, beam, params, target,
+          tombstones = dels)
+        .select($"q_id", $"neighbor_id").as[(Long, Long)].collect()
+      assert(got.nonEmpty)
+      got.foreach { case (_, nid) =>
+        assert(java.util.Arrays.binarySearch(dels, nid) < 0,
+          s"tombstoned $nid served from label $target") }
+    }
+    // row-identity 1: a log that touches NO member of the target
+    // label is a no-op (exclusion is exact, never approximate)
+    val offLabel: Array[Long] = all.keySet
+      .filter(id => id % 3 == 0 && id % 7 != 0).toArray.sorted
+    val plain = StitchedIndex.search(idx, qs, k, beam, params, 1)
+      .select($"q_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    val noop = StitchedIndex.search(idx, qs, k, beam, params, 1,
+        tombstones = offLabel)
+      .select($"q_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(noop.sameElements(plain),
+      "an off-label tombstone log changed stitched results")
+    // row-identity 2: exclusion == post-filtering a widened search
+    // (k + |dels ∩ label|'s safe upper bound) — the kernel returns the
+    // best k LIVE ids, which a deep-enough unexcluded list reproduces
+    val target = 2
+    val wide = StitchedIndex.search(idx, qs, k + dels.length, beam, params,
+        target)
+      .select($"q_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    val wantPost = wide.iterator
+      .filter(r => java.util.Arrays.binarySearch(dels, r._3) < 0)
+      .toSeq.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).take(k).map(_._3)).toMap
+    val gotEx = StitchedIndex.search(idx, qs, k, beam, params, target,
+        tombstones = dels)
+      .select($"q_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(gotEx == wantPost,
+      "stitched exclusion diverged from post-filtering the widened search")
+    idx.unpersist()
+  }
 }

@@ -348,4 +348,89 @@ class HiDimSpec extends AnyFunSuite {
     val codes = trained.encodeAll(flat, nS)
     assert(codes.length === nS * 16)
   }
+
+  test("OPQ at the 1536-dim serving shape: rotation trains, error/recall deltas recorded (GRAFT_HIDIM_OPQ)") {
+    assume(sys.env.contains("GRAFT_HIDIM_OPQ"),
+      "GRAFT_HIDIM_OPQ not set — high-dim OPQ rehearsal skipped")
+    // the gated OPQ artifact is dim 64; this proves the SAME trainer
+    // (momentsOf → Jacobi → allocation, all dimension-parametric) at
+    // the reference serving shape (1M × 1536, subDim 96 → m 16) and
+    // records the trained-error and ADC-recall deltas vs raw slices —
+    // on BOTH corpus shapes: clustered (low-rank-ish structure, the
+    // regime OPQ exists for) and uniform (isotropic — the expected
+    // no-gain control).
+    val dim = 1536; val m = 16; val ksub = 16
+    val nS = 2048
+    def run(tag: String, gen: Long => Array[Float]): (Double, Double) = {
+      val vecs = Array.tabulate(nS)(i => gen(i.toLong))
+      val t0 = System.nanoTime()
+      val rot = operators.Opq.trainRotation(vecs, m)
+      info(f"$tag: dim-$dim rotation trained in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val rotVecs = vecs.map(v => operators.Opq.rotateOf(v, rot, dim))
+      def flatOf(a: Array[Array[Float]]): Array[Float] = {
+        val f = new Array[Float](nS * dim)
+        var i = 0
+        while (i < nS) { System.arraycopy(a(i), 0, f, i * dim, dim); i += 1 }
+        f
+      }
+      val fRaw = flatOf(vecs); val fRot = flatOf(rotVecs)
+      val cbRaw = PqCodebook.train(fRaw, dim, nS, m, ksub, iters = 3)
+      val cbRot = PqCodebook.train(fRot, dim, nS, m, ksub, iters = 3)
+      val eRaw = cbRaw.meanSqError(fRaw, nS)
+      val eRot = cbRot.meanSqError(fRot, nS)
+      // ADC recall@10 on the sample: rank by distance(q, recon(code)),
+      // truth = exact L2 top-10 (self excluded); 50 queries
+      def recallOf(flat: Array[Float], cb: PqCodebook,
+          qs: Array[Int], qFlat: Array[Float]): Double = {
+        val codes = cb.encodeAll(flat, nS)
+        val sub = cb.subDim
+        val rs = qs.map { q =>
+          def l2sqAt(a: Array[Float], ai: Int, b: Array[Float], bi: Int, len: Int): Double = {
+            var s = 0.0; var i = 0
+            while (i < len) {
+              val d = a(ai + i).toDouble - b(bi + i).toDouble; s += d * d; i += 1 }
+            s
+          }
+          // LUT: dist from q's subvector to every centroid
+          val lut = new Array[Double](m * ksub)
+          var s = 0
+          while (s < m) {
+            var c = 0
+            while (c < ksub) {
+              lut(s * ksub + c) = l2sqAt(qFlat, q * dim + s * sub,
+                cb.cents, (s * ksub + c) * sub, sub)
+              c += 1
+            }
+            s += 1
+          }
+          val adc = (0 until nS).filter(_ != q).map { v =>
+            var d = 0.0; var ss = 0
+            while (ss < m) { d += lut(ss * ksub + (codes(v * m + ss) & 0xff)); ss += 1 }
+            (d, v)
+          }.sortBy(identity).take(10).map(_._2).toSet
+          val exact = (0 until nS).filter(_ != q).map { v =>
+            (l2sqAt(flat, q * dim, flat, v * dim, dim), v)
+          }.sortBy(identity).take(10).map(_._2).toSet
+          (adc & exact).size / 10.0
+        }
+        rs.sum / rs.length
+      }
+      val qs = Array.tabulate(50)(_ * 40)
+      val rRaw = recallOf(fRaw, cbRaw, qs, fRaw)
+      val rRot = recallOf(fRot, cbRot, qs, fRot)
+      info(f"$tag: trained MSE raw $eRaw%.5f vs rotated $eRot%.5f " +
+        f"(${(eRaw - eRot) / eRaw * 100}%.1f%% delta); ADC recall@10 raw " +
+        f"$rRaw%.3f vs rotated $rRot%.3f")
+      (eRaw - eRot) / eRaw -> (rRot - rRaw)
+    }
+    val (clusDelta, clusRecDelta) =
+      run("clustered", id => genClusteredVec(id, dim, 32))
+    val (uniDelta, uniRecDelta) = run("uniform", id => genVec(id, dim))
+    info(f"summary: clustered MSE gain ${clusDelta * 100}%.1f%% recallΔ " +
+      f"$clusRecDelta%.3f; uniform MSE gain ${uniDelta * 100}%.1f%% recallΔ $uniRecDelta%.3f")
+    // the trainer must never BREAK the high-dim chain; direction of
+    // the gains is recorded in BASELINE from this run's info lines
+    assert(clusDelta > -0.05 && uniDelta > -0.05,
+      s"rotation materially worsened trained MSE: clustered $clusDelta uniform $uniDelta")
+  }
 }

@@ -165,6 +165,91 @@ class OpqSpec extends AnyFunSuite {
     assert(r >= 0.55, s"binary chain recall@10 = $r < 0.55")
   }
 
+  test("random rotation (q_knn_binary_rot): both directions of the RaBitQ trade, measured") {
+    // Direction 1 (bench corpus, sf0.01): the corpus is
+    // axis-structured synthetic, so RAW sign bits beat the rotated
+    // ones — raw 0.71 vs rotated 0.59 candidate recall@50→10
+    // (measured r17; extends the r16 OPQ-rotation negative finding —
+    // 0.67 — to the random rotation: 0.59 is the corpus-independent
+    // hyperplane-LSH floor, and ANY rotation of an axis-friendly
+    // corpus pays down to it). Direction 2 (sparse stress): on a
+    // 6-of-64 sparse corpus — where a zero and a negative coordinate
+    // collapse into the same raw bit — raw craters to 0.14 while
+    // rotated holds 0.55: the corpus-independence insurance the
+    // rotation exists for (RaBitQ, Gao & Long SIGMOD'24).
+    val spark = SparkSpecBase.spark
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val all = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def l2sq(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    def pack(v: Array[Float]): Long = {
+      var c = 0L; var i = 0
+      while (i < 62) { if (v(i) > 0) c |= (1L << i); i += 1 }
+      c
+    }
+    val rot = operators.Opq.BinRotation
+    // the rotation itself is orthonormal to float precision
+    val n = operators.Opq.Dim
+    for (a <- 0 until n; b <- a until n) {
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += rot(a * n + i).toDouble * rot(b * n + i).toDouble; i += 1 }
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-5, s"R row $a · row $b = $dot, want $want")
+    }
+    def candRecall(data: Array[(Long, Array[Float])], qMod: Int,
+        codeOf: Map[Long, Long]): Double = {
+      val rs = data.filter(_._1 % qMod == 0).map { case (q, qv) =>
+        val ex = data.filter(_._1 != q)
+          .sortBy { case (id, v) => (l2sq(qv, v), id) }.take(10).map(_._1).toSet
+        val qc = codeOf(q)
+        val cands = data.iterator.map(_._1).filter(_ != q).toArray
+          .sortBy(id => (java.lang.Long.bitCount(codeOf(id) ^ qc), id))
+          .take(50).toSet
+        (cands & ex).size.toDouble / ex.size
+      }
+      rs.sum / rs.length
+    }
+    val rawBench = candRecall(all, 50, all.map { case (id, v) => id -> pack(v) }.toMap)
+    val rotBench = candRecall(all, 50, all.map { case (id, v) =>
+      id -> pack(operators.Opq.rotate(v, rot)) }.toMap)
+    info(f"bench corpus: raw $rawBench%.3f rotated $rotBench%.3f")
+    assert(rawBench >= rotBench,
+      "the negative finding inverted: the rotation now HELPS on the bench " +
+        "corpus — re-evaluate which variant q_knn_binary should default to")
+    assert(rotBench >= 0.50, s"rotated recall $rotBench fell below the LSH floor")
+    // sparse stress corpus: 6 nonzero coords of 64, deterministic
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def unit(seed: Long): Double = (mix(seed) >>> 11).toDouble / (1L << 53).toDouble
+    val sparse: Array[(Long, Array[Float])] = Array.tabulate(2000) { id =>
+      val v = new Array[Float](64)
+      var k = 0
+      while (k < 6) {
+        val j = (unit(id * 31L + k) * 64).toInt.min(63)
+        v(j) = (unit(id * 97L + k * 7 + 1) * 2 - 1).toFloat
+        k += 1
+      }
+      (id.toLong, v)
+    }
+    val rawSparse = candRecall(sparse, 40,
+      sparse.map { case (id, v) => id -> pack(v) }.toMap)
+    val rotSparse = candRecall(sparse, 40, sparse.map { case (id, v) =>
+      id -> pack(operators.Opq.rotate(v, rot)) }.toMap)
+    info(f"sparse corpus: raw $rawSparse%.3f rotated $rotSparse%.3f")
+    assert(rotSparse >= 3.0 * rawSparse,
+      s"rotation insurance eroded: sparse rotated $rotSparse vs raw $rawSparse")
+    assert(rotSparse >= 0.45, s"sparse rotated recall $rotSparse below floor")
+  }
+
   test("dimension-parametric trainRotation lowers serving-tier PQ error on an anisotropic corpus") {
     // a corpus whose variance is wildly unbalanced across dims AND
     // correlated across adjacent pairs — the regime the eigenvalue

@@ -250,4 +250,68 @@ class SkewedCorpusSpec extends AnyFunSuite {
     assert(again.sameElements(first))
     capped.unpersist()
   }
+
+  test("semDeDupCapped: the O(cell²) pair scan stays task-bounded under 80/20 skew") {
+    // SemDeDup's clustering stage exists to make web-scale dedup
+    // sub-quadratic — but an uncapped Lloyd assignment on THIS cloud
+    // funnels the dense ball into one cell, and the within-cell pair
+    // scan is quadratic in that cell. The capped composition (trained
+    // centroids → FFD re-tag → cell-local union-find) bounds every
+    // task at capFactor·n/nCells pairs-side rows, which is the whole
+    // point; this pins the bound, the split actually firing, the
+    // keep-rule contract, and determinism.
+    import graft.operators.{Dedup, KMeans}
+    val df = spark.createDataFrame(corpus).toDF("vec_id", "embedding")
+    val nCells = 8; val capFactor = 1.5
+    // the capping pass itself, replayed for inspection (same calls
+    // semDeDupCapped makes internally — all deterministic)
+    val cents = KMeans.trainedCentroidsOf(df, nCells, 2)
+    val assigned = KMeans.assign(df, cents)
+      .select($"vec_id", $"embedding", $"cell".as("shard"))
+    val uncappedMax = assigned.groupBy($"shard").count()
+      .as[(Int, Long)].collect().map(_._2).max
+    val (recapped, totalShards) =
+      VamanaIndex.capAssignment(assigned, nCells, capFactor)
+    val cap = math.ceil(capFactor * N.toDouble / nCells).toLong
+    val cellSizes = recapped.groupBy($"shard").count()
+      .as[(Int, Long)].collect().map(_._2)
+    info(s"uncapped max cell $uncappedMax -> capped max ${cellSizes.max} " +
+      s"(cap $cap, ${cellSizes.length} cells, maxSplit ${totalShards / nCells})")
+    assert(uncappedMax > cap,
+      "the dense ball must overflow a trained cell — otherwise this pins nothing")
+    assert(cellSizes.max <= cap, s"cap violated: ${cellSizes.max} > $cap")
+    assert(totalShards / nCells > 1, "no cell split — the skew never fired")
+
+    val out = Dedup.semDeDupCapped(df, nCells, capFactor).cache()
+    val rows = out.select($"vec_id", $"group_id", $"group_n", $"c_sim", $"keep")
+      .as[(Long, Long, Long, Double, Int)].collect()
+    // group contract: every group ≥2 members, group_n consistent,
+    // exactly one keep and it is the (c_sim, vec_id)-min member
+    val byGroup = rows.groupBy(_._2)
+    byGroup.foreach { case (gid, ms) =>
+      assert(ms.length >= 2, s"group $gid has ${ms.length} member")
+      assert(ms.forall(_._3 == ms.length), s"group_n drift in $gid")
+      assert(gid == ms.map(_._1).min, s"group id $gid is not the min member")
+      val keeps = ms.filter(_._5 == 1)
+      assert(keeps.length == 1, s"group $gid has ${keeps.length} keeps")
+      val want = ms.minBy(m => (m._4, m._1))
+      assert(keeps.head._1 == want._1,
+        s"group $gid kept ${keeps.head._1}, want ${want._1} (lowest centroid cosine)")
+    }
+    // the dense ball IS one semantic-duplicate mass: near-identical
+    // vectors (spread 0.05 around one center) sit at cosine ≈ 1 ≥ τ,
+    // so the bulk of the ball must be flagged even though the scan
+    // never crosses capped-cell boundaries
+    val denseN = (N * DenseFrac).toInt
+    val denseFlagged = rows.count(_._1 < denseN)
+    info(s"dense-ball members flagged: $denseFlagged / $denseN in " +
+      s"${byGroup.size} groups over ${rows.length} total rows")
+    assert(denseFlagged >= (denseN * 0.95).toInt,
+      s"only $denseFlagged of $denseN dense-ball members flagged")
+    // deterministic end to end
+    val again = Dedup.semDeDupCapped(df, nCells, capFactor)
+      .as[(Long, Long, Long, Double, Int)].collect()
+    assert(again.sameElements(rows.sortBy(_._1)))
+    out.unpersist()
+  }
 }
