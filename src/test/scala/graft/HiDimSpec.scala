@@ -364,7 +364,10 @@ class HiDimSpec extends AnyFunSuite {
     def run(tag: String, gen: Long => Array[Float]): (Double, Double) = {
       val vecs = Array.tabulate(nS)(i => gen(i.toLong))
       val t0 = System.nanoTime()
-      val rot = operators.Opq.trainRotation(vecs, m)
+      // the high-dim trainer: one-sided Hestenes on the centered
+      // sample — the memory-local form (the two-sided covariance
+      // Jacobi's strided column updates measured >20 min at this dim)
+      val rot = operators.Opq.trainRotationHiDim(vecs, m)
       info(f"$tag: dim-$dim rotation trained in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       val rotVecs = vecs.map(v => operators.Opq.rotateOf(v, rot, dim))
       def flatOf(a: Array[Array[Float]]): Array[Float] = {

@@ -250,6 +250,52 @@ class OpqSpec extends AnyFunSuite {
     assert(rotSparse >= 0.45, s"sparse rotated recall $rotSparse below floor")
   }
 
+  test("hestenesEigen agrees with jacobiEigen: same spectrum, same subspaces (dim 32)") {
+    // the high-dim trainer swaps the eigensolver for the memory-local
+    // one-sided form; this pins the two solvers to the same answer on
+    // a real sample-covariance problem — eigenvalues match to 1e-8
+    // relative, and each Hestenes basis vector is an eigenvector of
+    // the covariance (C·v ≈ λ·v), which is solver-agnostic even under
+    // degenerate/clustered eigenvalues where the VECTORS may differ
+    val dim = 32; val nVecs = 512
+    var z = 0xfeedL
+    def next(): Double = {
+      z += 0x9e3779b97f4a7c15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      ((x ^ (x >>> 31)) & 0xffffff).toDouble / 0xffffff - 0.5
+    }
+    // anisotropic: coordinate j scaled by (1 + j/4), plus pair mixing
+    val vecs = Array.fill(nVecs) {
+      val raw = Array.fill(dim)(next())
+      Array.tabulate(dim) { j =>
+        val mix = if (j + 1 < dim) 0.3 * raw(j + 1) else 0.0
+        ((raw(j) + mix) * (1.0 + j / 4.0)).toFloat
+      }
+    }
+    val (_, _, cov) = operators.Opq.momentsOf(vecs.iterator, dim)
+    val (eJ, _) = operators.Opq.jacobiEigen(cov, dim)
+    val (eH, vH) = operators.Opq.hestenesEigen(vecs, dim, maxSweeps = 64)
+    val sJ = eJ.sorted; val sH = eH.sorted
+    for (k <- 0 until dim)
+      assert(math.abs(sJ(k) - sH(k)) <= 1e-8 * math.max(1e-12, sJ(k)),
+        s"eigenvalue $k: jacobi ${sJ(k)} vs hestenes ${sH(k)}")
+    // residual check: C·v_k = λ_k·v_k for every Hestenes pair
+    for (k <- 0 until dim) {
+      var res = 0.0; var nv = 0.0
+      for (i <- 0 until dim) {
+        var cv = 0.0
+        for (j <- 0 until dim) cv += cov(i * dim + j) * vH(j * dim + k)
+        val r = cv - eH(k) * vH(i * dim + k)
+        res += r * r; nv += vH(i * dim + k) * vH(i * dim + k)
+      }
+      assert(math.abs(nv - 1.0) < 1e-8, s"basis vector $k not unit: $nv")
+      assert(math.sqrt(res) <= 1e-6 * math.max(1e-9, eH(k)) + 1e-9,
+        s"C·v - λ·v residual ${math.sqrt(res)} at eigenpair $k (λ=${eH(k)})")
+    }
+  }
+
   test("dimension-parametric trainRotation lowers serving-tier PQ error on an anisotropic corpus") {
     // a corpus whose variance is wildly unbalanced across dims AND
     // correlated across adjacent pairs — the regime the eigenvalue

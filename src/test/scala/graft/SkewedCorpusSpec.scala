@@ -314,4 +314,59 @@ class SkewedCorpusSpec extends AnyFunSuite {
     assert(again.sameElements(rows.sortBy(_._1)))
     out.unpersist()
   }
+
+  test("semDeDupCapped scale rehearsal: sf1 corpus + 200k skew ball (GRAFT_SEMCAP_SCALE)") {
+    assume(sys.env.contains("GRAFT_SEMCAP_SCALE"),
+      "GRAFT_SEMCAP_SCALE not set — semDeDupCapped scale rehearsal skipped")
+    import graft.operators.Dedup
+    // shape 1: the 10x bench corpus (50k x dim-64 embeddings)
+    val sf1 = sys.env.getOrElse("GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val emb = Tables.embeddings(spark, sf1).select($"vec_id", $"embedding")
+    val n1 = emb.count()
+    val t0 = System.nanoTime()
+    val out1 = Dedup.semDeDupCapped(emb, nCells = 64, capFactor = 1.5)
+    val rows1 = out1.count()
+    val w1 = (System.nanoTime() - t0) / 1e9
+    info(f"sf1 ($n1%d x 64): $w1%.1f s, $rows1 dup-group rows")
+    assert(rows1 > 0)
+    // shape 2: 200k x dim-16 80/20 skew ball — the adversarial-skew
+    // regime; without the cap one cell would hold 160k vectors and
+    // the pair scan would be 1.3e10 cosine pairs in ONE task
+    val nBig = 200000
+    val big = spark.range(nBig)
+      .map(id => (id, SkewedCorpusSpec.bigPoint(id, 16, nBig)))
+      .toDF("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    big.count()
+    val t1 = System.nanoTime()
+    val out2 = Dedup.semDeDupCapped(big, nCells = 64, capFactor = 1.5)
+    val rows2 = out2.count()
+    val w2 = (System.nanoTime() - t1) / 1e9
+    info(f"skew ball ($nBig x 16, 80%% in one ball): $w2%.1f s, $rows2 dup-group rows")
+    // the dense ball must be found as duplicate mass despite capping
+    assert(rows2 >= (nBig * 0.8 * 0.9).toLong,
+      s"only $rows2 of ~${(nBig * 0.8).toInt} dense-ball members flagged")
+    big.unpersist(blocking = false)
+  }
+}
+
+object SkewedCorpusSpec extends Serializable {
+  /** The suite's 80/20 point generator, dimension/size-parametric —
+    * executor-side for the scale rehearsal (the inner spec methods
+    * capture the suite instance and must stay driver-only). */
+  def bigPoint(id: Long, dim: Int, n: Int): Array[Float] = {
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def unit(seed: Long): Double = (mix(seed) >>> 11).toDouble / (1L << 53).toDouble
+    val dense = id < (n * 0.8).toLong
+    Array.tabulate(dim) { d =>
+      val u = unit(id * 1013L + d)
+      if (dense) (0.5 + (u - 0.5) * 0.05).toFloat
+      else (u * 2.0 - 1.0).toFloat
+    }
+  }
 }
