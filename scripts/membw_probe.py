@@ -1,29 +1,33 @@
 #!/usr/bin/env python3
-"""Quick host memory-bandwidth probe (driver-side only, not part of
-the library): numpy int64 sum sweeps over a 256 MiB array, single
-thread and 16-way sliced — the same shape as graft.Bench's in-run
-membw probe. Use before launching a full bench run: the healthy band
-recorded in BASELINE.md is aggregate >= ~30 GB/s (numpy's sliced sum
-releases the GIL, so the parallel figure is comparable)."""
+"""Host memory-bandwidth probe (driver-side only, not part of the
+library): numpy int64 sum sweeps over a 256 MiB array, 16-way sliced.
+Reports BURST (first second of sweeps) and SUSTAINED (after ~8 s of
+continuous load) separately: the r17 host forensics in BASELINE.md
+showed a burst-credit throttle — one-shot probes read 45-85 GB/s
+while any process that has been driving memory for seconds gets
+14-25 — so only the SUSTAINED figure predicts what graft.Bench will
+see. Healthy band: sustained >= ~30 GB/s."""
 import numpy as np, time
 from concurrent.futures import ThreadPoolExecutor
 
 n = 32 << 20
 a = np.full(n, 7, dtype=np.int64)
-a.sum()
-best1 = 0.0
-for _ in range(3):
-    t = time.time(); a.sum(); d = time.time() - t
-    best1 = max(best1, 8.0 * n / d / 1e9)
 nt = 16
 chunk = n // nt
 def sweep(t):
     return a[t * chunk:(t + 1) * chunk].sum()
+
 with ThreadPoolExecutor(nt) as ex:
-    list(ex.map(sweep, range(nt)))
-    bestp = 0.0
-    for _ in range(3):
-        t0 = time.time(); list(ex.map(sweep, range(nt))); d = time.time() - t0
-        bestp = max(bestp, 8.0 * n / d / 1e9)
-print(f"membw 1t {best1:.1f} GB/s, parallel({nt}) {bestp:.1f} GB/s "
-      f"({'HEALTHY' if bestp >= 30 else 'throttled'} vs the >=30 band)")
+    list(ex.map(sweep, range(nt)))  # touch + warm
+    rates = []
+    t_start = time.time()
+    while time.time() - t_start < 12:
+        t0 = time.time()
+        list(ex.map(sweep, range(nt)))
+        rates.append((time.time() - t_start, 8.0 * n / (time.time() - t0) / 1e9))
+burst = max(r for ts, r in rates if ts < 1.5)
+tail = [r for ts, r in rates if ts > 8.0]
+sustained = sorted(tail)[len(tail) // 2] if tail else float("nan")
+state = "HEALTHY" if sustained >= 30 else "throttled"
+print(f"membw burst {burst:.1f} GB/s, sustained {sustained:.1f} GB/s "
+      f"({state} vs the >=30 sustained band; {len(rates)} sweeps)")

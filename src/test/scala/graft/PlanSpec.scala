@@ -334,4 +334,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("FlatMapGroups") || plan.contains("MapGroups"),
       s"the cell-local union-find task is missing:\n$plan")
   }
+
+  test("q_knn_binary_rot: the rotation adds no shuffle — plan shape identical to q_knn_binary") {
+    // the rotate is a broadcast dim²-flop kernel folded into the
+    // coding scan (mapPartitions), so the rotated chain must carry
+    // exactly the raw chain's exchange/join structure
+    val plan = planOf(operators.Opq.qKnnBinaryRot(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"query codes must broadcast against the corpus scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join anywhere in the rotated binary chain:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the rotated chain must not introduce a rank window:\n$plan")
+  }
+
+  test("semDeDupCapped: cell-local union-find, keep-rule aggregate broadcasts back") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val plan = planOf(operators.Dedup.semDeDupCapped(emb, nCells = 8))
+    // the output is localCheckpoint-materialized (the buildCapped
+    // ownership contract), so the pinned shape is the RDD scan —
+    // no exchange may survive into the serving read
+    assert(!plan.contains("CartesianProduct"),
+      s"capped pair scan must stay inside the per-cell task:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the keep-rule join must broadcast, never shuffle the members:\n$plan")
+  }
 }
