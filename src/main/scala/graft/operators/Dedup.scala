@@ -372,13 +372,57 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Edge-count bound under which connected components run as ONE
+    * single-task union-find instead of the iterative join loop: 5M
+    * edges ≈ 80 MB of longs in the task — trivially in-memory, and
+    * the entire multi-round loop (each round two joins + a
+    * localCheckpoint + an accumulator read ≈ 0.8 s of pure fixed
+    * overhead at ANY graph size) collapses to milliseconds. Profiled
+    * r17: the loop was 4.0 s of q_dedup_cluster's 4.5 s warm cost —
+    * on a 15k-pair graph. The iterative path stays for graphs past
+    * the bound (a 10¹¹-edge dedup graph at 100 TB), where per-round
+    * overhead amortizes against real distributed work. */
+  private[graft] val LocalCcEdgeBound = 5000000L
+
   /** Min-label propagation over a cached symmetrized edge set:
     * returns `(node, label)` where label = min doc_id of the node's
     * connected component. Shared by [[qDedupCluster]] (full-graph
-    * edges) and [[qDedupClusterRep]] (representative-graph edges). */
+    * edges) and [[qDedupClusterRep]] (representative-graph edges).
+    *
+    * `localBound`: edge count at or under which the single-task
+    * union-find fast path runs ([[LocalCcEdgeBound]]; tests pass -1
+    * to force the iterative loop and pin both paths identical). */
   private[graft] def propagateMinLabels(
-      s: SparkSession, edges0: DataFrame): DataFrame = {
+      s: SparkSession, edges0: DataFrame,
+      localBound: Long = LocalCcEdgeBound): DataFrame = {
     import s.implicits._
+    val edgeCount0 = edges0.count() // edges are cached by the callers
+    if (edgeCount0 <= localBound) {
+      // single-task min-label union-find — the same kernel as the
+      // SemDeDup cell-local components, over the whole (small) graph
+      return edges0.select($"src", $"dst").as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          val nodes = scala.collection.mutable.LongMap.empty[Unit]
+          it.foreach { case (a, b) =>
+            nodes(a) = ()
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          nodes.keys.toArray.sorted.iterator.map(n => (n, find(n)))
+        }
+        .toDF("node", "label")
+    }
     // SIZE the iterative frames to the edge set: every round is two
     // joins + a localCheckpoint over frames that are KBs at bench SF
     // (a few thousand pair rows), and at 32 shuffle partitions the
@@ -388,12 +432,11 @@ object Dedup {
     // partitions, a 10¹¹-edge one to 20000 — the executor-count
     // ceiling of a real cluster, not a constant that silently turns
     // into 5×10⁸ edges/task) while tiny graphs run on 4.
-    val edgeCount = edges0.count() // edges are cached by the callers
     // GRAFT_PROP_FLOOR: dev knob for A/B-ing the narrow-loop floor
     // against the pre-r16 session width (the r16→r17 resize episode —
     // see BASELINE "cluster-family width A/B")
     val floor = sys.env.get("GRAFT_PROP_FLOOR").map(_.toInt).getOrElse(4)
-    val nParts = math.max(floor, math.min(20000, (edgeCount / 500000L).toInt))
+    val nParts = math.max(floor, math.min(20000, (edgeCount0 / 500000L).toInt))
     // every round's joins/aggregates inherit the session shuffle
     // width, so run the WHOLE loop on a CHILD session (shared
     // SparkContext — same executors, caches and checkpoint RDDs —
@@ -483,11 +526,18 @@ object Dedup {
     // the shingle chain (tokenize → shingle → collect_set) is the
     // expensive producer and the LSH+verify plan self-joins its
     // output; checkpointing the rep-only slice runs it exactly once
-    // per call and lets selfOnly reuse the same materialization
-    val repSets = sets.join(
-      reps.select($"rep_id".as("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    val repPairs = verifiedPairsOver(s, repSets).select($"doc_a", $"doc_b")
+    // and lets selfOnly reuse the same materialization. Both the
+    // slice and the LSH+verify pairs over it are PlanCache-memoized
+    // per (session, dir) — the parent's verifiedPairs convention —
+    // so repeated calls (bench reps) pay only propagation + the
+    // quotient joins (r17: the chain was rebuilt per call, 4.3 s vs
+    // the parent's post-fast-path 0.9)
+    val repSets = graft.PlanCache.getOrBuild(s, Family, s"repSets:$dir")(
+      sets.join(
+        reps.select($"rep_id".as("doc_id")), Seq("doc_id"), "left_semi")
+        .localCheckpoint())
+    val repPairs = graft.PlanCache.getOrBuild(s, Family, s"repPairs:$dir")(
+      verifiedPairsOver(s, repSets).select($"doc_a", $"doc_b"))
     val edges = repPairs.union(repPairs.select($"doc_b", $"doc_a"))
       .toDF("src", "dst").cache()
     val edgeLabels = propagateMinLabels(s, edges)

@@ -267,4 +267,38 @@ class DedupSemanticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(repH.toSeq == fullH.toSeq, "simhash rep diverged on skew corpus")
   }
+
+  test("single-task CC fast path is row-identical to the iterative loop (chain, clique, pair)") {
+    // propagateMinLabels takes the one-task union-find below
+    // LocalCcEdgeBound (r17: the loop's per-round overhead was 4.0 s
+    // of q_dedup_cluster's 4.5 s warm cost on a 15k-pair graph) and
+    // the join loop above it; both must compute the same closure.
+    // The graph exercises the loop's convergence: a 40-node CHAIN
+    // (diameter 39 — the min-fused init still needs many rounds), a
+    // 10-node clique, an isolated pair, and high-id noise edges.
+    val spark = SparkSpecBase.spark
+    import spark.implicits._
+    val pairs: Seq[(Long, Long)] =
+      (0L until 39L).map(i => (i, i + 1)) ++ // chain 0..39
+        (for (a <- 100L until 110L; b <- (a + 1) until 110L) yield (a, b)) ++
+        Seq((500L, 501L)) ++
+        Seq((600L, 700L), (700L, 800L), (800L, 900L))
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.map(_.swap).toDF("src", "dst")).cache()
+    edges.count()
+    val fast = operators.Dedup.propagateMinLabels(spark, edges)
+      .as[(Long, Long)].collect().sorted
+    val loop = operators.Dedup.propagateMinLabels(spark, edges, localBound = -1)
+      .as[(Long, Long)].collect().sorted
+    assert(fast.sameElements(loop),
+      s"fast path diverged from the loop:\n${fast.take(10).toSeq} vs ${loop.take(10).toSeq}")
+    // and the closure itself is right: chain collapses to label 0,
+    // clique to 100, pair to 500, path-of-edges to 600
+    val m = fast.toMap
+    assert((0L to 39L).forall(m(_) == 0L))
+    assert((100L until 110L).forall(m(_) == 100L))
+    assert(m(501L) == 500L && m(500L) == 500L)
+    assert(Seq(600L, 700L, 800L, 900L).forall(m(_) == 600L))
+    edges.unpersist()
+  }
 }
