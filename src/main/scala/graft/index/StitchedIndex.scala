@@ -170,6 +170,7 @@ object StitchedIndex {
       tombstones: Array[Long] = Array.emptyLongArray): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
+    VamanaIndex.requireSortedTombstones(tombstones)
     val qB = s.sparkContext.broadcast(queries)
     val exB = s.sparkContext.broadcast(tombstones)
     val perShard = index.filter(col("label") === target)

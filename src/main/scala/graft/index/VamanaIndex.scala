@@ -962,6 +962,7 @@ object VamanaIndex {
     // targeting it would silently match every unlabeled vector
     require(target != Int.MinValue,
       "label Int.MinValue is reserved as the unlabeled sentinel")
+    requireSortedTombstones(tombstones)
     val qB = s.sparkContext.broadcast(queries)
     // LEFT join: a vector without a label row must STAY IN THE GRAPH
     // (sentinel label that matches no target) — an inner join removed
@@ -1012,6 +1013,18 @@ object VamanaIndex {
     searchExcludingSorted(index, queries, k, beamWidth, params,
       { val a = excluded.toArray; java.util.Arrays.sort(a); a })
 
+  /** Every kernel binary-searches the tombstone log, so an unsorted
+    * one would silently SERVE deleted ids. One driver-side pass at
+    * entry — O(n) next to the broadcast — fails loudly instead. */
+  private[graft] def requireSortedTombstones(ex: Array[Long]): Unit = {
+    var i = 1
+    while (i < ex.length) {
+      require(ex(i - 1) <= ex(i),
+        s"tombstone log must be sorted: ex($i)=${ex(i)} < ex(${i - 1})=${ex(i - 1)}")
+      i += 1
+    }
+  }
+
   /** [[searchExcluding]] core over an ALREADY-SORTED primitive id
     * array — the no-boxing entry for callers that collect the log
     * straight to Array[Long] ([[StreamingIndex.searchLive]]'s
@@ -1023,6 +1036,7 @@ object VamanaIndex {
       exArr: Array[Long]): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
+    requireSortedTombstones(exArr)
     if (exArr.isEmpty) return search(index, queries, k, beamWidth, params)
     val qB = s.sparkContext.broadcast(queries)
     val exB = s.sparkContext.broadcast(exArr)

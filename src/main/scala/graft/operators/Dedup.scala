@@ -396,7 +396,11 @@ object Dedup {
       s: SparkSession, edges0: DataFrame,
       localBound: Long = LocalCcEdgeBound): DataFrame = {
     import s.implicits._
-    val edgeCount0 = edges0.count() // edges are cached by the callers
+    // the count() below (and the re-read that follows) assumes the
+    // caller cached the edge frame — make that contract fail loudly
+    require(edges0.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "propagateMinLabels expects a cached edge frame (callers persist before calling)")
+    val edgeCount0 = edges0.count()
     if (edgeCount0 <= localBound) {
       // single-task min-label union-find — the same kernel as the
       // SemDeDup cell-local components, over the whole (small) graph
@@ -413,7 +417,10 @@ object Dedup {
           }
           val nodes = scala.collection.mutable.LongMap.empty[Unit]
           it.foreach { case (a, b) =>
-            nodes(a) = ()
+            // register BOTH endpoints: both current callers symmetrize
+            // edges (so src covers every node), but an asymmetric
+            // caller must not silently lose dst-only nodes
+            nodes(a) = (); nodes(b) = ()
             val ra = find(a); val rb = find(b)
             if (ra != rb) {
               if (ra < rb) parent(rb) = ra else parent(ra) = rb
@@ -422,6 +429,10 @@ object Dedup {
           nodes.keys.toArray.sorted.iterator.map(n => (n, find(n)))
         }
         .toDF("node", "label")
+        // eager: callers unpersist the edge frame right after this
+        // returns ("labels are checkpointed") — materialize before
+        // the cache goes away so labels never replay the pair chain
+        .localCheckpoint()
     }
     // SIZE the iterative frames to the edge set: every round is two
     // joins + a localCheckpoint over frames that are KBs at bench SF
@@ -435,7 +446,18 @@ object Dedup {
     // GRAFT_PROP_FLOOR: dev knob for A/B-ing the narrow-loop floor
     // against the pre-r16 session width (the r16→r17 resize episode —
     // see BASELINE "cluster-family width A/B")
-    val floor = sys.env.get("GRAFT_PROP_FLOOR").map(_.toInt).getOrElse(4)
+    // dev-only A/B lever: parse defensively (a typo'd value should
+    // name itself, not surface as a NumberFormatException from deep
+    // inside the loop) and clamp to [1, 20000] so it can widen the
+    // narrow floor but never override the edge-scaled cap
+    val floor = sys.env.get("GRAFT_PROP_FLOOR") match {
+      case None => 4
+      case Some(v) => v.toIntOption match {
+        case Some(i) => math.max(1, math.min(20000, i))
+        case None => throw new IllegalArgumentException(
+          s"GRAFT_PROP_FLOOR must be an int, got '$v'")
+      }
+    }
     val nParts = math.max(floor, math.min(20000, (edgeCount0 / 500000L).toInt))
     // every round's joins/aggregates inherit the session shuffle
     // width, so run the WHOLE loop on a CHILD session (shared

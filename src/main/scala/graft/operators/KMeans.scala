@@ -117,6 +117,18 @@ object KMeans {
     var cents: Array[(Int, Array[Float])] = points.filter($"vec_id" < k)
       .select($"vec_id".cast("int"), $"embedding")
       .as[(Int, Array[Float])].collect().sortBy(_._1)
+    if (cents.length < k) {
+      // ids are non-contiguous or offset (a sampled corpus): the
+      // cheap pushdown under-seeds, so fall back to the k lowest ids
+      // globally — a sort+limit over a narrow frame, paid only on
+      // the rare path. Re-key seeds 0..k-1 so cells stay dense.
+      cents = points.orderBy($"vec_id").limit(k)
+        .select($"vec_id".cast("int"), $"embedding")
+        .as[(Int, Array[Float])].collect().sortBy(_._1)
+        .zipWithIndex.map { case ((_, e), i) => (i, e) }
+      require(cents.length == k,
+        s"k-means needs >= $k points, frame has ${cents.length}")
+    }
     for (_ <- 0 until iters) {
       val assigned = assign(points, cents)
       cents = recompute(assigned).as[(Int, Array[Float])].collect().sortBy(_._1)

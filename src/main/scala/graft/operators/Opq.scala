@@ -243,10 +243,16 @@ object Opq {
     val n = vecs.head.length
     require(n % m == 0, s"dim $n not divisible by m=$m")
     // Jacobi at the 1536-dim serving shape is memory-bound (one sweep
-    // ≈ 116 GB of row+column traffic) — pass a small `maxSweeps`
-    // budget there (HiDimSpec trains at 6) and call LAPACK in a real
-    // deployment past ~2048
+    // ≈ 116 GB of row+column traffic): with the open-ended default
+    // budget past dim 512 this two-sided path measures >20 min per
+    // decomposition, so ROUTE to the memory-local one-sided form
+    // ([[trainRotationHiDim]]) instead of stalling. Callers wanting
+    // two-sided Jacobi at high dim must pass an explicit small budget
+    // (HiDimSpec trains at 6); call LAPACK in a real deployment past
+    // ~2048.
     require(n <= 2048, s"driver-side Jacobi is O(n^3); dim $n exceeds the 2048 bound")
+    if (n > 512 && maxSweeps >= 64)
+      return trainRotationHiDim(vecs, m)
     val (_, _, cov) = momentsOf(vecs.iterator, n)
     val (eig, v) = jacobiEigen(cov, n, maxSweeps)
     buildRotationOf(v, allocate(eig, m, n / m), n)
