@@ -220,6 +220,19 @@ object PqSearch {
   def search(
       adjFill: (Int, Array[Int]) => Int, maxDegree: Int, entry: Int,
       lutArr: Array[Double], codes: Array[Byte], cb: PqCodebook,
+      exact: Int => Double, k: Int, beamWidth: Int): Array[(Int, Double)] =
+    searchSteered(adjFill, maxDegree, entry,
+      j => cb.adc(lutArr, codes, j), exact, k, beamWidth)
+
+  /** The two-tier traversal with the STEERING metric abstracted: the
+    * PQ tier steers by ADC lookups, the binary tier by xor+popcount
+    * Hamming — identical frontier/working-set/rerank mechanics either
+    * way, so the kernels cannot drift. `approx` is the resident
+    * approximate distance of a local row; `exact` is the
+    * full-precision rerank (file-backed). */
+  def searchSteered(
+      adjFill: (Int, Array[Int]) => Int, maxDegree: Int, entry: Int,
+      approx: Int => Double,
       exact: Int => Double, k: Int, beamWidth: Int): Array[(Int, Double)] = {
     val bw = math.max(beamWidth, k)
     val wIds = new Array[Int](bw)
@@ -245,7 +258,7 @@ object PqSearch {
         if (c != 0) c else java.lang.Double.compare(a(1), b(1))
       })
 
-    val d0 = cb.adc(lutArr, codes, entry)
+    val d0 = approx(entry)
     visited.add(entry); wInsert(entry, d0); frontier.add(Array(d0, entry.toDouble))
 
     var done = false
@@ -259,7 +272,7 @@ object PqSearch {
         while (t < cnt) {
           val nb = nbrBuf(t)
           if (visited.add(nb)) {
-            val d = cb.adc(lutArr, codes, nb)
+            val d = approx(nb)
             if (wLen < bw || d < worstD || (d == worstD && nb < wIds(wLen - 1))) {
               wInsert(nb, d); frontier.add(Array(d, nb.toDouble))
             }

@@ -747,6 +747,50 @@ object SingleFileIndex {
       .toDF("q_id", "rank", "neighbor_id", "dist")
   }
 
+  /** Binary state per (file identity, rotate) and JVM — the
+    * [[pqStateCache]] contract (build once, serve many; mtime+size in
+    * the key so a re-export invalidates). */
+  private val binStateCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long, Boolean), (Array[Long], Int, Array[Float])]
+
+  /** Two-tier distributed serving steered by RESIDENT sign-bit codes
+    * — [[servePq]]'s binary twin (RaBitQ × DiskANN): the per-vector
+    * resident state is dim/8 bits of sign words (no trained
+    * codebook, no per-query LUT build), traversal steers by
+    * xor+popcount, and only adjacency reads plus the ≤ beamWidth
+    * exact rerank touch the file. The win case is the high-dim
+    * serving shape: at dim 1536 the resident state is 192 B/vector
+    * and each candidate costs 24 word ops, where the ADC tier pays a
+    * per-(query) m·ksub·subdim LUT build plus m dependent byte
+    * lookups per candidate — HiDimSpec records the measured
+    * comparison. `rotate` defaults to the corpus-independent safe
+    * choice (see [[MmapIndex.buildBinaryState]]). */
+  def serveBinary(queries: DataFrame, path: String, k: Int, beamWidth: Int,
+      rotate: Boolean = true): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val f = new java.io.File(path)
+    val state = binStateCache.getOrElseUpdate(
+      (path, f.lastModified(), f.length(), rotate), {
+      val mm = new MmapIndex(path)
+      try mm.buildBinaryState(rotate) finally mm.close()
+    })
+    val stateB = s.sparkContext.broadcast(state)
+    queries.select("q_id", "qv").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val mm = new MmapIndex(path)
+        try {
+          val (words, wpv, rot) = stateB.value
+          it.flatMap { case (qid, qv) =>
+            mm.searchBinary(qv, k, beamWidth, words, wpv, rot).iterator.zipWithIndex.map {
+              case ((nid, d), r) => (qid, r + 1, nid, math.rint(d * 1e4) / 1e4)
+            }
+          }.toArray.iterator
+        } finally mm.close()
+      }
+      .toDF("q_id", "rank", "neighbor_id", "dist")
+  }
+
   /** Load a u8/L2 single-file index into a byte-resident [[U8Graph]]
     * — heap serving at 1/4 the memory of [[importLocal]]'s widened
     * f32 graph, with the distance loop in integer arithmetic (the
@@ -1281,6 +1325,85 @@ final class MmapIndex(path: String, maxSegBytes: Long = Int.MaxValue.toLong,
     var i = 0
     while (i < n) { loadPqRow(i, row); cb.encodeInto(row, 0, codes, i * m); i += 1 }
     (cb, codes)
+  }
+
+  /** Build the resident SIGN-BIT state for this file — the RaBitQ ×
+    * DiskANN serving composition: each (cosine-normalized, optionally
+    * randomly-rotated) vector packs to ⌈dim/64⌉ long words of sign
+    * bits, so candidate generation costs one xor+popcount chain per
+    * visited node instead of an m-entry ADC walk, and the resident
+    * footprint is dim/8 BITS per vector with NO trained codebook.
+    * `rotate = true` applies the frozen random rotation
+    * ([[graft.operators.Opq.randomRotationOf]] at this file's dim —
+    * RaBitQ's isotropy preconditioner, Gao & Long SIGMOD'24): sign
+    * codes estimate angles well only under isotropic variance, so
+    * rotation is the corpus-independent safe default; raw axes
+    * (`rotate = false`) can win on corpora validated axis-friendly
+    * (the measured negative finding at Opq.bitCodes). One sequential
+    * pass; deterministic (frozen seed), so two builds are
+    * bit-identical. Returns (words, wordsPerVec, rotation|null). */
+  def buildBinaryState(rotate: Boolean = true): (Array[Long], Int, Array[Float]) = {
+    require(!packed, "binary serving applies to f32/u8 files, not packed hamming")
+    val rot: Array[Float] =
+      if (rotate) graft.operators.Opq.randomRotationOf(dim, graft.operators.Opq.BinRotSeed)
+      else null
+    val wpv = (dim + 63) >>> 6
+    val words = new Array[Long](n * wpv)
+    val row = new Array[Float](dim)
+    var i = 0
+    while (i < n) {
+      loadPqRow(i, row)
+      packSignBits(if (rot == null) row else graft.operators.Opq.rotateOf(row, rot, dim),
+        words, i * wpv)
+      i += 1
+    }
+    (words, wpv, rot)
+  }
+
+  /** Sign-pack `v` into `out(off ..< off+wpv)`: bit d of word d/64
+    * set iff v(d) > 0 — one shared spelling for corpus rows and
+    * queries so the two sides can never disagree on the convention. */
+  private def packSignBits(v: Array[Float], out: Array[Long], off: Int): Unit = {
+    var w = 0L; var d = 0
+    while (d < dim) {
+      if (v(d) > 0f) w |= 1L << (d & 63)
+      if ((d & 63) == 63) { out(off + (d >>> 6)) = w; w = 0L }
+      d += 1
+    }
+    if ((dim & 63) != 0) out(off + (dim >>> 6)) = w
+  }
+
+  /** Two-tier beam search steered by RESIDENT sign-bit Hamming —
+    * [[searchPq]]'s twin through the same shared traversal kernel
+    * ([[PqSearch.searchSteered]]): the mapping is touched only for
+    * adjacency rows and the ≤ beamWidth exact rerank. Per visited
+    * node the steering cost is wpv xor+popcounts (24 word ops at dim
+    * 1536) against the ADC tier's m lookups + adds, and the state
+    * needs no training pass. Returns (global id, EXACT distance)
+    * ascending — same contract as [[searchPq]]. */
+  def searchBinary(q: Array[Float], k: Int, beamWidth: Int,
+      words: Array[Long], wpv: Int, rotation: Array[Float]): Array[(Long, Double)] = {
+    require(words.length == n.toLong * wpv,
+      s"words length ${words.length} != n($n)·wpv($wpv) — state from another file?")
+    val entry = entryPoint // force before prepQuery (see search)
+    val qNorm = prepQuery(q)
+    val qSteer0 =
+      if (!isCos) q
+      else { val inv = 1.0 / qNorm; Array.tabulate(dim)(i => (q(i) * inv).toFloat) }
+    val qSteer =
+      if (rotation == null) qSteer0
+      else graft.operators.Opq.rotateOf(qSteer0, rotation, dim)
+    val qw = new Array[Long](wpv)
+    packSignBits(qSteer, qw, 0)
+    @inline def hamming(j: Int): Double = {
+      val base = j * wpv
+      var h = 0; var t = 0
+      while (t < wpv) { h += java.lang.Long.bitCount(words(base + t) ^ qw(t)); t += 1 }
+      h.toDouble
+    }
+    PqSearch.searchSteered(adjacencyInto, meta.maxDegree, entry,
+        hamming, j => distQ(q, qNorm, j), k, math.max(beamWidth, k))
+      .map { case (rowId, d) => (ids(rowId), d) }
   }
 
   /** Out-neighbors of row `cur` (padding stripped) read off the

@@ -302,6 +302,204 @@ object StreamingIndex {
     org.apache.commons.io.FileUtils.deleteDirectory(old)
   }
 
+  /** One insert-merge batch at or under this row count rides the
+    * driver/broadcast (ids + vectors — a 100k×128-dim batch is
+    * ~51 MB); bulk loads past it are what the segment tier
+    * ([[ingest]]) and [[compact]] exist for. */
+  val InsertMergeBatchLimit: Long = 100000L
+
+  /** In-place INSERT merge — the other half of the FreshDiskANN
+    * lifecycle (Singh et al., arXiv:2105.09613 §4.1 Insert phase;
+    * the delete half is [[merge]]): a small batch of new vectors is
+    * absorbed into the LIVE graph with no rebuild. Per new point p,
+    * in the paper's recipe: greedy search from the entry point
+    * collects the visited candidate set V; p's out-list =
+    * robustPrune(p, V); p back-links into each chosen neighbor, and
+    * any list pushed past the slack bound is α-re-pruned to
+    * `maxDegree`. Reference anchor: the same single-graph insert the
+    * repo cites at lib.rs:1140-1279 (search + prune), applied
+    * incrementally instead of at build.
+    *
+    * Spark shape: the batch broadcasts (bounded by
+    * [[InsertMergeBatchLimit]]); each vector routes to ONE shard by
+    * the index's own persisted routing (pivot table when present,
+    * seed-centroid table otherwise — the same rule serving probes
+    * use), and the patch is one `mapPartitions` over the
+    * shard-partitioned graph: shards that receive no inserts pass
+    * their rows through UNTOUCHED (byte-identity pinned in
+    * InsertMergeSpec). Inserts apply sequentially in vec_id order
+    * inside a shard, so later points link to earlier ones —
+    * deterministic, and faithful to the paper's one-at-a-time
+    * semantics. Like [[merge]], the whole operation is one scan of
+    * the graph plus the save — linear in index size, independent of
+    * build cost.
+    *
+    * On an OVERLAPPED index the new points land primary-only (one
+    * shard); they regain boundary replicas at the next [[compact]].
+    * An existing tombstone log survives the swap (copied into the
+    * new directory) — deletes and inserts compose. */
+  def insertMerge(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      inserts: DataFrame,
+      params: VamanaParams,
+      searchBeamWidth: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val bw = math.max(if (searchBeamWidth > 0) searchBeamWidth
+      else params.buildBeamWidth, params.maxDegree)
+    val batch = inserts.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    if (batch.isEmpty) return
+    require(batch.length <= InsertMergeBatchLimit,
+      s"insertMerge: batch of ${batch.length} exceeds $InsertMergeBatchLimit — " +
+        "use ingest() (segment tier) or compact() for bulk loads")
+    require(batch.map(_._1).distinct.length == batch.length,
+      "insertMerge: duplicate vec_ids in the insert batch")
+    // id-collision check against the live index: one broadcast
+    // semi-join scan — a colliding id would otherwise alias two
+    // vectors under one node and corrupt neighbor remapping silently
+    val idsDf = batch.map(_._1).toSeq.toDF("vec_id")
+    val clash = VamanaIndex.load(spark, path)
+      .join(org.apache.spark.sql.functions.broadcast(idsDf), Seq("vec_id"), "left_semi")
+      .limit(1).count()
+    require(clash == 0, "insertMerge: batch contains vec_ids already in the index")
+    // route on the index's own persisted geometry: pivots (m-point
+    // hash sample per shard) when the save wrote them, else the
+    // seed-centroid routing table — both L2, the assignment metric
+    val routeTables: Array[(Int, Array[Array[Float]])] =
+      (try VamanaIndex.loadPivots(spark, path)
+       catch { case _: Throwable =>
+         VamanaIndex.loadRouting(spark, path).map { case (sh, c) => (sh, Array(c)) } })
+    require(routeTables.nonEmpty, "insertMerge: index has no routing metadata")
+    val byShard: Map[Int, Array[(Long, Array[Float])]] =
+      batch.groupBy { case (_, v) =>
+        var best = routeTables(0)._1; var bd = Double.MaxValue
+        routeTables.foreach { case (sh, pv) =>
+          val d = VamanaIndex.pivotDist(v, pv)
+          if (d < bd || (d == bd && sh < best)) { bd = d; best = sh }
+        }
+        best
+      }
+    val insB = spark.sparkContext.broadcast(byShard)
+    val metricName = params.metric
+    val maxDeg = params.maxDegree
+    val alpha = params.alpha
+    val slack = params.slackLimit
+    val bwL = bw
+    val split =
+      try {
+        val n = MetaJson.parse(VamanaIndex.loadMeta(path)).get("split")
+        if (n == null) 1 else n.asInt()
+      } catch { case _: Throwable => 1 }
+    val patched = VamanaIndex.load(spark, path).mapPartitions { it =>
+      val metric = Metric.byName(metricName)
+      it.toArray.groupBy(_.shard).iterator.flatMap { case (shard, group) =>
+        val newPts = insB.value.getOrElse(shard, Array.empty[(Long, Array[Float])])
+        if (newPts.isEmpty) group.iterator
+        else {
+          val dim = group(0).embedding.length
+          val vecOf = new java.util.HashMap[Long, Array[Float]](
+            (group.length + newPts.length) * 2)
+          val adj = new java.util.HashMap[Long, Array[Long]](
+            (group.length + newPts.length) * 2)
+          group.foreach { r => vecOf.put(r.vec_id, r.embedding); adj.put(r.vec_id, r.neighbors) }
+          val touched = new java.util.HashSet[Long]()
+          // entry point: the shard's lowest id — its assignment seed
+          // by the standing lowest-id routing rule, so every greedy
+          // walk starts where routing says the shard is centered
+          val entry = { var m = group(0).vec_id
+            group.foreach(r => if (r.vec_id < m) m = r.vec_id); m }
+          // paper GreedySearch: best-first over a size-bw working
+          // set; V = the EXPANDED set, returned with distances as
+          // the prune candidate pool
+          def greedy(q: Array[Float]): Array[(Long, Double)] = {
+            val wIds = new Array[Long](bwL)
+            val wD = new Array[Double](bwL)
+            val wExp = new Array[Boolean](bwL)
+            var wLen = 0
+            val seen = new java.util.HashSet[Long]()
+            val visited = new scala.collection.mutable.ArrayBuffer[(Long, Double)](bwL)
+            def wInsert(id: Long, d: Double): Unit = {
+              if (wLen == bwL && d >= wD(wLen - 1)) return
+              var pos = java.util.Arrays.binarySearch(wD, 0, wLen, d)
+              if (pos < 0) pos = -pos - 1
+              val end = math.min(wLen, bwL - 1)
+              var j = end
+              while (j > pos) { wIds(j) = wIds(j - 1); wD(j) = wD(j - 1); wExp(j) = wExp(j - 1); j -= 1 }
+              if (pos < bwL) { wIds(pos) = id; wD(pos) = d; wExp(pos) = false
+                if (wLen < bwL) wLen += 1 }
+            }
+            seen.add(entry)
+            wInsert(entry, metric.eval(q, 0, vecOf.get(entry), 0, dim))
+            var done = false
+            while (!done) {
+              var pick = -1; var j = 0
+              while (pick < 0 && j < wLen) { if (!wExp(j)) pick = j; j += 1 }
+              if (pick < 0) done = true
+              else {
+                wExp(pick) = true
+                val cur = wIds(pick)
+                visited += ((cur, wD(pick)))
+                val nbrs = adj.get(cur)
+                if (nbrs != null) nbrs.foreach { n =>
+                  if (seen.add(n))
+                    wInsert(n, metric.eval(q, 0, vecOf.get(n), 0, dim))
+                }
+              }
+            }
+            visited.toArray
+          }
+          newPts.foreach { case (id, v) =>
+            val cands = greedy(v).map { case (cid, _) => (cid, vecOf.get(cid)) }
+            val nbrs = robustPrune(metric, v, cands, maxDeg, alpha)
+            vecOf.put(id, v); adj.put(id, nbrs); touched.add(id)
+            nbrs.foreach { n =>
+              val cur = adj.get(n)
+              if (!cur.contains(id)) {
+                val ext = java.util.Arrays.copyOf(cur, cur.length + 1)
+                ext(cur.length) = id
+                if (ext.length > slack) {
+                  val cs = ext.map(x => (x, vecOf.get(x)))
+                  adj.put(n, robustPrune(metric, vecOf.get(n), cs, maxDeg, alpha))
+                } else adj.put(n, ext)
+                touched.add(n)
+              }
+            }
+          }
+          group.iterator.map { r =>
+            if (touched.contains(r.vec_id)) r.copy(neighbors = adj.get(r.vec_id)) else r
+          } ++ newPts.iterator.map { case (id, v) => IndexRow(id, v, shard, adj.get(id)) }
+        }
+      }
+    }.persist()
+    val tmp = new java.io.File(s"$path-inserting")
+    try VamanaIndex.save(patched, params, tmp.getPath, split = split)
+    catch { case e: Throwable =>
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      patched.unpersist(); throw e
+    }
+    patched.unpersist()
+    // deletes compose with inserts: carry the live tombstone log into
+    // the new directory so the swap never resurrects deleted ids
+    if (tombstoneLogExists(spark, path))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(s"$path/tombstones"), new java.io.File(s"${tmp.getPath}/tombstones"))
+    val live = new java.io.File(path)
+    val old = new java.io.File(s"$path-old")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    if (!live.renameTo(old))
+      throw new java.io.IOException(s"insertMerge: could not move $path aside; merged index left at $tmp")
+    if (!tmp.renameTo(live)) {
+      val restored = old.renameTo(live)
+      throw new java.io.IOException(
+        if (restored) s"insertMerge: could not activate $tmp; original restored at $path"
+        else s"insertMerge: could not activate $tmp AND rollback failed — " +
+          s"original index is at $old, nothing is live at $path")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
+  }
+
   /** Robust α-prune over global ids (reference lib.rs:1201-1279
     * semantics — α-occlusion then nearest backfill — re-expressed
     * over (vec_id, embedding) pairs for the merge path, where

@@ -881,13 +881,32 @@ object Opq {
 
   lazy val qKnnOpqSql: String = PQ.knnPqSqlOn(rotatedCtes, "re")
 
+  /** `q_bin_serve`: the binary-steered twin of `q_pq_serve` — sign-bit
+    * words resident in executor memory (RaBitQ rotation, the same
+    * frozen-seed preconditioner as [[qKnnBinaryRot]]) steer the
+    * mmap'd traversal of the SAME cached single file the PQ tier
+    * serves ([[graft.index.SingleFileIndex.serveBinary]]); exact
+    * rerank off the file. Rows-only in the driver gate (the
+    * Hamming-steered candidate set is approximate); determinism,
+    * exact-rerank parity, recall floors, and the matched-bytes
+    * ADC-vs-binary measurement are pinned in SingleFileIndexSpec /
+    * HiDimSpec (BASELINE "Binary vs ADC file-tier steering"). */
+  def qBinServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    graft.index.SingleFileIndex.serveBinary(
+      qs, PQ.cachedServeFile(s, dir), PQ.K, beamWidth = 64)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_opq_encode" -> (qOpqEncode(_, _)),
     "q_knn_opq" -> (qKnnOpq(_, _)),
     "q_knn_opq_trained" -> (qKnnOpqTrained(_, _)),
     "q_knn_binary" -> (qKnnBinary(_, _)),
     "q_knn_binary_rot" -> (qKnnBinaryRot(_, _)),
-    "q_knn_ivf_binary" -> (qKnnIvfBinary(_, _)))
+    "q_knn_ivf_binary" -> (qKnnIvfBinary(_, _)),
+    "q_bin_serve" -> (qBinServe(_, _)))
   lazy val oracles: Map[String, String] = Map(
     "q_opq_encode" -> qOpqEncodeSql,
     "q_knn_opq" -> qKnnOpqSql,

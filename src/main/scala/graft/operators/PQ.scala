@@ -51,7 +51,7 @@ object PQ {
   private[graft] val SubDim = 8  // dims per subspace (dim 64 / M)
   private[graft] val Ksub = 16   // codebook entries per subspace
   private val Cand = 50          // ADC candidates reranked per query
-  private val K = 10
+  private[operators] val K = 10
 
   /** Pack Ksub seed vectors (position-indexed) into the flat codebook
     * layout cb[(s·Ksub + j)·SubDim + i] — entry j of subspace s is the
@@ -962,7 +962,7 @@ object PQ {
     * build-once/serve-many contract every index query here follows. */
   private val serveFile = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def cachedServeFile(s: SparkSession, dir: String): String =
+  private[operators] def cachedServeFile(s: SparkSession, dir: String): String =
     serveFile.getOrElseUpdate(dir, {
       val sf = dir.replaceAll(".*/", "")
       val path = graft.TempCleanup.onExit(

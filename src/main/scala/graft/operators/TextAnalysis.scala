@@ -486,7 +486,48 @@ object TextAnalysis {
 
   private val MixAlpha = 0.7       // temperature exponent (XLM-R §3.1)
   private val MixBudgetFrac = 0.5  // target corpus fraction, in chars
-  private val MixHashMod = 1000000L
+  private[graft] val MixHashMod = 1000000L
+
+  /** The deterministic per-document selection hash (md5 of the id,
+    * top 15 nibbles as a bigint) — ONE spelling shared by the batch
+    * operator, its oracle, and the streaming twin. */
+  private[graft] val MixHashExpr =
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+
+  /** The frozen per-source temperature profile `(source, mix_w,
+    * samp_rate, thr)` trained from a batch corpus — the rate table
+    * [[qSampleTemperature]] computes, factored out so the streaming
+    * twin ([[graft.streaming.StreamOps.streamingTemperatureSelect]])
+    * selects with the SAME trained rates instead of drifting
+    * per-micro-batch ones (rates derived from one micro-batch's
+    * source totals would swing batch to batch; a training-data mix
+    * must be a property of the PROFILE corpus, not arrival order).
+    * Driver math over |sources| rows; weight/Z fold ordered by
+    * source name so the DuckDB replay is exact. */
+  private[graft] def temperatureProfile(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tot = docs
+      .groupBy($"source").agg(sum($"n_chars").as("cs"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    // a zero-char source would make rate = x/0 → NaN, which
+    // thr-collapses to 0 silently while the oracle's 0-division
+    // behaves differently — fail loudly on the degenerate corpus
+    tot.foreach { case (src, cs) =>
+      require(cs > 0, s"source '$src' has zero total n_chars") }
+    val tchars = tot.map(_._2).sum
+    val zsum = tot.foldLeft(0.0) { case (a, (_, cs)) =>
+      a + math.pow(cs.toDouble, MixAlpha)
+    }
+    val rates = tot.map { case (src, cs) =>
+      val w = math.pow(cs.toDouble, MixAlpha) / zsum
+      val rate = math.min(1.0, ((MixBudgetFrac * tchars) * w) / cs)
+      (src, math.rint(w * 1e4) / 1e4, math.rint(rate * 1e4) / 1e4,
+        math.rint(rate * MixHashMod).toLong)
+    }
+    s.createDataFrame(rates.toSeq)
+      .toDF("source", "mix_w", "samp_rate", "thr")
+  }
 
   /** `q_sample_temperature` — temperature-smoothed source mixing, the
     * standard LM-training data-mix schedule (exponentiated weighting,
@@ -510,30 +551,9 @@ object TextAnalysis {
     * reduce. */
   def qSampleTemperature(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tot = Tables.documents(s, dir)
-      .groupBy($"source").agg(sum($"n_chars").as("cs"))
-      .as[(String, Long)].collect().sortBy(_._1)
-    // a zero-char source would make rate = x/0 → NaN, which
-    // thr-collapses to 0 silently while the oracle's 0-division
-    // behaves differently — fail loudly on the degenerate corpus
-    tot.foreach { case (src, cs) =>
-      require(cs > 0, s"source '$src' has zero total n_chars") }
-    val tchars = tot.map(_._2).sum
-    val zsum = tot.foldLeft(0.0) { case (a, (_, cs)) =>
-      a + math.pow(cs.toDouble, MixAlpha)
-    }
-    val rates = tot.map { case (src, cs) =>
-      val w = math.pow(cs.toDouble, MixAlpha) / zsum
-      val rate = math.min(1.0, ((MixBudgetFrac * tchars) * w) / cs)
-      (src, math.rint(w * 1e4) / 1e4, math.rint(rate * 1e4) / 1e4,
-        math.rint(rate * MixHashMod).toLong)
-    }
-    val rateDf = s.createDataFrame(rates.toSeq)
-      .toDF("source", "mix_w", "samp_rate", "thr")
+    val rateDf = temperatureProfile(Tables.documents(s, dir))
     Tables.documents(s, dir)
-      .select($"doc_id", $"source",
-        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
-          .as("h"))
+      .select($"doc_id", $"source", expr(MixHashExpr).as("h"))
       .join(broadcast(rateDf), "source")
       .select($"doc_id", $"source", $"mix_w", $"samp_rate",
         when($"h" % MixHashMod < $"thr", 1).otherwise(0).as("sel"))

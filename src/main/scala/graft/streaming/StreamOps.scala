@@ -20,6 +20,18 @@ case class SelectOut(
     doc_id: Long, quality_score: Double, pred_lang: String,
     is_dup: Boolean, selected: Boolean)
 
+/** One frozen-profile temperature-mixing verdict
+  * ([[StreamOps.streamingTemperatureSelect]]). */
+case class TempSelOut(
+    doc_id: Long, source: String, mix_w: Double, samp_rate: Double, sel: Int)
+
+/** [[TempSelOut]] with the exact-dedup keeper verdict folded in
+  * ([[StreamOps.streamingTemperatureSelectDedup]]): a duplicate never
+  * re-spends its source's budget. */
+case class TempSelDedupOut(
+    doc_id: Long, source: String, mix_w: Double, samp_rate: Double,
+    is_dup: Boolean, sel: Int)
+
 /** One near-dup candidate pair from the streaming MinHash operator:
   * `doc_id` arrived at or after `matched_id` and collided with it in
   * minhash band `band` with bottom-k-estimated Jaccard `est_jac`. */
@@ -574,6 +586,81 @@ object StreamOps {
       .select(col("doc_id").cast("long")).as[Long]
       .map(id => SelectOut(id, 0.0, "und", is_dup = false, selected = false))
     scored.union(empties)
+  }
+
+  /** Ingest-time temperature mixing — the streaming twin of
+    * [[graft.operators.TextAnalysis.qSampleTemperature]]. The
+    * per-source rates are NOT recomputed per micro-batch: they come
+    * FROZEN from a batch-trained `profile`
+    * ([[graft.operators.TextAnalysis.temperatureProfile]] over the
+    * profile corpus) — a training-data mix is a property of the
+    * corpus the run was planned against, not of arrival order, and
+    * per-batch totals would swing the rates batch to batch. Selection
+    * is the SAME deterministic hash rate as the batch operator (one
+    * shared expression, [[graft.operators.TextAnalysis.MixHashExpr]]),
+    * so a doc's verdict is identical in both forms — StreamingSpec
+    * pins row equality on the real corpus.
+    *
+    * Stateless and map-only (one broadcast-joined projection): no
+    * state store, no shuffle of documents — the property that lets
+    * this run at ingest line rate. A source absent from the profile
+    * selects at rate 0 (unknown budget ⇒ keep nothing, loudly
+    * visible in the samp_rate column, rather than guess). */
+  def streamingTemperatureSelect(docs: DataFrame,
+      profile: DataFrame): Dataset[TempSelOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val T = graft.operators.TextAnalysis
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        expr(T.MixHashExpr).as("h"))
+      .join(broadcast(profile), Seq("source"), "left")
+      .select($"doc_id", $"source",
+        coalesce($"mix_w", lit(0.0)).as("mix_w"),
+        coalesce($"samp_rate", lit(0.0)).as("samp_rate"),
+        when($"h" % T.MixHashMod < coalesce($"thr", lit(0L)), 1).otherwise(0)
+          .cast("int").as("sel"))
+      .as[TempSelOut]
+  }
+
+  /** [[streamingTemperatureSelect]] composed with the exact-dedup
+    * keeper state ([[streamingDedup]]'s contract): a re-ingested
+    * duplicate (same md5(text) as an earlier keeper) never re-spends
+    * the source budget — its `sel` is forced 0 and `is_dup` marks
+    * why. The rate verdict itself stays the frozen-profile hash rule,
+    * so `sel` for keepers is byte-identical to the stateless form.
+    * Input: streaming (doc_id, source, text). State: one long per
+    * distinct content hash, sharded by hash across executors. */
+  def streamingTemperatureSelectDedup(docs: DataFrame,
+      profile: DataFrame): Dataset[TempSelDedupOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val T = graft.operators.TextAnalysis
+    // ONE projection carries the rate verdict AND the content hash
+    // (a join of the rated stream back onto `docs` would be a
+    // stream-stream self-join — unsupported in append mode without
+    // watermarks, and pointless when both sides are the same scan)
+    val rated = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("source"), expr(T.MixHashExpr).as("h"), md5(col("text")).as("ch"))
+      .join(broadcast(profile), Seq("source"), "left")
+      .select($"doc_id", $"source",
+        coalesce($"mix_w", lit(0.0)).as("mix_w"),
+        coalesce($"samp_rate", lit(0.0)).as("samp_rate"),
+        when($"h" % T.MixHashMod < coalesce($"thr", lit(0L)), 1).otherwise(0)
+          .cast("int").as("sel"), $"ch")
+      .as[(Long, String, Double, Double, Int, String)]
+    rated.groupByKey(_._6)
+      .flatMapGroupsWithState[Long, TempSelDedupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String, Double, Double, Int, String)],
+         state: GroupState[Long]) =>
+          val sorted = rows.toArray.sortBy(_._1)
+          val keeper = state.getOption.getOrElse(sorted.head._1)
+          state.update(keeper)
+          sorted.iterator.map { case (id, src, w, r, sel, _) =>
+            val dup = id != keeper
+            TempSelDedupOut(id, src, w, r, dup, if (dup) 0 else sel)
+          }
+      }
   }
 
   /** Stateful sessionizer: 30-minute inactivity gap. Each micro-batch

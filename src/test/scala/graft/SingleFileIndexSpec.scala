@@ -494,6 +494,66 @@ class SingleFileIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not pair"), e.getMessage)
   }
 
+  test("binary-steered serving: deterministic state, exact rerank distances, recall floor") {
+    // the RaBitQ x DiskANN two-tier mode: traversal steered by
+    // resident sign-bit Hamming, distances from the exact metric
+    val (w1, wpv1, r1) = { val mm = new MmapIndex(path); try mm.buildBinaryState() finally mm.close() }
+    val (w2, wpv2, r2) = { val mm = new MmapIndex(path); try mm.buildBinaryState() finally mm.close() }
+    assert(wpv1 == wpv2 && java.util.Arrays.equals(w1, w2),
+      "sign-bit packing must be deterministic")
+    assert(java.util.Arrays.equals(r1, r2), "frozen rotation must be deterministic")
+
+    val vecs = Tables.embeddings(spark, SparkSpecBase.sf001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    val byId = vecs.toMap
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      1.0 - dot / (math.max(math.sqrt(na), java.lang.Double.MIN_NORMAL) *
+        math.max(math.sqrt(nb), java.lang.Double.MIN_NORMAL))
+    }
+    val mm = new MmapIndex(path)
+    try {
+      val queries = vecs.filter(_._1 % 100 == 0)
+      var recallSum = 0.0
+      queries.foreach { case (qid, qv) =>
+        val res = mm.searchBinary(qv, 10, 64, w1, wpv1, r1)
+        // reported distances are the EXACT metric (rerank), never Hamming
+        res.foreach { case (nid, d) =>
+          val exact = cosDist(qv, byId(nid))
+          assert(math.abs(d - exact) < 1e-9, s"q $qid nid $nid: $d vs exact $exact")
+        }
+        val truth = vecs.map { case (nid, v) => (nid, cosDist(qv, v)) }
+          .sortBy { case (nid, d) => (d, nid) }.take(10).map(_._1).toSet
+        recallSum += res.count { case (nid, _) => truth(nid) } / 10.0
+      }
+      val recall = recallSum / queries.length
+      info(f"binary-steered recall@10 $recall%.3f (beam 64)")
+      assert(recall >= 0.7, s"binary-steered recall@10 $recall below 0.7 floor")
+    } finally mm.close()
+  }
+
+  test("distributed serveBinary matches driver-side binary-guided search") {
+    val (g, _, _) = SingleFileIndex.importLocal(path)
+    val qs = Seq(4, 120, 404).map { i =>
+      (i.toLong, g.vecs.slice(i * g.dim, (i + 1) * g.dim))
+    }
+    val served = SingleFileIndex.serveBinary(
+        qs.toDF("q_id", "qv").repartition(3), path, k = 5, beamWidth = 32)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    val (w, wpv, rot) = { val mm = new MmapIndex(path); try mm.buildBinaryState() finally mm.close() }
+    val mm = new MmapIndex(path)
+    try qs.foreach { case (qid, qv) =>
+      val local = mm.searchBinary(qv, 5, 32, w, wpv, rot).toSeq
+        .map { case (nid, d) => (nid, math.rint(d * 1e4) / 1e4) }
+      assert(served(qid) == local, s"q $qid: ${served(qid)} vs $local")
+    } finally mm.close()
+  }
+
   test("distributed servePq matches driver-side PQ-guided search") {
     val (g, ids, _) = SingleFileIndex.importLocal(path)
     val qs = Seq(4, 120, 404).map { i =>

@@ -579,4 +579,66 @@ class StreamingSpec extends AnyFunSuite {
         s"missing ${(expected -- streamed).take(5)}, " +
         s"extra ${(streamed -- expected).take(5)}")
   }
+
+  test("streaming temperature select == batch q_sample_temperature on the real corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    // frozen profile trained on the SAME corpus the batch operator
+    // rates — the equivalence contract: identical (doc, verdict) rows
+    val profile = operators.TextAnalysis.temperatureProfile(
+      Tables.documents(spark, SparkSpecBase.sf001))
+    val docs = Tables.documents(spark, SparkSpecBase.sf001)
+      .select($"doc_id", $"source").as[(Long, String)].collect().sortBy(_._1)
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingTemperatureSelect(
+        mem.toDS().toDF("doc_id", "source"), profile)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tempsel").start()
+    mem.addData(first.toIndexedSeq)   // two micro-batches: the verdict
+    q.processAllAvailable()           // must not depend on arrival split
+    mem.addData(second.toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tempsel")
+      .select($"doc_id", $"source", $"mix_w", $"samp_rate", $"sel")
+      .as[(Long, String, Double, Double, Int)].collect().sortBy(_._1).toSeq
+    val batch = operators.TextAnalysis.qSampleTemperature(spark, SparkSpecBase.sf001)
+      .select($"doc_id", $"source", $"mix_w", $"samp_rate", $"sel")
+      .as[(Long, String, Double, Double, Int)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch,
+      s"streaming ${streamed.length} rows != batch ${batch.length}; " +
+        s"first diff ${streamed.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("temperature select: unknown source rates 0; dedup form never re-spends budget") {
+    implicit val sqlCtx = spark.sqlContext
+    // web dominates chars, so tiny books caps at samp_rate 1.0
+    // (0.5·4100·w_books/100 > 1) — a deterministic sel=1 for keepers
+    val profile = operators.TextAnalysis.temperatureProfile(
+      Seq((1L, "web", 4000L), (2L, "books", 100L))
+        .toDF("doc_id", "source", "n_chars"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamOps.streamingTemperatureSelectDedup(
+        mem.toDS().toDF("doc_id", "source", "text"), profile)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tempdedup").start()
+    mem.addData((10L, "books", "dup text"), (11L, "wiki", "novel a"))
+    q.processAllAvailable()
+    mem.addData((12L, "books", "dup text")) // cross-batch duplicate
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("tempdedup")
+      .select($"doc_id", $"source", $"samp_rate", $"is_dup", $"sel")
+      .as[(Long, String, Double, Boolean, Int)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    // books caps at rate 1.0 → keeper selected
+    assert(byId(10L) == ((10L, "books", 1.0, false, 1)), byId(10L).toString)
+    // unknown source: rate 0, never selected, loudly visible
+    assert(byId(11L)._3 == 0.0 && byId(11L)._5 == 0, byId(11L).toString)
+    // duplicate of 10 across the batch boundary: flagged, budget kept
+    assert(byId(12L)._4 && byId(12L)._5 == 0, byId(12L).toString)
+    // and the keeper's verdict matches the stateless form exactly
+    val stateless = StreamOps.streamingTemperatureSelect(
+      Seq((10L, "books")).toDF("doc_id", "source"), profile)
+      .select($"sel").as[Int].head()
+    assert(stateless == byId(10L)._5)
+  }
 }
