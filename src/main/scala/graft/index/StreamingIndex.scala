@@ -164,25 +164,7 @@ object StreamingIndex {
     catch { case e: Throwable =>
       org.apache.commons.io.FileUtils.deleteQuietly(tmp); throw e
     }
-    // two-step swap, each rename checked: the old index survives at
-    // `-old` until the new one is in place, so no failure mode loses
-    // the data silently
-    val live = new java.io.File(path)
-    val old = new java.io.File(s"$path-old")
-    org.apache.commons.io.FileUtils.deleteQuietly(old)
-    if (!live.renameTo(old))
-      throw new java.io.IOException(s"compact: could not move $path aside; new index left at $tmp")
-    if (!tmp.renameTo(live)) {
-      // roll back, and tell the operator the truth about where the
-      // data actually is — an unchecked rollback used to claim
-      // "restored" even when the restore rename itself failed
-      val restored = old.renameTo(live)
-      throw new java.io.IOException(
-        if (restored) s"compact: could not activate $tmp; original restored at $path"
-        else s"compact: could not activate $tmp AND rollback failed — " +
-          s"original index is at $old, nothing is live at $path")
-    }
-    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    activateSwap(path, tmp, "compact")
     filesDir.foreach { fd =>
       SingleFileIndex.exportSharded(VamanaIndex.load(spark, path), params, fd,
         split = split)
@@ -248,36 +230,7 @@ object StreamingIndex {
       @inline def deleted(id: Long): Boolean =
         java.util.Arrays.binarySearch(tomb, id) >= 0
       it.toArray.groupBy(_.shard).iterator.flatMap { case (_, group) =>
-        val byId = new java.util.HashMap[Long, IndexRow](group.length * 2)
-        group.foreach(r => byId.put(r.vec_id, r))
-        group.iterator.filter(r => !deleted(r.vec_id)).map { r =>
-          var hasDeletedNbr = false
-          r.neighbors.foreach(n => if (deleted(n)) hasDeletedNbr = true)
-          if (!hasDeletedNbr) r
-          else {
-            // candidate set: live neighbors + the live out-neighbors
-            // of each deleted neighbor (the §4.2 formula), self-free
-            val cand = new java.util.LinkedHashSet[java.lang.Long]()
-            r.neighbors.foreach { n =>
-              if (!deleted(n)) { if (n != r.vec_id) cand.add(n) }
-              else {
-                val dRow = byId.get(n)
-                if (dRow != null) dRow.neighbors.foreach { nn =>
-                  if (!deleted(nn) && nn != r.vec_id) cand.add(nn)
-                }
-              }
-            }
-            val withVec = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](cand.size)
-            val cit = cand.iterator()
-            while (cit.hasNext) {
-              val id = cit.next().longValue()
-              val row = byId.get(id)
-              if (row != null) withVec += ((id, row.embedding))
-            }
-            r.copy(neighbors =
-              robustPrune(metric, r.embedding, withVec.toArray, maxDeg, alpha))
-          }
-        }
+        deletePatchShard(metric, maxDeg, alpha, group, deleted)
       }
     }.persist()
     val tmp = new java.io.File(s"$path-merging")
@@ -287,16 +240,68 @@ object StreamingIndex {
       patched.unpersist(); throw e
     }
     patched.unpersist()
+    activateSwap(path, tmp, "merge")
+  }
+
+  /** The FreshDiskANN §4.2 delete patch over ONE shard's rows:
+    * deleted rows drop; a live row with a deleted neighbor re-prunes
+    * over (live neighbors ∪ live out-neighbors of each deleted
+    * neighbor); a row touching no deleted id passes through as the
+    * SAME object (the byte-identity DeleteSpec pins). Shared by
+    * [[merge]] and [[consolidate]]. */
+  private[index] def deletePatchShard(metric: Metric, maxDeg: Int,
+      alpha: Double, group: Array[IndexRow],
+      deleted: Long => Boolean): Iterator[IndexRow] = {
+    val byId = new java.util.HashMap[Long, IndexRow](group.length * 2)
+    group.foreach(r => byId.put(r.vec_id, r))
+    group.iterator.filter(r => !deleted(r.vec_id)).map { r =>
+      var hasDeletedNbr = false
+      r.neighbors.foreach(n => if (deleted(n)) hasDeletedNbr = true)
+      if (!hasDeletedNbr) r
+      else {
+        // candidate set: live neighbors + the live out-neighbors
+        // of each deleted neighbor (the §4.2 formula), self-free
+        val cand = new java.util.LinkedHashSet[java.lang.Long]()
+        r.neighbors.foreach { n =>
+          if (!deleted(n)) { if (n != r.vec_id) cand.add(n) }
+          else {
+            val dRow = byId.get(n)
+            if (dRow != null) dRow.neighbors.foreach { nn =>
+              if (!deleted(nn) && nn != r.vec_id) cand.add(nn)
+            }
+          }
+        }
+        val withVec = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](cand.size)
+        val cit = cand.iterator()
+        while (cit.hasNext) {
+          val id = cit.next().longValue()
+          val row = byId.get(id)
+          if (row != null) withVec += ((id, row.embedding))
+        }
+        r.copy(neighbors =
+          robustPrune(metric, r.embedding, withVec.toArray, maxDeg, alpha))
+      }
+    }
+  }
+
+  /** Activate-with-rollback swap shared by [[compact]] and the
+    * in-place merge family (local-filesystem renames; on an object
+    * store, write to a fresh path and repoint serving — renameTo
+    * fails loudly, never silently): the old index survives at `-old`
+    * until `tmp` is in place, each rename checked, failure restores
+    * the original and tells the operator the truth about where the
+    * data actually is. */
+  private def activateSwap(path: String, tmp: java.io.File, op: String): Unit = {
     val live = new java.io.File(path)
     val old = new java.io.File(s"$path-old")
     org.apache.commons.io.FileUtils.deleteQuietly(old)
     if (!live.renameTo(old))
-      throw new java.io.IOException(s"merge: could not move $path aside; merged index left at $tmp")
+      throw new java.io.IOException(s"$op: could not move $path aside; replacement index left at $tmp")
     if (!tmp.renameTo(live)) {
       val restored = old.renameTo(live)
       throw new java.io.IOException(
-        if (restored) s"merge: could not activate $tmp; original restored at $path"
-        else s"merge: could not activate $tmp AND rollback failed — " +
+        if (restored) s"$op: could not activate $tmp; original restored at $path"
+        else s"$op: could not activate $tmp AND rollback failed — " +
           s"original index is at $old, nothing is live at $path")
     }
     org.apache.commons.io.FileUtils.deleteDirectory(old)
@@ -395,82 +400,8 @@ object StreamingIndex {
     val patched = VamanaIndex.load(spark, path).mapPartitions { it =>
       val metric = Metric.byName(metricName)
       it.toArray.groupBy(_.shard).iterator.flatMap { case (shard, group) =>
-        val newPts = insB.value.getOrElse(shard, Array.empty[(Long, Array[Float])])
-        if (newPts.isEmpty) group.iterator
-        else {
-          val dim = group(0).embedding.length
-          val vecOf = new java.util.HashMap[Long, Array[Float]](
-            (group.length + newPts.length) * 2)
-          val adj = new java.util.HashMap[Long, Array[Long]](
-            (group.length + newPts.length) * 2)
-          group.foreach { r => vecOf.put(r.vec_id, r.embedding); adj.put(r.vec_id, r.neighbors) }
-          val touched = new java.util.HashSet[Long]()
-          // entry point: the shard's lowest id — its assignment seed
-          // by the standing lowest-id routing rule, so every greedy
-          // walk starts where routing says the shard is centered
-          val entry = { var m = group(0).vec_id
-            group.foreach(r => if (r.vec_id < m) m = r.vec_id); m }
-          // paper GreedySearch: best-first over a size-bw working
-          // set; V = the EXPANDED set, returned with distances as
-          // the prune candidate pool
-          def greedy(q: Array[Float]): Array[(Long, Double)] = {
-            val wIds = new Array[Long](bwL)
-            val wD = new Array[Double](bwL)
-            val wExp = new Array[Boolean](bwL)
-            var wLen = 0
-            val seen = new java.util.HashSet[Long]()
-            val visited = new scala.collection.mutable.ArrayBuffer[(Long, Double)](bwL)
-            def wInsert(id: Long, d: Double): Unit = {
-              if (wLen == bwL && d >= wD(wLen - 1)) return
-              var pos = java.util.Arrays.binarySearch(wD, 0, wLen, d)
-              if (pos < 0) pos = -pos - 1
-              val end = math.min(wLen, bwL - 1)
-              var j = end
-              while (j > pos) { wIds(j) = wIds(j - 1); wD(j) = wD(j - 1); wExp(j) = wExp(j - 1); j -= 1 }
-              if (pos < bwL) { wIds(pos) = id; wD(pos) = d; wExp(pos) = false
-                if (wLen < bwL) wLen += 1 }
-            }
-            seen.add(entry)
-            wInsert(entry, metric.eval(q, 0, vecOf.get(entry), 0, dim))
-            var done = false
-            while (!done) {
-              var pick = -1; var j = 0
-              while (pick < 0 && j < wLen) { if (!wExp(j)) pick = j; j += 1 }
-              if (pick < 0) done = true
-              else {
-                wExp(pick) = true
-                val cur = wIds(pick)
-                visited += ((cur, wD(pick)))
-                val nbrs = adj.get(cur)
-                if (nbrs != null) nbrs.foreach { n =>
-                  if (seen.add(n))
-                    wInsert(n, metric.eval(q, 0, vecOf.get(n), 0, dim))
-                }
-              }
-            }
-            visited.toArray
-          }
-          newPts.foreach { case (id, v) =>
-            val cands = greedy(v).map { case (cid, _) => (cid, vecOf.get(cid)) }
-            val nbrs = robustPrune(metric, v, cands, maxDeg, alpha)
-            vecOf.put(id, v); adj.put(id, nbrs); touched.add(id)
-            nbrs.foreach { n =>
-              val cur = adj.get(n)
-              if (!cur.contains(id)) {
-                val ext = java.util.Arrays.copyOf(cur, cur.length + 1)
-                ext(cur.length) = id
-                if (ext.length > slack) {
-                  val cs = ext.map(x => (x, vecOf.get(x)))
-                  adj.put(n, robustPrune(metric, vecOf.get(n), cs, maxDeg, alpha))
-                } else adj.put(n, ext)
-                touched.add(n)
-              }
-            }
-          }
-          group.iterator.map { r =>
-            if (touched.contains(r.vec_id)) r.copy(neighbors = adj.get(r.vec_id)) else r
-          } ++ newPts.iterator.map { case (id, v) => IndexRow(id, v, shard, adj.get(id)) }
-        }
+        insertIntoShard(metric, maxDeg, alpha, slack, bwL, shard, group,
+          insB.value.getOrElse(shard, Array.empty[(Long, Array[Float])]))
       }
     }.persist()
     val tmp = new java.io.File(s"$path-inserting")
@@ -485,19 +416,378 @@ object StreamingIndex {
     if (tombstoneLogExists(spark, path))
       org.apache.commons.io.FileUtils.copyDirectory(
         new java.io.File(s"$path/tombstones"), new java.io.File(s"${tmp.getPath}/tombstones"))
-    val live = new java.io.File(path)
-    val old = new java.io.File(s"$path-old")
-    org.apache.commons.io.FileUtils.deleteQuietly(old)
-    if (!live.renameTo(old))
-      throw new java.io.IOException(s"insertMerge: could not move $path aside; merged index left at $tmp")
-    if (!tmp.renameTo(live)) {
-      val restored = old.renameTo(live)
-      throw new java.io.IOException(
-        if (restored) s"insertMerge: could not activate $tmp; original restored at $path"
-        else s"insertMerge: could not activate $tmp AND rollback failed — " +
-          s"original index is at $old, nothing is live at $path")
+    activateSwap(path, tmp, "insertMerge")
+  }
+
+  /** The FreshDiskANN §4.1 insert phase over ONE shard: each new
+    * point, in vec_id order, gets out-list = robustPrune(visited set
+    * of a greedy search from the shard entry), back-links into its
+    * chosen neighbors, and any list pushed past the slack bound
+    * α-re-prunes. A shard receiving no inserts passes through
+    * untouched (byte-identity InsertMergeSpec pins). `group` may be
+    * EMPTY (a fully-deleted shard under [[consolidate]]): the first
+    * new point seeds a fresh chain and becomes the entry. Shared by
+    * [[insertMerge]] and [[consolidate]]. */
+  private[index] def insertIntoShard(metric: Metric, maxDeg: Int,
+      alpha: Double, slack: Int, bwL: Int, shard: Int,
+      group: Array[IndexRow],
+      newPts: Array[(Long, Array[Float])]): Iterator[IndexRow] = {
+    if (newPts.isEmpty) group.iterator
+    else {
+      val dim = if (group.nonEmpty) group(0).embedding.length
+        else newPts(0)._2.length
+      val vecOf = new java.util.HashMap[Long, Array[Float]](
+        (group.length + newPts.length) * 2)
+      val adj = new java.util.HashMap[Long, Array[Long]](
+        (group.length + newPts.length) * 2)
+      group.foreach { r => vecOf.put(r.vec_id, r.embedding); adj.put(r.vec_id, r.neighbors) }
+      val touched = new java.util.HashSet[Long]()
+      // entry point: the shard's lowest id — its assignment seed
+      // by the standing lowest-id routing rule, so every greedy
+      // walk starts where routing says the shard is centered; an
+      // empty shard's entry is the first (lowest-id) inserted point
+      val entry = if (group.nonEmpty) {
+        var m = group(0).vec_id
+        group.foreach(r => if (r.vec_id < m) m = r.vec_id); m
+      } else newPts(0)._1
+      // paper GreedySearch: best-first over a size-bw working
+      // set; V = the EXPANDED set, returned with distances as
+      // the prune candidate pool
+      def greedy(q: Array[Float]): Array[(Long, Double)] = {
+        val wIds = new Array[Long](bwL)
+        val wD = new Array[Double](bwL)
+        val wExp = new Array[Boolean](bwL)
+        var wLen = 0
+        val seen = new java.util.HashSet[Long]()
+        val visited = new scala.collection.mutable.ArrayBuffer[(Long, Double)](bwL)
+        def wInsert(id: Long, d: Double): Unit = {
+          if (wLen == bwL && d >= wD(wLen - 1)) return
+          var pos = java.util.Arrays.binarySearch(wD, 0, wLen, d)
+          if (pos < 0) pos = -pos - 1
+          val end = math.min(wLen, bwL - 1)
+          var j = end
+          while (j > pos) { wIds(j) = wIds(j - 1); wD(j) = wD(j - 1); wExp(j) = wExp(j - 1); j -= 1 }
+          if (pos < bwL) { wIds(pos) = id; wD(pos) = d; wExp(pos) = false
+            if (wLen < bwL) wLen += 1 }
+        }
+        seen.add(entry)
+        wInsert(entry, metric.eval(q, 0, vecOf.get(entry), 0, dim))
+        var done = false
+        while (!done) {
+          var pick = -1; var j = 0
+          while (pick < 0 && j < wLen) { if (!wExp(j)) pick = j; j += 1 }
+          if (pick < 0) done = true
+          else {
+            wExp(pick) = true
+            val cur = wIds(pick)
+            visited += ((cur, wD(pick)))
+            val nbrs = adj.get(cur)
+            if (nbrs != null) nbrs.foreach { n =>
+              if (seen.add(n))
+                wInsert(n, metric.eval(q, 0, vecOf.get(n), 0, dim))
+            }
+          }
+        }
+        visited.toArray
+      }
+      newPts.foreach { case (id, v) =>
+        val cands =
+          if (adj.isEmpty) Array.empty[(Long, Array[Float])]
+          else greedy(v).map { case (cid, _) => (cid, vecOf.get(cid)) }
+        val nbrs = robustPrune(metric, v, cands, maxDeg, alpha)
+        vecOf.put(id, v); adj.put(id, nbrs); touched.add(id)
+        nbrs.foreach { n =>
+          val cur = adj.get(n)
+          if (!cur.contains(id)) {
+            val ext = java.util.Arrays.copyOf(cur, cur.length + 1)
+            ext(cur.length) = id
+            if (ext.length > slack) {
+              val cs = ext.map(x => (x, vecOf.get(x)))
+              adj.put(n, robustPrune(metric, vecOf.get(n), cs, maxDeg, alpha))
+            } else adj.put(n, ext)
+            touched.add(n)
+          }
+        }
+      }
+      group.iterator.map { r =>
+        if (touched.contains(r.vec_id)) r.copy(neighbors = adj.get(r.vec_id)) else r
+      } ++ newPts.iterator.map { case (id, v) => IndexRow(id, v, shard, adj.get(id)) }
     }
-    org.apache.commons.io.FileUtils.deleteDirectory(old)
+  }
+
+  /** The full FreshDiskANN StreamingMerge (Singh et al.,
+    * arXiv:2105.09613 §4.2): apply the accumulated tombstone log AND
+    * an insert batch in ONE scan of the graph — the paper's
+    * background merge runs its delete phase then its insert phase
+    * over the same pass. At scale this halves the graph I/O of
+    * [[merge]] followed by [[insertMerge]] (each is a full
+    * load + patch + save of its own), and it unlocks the lifecycle
+    * move the two-step composition cannot express: an insert carrying
+    * a TOMBSTONED id is legal RE-INSERTION (delete x, later insert a
+    * new vector under x — the delete patch removes the old node
+    * before the insert phase links the new one), where
+    * [[insertMerge]] alone must reject the id as a collision. The
+    * tombstone log retires with the swap: deletes were applied
+    * physically, exactly like [[merge]].
+    *
+    * Degenerate forms are spec-pinned row-identical to the
+    * single-phase operators (ConsolidateSpec): empty log ≡
+    * [[insertMerge]] (same pivots — no intermediate save exists to
+    * re-sample from), empty batch ≡ [[merge]]. A shard left EMPTY by
+    * the delete phase can still receive inserts: they seed a fresh
+    * chain ([[insertIntoShard]]'s empty-group path). Shards touching
+    * no delete and receiving no insert pass through byte-identical.
+    *
+    * Spark shape: tombstones and the batch both broadcast (bounded by
+    * [[BroadcastTombstoneLimit]] / [[InsertMergeBatchLimit]] — past
+    * either bound the paper itself schedules the full rebuild, i.e.
+    * [[compact]]); the combined patch is one `mapPartitions` over the
+    * shard-partitioned graph, no shuffle beyond the shard re-cluster
+    * [[VamanaIndex.load]] already does. `filesDir`, when set,
+    * re-exports the consolidated index to the sharded-files serving
+    * tier from the just-activated parquet (same contract as
+    * [[compact]]'s `filesDir`). */
+  def consolidate(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      inserts: DataFrame,
+      params: VamanaParams,
+      searchBeamWidth: Int = 0,
+      filesDir: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val bw = math.max(if (searchBeamWidth > 0) searchBeamWidth
+      else params.buildBeamWidth, params.maxDegree)
+    val tomb: Array[Long] =
+      if (!tombstoneLogExists(spark, path)) Array.empty
+      else {
+        val log = spark.read.parquet(s"$path/tombstones")
+        val logCount = log.count()
+        require(logCount <= BroadcastTombstoneLimit,
+          s"consolidate: $logCount tombstones exceed the broadcast bound " +
+            s"($BroadcastTombstoneLimit) — run compact() (the scheduled full " +
+            "merge) instead")
+        val ids = log.select(col("vec_id")).as[Long].collect()
+        java.util.Arrays.sort(ids)
+        ids
+      }
+    val batch = inserts.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    if (batch.isEmpty && tomb.isEmpty) return
+    require(batch.length <= InsertMergeBatchLimit,
+      s"consolidate: batch of ${batch.length} exceeds $InsertMergeBatchLimit — " +
+        "use ingest() (segment tier) or compact() for bulk loads")
+    require(batch.map(_._1).distinct.length == batch.length,
+      "consolidate: duplicate vec_ids in the insert batch")
+    // id-collision check against the POST-DELETE live set: a batch id
+    // that is tombstoned is re-insertion (allowed); one that is live
+    // would alias two vectors under one node (rejected)
+    if (batch.nonEmpty) {
+      val idsDf = batch.map(_._1).toSeq.toDF("vec_id")
+      val clash = VamanaIndex.load(spark, path)
+        .join(org.apache.spark.sql.functions.broadcast(idsDf), Seq("vec_id"), "left_semi")
+        .select(col("vec_id")).as[Long].collect()
+        .filter(id => java.util.Arrays.binarySearch(tomb, id) < 0)
+      require(clash.isEmpty,
+        s"consolidate: batch contains LIVE vec_ids (${clash.take(5).mkString(", ")}" +
+          s"${if (clash.length > 5) ", …" else ""}) — delete them first to re-insert")
+    }
+    val byShard: Map[Int, Array[(Long, Array[Float])]] =
+      if (batch.isEmpty) Map.empty
+      else {
+        // route on the index's own persisted geometry — the PRE-merge
+        // (live) tables: pivots when the save wrote them, else the
+        // seed-centroid routing table; both L2, the assignment metric
+        val routeTables: Array[(Int, Array[Array[Float]])] =
+          (try VamanaIndex.loadPivots(spark, path)
+           catch { case _: Throwable =>
+             VamanaIndex.loadRouting(spark, path).map { case (sh, c) => (sh, Array(c)) } })
+        require(routeTables.nonEmpty, "consolidate: index has no routing metadata")
+        batch.groupBy { case (_, v) =>
+          var best = routeTables(0)._1; var bd = Double.MaxValue
+          routeTables.foreach { case (sh, pv) =>
+            val d = VamanaIndex.pivotDist(v, pv)
+            if (d < bd || (d == bd && sh < best)) { bd = d; best = sh }
+          }
+          best
+        }
+      }
+    val tombB = spark.sparkContext.broadcast(tomb)
+    val insB = spark.sparkContext.broadcast(byShard)
+    val metricName = params.metric
+    val maxDeg = params.maxDegree
+    val alpha = params.alpha
+    val slack = params.slackLimit
+    val bwL = bw
+    val split =
+      try {
+        val n = MetaJson.parse(VamanaIndex.loadMeta(path)).get("split")
+        if (n == null) 1 else n.asInt()
+      } catch { case _: Throwable => 1 }
+    val patched = VamanaIndex.load(spark, path).mapPartitions { it =>
+      val metric = Metric.byName(metricName)
+      val tombA = tombB.value
+      @inline def deleted(id: Long): Boolean =
+        java.util.Arrays.binarySearch(tombA, id) >= 0
+      it.toArray.groupBy(_.shard).iterator.flatMap { case (shard, group) =>
+        val live =
+          if (tombA.isEmpty) group
+          else deletePatchShard(metric, maxDeg, alpha, group, deleted).toArray
+        insertIntoShard(metric, maxDeg, alpha, slack, bwL, shard, live,
+          insB.value.getOrElse(shard, Array.empty[(Long, Array[Float])]))
+      }
+    }.persist()
+    val tmp = new java.io.File(s"$path-consolidating")
+    try VamanaIndex.save(patched, params, tmp.getPath, split = split)
+    catch { case e: Throwable =>
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      patched.unpersist(); throw e
+    }
+    patched.unpersist()
+    // NO tombstone carry-over: the delete phase applied the log
+    activateSwap(path, tmp, "consolidate")
+    // like compact: a files-tier deployment re-exports from the
+    // JUST-ACTIVATED parquet, so the disk-resident serving path never
+    // lags the consolidated graph
+    filesDir.foreach { fd =>
+      SingleFileIndex.exportSharded(VamanaIndex.load(spark, path), params, fd,
+        split = split)
+    }
+  }
+
+  /** Absorb accumulated streaming SEGMENTS into the main graph in
+    * one pass — the background job the FreshDiskANN paper actually
+    * runs (§4.2: the in-memory temp index the stream lands in is
+    * periodically merged into the long-term index via the insert
+    * phase; our temp tier is [[ingest]]'s segment-per-batch shards).
+    * Shards at id ≥ `mainShards` are torn down and their LIVE
+    * vectors re-inserted into the main shards (segment-internal
+    * neighbor lists discard — exactly the paper's temp-index merge,
+    * where temp-graph edges never survive into the LTI), while the
+    * tombstone log delete-patches the main graph in the SAME scan;
+    * the log retires with the swap. The result is a single-tier
+    * index at segment-free serving cost, for one graph scan + a
+    * bounded broadcast instead of [[compact]]'s full rebuild.
+    *
+    * `mainShards` is the caller's build/compact shard count — shards
+    * `[0, mainShards)` are the LTI; everything at or past it is
+    * segment tier. Row-identity with [[consolidate]] run on the
+    * main-only index with the segment vectors as the batch is
+    * spec-pinned (AbsorbSpec). Segment volume past
+    * [[InsertMergeBatchLimit]] (or a log past
+    * [[BroadcastTombstoneLimit]]) is what [[compact]] is for. */
+  def absorbSegments(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      params: VamanaParams,
+      mainShards: Int,
+      searchBeamWidth: Int = 0,
+      filesDir: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    require(mainShards > 0, "absorbSegments: mainShards must be positive")
+    val bw = math.max(if (searchBeamWidth > 0) searchBeamWidth
+      else params.buildBeamWidth, params.maxDegree)
+    val tomb: Array[Long] =
+      if (!tombstoneLogExists(spark, path)) Array.empty
+      else {
+        val log = spark.read.parquet(s"$path/tombstones")
+        require(log.count() <= BroadcastTombstoneLimit,
+          s"absorbSegments: tombstone log exceeds the broadcast bound " +
+            s"($BroadcastTombstoneLimit) — run compact() instead")
+        val ids = log.select(col("vec_id")).as[Long].collect()
+        java.util.Arrays.sort(ids)
+        ids
+      }
+    // a tombstoned segment vector simply never re-inserts — its
+    // delete completes here, with no main-graph patch needed
+    val batch = VamanaIndex.load(spark, path)
+      .filter(col("shard") >= mainShards)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .filter { case (id, _) => java.util.Arrays.binarySearch(tomb, id) < 0 }
+      .sortBy(_._1)
+    if (batch.isEmpty && tomb.isEmpty) return
+    require(batch.length <= InsertMergeBatchLimit,
+      s"absorbSegments: ${batch.length} live segment vectors exceed " +
+        s"$InsertMergeBatchLimit — run compact() instead")
+    require(batch.map(_._1).distinct.length == batch.length,
+      "absorbSegments: duplicate vec_ids across segments — the stream " +
+        "ingested an id twice; compact() (which collapses by rebuild) or " +
+        "delete one copy first")
+    if (batch.nonEmpty) {
+      val idsDf = batch.map(_._1).toSeq.toDF("vec_id")
+      val clash = VamanaIndex.load(spark, path)
+        .filter(col("shard") < mainShards)
+        .join(org.apache.spark.sql.functions.broadcast(idsDf), Seq("vec_id"), "left_semi")
+        .select(col("vec_id")).as[Long].collect()
+        .filter(id => java.util.Arrays.binarySearch(tomb, id) < 0)
+      require(clash.isEmpty,
+        s"absorbSegments: segment vec_ids already LIVE in the main graph " +
+          s"(${clash.take(5).mkString(", ")}${if (clash.length > 5) ", …" else ""})")
+    }
+    val byShard: Map[Int, Array[(Long, Array[Float])]] =
+      if (batch.isEmpty) Map.empty
+      else {
+        // route on MAIN-shard geometry only — segment pivots (present
+        // after an earlier merge-family save over an ingested index)
+        // are being torn down and must not attract inserts
+        val routeTables: Array[(Int, Array[Array[Float]])] =
+          (try VamanaIndex.loadPivots(spark, path)
+           catch { case _: Throwable =>
+             VamanaIndex.loadRouting(spark, path).map { case (sh, c) => (sh, Array(c)) } })
+            .filter(_._1 < mainShards)
+        require(routeTables.nonEmpty,
+          "absorbSegments: no routing metadata for the main shards")
+        batch.groupBy { case (_, v) =>
+          var best = routeTables(0)._1; var bd = Double.MaxValue
+          routeTables.foreach { case (sh, pv) =>
+            val d = VamanaIndex.pivotDist(v, pv)
+            if (d < bd || (d == bd && sh < best)) { bd = d; best = sh }
+          }
+          best
+        }
+      }
+    val tombB = spark.sparkContext.broadcast(tomb)
+    val insB = spark.sparkContext.broadcast(byShard)
+    val metricName = params.metric
+    val maxDeg = params.maxDegree
+    val alpha = params.alpha
+    val slack = params.slackLimit
+    val bwL = bw
+    val mainN = mainShards
+    val split =
+      try {
+        val n = MetaJson.parse(VamanaIndex.loadMeta(path)).get("split")
+        if (n == null) 1 else n.asInt()
+      } catch { case _: Throwable => 1 }
+    val patched = VamanaIndex.load(spark, path).mapPartitions { it =>
+      val metric = Metric.byName(metricName)
+      val tombA = tombB.value
+      @inline def deleted(id: Long): Boolean =
+        java.util.Arrays.binarySearch(tombA, id) >= 0
+      it.toArray.groupBy(_.shard).iterator
+        .filter { case (shard, _) => shard < mainN } // segments tear down
+        .flatMap { case (shard, group) =>
+          val live =
+            if (tombA.isEmpty) group
+            else deletePatchShard(metric, maxDeg, alpha, group, deleted).toArray
+          insertIntoShard(metric, maxDeg, alpha, slack, bwL, shard, live,
+            insB.value.getOrElse(shard, Array.empty[(Long, Array[Float])]))
+        }
+    }.persist()
+    val tmp = new java.io.File(s"$path-absorbing")
+    try VamanaIndex.save(patched, params, tmp.getPath, split = split)
+    catch { case e: Throwable =>
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      patched.unpersist(); throw e
+    }
+    patched.unpersist()
+    activateSwap(path, tmp, "absorbSegments")
+    filesDir.foreach { fd =>
+      SingleFileIndex.exportSharded(VamanaIndex.load(spark, path), params, fd,
+        split = split)
+    }
   }
 
   /** Robust α-prune over global ids (reference lib.rs:1201-1279
