@@ -790,6 +790,56 @@ object StreamingIndex {
     }
   }
 
+  /** One maintenance decision for a continuously-ingested index —
+    * the scheduling rule FreshDiskANN's lifecycle implies and
+    * BASELINE's "One-pass consolidate vs two-pass vs rebuild"
+    * measures: absorb small accumulated churn in place, rebuild when
+    * churn is large enough that fresh construction wins time AND
+    * graph quality (or when either broadcast bound forces it).
+    * Inspects the index (one metadata-cheap count pass), then runs
+    * at most ONE of [[absorbSegments]] / [[compact]]:
+    *
+    *   - no segments and no tombstones → `"noop"`;
+    *   - tombstones past [[BroadcastTombstoneLimit]], segment rows
+    *     past [[InsertMergeBatchLimit]], or accumulated churn
+    *     (segment rows + tombstones) at or past
+    *     `churnFraction × main rows` → `"compact"` (the paper's
+    *     scheduled full merge — also where the in-place recall debt
+    *     is repaid);
+    *   - otherwise → `"absorb"` (one-pass [[absorbSegments]]).
+    *
+    * Returns the action taken, for the caller's scheduler log.
+    * `numShards` of the rebuild = `mainShards`, so the tier shape is
+    * stable across maintenance cycles. */
+  def maintain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      params: VamanaParams,
+      mainShards: Int,
+      churnFraction: Double = 0.15,
+      filesDir: Option[String] = None): String = {
+    import org.apache.spark.sql.functions.col
+    require(mainShards > 0, "maintain: mainShards must be positive")
+    require(churnFraction > 0, "maintain: churnFraction must be positive")
+    val tombs =
+      if (!tombstoneLogExists(spark, path)) 0L
+      else spark.read.parquet(s"$path/tombstones").count()
+    val byTier = VamanaIndex.load(spark, path)
+      .groupBy(col("shard") >= mainShards).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val segRows = byTier.getOrElse(true, 0L)
+    val mainRows = byTier.getOrElse(false, 0L)
+    if (segRows == 0 && tombs == 0) "noop"
+    else if (tombs > BroadcastTombstoneLimit || segRows > InsertMergeBatchLimit ||
+        segRows + tombs >= churnFraction * mainRows) {
+      compact(spark, path, params, mainShards, filesDir = filesDir)
+      "compact"
+    } else {
+      absorbSegments(spark, path, params, mainShards, filesDir = filesDir)
+      "absorb"
+    }
+  }
+
   /** Robust α-prune over global ids (reference lib.rs:1201-1279
     * semantics — α-occlusion then nearest backfill — re-expressed
     * over (vec_id, embedding) pairs for the merge path, where

@@ -92,6 +92,31 @@ class AbsorbSpec extends AnyFunSuite {
         s"absorbed $id not served from the merged graph") }
   }
 
+  test("maintain picks the measured schedule: noop / absorb / compact by churn") {
+    val p = freshIndex("/tmp/graft_absorb_maint")
+    assert(StreamingIndex.maintain(spark, p, params, mainShards = 2) == "noop")
+    // small churn: a segment well under churnFraction x main -> absorb
+    val small = seg.take(math.max(4, base.length / 20))
+    appendSegment(p, small, 1000)
+    assert(StreamingIndex.maintain(spark, p, params, mainShards = 2) == "absorb")
+    val after = VamanaIndex.load(spark, p).collect()
+    assert(after.forall(_.shard < 2), "absorb must leave a single-tier index")
+    assert(small.forall(s => after.exists(_.vec_id == s._1)), "absorbed rows lost")
+    // large churn: segments + tombstones past the fraction -> compact,
+    // which drops the tombstoned rows and retires the log
+    val rest = seg.filterNot(s => small.exists(_._1 == s._1))
+    appendSegment(p, rest, 2000)
+    val dead = base.map(_._1).filter(_ % 7 == 2).take(base.length / 10)
+    StreamingIndex.delete(spark, p, dead.toSeq)
+    assert(StreamingIndex.maintain(spark, p, params, mainShards = 2,
+      churnFraction = 0.15) == "compact")
+    val rebuilt = VamanaIndex.load(spark, p).collect()
+    assert(rebuilt.forall(_.shard < 2))
+    dead.foreach(id => assert(!rebuilt.exists(_.vec_id == id), s"dead $id survived compact"))
+    assert(StreamingIndex.tombstones(spark, p).isEmpty)
+    assert(StreamingIndex.maintain(spark, p, params, mainShards = 2) == "noop")
+  }
+
   test("id corruption fails loudly: duplicate segment ids, and a segment id live in main") {
     val p = freshIndex("/tmp/graft_absorb_dup")
     appendSegment(p, seg.take(50), 1000)
