@@ -810,14 +810,20 @@ object StreamingIndex {
     *
     * Returns the action taken, for the caller's scheduler log.
     * `numShards` of the rebuild = `mainShards`, so the tier shape is
-    * stable across maintenance cycles. */
+    * stable across maintenance cycles — and `overlap`/`capFactor`
+    * forward to [[compact]], so a caller maintaining the OVERLAPPED
+    * headline tier must pass its build overlap here or a scheduled
+    * rebuild would silently de-replicate the index (the in-place
+    * absorb branch keeps existing replicas untouched either way). */
   def maintain(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       params: VamanaParams,
       mainShards: Int,
       churnFraction: Double = 0.15,
-      filesDir: Option[String] = None): String = {
+      filesDir: Option[String] = None,
+      overlap: Int = 1,
+      capFactor: Double = 0.0): String = {
     import org.apache.spark.sql.functions.col
     require(mainShards > 0, "maintain: mainShards must be positive")
     require(churnFraction > 0, "maintain: churnFraction must be positive")
@@ -832,7 +838,8 @@ object StreamingIndex {
     if (segRows == 0 && tombs == 0) "noop"
     else if (tombs > BroadcastTombstoneLimit || segRows > InsertMergeBatchLimit ||
         segRows + tombs >= churnFraction * mainRows) {
-      compact(spark, path, params, mainShards, filesDir = filesDir)
+      compact(spark, path, params, mainShards, capFactor = capFactor,
+        filesDir = filesDir, overlap = overlap)
       "compact"
     } else {
       absorbSegments(spark, path, params, mainShards, filesDir = filesDir)
