@@ -133,9 +133,18 @@ object StreamingIndex {
       capFactor: Double = 0.0,
       filesDir: Option[String] = None,
       overlap: Int = 1): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, expr}
+    // collapse multi-row vec_ids to ONE vector before the rebuild:
+    // an OVERLAPPED source index holds boundary replicas (identical
+    // embeddings — any copy serves), and a stream that re-ingested an
+    // id holds segment copies (latest batch = highest shard wins, the
+    // natural stream semantics). Without this, build() would bake
+    // duplicate-id nodes into the rebuilt graph and save() would
+    // misclassify the plain result as overlapped. One extra exchange
+    // on vec_id, next to the full rebuild this already pays.
     val all = VamanaIndex.load(spark, path)
-      .select(col("vec_id"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(embedding, shard)").as("embedding"))
     // drop tombstoned vectors for good — an anti-join (not an isin
     // filter) so a large accumulated delete log shuffles instead of
     // broadcasting through the driver; the log itself retires with
@@ -202,28 +211,14 @@ object StreamingIndex {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       params: VamanaParams): Unit = {
-    import org.apache.spark.sql.functions.col
     import spark.implicits._
-    if (!tombstoneLogExists(spark, path)) return
-    val log = spark.read.parquet(s"$path/tombstones")
-    val logCount = log.count()
-    require(logCount <= BroadcastTombstoneLimit,
-      s"merge: $logCount tombstones exceed the broadcast bound " +
-        s"($BroadcastTombstoneLimit) — run compact() (the scheduled full " +
-        "merge) instead")
-    val ids = log.select(col("vec_id")).as[Long].collect()
-    java.util.Arrays.sort(ids)
+    val ids = loadSortedTombstones(spark, path, "merge")
+    if (ids.isEmpty) return
     val bc = spark.sparkContext.broadcast(ids)
     val metricName = params.metric
     val maxDeg = params.maxDegree
     val alpha = params.alpha
-    // preserve the capped-overlap split factor across the merge —
-    // primary pivot sampling in save() groups sibling sub-shards by it
-    val split =
-      try {
-        val n = MetaJson.parse(VamanaIndex.loadMeta(path)).get("split")
-        if (n == null) 1 else n.asInt()
-      } catch { case _: Throwable => 1 }
+    val split = loadSplit(path)
     val patched = VamanaIndex.load(spark, path).mapPartitions { it =>
       val tomb = bc.value
       val metric = Metric.byName(metricName)
@@ -242,6 +237,71 @@ object StreamingIndex {
     patched.unpersist()
     activateSwap(path, tmp, "merge")
   }
+
+  /** The tombstone log as a sorted primitive array for broadcast
+    * (empty when no log exists); a log past
+    * [[BroadcastTombstoneLimit]] is rejected — at that accumulation
+    * the paper itself schedules the full merge, i.e. [[compact]].
+    * Shared by the whole merge family. */
+  private def loadSortedTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String): Array[Long] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    if (!tombstoneLogExists(spark, path)) Array.empty
+    else {
+      val log = spark.read.parquet(s"$path/tombstones")
+      val logCount = log.count()
+      require(logCount <= BroadcastTombstoneLimit,
+        s"$op: $logCount tombstones exceed the broadcast bound " +
+          s"($BroadcastTombstoneLimit) — run compact() (the scheduled full " +
+          "merge) instead")
+      val ids = log.select(col("vec_id")).as[Long].collect()
+      java.util.Arrays.sort(ids)
+      ids
+    }
+  }
+
+  /** The index's persisted routing geometry restricted to shards
+    * below `limit` — the MAIN tier. Segment pivots (present after a
+    * merge-family save ran over an ingested index) must never
+    * attract inserts: segments are torn down, not grown. Pivot table
+    * when the save wrote one, else the seed-centroid routing table;
+    * both L2, the assignment metric. */
+  private def mainRouteTables(spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String, limit: Int): Array[(Int, Array[Array[Float]])] = {
+    val t = (try VamanaIndex.loadPivots(spark, path)
+      catch { case _: Throwable =>
+        VamanaIndex.loadRouting(spark, path).map { case (sh, c) => (sh, Array(c)) } })
+      .filter(_._1 < limit)
+    require(t.nonEmpty,
+      s"$op: index has no main-tier routing metadata (shards < $limit) — " +
+        "run compact() to establish the main tier first")
+    t
+  }
+
+  /** Nearest-main-shard assignment of a driver-side insert batch
+    * (lowest shard id wins distance ties — the standing routing
+    * rule). */
+  private def routeBatch(batch: Array[(Long, Array[Float])],
+      routeTables: Array[(Int, Array[Array[Float]])]): Map[Int, Array[(Long, Array[Float])]] =
+    batch.groupBy { case (_, v) =>
+      var best = routeTables(0)._1; var bd = Double.MaxValue
+      routeTables.foreach { case (sh, pv) =>
+        val d = VamanaIndex.pivotDist(v, pv)
+        if (d < bd || (d == bd && sh < best)) { bd = d; best = sh }
+      }
+      best
+    }
+
+  /** The capped-overlap split factor persisted in metadata.json (1
+    * when absent) — preserved across every merge-family save so
+    * primary pivot sampling keeps grouping sibling sub-shards by
+    * parent cell. */
+  private def loadSplit(path: String): Int =
+    try {
+      val n = MetaJson.parse(VamanaIndex.loadMeta(path)).get("split")
+      if (n == null) 1 else n.asInt()
+    } catch { case _: Throwable => 1 }
 
   /** The FreshDiskANN §4.2 delete patch over ONE shard's rows:
     * deleted rows drop; a live row with a deleted neighbor re-prunes
@@ -369,34 +429,15 @@ object StreamingIndex {
       .join(org.apache.spark.sql.functions.broadcast(idsDf), Seq("vec_id"), "left_semi")
       .limit(1).count()
     require(clash == 0, "insertMerge: batch contains vec_ids already in the index")
-    // route on the index's own persisted geometry: pivots (m-point
-    // hash sample per shard) when the save wrote them, else the
-    // seed-centroid routing table — both L2, the assignment metric
-    val routeTables: Array[(Int, Array[Array[Float]])] =
-      (try VamanaIndex.loadPivots(spark, path)
-       catch { case _: Throwable =>
-         VamanaIndex.loadRouting(spark, path).map { case (sh, c) => (sh, Array(c)) } })
-    require(routeTables.nonEmpty, "insertMerge: index has no routing metadata")
-    val byShard: Map[Int, Array[(Long, Array[Float])]] =
-      batch.groupBy { case (_, v) =>
-        var best = routeTables(0)._1; var bd = Double.MaxValue
-        routeTables.foreach { case (sh, pv) =>
-          val d = VamanaIndex.pivotDist(v, pv)
-          if (d < bd || (d == bd && sh < best)) { bd = d; best = sh }
-        }
-        best
-      }
+    val byShard = routeBatch(batch,
+      mainRouteTables(spark, path, "insertMerge", ShardsPerBatchBase))
     val insB = spark.sparkContext.broadcast(byShard)
     val metricName = params.metric
     val maxDeg = params.maxDegree
     val alpha = params.alpha
     val slack = params.slackLimit
     val bwL = bw
-    val split =
-      try {
-        val n = MetaJson.parse(VamanaIndex.loadMeta(path)).get("split")
-        if (n == null) 1 else n.asInt()
-      } catch { case _: Throwable => 1 }
+    val split = loadSplit(path)
     val patched = VamanaIndex.load(spark, path).mapPartitions { it =>
       val metric = Metric.byName(metricName)
       it.toArray.groupBy(_.shard).iterator.flatMap { case (shard, group) =>
@@ -558,19 +599,7 @@ object StreamingIndex {
     import spark.implicits._
     val bw = math.max(if (searchBeamWidth > 0) searchBeamWidth
       else params.buildBeamWidth, params.maxDegree)
-    val tomb: Array[Long] =
-      if (!tombstoneLogExists(spark, path)) Array.empty
-      else {
-        val log = spark.read.parquet(s"$path/tombstones")
-        val logCount = log.count()
-        require(logCount <= BroadcastTombstoneLimit,
-          s"consolidate: $logCount tombstones exceed the broadcast bound " +
-            s"($BroadcastTombstoneLimit) — run compact() (the scheduled full " +
-            "merge) instead")
-        val ids = log.select(col("vec_id")).as[Long].collect()
-        java.util.Arrays.sort(ids)
-        ids
-      }
+    val tomb = loadSortedTombstones(spark, path, "consolidate")
     val batch = inserts.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     if (batch.isEmpty && tomb.isEmpty) return
@@ -581,37 +610,28 @@ object StreamingIndex {
       "consolidate: duplicate vec_ids in the insert batch")
     // id-collision check against the POST-DELETE live set: a batch id
     // that is tombstoned is re-insertion (allowed); one that is live
-    // would alias two vectors under one node (rejected)
+    // would alias two vectors under one node (rejected). The check
+    // stays bounded at any clash size: tombstone exclusion is an
+    // anti-join and only the first few offenders reach the driver
     if (batch.nonEmpty) {
       val idsDf = batch.map(_._1).toSeq.toDF("vec_id")
-      val clash = VamanaIndex.load(spark, path)
+      val clashAll = VamanaIndex.load(spark, path)
         .join(org.apache.spark.sql.functions.broadcast(idsDf), Seq("vec_id"), "left_semi")
-        .select(col("vec_id")).as[Long].collect()
-        .filter(id => java.util.Arrays.binarySearch(tomb, id) < 0)
+        .select(col("vec_id"))
+      val clashLive =
+        if (tomb.isEmpty) clashAll
+        else clashAll.join(
+          spark.read.parquet(s"$path/tombstones").select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      val clash = clashLive.limit(6).as[Long].collect()
       require(clash.isEmpty,
         s"consolidate: batch contains LIVE vec_ids (${clash.take(5).mkString(", ")}" +
           s"${if (clash.length > 5) ", …" else ""}) — delete them first to re-insert")
     }
     val byShard: Map[Int, Array[(Long, Array[Float])]] =
       if (batch.isEmpty) Map.empty
-      else {
-        // route on the index's own persisted geometry — the PRE-merge
-        // (live) tables: pivots when the save wrote them, else the
-        // seed-centroid routing table; both L2, the assignment metric
-        val routeTables: Array[(Int, Array[Array[Float]])] =
-          (try VamanaIndex.loadPivots(spark, path)
-           catch { case _: Throwable =>
-             VamanaIndex.loadRouting(spark, path).map { case (sh, c) => (sh, Array(c)) } })
-        require(routeTables.nonEmpty, "consolidate: index has no routing metadata")
-        batch.groupBy { case (_, v) =>
-          var best = routeTables(0)._1; var bd = Double.MaxValue
-          routeTables.foreach { case (sh, pv) =>
-            val d = VamanaIndex.pivotDist(v, pv)
-            if (d < bd || (d == bd && sh < best)) { bd = d; best = sh }
-          }
-          best
-        }
-      }
+      else routeBatch(batch,
+        mainRouteTables(spark, path, "consolidate", ShardsPerBatchBase))
     val tombB = spark.sparkContext.broadcast(tomb)
     val insB = spark.sparkContext.broadcast(byShard)
     val metricName = params.metric
@@ -619,11 +639,7 @@ object StreamingIndex {
     val alpha = params.alpha
     val slack = params.slackLimit
     val bwL = bw
-    val split =
-      try {
-        val n = MetaJson.parse(VamanaIndex.loadMeta(path)).get("split")
-        if (n == null) 1 else n.asInt()
-      } catch { case _: Throwable => 1 }
+    val split = loadSplit(path)
     val patched = VamanaIndex.load(spark, path).mapPartitions { it =>
       val metric = Metric.byName(metricName)
       val tombA = tombB.value
@@ -685,20 +701,12 @@ object StreamingIndex {
       filesDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    require(mainShards > 0, "absorbSegments: mainShards must be positive")
+    require(mainShards > 0 && mainShards <= ShardsPerBatchBase,
+      s"absorbSegments: mainShards must be in [1, $ShardsPerBatchBase] — " +
+        "segment shard ids start at ShardsPerBatchBase")
     val bw = math.max(if (searchBeamWidth > 0) searchBeamWidth
       else params.buildBeamWidth, params.maxDegree)
-    val tomb: Array[Long] =
-      if (!tombstoneLogExists(spark, path)) Array.empty
-      else {
-        val log = spark.read.parquet(s"$path/tombstones")
-        require(log.count() <= BroadcastTombstoneLimit,
-          s"absorbSegments: tombstone log exceeds the broadcast bound " +
-            s"($BroadcastTombstoneLimit) — run compact() instead")
-        val ids = log.select(col("vec_id")).as[Long].collect()
-        java.util.Arrays.sort(ids)
-        ids
-      }
+    val tomb = loadSortedTombstones(spark, path, "absorbSegments")
     // a tombstoned segment vector simply never re-inserts — its
     // delete completes here, with no main-graph patch needed
     val batch = VamanaIndex.load(spark, path)
@@ -713,41 +721,30 @@ object StreamingIndex {
         s"$InsertMergeBatchLimit — run compact() instead")
     require(batch.map(_._1).distinct.length == batch.length,
       "absorbSegments: duplicate vec_ids across segments — the stream " +
-        "ingested an id twice; compact() (which collapses by rebuild) or " +
-        "delete one copy first")
+        "ingested an id twice; run compact() (collapses to the latest " +
+        "batch's copy) or delete one copy first")
+    // the check stays bounded at any clash size: tombstone exclusion
+    // is an anti-join and only the first few offenders reach the driver
     if (batch.nonEmpty) {
       val idsDf = batch.map(_._1).toSeq.toDF("vec_id")
-      val clash = VamanaIndex.load(spark, path)
+      val clashAll = VamanaIndex.load(spark, path)
         .filter(col("shard") < mainShards)
         .join(org.apache.spark.sql.functions.broadcast(idsDf), Seq("vec_id"), "left_semi")
-        .select(col("vec_id")).as[Long].collect()
-        .filter(id => java.util.Arrays.binarySearch(tomb, id) < 0)
+        .select(col("vec_id"))
+      val clashLive =
+        if (tomb.isEmpty) clashAll
+        else clashAll.join(
+          spark.read.parquet(s"$path/tombstones").select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      val clash = clashLive.limit(6).as[Long].collect()
       require(clash.isEmpty,
         s"absorbSegments: segment vec_ids already LIVE in the main graph " +
           s"(${clash.take(5).mkString(", ")}${if (clash.length > 5) ", …" else ""})")
     }
     val byShard: Map[Int, Array[(Long, Array[Float])]] =
       if (batch.isEmpty) Map.empty
-      else {
-        // route on MAIN-shard geometry only — segment pivots (present
-        // after an earlier merge-family save over an ingested index)
-        // are being torn down and must not attract inserts
-        val routeTables: Array[(Int, Array[Array[Float]])] =
-          (try VamanaIndex.loadPivots(spark, path)
-           catch { case _: Throwable =>
-             VamanaIndex.loadRouting(spark, path).map { case (sh, c) => (sh, Array(c)) } })
-            .filter(_._1 < mainShards)
-        require(routeTables.nonEmpty,
-          "absorbSegments: no routing metadata for the main shards")
-        batch.groupBy { case (_, v) =>
-          var best = routeTables(0)._1; var bd = Double.MaxValue
-          routeTables.foreach { case (sh, pv) =>
-            val d = VamanaIndex.pivotDist(v, pv)
-            if (d < bd || (d == bd && sh < best)) { bd = d; best = sh }
-          }
-          best
-        }
-      }
+      else routeBatch(batch,
+        mainRouteTables(spark, path, "absorbSegments", mainShards))
     val tombB = spark.sparkContext.broadcast(tomb)
     val insB = spark.sparkContext.broadcast(byShard)
     val metricName = params.metric
@@ -756,11 +753,7 @@ object StreamingIndex {
     val slack = params.slackLimit
     val bwL = bw
     val mainN = mainShards
-    val split =
-      try {
-        val n = MetaJson.parse(VamanaIndex.loadMeta(path)).get("split")
-        if (n == null) 1 else n.asInt()
-      } catch { case _: Throwable => 1 }
+    val split = loadSplit(path)
     val patched = VamanaIndex.load(spark, path).mapPartitions { it =>
       val metric = Metric.byName(metricName)
       val tombA = tombB.value
@@ -796,16 +789,19 @@ object StreamingIndex {
     * measures: absorb small accumulated churn in place, rebuild when
     * churn is large enough that fresh construction wins time AND
     * graph quality (or when either broadcast bound forces it).
-    * Inspects the index (one metadata-cheap count pass), then runs
-    * at most ONE of [[absorbSegments]] / [[compact]]:
+    * Inspects the graph parquet directly (count jobs over vec_id and
+    * the shard partition column — never `load()`'s re-cluster
+    * shuffle), then runs at most ONE of [[absorbSegments]] /
+    * [[compact]]:
     *
     *   - no segments and no tombstones → `"noop"`;
-    *   - tombstones past [[BroadcastTombstoneLimit]], segment rows
-    *     past [[InsertMergeBatchLimit]], or accumulated churn
-    *     (segment rows + tombstones) at or past
-    *     `churnFraction × main rows` → `"compact"` (the paper's
-    *     scheduled full merge — also where the in-place recall debt
-    *     is repaid);
+    *   - raw tombstone log past [[BroadcastTombstoneLimit]], LIVE
+    *     segment rows past [[InsertMergeBatchLimit]], or accumulated
+    *     churn (live segment rows + tombstones hitting a live main
+    *     row — tombstoned segment rows and stale log entries are NOT
+    *     churn) at or past `churnFraction × live main rows` →
+    *     `"compact"` (the paper's scheduled full merge — also where
+    *     the in-place recall debt is repaid);
     *   - otherwise → `"absorb"` (one-pass [[absorbSegments]]).
     *
     * Returns the action taken, for the caller's scheduler log.
@@ -825,19 +821,41 @@ object StreamingIndex {
       overlap: Int = 1,
       capFactor: Double = 0.0): String = {
     import org.apache.spark.sql.functions.col
-    require(mainShards > 0, "maintain: mainShards must be positive")
+    require(mainShards > 0 && mainShards <= ShardsPerBatchBase,
+      s"maintain: mainShards must be in [1, $ShardsPerBatchBase] — " +
+        "segment shard ids start at ShardsPerBatchBase")
     require(churnFraction > 0, "maintain: churnFraction must be positive")
-    val tombs =
-      if (!tombstoneLogExists(spark, path)) 0L
-      else spark.read.parquet(s"$path/tombstones").count()
-    val byTier = VamanaIndex.load(spark, path)
-      .groupBy(col("shard") >= mainShards).count()
-      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-    val segRows = byTier.getOrElse(true, 0L)
-    val mainRows = byTier.getOrElse(false, 0L)
-    if (segRows == 0 && tombs == 0) "noop"
-    else if (tombs > BroadcastTombstoneLimit || segRows > InsertMergeBatchLimit ||
-        segRows + tombs >= churnFraction * mainRows) {
+    // the decision pass reads the graph parquet directly (vec_id +
+    // the shard partition column) instead of VamanaIndex.load — the
+    // inspection must not pay load's shard re-cluster shuffle
+    val graph = spark.read.parquet(s"$path/graph")
+      .select(col("vec_id"), col("shard"))
+    val logExists = tombstoneLogExists(spark, path)
+    val tombsRaw =
+      if (logExists) spark.read.parquet(s"$path/tombstones").count() else 0L
+    val tombIds =
+      if (logExists)
+        spark.read.parquet(s"$path/tombstones").select(col("vec_id")).distinct()
+      else null
+    val segAll = graph.filter(col("shard") >= mainShards)
+    val segRows = segAll.count()
+    if (segRows == 0 && tombsRaw == 0) return "noop"
+    // churn counts the WORK the absorb pass would do: live segment
+    // rows (the insert batch) + tombstones that hit a main-tier row
+    // (the delete patch). A tombstoned segment row completes its
+    // delete by never re-inserting — counting it in both terms, or
+    // counting stale log entries at all, would inflate churn and
+    // schedule premature full rebuilds
+    val segLive =
+      if (logExists) segAll.join(tombIds, Seq("vec_id"), "left_anti").count()
+      else segRows
+    val mainAll = graph.filter(col("shard") < mainShards)
+    val tombMain =
+      if (logExists) mainAll.join(tombIds, Seq("vec_id"), "left_semi").count()
+      else 0L
+    val mainLive = mainAll.count() - tombMain
+    if (tombsRaw > BroadcastTombstoneLimit || segLive > InsertMergeBatchLimit ||
+        segLive + tombMain >= churnFraction * mainLive) {
       compact(spark, path, params, mainShards, capFactor = capFactor,
         filesDir = filesDir, overlap = overlap)
       "compact"
@@ -932,12 +950,22 @@ object StreamingIndex {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // batchId + 1: Structured Streaming batchIds start at 0, and
+          // an unshifted batch 0 would land at shard ids 0..k-1 —
+          // INSIDE the main tier's id space on an index that already
+          // has built/compacted shards (a fresh stream after compact()
+          // restarts at batchId 0), where load() stitches the segment
+          // into main shard 0's group as an unreachable component and
+          // absorbSegments/maintain misclassify it as main rows. With
+          // the shift, every segment shard is >= ShardsPerBatchBase
+          // and the main tier owns [0, ShardsPerBatchBase) outright.
+          //
           // shard ids are Int: past ~2.1M batches the base would wrap
           // negative and alias earlier batches' shard ids — appending
           // unrelated segments into one shard partition, which load()
           // would then stitch into a corrupt graph. Fail loudly first;
           // the remedy is a compact() (resets segment numbering).
-          val baseL = batchId * ShardsPerBatchBase
+          val baseL = (batchId + 1) * ShardsPerBatchBase
           require(baseL + ShardsPerBatchBase <= Int.MaxValue,
             s"ingest: batchId $batchId overflows the Int shard-id space — " +
               "run compact() to reset segment numbering")

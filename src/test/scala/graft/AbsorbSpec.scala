@@ -117,6 +117,38 @@ class AbsorbSpec extends AnyFunSuite {
     assert(StreamingIndex.maintain(spark, p, params, mainShards = 2) == "noop")
   }
 
+  test("fully-tombstoned segments are not churn: maintain absorbs instead of rebuilding") {
+    val p = freshIndex("/tmp/graft_absorb_deadseg")
+    appendSegment(p, seg, 1000) // 100 rows = 25% of main, but...
+    StreamingIndex.delete(spark, p, seg.map(_._1).toSeq) // ...all dead
+    StreamingIndex.delete(spark, p, Seq(999999L, 999998L)) // stale entries
+    // a churn formula that counted tombstoned segment rows twice (or
+    // stale log ids at all) would read 202 >= 0.15 x 400 and schedule
+    // a full rebuild; the actual absorb work here is zero inserts
+    assert(StreamingIndex.maintain(spark, p, params, mainShards = 2) == "absorb")
+    val after = VamanaIndex.load(spark, p).collect()
+    assert(after.forall(_.shard < 2), "dead segments must still tear down")
+    assert(seg.forall(s => !after.exists(_.vec_id == s._1)),
+      "tombstoned segment rows must not re-insert")
+    assert(StreamingIndex.tombstones(spark, p).isEmpty, "log must retire")
+  }
+
+  test("compact collapses duplicate ids to the latest batch's copy (and replicas to one row)") {
+    val p = freshIndex("/tmp/graft_absorb_cmpdup")
+    val dupId = seg(0)._1
+    val oldVec = seg(0)._2
+    val newVec = oldVec.map(_ + 1.0f)
+    appendSegment(p, seg.take(10), 1000)
+    appendSegment(p, Array((dupId, newVec)), 2000) // re-ingested, updated vector
+    StreamingIndex.compact(spark, p, params, numShards = 2)
+    val after = VamanaIndex.load(spark, p).collect()
+    assert(after.map(_.vec_id).distinct.length == after.length,
+      "compact left duplicate vec_ids in the rebuilt graph")
+    val kept = after.filter(_.vec_id == dupId)
+    assert(kept.length == 1 && kept(0).embedding.sameElements(newVec),
+      "compact must keep the LATEST batch's copy (highest shard wins)")
+  }
+
   test("id corruption fails loudly: duplicate segment ids, and a segment id live in main") {
     val p = freshIndex("/tmp/graft_absorb_dup")
     appendSegment(p, seg.take(50), 1000)

@@ -73,6 +73,12 @@ class SourcesSpec extends AnyFunSuite {
     val q = StreamingIndex.ingest(mem.toDS().toDF("vec_id", "embedding"), dir, params)
     mem.addData((1L, Array(0f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f)))
     q.processAllAvailable()
+    // even BATCH 0 must land in the segment tier's shard-id space —
+    // an unshifted first batch would write shard 0..k-1, colliding
+    // with a pre-existing main tier (absorbSegments/maintain contract)
+    VamanaIndex.load(spark, dir).collect().foreach(r =>
+      assert(r.shard >= StreamingIndex.ShardsPerBatchBase,
+        s"ingested row ${r.vec_id} landed at main-tier shard ${r.shard}"))
     val n1 = VamanaIndex.load(spark, dir).count()
     mem.addData((4L, Array(5f, 5f)), (5L, Array(6f, 5f)))
     q.processAllAvailable()
