@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass per-document text statistics (optimization round 18).
+  *
+  * Both expressions replace an explode → per-(doc, gram) hash
+  * aggregate → per-doc hash aggregate chain (two Exchanges carrying a
+  * gram-cardinality row stream) with ONE projection evaluated inside
+  * the scan stage: every statistic here is a function of a single
+  * row, so shipping the grams through two shuffles bought nothing but
+  * exchange cost — guide §2.4 ("remove shuffles outright"). The
+  * shuffle count per query drops from 3 to 1 (only the final
+  * presentation orderBy remains) at ANY scale, which is the
+  * difference between a corpus-sized shuffle and none at 100 TB.
+  *
+  * Semantics are EXACT — no hashing, no approximation. Equality of
+  * the emitted counts with the aggregate form is pinned in
+  * TextStatsExprsSpec against the original explode/groupBy chain, and
+  * the unchanged DuckDB oracles hash-match the rewritten queries.
+  *
+  * CodegenFallback is deliberate, matching [[HashExprs]]: one call
+  * per row; all per-token work happens in tight JVM loops inside.
+  */
+
+/** struct(n_words, n_distinct, top_word, n_bigrams, top_bigram) over
+  * a words array — the five integers behind q_text_repetition.
+  *
+  * n_words   = |words| (with multiplicity)
+  * n_distinct= distinct words
+  * top_word  = highest multiplicity of any word
+  * n_bigrams = |words|-1 (0 for a single-word doc)
+  * top_bigram= highest multiplicity of any adjacent pair (0 if none)
+  *
+  * Pair equality: the aggregate form counted bigrams as the joined
+  * string `w_i ‖ ' ' ‖ w_{i+1}`; words come from split-on-space with
+  * empties removed, so no word contains a space and the join is
+  * injective — componentwise equality used here is the same relation.
+  *
+  * Distinct/top counts come from sorting (binary UTF8String order)
+  * and run-scanning — exact, allocation-bounded by the row. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_repetition_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_word", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("top_bigram", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val words = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      // a null element cannot occur from the words expression
+      // (filter(split(...))) but the type allows it; treat null as a
+      // distinct sentinel exactly like the aggregate form did (NULL
+      // grouped as its own key)
+      words(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val sorted = words.clone()
+    java.util.Arrays.sort(sorted, UTF8NullsFirst)
+    var ndw = 0; var topw = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && UTF8NullsFirst.compare(sorted(j), sorted(i)) == 0) j += 1
+      ndw += 1
+      if (j - i > topw) topw = j - i
+      i = j
+    }
+    var topbg = 0
+    val nbg = math.max(n - 1, 0)
+    if (nbg > 0) {
+      // sort bigram START INDICES by (w(i), w(i+1)); adjacent-equal
+      // runs in that order are exactly the equal-bigram groups
+      val idx = new Array[Integer](nbg)
+      i = 0
+      while (i < nbg) { idx(i) = Integer.valueOf(i); i += 1 }
+      val cmp = new java.util.Comparator[Integer] {
+        def compare(a: Integer, b: Integer): Int = {
+          val c1 = UTF8NullsFirst.compare(words(a), words(b))
+          if (c1 != 0) c1 else UTF8NullsFirst.compare(words(a + 1), words(b + 1))
+        }
+      }
+      java.util.Arrays.sort(idx, cmp)
+      i = 0
+      while (i < nbg) {
+        var j = i + 1
+        while (j < nbg && cmp.compare(idx(j), idx(i)) == 0) j += 1
+        if (j - i > topbg) topbg = j - i
+        i = j
+      }
+    }
+    InternalRow(n, ndw, topw, nbg, topbg)
+  }
+
+  private object UTF8NullsFirst extends java.util.Comparator[UTF8String] {
+    def compare(a: UTF8String, b: UTF8String): Int =
+      if (a eq null) { if (b eq null) 0 else -1 }
+      else if (b eq null) 1
+      else a.compareTo(b)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Shannon entropy (bits) over a string's code points — the scalar
+  * behind q_text_entropy, un-rounded (the query applies the same
+  * `round(x, 4)` as before).
+  *
+  * Identity used by the aggregate form, reproduced exactly:
+  * −Σ (n/t)·log2(n/t) = log2(t) − Σ n·log2(n) / t. log2 is
+  * `StrictMath.log(x) / StrictMath.log(2)` — bit-for-bit what Spark's
+  * Log2 expression computes (verified against the 4.1.2 bytecode), so
+  * the only difference from the aggregate form is double addition
+  * order in Σ n·log2(n), the same order freedom the hash aggregate
+  * already had. Counting splits on code points, matching
+  * `split(text, '')` (Java regex is code-point aware). */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_char_entropy"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  private val Ln2 = java.lang.StrictMath.log(2.0)
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    // collect code points, sort, run-scan — exact counts, no hashing
+    var cps = new Array[Int](math.min(n, 16).max(1))
+    var len = 0
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (len == cps.length) cps = java.util.Arrays.copyOf(cps, len * 2)
+      cps(len) = cp; len += 1
+      i += Character.charCount(cp)
+    }
+    java.util.Arrays.sort(cps, 0, len)
+    val t = len.toDouble
+    var acc = 0.0
+    i = 0
+    while (i < len) {
+      var j = i + 1
+      while (j < len && cps(j) == cps(i)) j += 1
+      val cnt = (j - i).toDouble
+      acc += cnt * (java.lang.StrictMath.log(cnt) / Ln2)
+      i = j
+    }
+    java.lang.StrictMath.log(t) / Ln2 - acc / t
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextStatsExprs {
+  def repetitionStats(c: Column): Column =
+    bridge.column(RepetitionStats(bridge.expression(c)))
+  def charEntropy(c: Column): Column =
+    bridge.column(CharEntropy(bridge.expression(c)))
+}

@@ -597,18 +597,19 @@ object TextAnalysis {
     * doc, never the characters. */
   def qTextEntropy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // algebra removes the self-join: −Σ (n/t)·log2(n/t) =
-    // log2(t) − Σ n·log2(n) / t with t = Σn — so the whole query is
-    // explode → per-(doc, char) partial agg → per-doc agg, two
-    // exchanges total and the char counts are consumed exactly once
-    val cnt = Tables.documents(s, dir)
+    // r18 optimization: entropy is per-document, so the explode →
+    // per-(doc, char) partial agg → per-doc agg chain (two Exchanges
+    // carrying a character-cardinality stream) collapses to ONE
+    // projection inside the scan stage (guide §2.4) — CharEntropy
+    // computes the identical log2(t) − Σ n·log2(n)/t identity over
+    // exact code-point counts (StrictMath log2, bit-for-bit Spark's
+    // Log2); the unchanged oracle hash-matches the rewrite and
+    // TextStatsExprsSpec pins equality against the aggregate form.
+    Tables.documents(s, dir)
       .filter(length($"text") >= 1)
-      .select($"doc_id", explode(split($"text", "")).as("c"))
-      .groupBy($"doc_id", $"c").agg(count(lit(1)).cast("double").as("n"))
-    cnt.groupBy($"doc_id")
-      .agg(round(
-        log2(sum($"n")) - sum($"n" * log2($"n")) / sum($"n"), 4)
-        .as("char_entropy"))
+      .select($"doc_id",
+        round(graft.functions.TextStatsExprs.charEntropy($"text"), 4)
+          .as("char_entropy"))
       .orderBy($"doc_id")
   }
 
@@ -911,36 +912,29 @@ object TextAnalysis {
     * high-cardinality keys, so the plan is skew-free at corpus scale. */
   def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = Tables.documents(s, dir)
+    // r18 optimization: every statistic is per-document, so the old
+    // explode → (doc, gram) aggregate → (doc) aggregate chain shuffled
+    // a gram-cardinality stream twice for nothing — the single-pass
+    // RepetitionStats projection computes the same five exact counts
+    // inside the scan stage (3 Exchanges → 1; only the presentation
+    // orderBy shuffles). Count equivalence is spec-pinned against the
+    // old aggregate form (TextStatsExprsSpec) and the unchanged oracle
+    // hash-matches the rewrite.
+    Tables.documents(s, dir)
       .withColumn("words", expr(WordsExpr))
       .filter(size($"words") >= 1)
-      .select($"doc_id", explode(expr(
-        // sequence(0, -1) would generate a DESCENDING range for 1-word
-        // docs, so the bigram arm must be guarded, not just empty
-        """concat(
-          |  transform(words, w -> struct(1 AS t, w AS g)),
-          |  CASE WHEN size(words) >= 2 THEN
-          |    transform(sequence(0, size(words) - 2),
-          |      i -> struct(2 AS t, concat(element_at(words, i+1), ' ', element_at(words, i+2)) AS g))
-          |  ELSE cast(array() AS array<struct<t: int, g: string>>) END)""".stripMargin))
-        .as("gr"))
-      .select($"doc_id", $"gr.t", $"gr.g")
-    grams.groupBy($"doc_id", $"t", $"g").agg(count(lit(1)).as("cnt"))
-      .groupBy($"doc_id")
-      .agg(
-        sum(when($"t" === 1, $"cnt")).as("nw"),
-        count(when($"t" === 1, true)).as("ndw"),
-        max(when($"t" === 1, $"cnt")).as("topw"),
-        sum(when($"t" === 2, $"cnt")).as("nbg"),
-        max(when($"t" === 2, $"cnt")).as("topbg"))
+      .select($"doc_id",
+        graft.functions.TextStatsExprs.repetitionStats($"words").as("st"))
       .select(
         $"doc_id",
-        $"nw".cast("int").as("n_words"),
-        round(lit(1.0) - $"ndw".cast("double") / $"nw".cast("double"), 4)
+        $"st.n_words".as("n_words"),
+        round(lit(1.0) - $"st.n_distinct".cast("double") / $"st.n_words".cast("double"), 4)
           .as("dup_word_ratio"),
-        round($"topw".cast("double") / $"nw".cast("double"), 4).as("top_word_frac"),
-        coalesce(round($"topbg".cast("double") / $"nbg".cast("double"), 4), lit(0.0))
-          .as("top_bigram_frac"))
+        round($"st.top_word".cast("double") / $"st.n_words".cast("double"), 4)
+          .as("top_word_frac"),
+        when($"st.n_bigrams" > 0,
+          round($"st.top_bigram".cast("double") / $"st.n_bigrams".cast("double"), 4))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
       .orderBy($"doc_id")
   }
 

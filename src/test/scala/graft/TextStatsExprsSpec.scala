@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.functions.TextStatsExprs
+
+/** Pins the r18 single-pass text-stat expressions to the aggregate
+  * forms they replaced (the forms the DuckDB oracles still evaluate):
+  * same five repetition counts, same entropy, on the real sf0.001
+  * corpus plus adversarial edges (single word, all-same, unicode,
+  * repeated bigrams). The rewritten queries q_text_repetition /
+  * q_text_entropy keep their oracles unchanged, so the driver's hash
+  * gate is the end-to-end proof; this spec is the unit-level pin. */
+class TextStatsExprsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private val wordsExpr = "filter(split(text, ' '), w -> w != '')"
+
+  private def repetitionAggregate(docs: DataFrame): DataFrame = {
+    // the pre-r18 explode/groupBy form, verbatim
+    val grams = docs
+      .withColumn("words", expr(wordsExpr))
+      .filter(size($"words") >= 1)
+      .select($"doc_id", explode(expr(
+        """concat(
+          |  transform(words, w -> struct(1 AS t, w AS g)),
+          |  CASE WHEN size(words) >= 2 THEN
+          |    transform(sequence(0, size(words) - 2),
+          |      i -> struct(2 AS t, concat(element_at(words, i+1), ' ', element_at(words, i+2)) AS g))
+          |  ELSE cast(array() AS array<struct<t: int, g: string>>) END)""".stripMargin))
+        .as("gr"))
+      .select($"doc_id", $"gr.t", $"gr.g")
+    grams.groupBy($"doc_id", $"t", $"g").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"t" === 1, $"cnt")).cast("int").as("nw"),
+        count(when($"t" === 1, true)).cast("int").as("ndw"),
+        max(when($"t" === 1, $"cnt")).cast("int").as("topw"),
+        coalesce(sum(when($"t" === 2, $"cnt")), lit(0L)).cast("int").as("nbg"),
+        coalesce(max(when($"t" === 2, $"cnt")), lit(0L)).cast("int").as("topbg"))
+  }
+
+  private def repetitionNative(docs: DataFrame): DataFrame =
+    docs.withColumn("words", expr(wordsExpr))
+      .filter(size($"words") >= 1)
+      .select($"doc_id",
+        TextStatsExprs.repetitionStats($"words").as("st"))
+      .select($"doc_id", $"st.n_words".as("nw"), $"st.n_distinct".as("ndw"),
+        $"st.top_word".as("topw"), $"st.n_bigrams".as("nbg"),
+        $"st.top_bigram".as("topbg"))
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    val left = a.orderBy("doc_id").collect().toSeq
+    val right = b.orderBy("doc_id").collect().toSeq
+    assert(left.size == right.size, s"row counts: ${left.size} vs ${right.size}")
+    left.zip(right).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
+  private val edges = Seq(
+    (1L, "one"),
+    (2L, "a a a a"),
+    (3L, "a b a b a"),
+    (4L, "x y z"),
+    (5L, "héllo wörld héllo wörld héllo"),
+    (6L, "𝄞clef 𝄞clef plain"),
+    (7L, "  padded   spaces  "),
+    (8L, "same same same different same same"))
+
+  test("repetition stats: native single pass == aggregate form on sf0.001") {
+    val docs = Tables.documents(spark, SparkSpecBase.sf001).select($"doc_id", $"text")
+    assertSameRows(repetitionAggregate(docs), repetitionNative(docs))
+  }
+
+  test("repetition stats: native single pass == aggregate form on edge docs") {
+    val docs = edges.toDF("doc_id", "text")
+    assertSameRows(repetitionAggregate(docs), repetitionNative(docs))
+  }
+
+  private def entropyAggregate(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .filter(length($"text") >= 1)
+      .select($"doc_id", explode(split($"text", "")).as("c"))
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).cast("double").as("n"))
+    cnt.groupBy($"doc_id")
+      .agg(round(
+        log2(sum($"n")) - sum($"n" * log2($"n")) / sum($"n"), 4)
+        .as("char_entropy"))
+  }
+
+  private def entropyNative(docs: DataFrame): DataFrame =
+    docs.filter(length($"text") >= 1)
+      .select($"doc_id",
+        round(TextStatsExprs.charEntropy($"text"), 4).as("char_entropy"))
+
+  test("char entropy: native single pass == aggregate form on sf0.001") {
+    val docs = Tables.documents(spark, SparkSpecBase.sf001).select($"doc_id", $"text")
+    assertSameRows(entropyAggregate(docs), entropyNative(docs))
+  }
+
+  test("char entropy: native single pass == aggregate form on edge docs") {
+    val docs = (edges :+ (9L, "aaaa") :+ (10L, "ab") :+ (11L, "𝄞𝄞a"))
+      .toDF("doc_id", "text")
+    assertSameRows(entropyAggregate(docs), entropyNative(docs))
+  }
+
+  test("rewritten queries keep exactly one exchange before the presentation sort") {
+    // plan-shape pin for the r18 rewrite: scan → project → sort; the
+    // only Exchange left is the orderBy's range partitioning
+    Seq(
+      operators.TextAnalysis.qTextRepetition(spark, SparkSpecBase.sf001),
+      operators.TextAnalysis.qTextEntropy(spark, SparkSpecBase.sf001)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+      assert(!plan.contains("Generate"), s"explode survived the rewrite:\n$plan")
+    }
+  }
+}
