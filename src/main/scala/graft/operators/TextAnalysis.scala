@@ -1073,15 +1073,35 @@ object TextAnalysis {
       // doc-frequency join) carry the narrow key; 64-bit collisions
       // are below the birthday bound even at a 100 TB gram table
       .select($"doc_id", xxhash64($"gram").as("gh"))
+    // build-once checkpoint (r18; the exactGroups idiom): perDocGram
+    // feeds BOTH the doc-frequency aggregate and the join side, and
+    // the two consumers prune to different column sets ([doc_id, gh]
+    // vs [doc_id, gh, cnt]) so exchange reuse never fires — the plan
+    // re-scanned and re-exploded the corpus twice (plans/r18/
+    // q_text_boilerplate_before.txt, operators 1-8 vs 9-16). The
+    // checkpoint runs the explode + gram hash + combine exactly once
+    // per evaluation (inside the timed region — nothing persists
+    // across runs).
     val perDocGram = grams.groupBy($"doc_id", $"gh").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     // rows of perDocGram are distinct (doc, gram) pairs, so doc
-    // frequency is a plain row count — no countDistinct pass
-    val docFreq = perDocGram.groupBy($"gh").agg(count(lit(1)).as("n_docs"))
-    perDocGram.join(docFreq, Seq("gh"))
+    // frequency is a plain row count — no countDistinct pass; only
+    // REPEATED grams (n_docs >= 2) are broadcast — unique grams never
+    // change the sum, and dropping them shrinks the broadcast build by
+    // the unique-gram fraction of the vocabulary (guide §3.1)
+    val boilerGrams = perDocGram.groupBy($"gh").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .select($"gh")
+    // no broadcast() hint: the planner already picks BHJ here from its
+    // own estimate, and at 100 TB a repeated-gram vocabulary can
+    // outgrow any broadcast — the fallback to a shuffled join must
+    // stay available
+    perDocGram.join(boilerGrams.withColumn("is_boiler", lit(true)),
+        Seq("gh"), "left")
       .groupBy($"doc_id")
       .agg(
         sum($"cnt").as("n_grams"),
-        sum(when($"n_docs" >= 2, $"cnt").otherwise(lit(0L))).as("n_boiler"))
+        sum(when($"is_boiler", $"cnt").otherwise(lit(0L))).as("n_boiler"))
       .select($"doc_id", $"n_grams", $"n_boiler",
         round($"n_boiler".cast("double") / $"n_grams".cast("double"), 4).as("boiler_frac"))
       .orderBy($"doc_id")

@@ -231,16 +231,20 @@ class PlanSpec extends AnyFunSuite {
     assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1, p)
   }
 
-  test("q_text_repetition: one scan, fused gram aggregate, no join, no window") {
-    // unigrams and bigrams travel in ONE exploded stream — the plan
-    // must not self-join two count tables or window anything
+  test("q_text_repetition: one scan, single-pass projection, no shuffle but the sort") {
+    // r18: all five statistics are per-document, so the plan is a
+    // pruned Scan→Project (RepetitionStats) with only the
+    // presentation sort's exchange — no explode, no aggregate, no
+    // join, no window (plans/r18/q_text_repetition_{before,after}.txt)
     val p = planOf(operators.TextAnalysis.qTextRepetition(spark, sf))
     assert(!p.contains("Join"), p)
     assert(!p.contains("Window"), p)
+    assert(!p.contains("Generate"), s"explode back in the plan:\n$p")
+    assert(!p.contains("HashAggregate"), s"aggregate back in the plan:\n$p")
+    assert(p.contains("graft_repetition_stats"), p)
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
       s"documents scanned more than once:\n$p")
-    // both aggregation levels are partial before their exchange
-    assert(p.contains("partial_"), p)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1, p)
   }
 
   test("q_tfidf_terms: ONE corpus scan; vocab-sized aggregates; source count broadcasts") {
