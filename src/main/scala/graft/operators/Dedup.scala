@@ -678,7 +678,7 @@ object Dedup {
   /** Per-doc 62-bit SimHash codes `(doc_id, code)`, cached per sf dir
     * — shared by the full-corpus operator and the
     * exact-collapse-first variant. */
-  private def simhashCodes(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashCodes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.PlanCache.getOrBuild(s, Family, s"simhashCodes:$dir")(
       Tables.documents(s, dir)
@@ -692,6 +692,11 @@ object Dedup {
     * for hamming ≤ 3); verify by popcount of xor. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r18 note: a localCheckpoint before the presentation orderBy
+    // (to spare the range exchange's sampling pass re-running the
+    // pair kernel) was A/B'd and came out FLAT here — materializing
+    // the 1.6M-pair output costs about what the popcount kernel
+    // rerun costs. Kept checkpoint-free; see OPTIMIZATION_r18.md.
     simhashPairs(simhashCodes(s, dir))
       .orderBy($"doc_a", $"doc_b")
   }
@@ -885,6 +890,10 @@ object Dedup {
     }
       .toDF("doc_a", "doc_b", "jac")
       .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
+      // checkpoint before the presentation orderBy (r18): the range
+      // exchange's sampling pass re-ran the two-pointer gram-merge
+      // kernel — see qDedupSimhash for the probe numbers
+      .localCheckpoint()
       .orderBy($"doc_a", $"doc_b")
   }
 
