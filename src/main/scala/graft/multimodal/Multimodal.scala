@@ -71,15 +71,26 @@ object Multimodal {
     * bytes tiled). Byte-for-byte reproducible by the oracle's SQL
     * twin [[payloadCteSql]], and a well-formed image any PPM tool
     * renders. NULL text → NULL payload in both engines. */
-  private val ppmPayloadSql: String =
+  private[graft] val ppmPayloadSql: String =
     "concat(" +
       "cast(concat('P6', chr(10), cast(width as string), ' ', " +
       "cast(height as string), chr(10), '255', chr(10)) as binary), " +
       "unhex(substring(repeat(hex, cast(ceil(width * height * 3 / 16.0) as int)), " +
       "1, width * height * 6)))"
 
+  /** probe hook (r18 measurement) */
+  private[graft] def metaFrameProbe(s: SparkSession, dir: String): DataFrame =
+    metaFrame(s, dir)
+  /** probe hook (r18 measurement) */
+  private[graft] def payloadFrameProbe(s: SparkSession, dir: String): DataFrame =
+    payloadFrame(s, dir)
+
   private def payloadFrame(s: SparkSession, dir: String): DataFrame =
-    metaFrame(s, dir).withColumn("payload", expr(ppmPayloadSql))
+    // r18: native tiling instead of the repeat()+unhex() SQL spelling
+    // (byte identity with ppmPayloadSql pinned in MultimodalSpec; the
+    // oracle replays the SQL twin and stays hash-green)
+    metaFrame(s, dir).withColumn("payload",
+      PpmExprs.ppmPayload(col("hex"), col("width"), col("height")))
 
   /** Typed metadata + REAL header decode: width/height/payload_bytes
     * are parsed out of the P6 bytes by [[PpmCodec.decodeHeader]]
@@ -89,24 +100,17 @@ object Multimodal {
     * payload — a parser drift fails the hash. */
   def qMmMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r18: the header decode is one call into the SAME real parser
+    // ([[PpmCodec.decodeHeader]] via PpmHeaderDecode), lifted into the
+    // projection — the old Dataset mapPartitions round-trip
+    // deserialized every ~19 KB payload into a Scala tuple just to
+    // read its first ~15 header bytes and take bytes.length
     payloadFrame(s, dir)
-      .select($"doc_id", $"media_type", $"n_frames", $"payload")
-      .as[(Long, String, Int, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(DecodeBatch).flatMap { batch =>
-          batch.map { case (id, mt, nf, bytes) =>
-            if (bytes == null)
-              (id, mt, nf, None: Option[Int], None: Option[Int], None: Option[Int])
-            else {
-              val hdr = PpmCodec.decodeHeader(bytes)
-              (id, mt, nf, Some(hdr.width), Some(hdr.height), Some(bytes.length))
-            }
-          }
-        }
-      }
-      .toDF("doc_id", "media_type", "n_frames", "width", "height", "payload_bytes")
-      .select($"doc_id", $"media_type", $"width", $"height", $"n_frames",
-        $"payload_bytes")
+      .select($"doc_id", $"media_type", $"n_frames", $"payload",
+        PpmExprs.ppmHeaderDecode($"payload").as("hdr"))
+      .select($"doc_id", $"media_type", $"hdr.width".as("width"),
+        $"hdr.height".as("height"), $"n_frames",
+        length($"payload").as("payload_bytes"))
       .orderBy($"doc_id")
   }
 

@@ -73,4 +73,24 @@ class MultimodalSpec extends AnyFunSuite {
         s"payload_bytes $pb inconsistent with decoded ${w}x$h")
     }
   }
+
+  test("r18 native PpmPayload is byte-identical to the repeat+unhex SQL fragment") {
+    // the optimization-round rewrite of payloadFrame: the native
+    // tiling expression must reproduce the SQL spelling bit-for-bit
+    // (which is also what the DuckDB oracle constructs)
+    import org.apache.spark.sql.functions._
+    val both = multimodal.Multimodal.metaFrameProbe(spark, SparkSpecBase.sf001)
+      .select(
+        multimodal.PpmExprs.ppmPayload(col("hex"), col("width"), col("height"))
+          .as("native"),
+        expr(multimodal.Multimodal.ppmPayloadSql).as("sql"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val a = if (r.isNullAt(0)) null else r.getAs[Array[Byte]](0)
+      val b = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+      assert((a == null) == (b == null), "null-ness diverged")
+      if (a != null) assert(java.util.Arrays.equals(a, b), "payload bytes diverged")
+    }
+  }
 }
