@@ -93,8 +93,46 @@ object Relational {
       |LIMIT 10""".stripMargin
 
   /** Per-supplier running revenue + row rank (deterministic ordering
-    * key: shipdate, orderkey, linenumber). */
+    * key: shipdate, orderkey, linenumber).
+    *
+    * r18: `rn <= 5` means only each supplier's FIRST five rows (by
+    * the tie-free composite key) can reach the output, so the whole
+    * rank+running-sum window collapses to the bounded
+    * [[graft.operators.FirstKAgg]] partial aggregate. Even with
+    * Spark's WindowGroupLimit pushdown the window form must SORT each
+    * whole scan partition on the map side before the partial group
+    * limit runs — a full per-task sort (and its spill risk) of every
+    * input partition at 100 TB. The aggregate keeps ≤5 rows per
+    * (suppkey, partition) in a bounded buffer instead: O(n·log k) per
+    * task, no sort, and the same ≤k-rows-per-group exchange. The
+    * running sum is accumulated left-to-right over the kept rows in
+    * rank order — the exact addition order of the window frame — and
+    * rounded by the same Spark round(…, 4). */
   def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // l_shipdate is TIMESTAMP_NTZ; the NTZ→LTZ cast under the mains'
+    // pinned UTC session timezone is a pure reinterpretation, so the
+    // micros key orders exactly like the timestamp itself
+    val top = TopK.firstK(5)(
+      unix_micros($"l_shipdate".cast("timestamp_ltz")), $"l_orderkey",
+      $"l_linenumber", $"l_extendedprice")
+    Tables.lineitem(s, dir)
+      .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
+        $"l_extendedprice")
+      .groupBy($"l_suppkey")
+      .agg(top.as("t"))
+      .select($"l_suppkey",
+        posexplode(arrays_zip($"t.oks", $"t.lns", $"t.runs")))
+      .select($"l_suppkey", ($"pos" + 1).cast("int").as("rn"),
+        $"col.oks".as("l_orderkey"), $"col.lns".as("l_linenumber"),
+        round($"col.runs", 4).as("running_rev"))
+      .orderBy($"l_suppkey", $"rn")
+  }
+
+  /** The rank+running-sum window reference for [[windowFuncs]] —
+    * exactly the oracle SQL's shape. Used by WindowCollapseSpec to pin
+    * equivalence of the FirstKAgg form; not registered as a query. */
+  private[graft] def windowFuncsWindow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"l_suppkey")
       .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")

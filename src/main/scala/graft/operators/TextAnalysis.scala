@@ -828,16 +828,42 @@ object TextAnalysis {
     * standalone queries (withWords/withQualityCols/withLangCols), so
     * the composed form cannot drift from the audited pieces — and the
     * physical plan is the 100 TB shape: ONE scan of documents, one
-    * md5-window shuffle for the keeper rule, no joins. */
+    * partially-aggregated md5 exchange for the keeper rule (no window
+    * sort), no joins. */
   def qPipelineSelect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // score FIRST with the shared stateless projection (one scan,
-    // emits doc_id + content hash + verdicts), THEN window over the
-    // hash — the keeper exchange carries ~50-byte scored rows, never
-    // the text or the words array. Keeper groups are identical-text
-    // groups, and identical text scores identically, so windowing
-    // after the empty-doc filter changes nothing: an empty doc can
-    // only share a hash with another empty doc.
+    // emits doc_id + content hash + verdicts), then collapse keeper
+    // groups with a HASH AGGREGATE, not a window: keeper groups are
+    // identical-text groups and identical text scores identically, so
+    // min() of each verdict column is that group's single value and
+    // the lang/quality filters evaluate on the AGGREGATED verdicts.
+    // vs the old min-over-window form this replaces Exchange+Sort+
+    // Window with a map-side partial min (true duplicates collapse
+    // before the exchange) and no sort on either side. Two traps the
+    // shape deliberately avoids: (a) the filters must sit ABOVE the
+    // aggregate — placed below, PushPredicateThroughNonJoin inlines
+    // the whole verdict expression chain into the scan-level Filter
+    // and every qualifying row pays the tokenization twice (measured
+    // 1.4x slower); (b) pred_lang crosses the aggregate as a
+    // fixed-width int code — a min(string) buffer silently demotes
+    // the whole aggregate to SortAggregate.
+    scoreForSelect(Tables.documents(s, dir).select($"doc_id", $"text"))
+      .withColumn("lang_en", ($"pred_lang" === "en").cast("int"))
+      .groupBy($"h")
+      .agg(min($"doc_id").as("doc_id"),
+        min($"quality_score").as("quality_score"),
+        min($"lang_en").as("lang_en"))
+      .filter($"lang_en" === 1 && $"quality_score" >= 0.5)
+      .select($"doc_id", $"quality_score", lit("en").as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+
+  /** The min-over-window reference for [[qPipelineSelect]] — exactly
+    * the oracle SQL's keeper shape. Used by WindowCollapseSpec to pin
+    * equivalence of the hash-aggregate form; not registered. */
+  private[graft] def qPipelineSelectWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val keeperW = Window.partitionBy($"h")
     scoreForSelect(Tables.documents(s, dir).select($"doc_id", $"text"))
       .withColumn("keeper_id", min($"doc_id").over(keeperW))

@@ -226,6 +226,108 @@ class TermTopKAgg(k: Int) extends Aggregator[TermCand, TermTopKBuf, TermTopKBuf]
   override def outputEncoder = Encoders.product[TermTopKBuf]
 }
 
+/** A row candidate for per-group FIRST-k selection under a composite
+  * (ts, ok, ln) ascending key — the row_number()-window ordering of
+  * q_window — with a numeric payload riding along. (ok, ln) is a
+  * primary key upstream, so the ordering is total and tie-free. */
+case class FirstKCand(ts: Long, ok: Long, ln: Int, price: Double)
+
+/** First-k buffer: parallel arrays kept sorted ascending by
+  * (ts, ok, ln), capped at k. */
+case class FirstKBuf(
+    tss: Array[Long], oks: Array[Long], lns: Array[Int],
+    prices: Array[Double])
+
+/** First-k output: the kept rows in rank order plus the running
+  * payload prefix sums (accumulated left-to-right, exactly the order
+  * a running-sum window frame adds them). */
+case class FirstKOut(oks: Array[Long], lns: Array[Int], runs: Array[Double])
+
+/** Bounded first-k-rows aggregator — the [[TopKAgg]] shape for a
+  * `row_number() <= k` window filter over a composite ascending key.
+  *
+  * Replaces the rank-window form: even with Spark's WindowGroupLimit
+  * pushdown the map side must SORT its whole scan partition before
+  * the partial group limit can run, which at 100 TB means a full
+  * per-task sort (and its spill risk) of every input partition. This
+  * aggregate keeps at most k rows per (group, partition) in a bounded
+  * buffer instead — O(n·log k) per task, O(groups·k) memory, and the
+  * exchange carries one ≤k-row buffer per (group, partition). */
+class FirstKAgg(k: Int) extends Aggregator[FirstKCand, FirstKBuf, FirstKOut] {
+
+  require(k >= 1, s"first-k needs k >= 1, got $k")
+
+  override def zero: FirstKBuf = FirstKBuf(
+    Array.emptyLongArray, Array.emptyLongArray, Array.emptyIntArray,
+    Array.emptyDoubleArray)
+
+  // strict lexicographic (ts, ok, ln) ascending
+  private def before(t1: Long, o1: Long, l1: Int,
+      t2: Long, o2: Long, l2: Int): Boolean =
+    t1 < t2 || (t1 == t2 && (o1 < o2 || (o1 == o2 && l1 < l2)))
+
+  override def reduce(b: FirstKBuf, a: FirstKCand): FirstKBuf = {
+    val n = b.oks.length
+    if (n >= k && !before(a.ts, a.ok, a.ln,
+        b.tss(n - 1), b.oks(n - 1), b.lns(n - 1))) return b
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (before(b.tss(mid), b.oks(mid), b.lns(mid), a.ts, a.ok, a.ln))
+        lo = mid + 1
+      else hi = mid
+    }
+    val outN = math.min(n + 1, k)
+    val tss = new Array[Long](outN); val oks = new Array[Long](outN)
+    val lns = new Array[Int](outN); val prices = new Array[Double](outN)
+    System.arraycopy(b.tss, 0, tss, 0, lo)
+    System.arraycopy(b.oks, 0, oks, 0, lo)
+    System.arraycopy(b.lns, 0, lns, 0, lo)
+    System.arraycopy(b.prices, 0, prices, 0, lo)
+    tss(lo) = a.ts; oks(lo) = a.ok; lns(lo) = a.ln; prices(lo) = a.price
+    val tail = outN - lo - 1
+    if (tail > 0) {
+      System.arraycopy(b.tss, lo, tss, lo + 1, tail)
+      System.arraycopy(b.oks, lo, oks, lo + 1, tail)
+      System.arraycopy(b.lns, lo, lns, lo + 1, tail)
+      System.arraycopy(b.prices, lo, prices, lo + 1, tail)
+    }
+    FirstKBuf(tss, oks, lns, prices)
+  }
+
+  override def merge(b1: FirstKBuf, b2: FirstKBuf): FirstKBuf = {
+    val n1 = b1.oks.length; val n2 = b2.oks.length
+    val cap = math.min(n1 + n2, k)
+    val tss = new Array[Long](cap); val oks = new Array[Long](cap)
+    val lns = new Array[Int](cap); val prices = new Array[Double](cap)
+    var i = 0; var j = 0; var o = 0
+    while (o < cap) {
+      val takeLeft = j >= n2 || (i < n1 &&
+        before(b1.tss(i), b1.oks(i), b1.lns(i), b2.tss(j), b2.oks(j), b2.lns(j)))
+      if (takeLeft) {
+        tss(o) = b1.tss(i); oks(o) = b1.oks(i); lns(o) = b1.lns(i)
+        prices(o) = b1.prices(i); i += 1
+      } else {
+        tss(o) = b2.tss(j); oks(o) = b2.oks(j); lns(o) = b2.lns(j)
+        prices(o) = b2.prices(j); j += 1
+      }
+      o += 1
+    }
+    FirstKBuf(tss, oks, lns, prices)
+  }
+
+  override def finish(b: FirstKBuf): FirstKOut = {
+    val n = b.oks.length
+    val runs = new Array[Double](n)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += b.prices(i); runs(i) = acc; i += 1 }
+    FirstKOut(b.oks, b.lns, runs)
+  }
+
+  override def bufferEncoder = Encoders.product[FirstKBuf]
+  override def outputEncoder = Encoders.product[FirstKOut]
+}
+
 object TopK {
   /** Untyped column form: `topk(k)(col("id"), col("dist"))` aggregates to
     * a struct(ids: array<long>, dists: array<double>) sorted ascending. */
@@ -247,5 +349,13 @@ object TopK {
   def termTopk(k: Int): (Column, Column, Column, Column) => Column = {
     val u = functions.udaf(new TermTopKAgg(k), Encoders.product[TermCand])
     (word: Column, tf: Column, df: Column, score: Column) => u(word, tf, df, score)
+  }
+
+  /** Per-group first-k rows by (ts, ok, ln) ASC with a running prefix
+    * sum of the payload: `firstK(k)(ts, ok, ln, price)` aggregates to
+    * a struct(oks, lns, runs) of parallel arrays in rank order. */
+  def firstK(k: Int): (Column, Column, Column, Column) => Column = {
+    val u = functions.udaf(new FirstKAgg(k), Encoders.product[FirstKCand])
+    (ts: Column, ok: Column, ln: Column, price: Column) => u(ts, ok, ln, price)
   }
 }
