@@ -178,9 +178,47 @@ case class CharEntropy(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Count of code points outside [a-z0-9 ] — exactly the matches of
+  * `regexp_extract_all(text, '[^a-z0-9 ]', 0)` (Java regex character
+  * classes match one CODE POINT, as does this loop), but counted in
+  * place: the regexp form materializes a one-char UTF8String per
+  * punctuation hit into an array that only ever feeds size(), ~|text|
+  * small allocations per document on punctuation-heavy corpora. Feeds
+  * the punct_ratio of q_text_quality / q_pipeline_select / the
+  * streaming select twin (one shared definition, withQualityCols). */
+case class PunctCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_punct_count"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val in = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') || cp == ' '
+      if (!in) cnt += 1
+      i += Character.charCount(cp)
+    }
+    cnt
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextStatsExprs {
   def repetitionStats(c: Column): Column =
     bridge.column(RepetitionStats(bridge.expression(c)))
   def charEntropy(c: Column): Column =
     bridge.column(CharEntropy(bridge.expression(c)))
+  def punctCount(c: Column): Column =
+    bridge.column(PunctCount(bridge.expression(c)))
 }

@@ -1379,16 +1379,30 @@ object Dedup {
     * [[semDeDupCapped]] (trained capacity-capped cells): ONE task per
     * cell scans its own pairs and unions its own components — cell
     * size is the only work bound, which is exactly the bound the
-    * clustering/capping stage exists to enforce. Emits `(node,
-    * label)` for every member of a ≥2-member duplicate group, label =
-    * min member id. */
+    * clustering/capping stage exists to enforce.
+    *
+    * r18: the keep rule's centroid cosine is computed HERE, inside the
+    * cell task, from the broadcast centroid table (`parentOf` maps the
+    * grouping key to its centroid cell — identity for seed cells,
+    * sub-shard/split for capped cells). The old shape re-joined the
+    * label output back onto the (vec_id, cell, embedding) assignment,
+    * which re-evaluated the whole assignment subtree a second time and
+    * paid a SortMergeJoin + mapPartitions pass for values the task
+    * already held in memory. Emits one row per member of a ≥2-member
+    * duplicate group: `(vec_id, group_id, c_sim, csim4)` where
+    * group_id = min member id, c_sim = rint(cos·1e4)/1e4 and csim4 =
+    * the same rounded cosine as an exact scaled long (for the
+    * fixed-width argmin packing in the keep aggregate — vec_ids must
+    * fit 44 bits, checked per member). */
   private def cellComponents(
       av: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
-      tau: Double): DataFrame = {
+      tau: Double,
+      cents: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Float]]],
+      parentOf: Int => Int): DataFrame = {
     val s = av.sparkSession
     import s.implicits._
     av.groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (cell, it) =>
         val members = it.map { case (_, id, v) => (id, v) }
           .toArray.sortInPlaceBy(_._1)
         val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -1416,9 +1430,40 @@ object Dedup {
           }
           i += 1
         }
-        inPair.keys.toArray.sorted.iterator.map(k => (k, find(k)))
+        val cv = cents.value(parentOf(cell))
+        val vmap = scala.collection.mutable.LongMap.empty[Array[Float]]
+        members.foreach { case (id, v) =>
+          if (inPair.contains(id)) vmap(id) = v }
+        inPair.keys.toArray.sorted.iterator.map { k =>
+          require((k >>> 44) == 0L,
+            s"vec_id $k exceeds the 44-bit keep-rule packing range")
+          val csim4 = math.rint(cosineSim(vmap(k), cv) * 1e4)
+          (k, find(k), csim4 / 1e4, csim4.toLong)
+        }
       }
-      .toDF("node", "label")
+      .toDF("vec_id", "group_id", "c_sim", "csim4")
+  }
+
+  /** Keep rule shared by [[qDedupSemantic]] and [[semDeDupCapped]]:
+    * group size plus argmin-by-(c_sim, vec_id) via a fixed-width
+    * packed long — (csim4+10000)·2⁴⁴ + vec_id is order-isomorphic to
+    * the (c_sim, vec_id) lexicographic order (csim4 is the exact
+    * scaled cosine, vec_id < 2⁴⁴ checked at emission), so min(packed)
+    * is the keeper and the aggregate stays a HashAggregate — the
+    * min(struct(…)) form's immutable buffer demoted it to
+    * SortAggregate. */
+  private def keepRule(members: DataFrame): DataFrame = {
+    val s = members.sparkSession
+    import s.implicits._
+    val grp = members.groupBy($"group_id")
+      .agg(count(lit(1)).as("group_n"),
+        min(($"csim4" + 10000L) * lit(1L << 44) + $"vec_id").as("k"))
+      .select($"group_id", $"group_n",
+        $"k".bitwiseAND(lit((1L << 44) - 1)).as("keep_id"))
+    members.join(broadcast(grp), "group_id")
+      .select($"vec_id", $"group_id", $"group_n", $"c_sim",
+        when($"vec_id" === $"keep_id", 1).otherwise(0).as("keep"))
+      .orderBy($"vec_id")
   }
 
   def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
@@ -1435,33 +1480,25 @@ object Dedup {
     // the cell — which is exactly the bound SemDeDup's clustering
     // stage exists to create (capacity-capped kmeans cells at 100 TB,
     // the buildCapped contract).
-    val labels = cellComponents(
-      av.select($"cell", $"vec_id", $"embedding")
-        .as[(Int, Long, Array[Float])], SemTau)
-    // centroid cosine of every duplicate-group member (centroid = its
-    // cell's seed vector — NCELLS×dim floats, broadcast)
+    //
+    // Centroid cosine of every duplicate-group member (centroid = its
+    // cell's seed vector — NCELLS×dim floats, broadcast) is computed
+    // INSIDE the cell task (r18): the old label→assignment re-join
+    // re-evaluated the whole scan+assign subtree a second time and
+    // paid a SortMergeJoin for values the task already held.
     val cents = Tables.embeddings(s, dir)
       .filter($"vec_id" < VectorQueries.NCELLS)
       .select($"vec_id".cast("int"), $"embedding")
       .as[(Int, Array[Float])].collect().toMap
     val bcC = s.sparkContext.broadcast(cents)
-    val members = labels.join(av, $"node" === $"vec_id")
-      .select($"vec_id", $"label", $"cell", $"embedding")
-      .as[(Long, Long, Int, Array[Float])]
-      .mapPartitions { it =>
-        val cs = bcC.value
-        it.map { case (id, label, cell, v) =>
-          (id, label, math.rint(cosineSim(v, cs(cell)) * 1e4) / 1e4)
-        }
-      }.toDF("vec_id", "group_id", "c_sim")
-    val grp = members.groupBy($"group_id")
-      .agg(count(lit(1)).as("group_n"),
-        min(struct($"c_sim", $"vec_id")).as("k"))
-      .select($"group_id", $"group_n", $"k.vec_id".as("keep_id"))
-    members.join(broadcast(grp), "group_id")
-      .select($"vec_id", $"group_id", $"group_n", $"c_sim",
-        when($"vec_id" === $"keep_id", 1).otherwise(0).as("keep"))
-      .orderBy($"vec_id")
+    // members is read twice (keep-rule aggregate + final join) and is
+    // duplicate-group members only — checkpoint the one expensive
+    // chain instead of running assign+pair-scan twice
+    val members = cellComponents(
+      av.select($"cell", $"vec_id", $"embedding")
+        .as[(Int, Long, Array[Float])], SemTau, bcC, identity)
+      .localCheckpoint()
+    keepRule(members)
   }
 
   /** DuckDB replay of [[qDedupSemantic]] — IVF assignment (the
@@ -1570,36 +1607,19 @@ object Dedup {
     val (recapped, totalShards) =
       graft.index.VamanaIndex.capAssignment(assigned, nCells, capFactor)
     val maxSplit = totalShards / nCells
-    val labels = cellComponents(
-      recapped.select($"shard".cast("int"), $"vec_id", $"embedding")
-        .as[(Int, Long, Array[Float])], tau)
-    // centroid cosine vs the TRAINED PARENT cell (sub-shard id / split
-    // factor recovers the parent — capAssignment's dense re-tag rule)
+    // centroid cosine vs the TRAINED PARENT cell is computed inside
+    // the cell task (sub-shard id / split factor recovers the parent —
+    // capAssignment's dense re-tag rule); the old label→recapped
+    // re-join ran the capped-assignment subtree twice (r18)
     val bcC = s.sparkContext.broadcast(cents.toMap)
-    val members = labels
-      .join(recapped.select($"vec_id", $"shard", $"embedding"),
-        $"node" === $"vec_id")
-      .select($"vec_id", $"label", ($"shard" / maxSplit).cast("int").as("pcell"),
-        $"embedding")
-      .as[(Long, Long, Int, Array[Float])]
-      .mapPartitions { it =>
-        val cs = bcC.value
-        it.map { case (id, label, pcell, v) =>
-          (id, label, math.rint(cosineSim(v, cs(pcell)) * 1e4) / 1e4)
-        }
-      }.toDF("vec_id", "group_id", "c_sim")
-    val grp = members.groupBy($"group_id")
-      .agg(count(lit(1)).as("group_n"),
-        min(struct($"c_sim", $"vec_id")).as("k"))
-      .select($"group_id", $"group_n", $"k.vec_id".as("keep_id"))
+    val members = cellComponents(
+      recapped.select($"shard".cast("int"), $"vec_id", $"embedding")
+        .as[(Int, Long, Array[Float])], tau, bcC, _ / maxSplit)
+      .localCheckpoint()
     // eager materialization so the persisted assignment can be
     // RELEASED before return (the buildCapped ownership contract);
     // the output is duplicate-group members only — small
-    val out = members.join(broadcast(grp), "group_id")
-      .select($"vec_id", $"group_id", $"group_n", $"c_sim",
-        when($"vec_id" === $"keep_id", 1).otherwise(0).as("keep"))
-      .orderBy($"vec_id")
-      .localCheckpoint(true)
+    val out = keepRule(members).localCheckpoint(true)
     assigned.unpersist(blocking = false)
     out
   }

@@ -270,8 +270,11 @@ object TextAnalysis {
         expr("aggregate(transform(words, w -> cast(length(w) as bigint)), 0L, (a, x) -> a + x)") / col("n_words"))
       .withColumn("stop_hits",
         expr(s"size(filter(words, w -> ${inList("w", en)}))").cast("double"))
+      // r18: PunctCount counts the same code points the
+      // regexp_extract_all form matched, without materializing a
+      // one-char string per hit into an array that only feeds size()
       .withColumn("punct_ratio",
-        size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double") / length(col("text")))
+        graft.functions.TextStatsExprs.punctCount(col("text")).cast("double") / length(col("text")))
       .withColumn("stop_ratio", col("stop_hits") / col("n_words"))
       .withColumn("len_score",
         least(col("n_words") / lit(100.0), lit(1.0)))

@@ -332,11 +332,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_dedup_semantic: one cell-keyed exchange feeds the union-find, no pair join") {
+    // r18 shape: the cell-local union-find chain (groupByKey +
+    // flatMapGroups, centroid cosine computed in-task) materializes
+    // ONCE into a localCheckpoint, so the serving plan reads the
+    // checkpointed members RDD — the old label→assignment re-join
+    // (a SortMergeJoin re-evaluating the assign subtree) and the
+    // min(struct) SortAggregate keeper are both banned here
     val plan = planOf(operators.Dedup.qDedupSemantic(spark, sf))
     assert(!plan.contains("CartesianProduct"),
       s"pair generation must stay inside the per-cell task:\n$plan")
-    assert(plan.contains("FlatMapGroups") || plan.contains("MapGroups"),
-      s"the cell-local union-find task is missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the label->assignment re-join is back:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"the keeper aggregate fell off the hash path:\n$plan")
+    assert(plan.contains("localCheckpoint at Dedup.scala"),
+      s"the members chain must materialize once:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"the keep-rule aggregate is missing:\n$plan")
   }
 
   test("q_knn_binary_rot: the rotation adds no shuffle — plan shape identical to q_knn_binary") {

@@ -105,6 +105,23 @@ class TextStatsExprsSpec extends AnyFunSuite {
     assertSameRows(entropyAggregate(docs), entropyNative(docs))
   }
 
+  test("punct count: native == size(regexp_extract_all) on sf0.001 + edges") {
+    val corpus = spark.read.parquet(s"${SparkSpecBase.sf001}/documents.parquet")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+    val edgeDocs = Seq(
+      (1001L, ""), (1002L, "abc 123"), (1003L, "a,b.c!?"),
+      (1004L, "ALL CAPS AND ÜNICODE"), (1005L, "𝄞𝄞a b𝄞"),
+      (1006L, "   "), (1007L, "!@#$%^&*()"))
+      .toDF("doc_id", "text")
+    Seq(corpus, edgeDocs).foreach { docs =>
+      val both = docs.select($"doc_id",
+        size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).as("re"),
+        TextStatsExprs.punctCount($"text").as("nat"))
+      val bad = both.filter($"re" =!= $"nat").collect()
+      assert(bad.isEmpty, s"mismatches: ${bad.mkString("; ")}")
+    }
+  }
+
   test("rewritten queries keep exactly one exchange before the presentation sort") {
     // plan-shape pin for the r18 rewrite: scan → project → sort; the
     // only Exchange left is the orderBy's range partitioning
