@@ -1397,12 +1397,15 @@ object VamanaIndex {
   def recallDf(approx: DataFrame, exact: DataFrame): DataFrame = {
     val s = approx.sparkSession
     import s.implicits._
+    // every caller passes query-batch-bounded result sets (nQueries·k
+    // rows), so the semi-join probe side and the per-query hit counts
+    // broadcast — no exchange+sort pair on either side of either join
     val a = approx.select($"q_id", $"neighbor_id")
     val e = exact.select($"q_id", $"neighbor_id")
-    val hit = e.join(a, Seq("q_id", "neighbor_id"), "left_semi")
+    val hit = e.join(broadcast(a), Seq("q_id", "neighbor_id"), "left_semi")
       .groupBy($"q_id").agg(count(lit(1)).as("hits"))
     e.groupBy($"q_id").agg(count(lit(1)).as("total"))
-      .join(hit, Seq("q_id"), "left")
+      .join(broadcast(hit), Seq("q_id"), "left")
       .select($"q_id", (coalesce($"hits", lit(0)) / $"total").as("recall"))
       .agg(round(avg($"recall"), 4).as("mean_recall"), count(lit(1)).as("n_queries"))
   }
@@ -1591,13 +1594,22 @@ object VamanaIndex {
     val path = graft.TempCleanup.onExit(
       s"/tmp/graft_gt_${sf}_${s.sparkContext.applicationId}.ivecs")
     // corpus rank map: position of each vec_id in vec_id order — the
-    // identity the file format stores
+    // identity the file format stores. localCheckpoint: TWO consumers
+    // (the gt export join and the file-side mapping join) read one
+    // materialization of the range-repartition + zipWithIndex chain —
+    // without it the whole denseRank (a corpus shuffle plus the
+    // zipWithIndex count job) re-ran per consumer, and AGAIN per
+    // branch of recallDf's two aggregations
     val pos = denseRank(Tables.embeddings(s, dir).select($"vec_id"), "pos")
       .withColumn("pos", $"pos".cast("int"))
+      .localCheckpoint()
     val exact = VectorQueries.qKnnExact(s, dir)
     // neighbors as positions, rank-ordered per query; query record
-    // order is q_id order (writeIvecs sorts by query_id)
-    val gtRows = exact
+    // order is q_id order (writeIvecs sorts by query_id). The exact
+    // result is query-batch-bounded (nQueries·k rows) — broadcast it
+    // so the corpus-sized rank map streams through a BroadcastHashJoin
+    // instead of both sides paying a SortMergeJoin exchange+sort
+    val gtRows = broadcast(exact)
       .join(pos.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
       .groupBy($"q_id".as("query_id"))
       .agg(array_sort(collect_list(struct($"rank", $"pos"))).as("rp"))
@@ -1611,11 +1623,17 @@ object VamanaIndex {
     // brute-force kNN subtree a second time just to list its q_ids
     val qpos = denseRank(Tables.embeddings(s, dir)
       .filter($"vec_id" % 50 === 0).select($"vec_id".as("q_id")), "qrank")
-    val fileGt = s.read.format("ivecs").load(path)
+    // both file-side joins build from the bounded side: the exploded
+    // file rows (nQueries·k) broadcast against the corpus rank map;
+    // localCheckpoint because recallDf evaluates its `exact` argument
+    // twice (hit semi-join + per-query totals) and the file subtree
+    // (DSv2 scan + two joins + both rank maps) re-ran per branch
+    val fileGt = broadcast(s.read.format("ivecs").load(path)
       .select($"query_id".as("qrank"), explode($"neighbors").as("pos"))
-      .join(qpos, Seq("qrank"))
+      .join(broadcast(qpos), Seq("qrank")))
       .join(pos, Seq("pos"))
       .select($"q_id", $"vec_id".as("neighbor_id"))
+      .localCheckpoint()
     // n_queries counts the FILE's record set — a lossy round-trip
     // (missing/extra records) shifts it off the query-set size, which
     // the spec pins against the in-engine evaluation's count
