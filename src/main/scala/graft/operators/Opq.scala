@@ -562,6 +562,17 @@ object Opq {
         .select($"vec_id", expr(VectorQueries.sparkBitCode).as("code"))
     }
 
+  /** (vec_id, code, cell) — [[bitCodes]] co-located with its IVF cell
+    * assignment, memoized like PQ's cellCodesDf / resCodesDf: a
+    * disk-resident IVF×binary tier stores the sign words inside their
+    * cell's inverted list, so the serving path never pays the
+    * per-evaluation corpus assignment + corpus-to-corpus join
+    * [[qKnnIvfBinary]] used to run. */
+  private def cellBitCodes(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(s, Family, s"cellbits:$dir") {
+      bitCodes(s, dir).join(VectorQueries.ivfAssign(s, dir), "vec_id")
+    }
+
   /** `q_knn_binary`: 1-bit-per-dimension quantized search — sign-bit
     * codes (hyperplane LSH, Charikar STOC'02; the compression tier
     * RaBitQ builds its estimator on), Hamming candidate scan over one
@@ -780,8 +791,7 @@ object Opq {
     val probeQ = probes.join(
       bitCodes(s, dir).filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("q_id"), $"code".as("qc")), "q_id")
-    val h = bitCodes(s, dir)
-      .join(VectorQueries.ivfAssign(s, dir), "vec_id")
+    val h = cellBitCodes(s, dir)
       .select($"vec_id".as("nid"), $"code".as("nc"), $"cell")
       .join(broadcast(probeQ), "cell")
       .filter($"nid" =!= $"q_id")

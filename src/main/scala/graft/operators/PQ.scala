@@ -172,6 +172,19 @@ object PQ {
       .orderBy($"vec_id", $"sub")
   }
 
+  /** (vec_id, codes, cell) — [[codesDf]] co-located with its IVF cell
+    * assignment, memoized like [[resCodesDf]] (which has carried its
+    * cell since birth): a disk-resident IVF+PQ tier stores codes
+    * INSIDE their cell's inverted list, so the serving path never
+    * pays a corpus-to-corpus join per query batch. Before this memo,
+    * [[qKnnIvfPq]] recomputed the full IVF assignment (a corpus scan
+    * × NCELLS centroid distances) AND shuffled both corpus sides
+    * through the vec_id equi-join on every evaluation. */
+  private def cellCodesDf(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.getOrBuild(s, Family, s"cellcodes:$dir") {
+      codesDf(s, dir).join(VectorQueries.ivfAssign(s, dir), "vec_id")
+    }
+
   /** Shared oracle CTE fragment: cb = (sub, j, cv) seed codebooks,
     * enc = per-(vec_id, sub) argmin code. Double math matches the
     * Scala kernel term for term (ordered prepend-reduce = the
@@ -555,12 +568,11 @@ object PQ {
       .toDF("q_id", "lut")
     val probeLuts = probes.join(luts, "q_id")
 
-    // ADC over PROBED cells only: the codes scan joins its cell
-    // assignment (vec_id-keyed — co-located where both are stored
-    // together, as a real layout does), then the tiny (q, cell, lut)
-    // set broadcasts against it
-    val adc = codesDf(s, dir)
-      .join(VectorQueries.ivfAssign(s, dir), "vec_id")
+    // ADC over PROBED cells only: codes carry their cell assignment
+    // ([[cellCodesDf]] — co-located where both are stored together,
+    // as a real layout does), then the tiny (q, cell, lut) set
+    // broadcasts against it
+    val adc = cellCodesDf(s, dir)
       .select($"vec_id".as("nid"), $"codes".as("nc"), $"cell")
       .join(broadcast(probeLuts), "cell")
       .filter($"nid" =!= $"q_id")
