@@ -198,6 +198,90 @@ case class WordShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-doc 64-bit word n-gram keys WITH within-doc counts, one pass
+  * over the raw UTF-8 bytes: array<struct<gh, cnt>> sorted by gh —
+  * the boilerplate detector's per-(doc, gram) count table computed
+  * inside the scan. Replaces BOTH the
+  * `explode(transform(sequence(1, size(words)-n+1), i ->
+  * concat_ws(' ', slice(words, i, n))))` + `xxhash64(gram)` chain
+  * (which allocated a slice array AND a gram string per position to
+  * feed a hash that never leaves the query — only gram EQUALITY
+  * matters downstream, counts in, counts out, and the oracle works
+  * on gram strings) and the `groupBy(doc_id, gh).count()` aggregate
+  * that followed it: within-doc repeat counting is per-row work, so
+  * doing it here removes the corpus-scaled (doc, gram) Exchange
+  * outright (guide §2.4) — the gram table is born pre-collapsed.
+  *
+  * Tokenization is byte-level split on 0x20 with empties dropped —
+  * identical word boundaries to `filter(split(text, ' '), w -> w !=
+  * '')`, since a space byte is never part of a multi-byte UTF-8
+  * sequence. Key = XXH64 fold of the n per-word XXH64s; words cannot
+  * contain the joiner, so word sequences map injectively to gram
+  * strings and hash-equality classes equal gram-string equality
+  * classes up to 2^-64 collisions (the same class the old 64-bit
+  * xxhash64(gram) lived in). Docs with fewer than n words yield the
+  * empty array (the old chain's `filter(size(words) >= n)`). */
+case class WordGramCounts(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"$prettyName needs n >= 1, got $n")
+  override def prettyName: String = "graft_word_gram_counts"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("gh", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val s = v.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    var wh = new Array[Long](16)
+    var nw = 0
+    var i = 0
+    while (i < nb) {
+      while (i < nb && Platform.getByte(base, off + i) == 0x20) i += 1
+      val start = i
+      while (i < nb && Platform.getByte(base, off + i) != 0x20) i += 1
+      if (i > start) {
+        if (nw == wh.length) wh = java.util.Arrays.copyOf(wh, nw * 2)
+        wh(nw) = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+        nw += 1
+      }
+    }
+    if (nw < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val hs = new Array[Long](nw - n + 1)
+    var g = 0
+    while (g + n <= nw) {
+      var acc = 42L
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(wh(g + j), acc); j += 1 }
+      hs(g) = acc
+      g += 1
+    }
+    // sort + run-length count: the per-doc (gram, count) table with a
+    // deterministic (ascending gh) element order, no hash map
+    java.util.Arrays.sort(hs)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](hs.length)
+    var r = 0
+    while (r < hs.length) {
+      val h = hs(r)
+      var c = 0L
+      while (r < hs.length && hs(r) == h) { c += 1; r += 1 }
+      out += org.apache.spark.sql.catalyst.InternalRow(h, c)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Distinct character n-grams — n counts CODE POINTS (grams step by
   * code point, matching the oracle's character-based substring; UTF-16
   * unit stepping would split surrogate pairs on non-BMP text) —
@@ -324,6 +408,8 @@ object HashExprs {
   def tokenHashes(c: Column): Column = bridge.column(TokenHashes(bridge.expression(c)))
   def wordShingleHashes(c: Column, n: Int): Column =
     bridge.column(WordShingleHashes(bridge.expression(c), n))
+  def wordGramCounts(c: Column, n: Int): Column =
+    bridge.column(WordGramCounts(bridge.expression(c), n))
   def charNGramsSorted(c: Column, n: Int): Column =
     bridge.column(CharNGramsSorted(bridge.expression(c), n))
   def charNGramsPacked(c: Column, n: Int): Column =

@@ -1090,28 +1090,30 @@ object TextAnalysis {
     * same economics as the minhash band shuffle. */
   def qTextBoilerplate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = Tables.documents(s, dir)
-      .withColumn("words", expr(WordsExpr))
-      .filter(size($"words") >= 4)
-      .select($"doc_id", explode(
-        expr("transform(sequence(1, size(words) - 3), i -> concat_ws(' ', slice(words, i, 4)))"))
-        .as("gram"))
-      // only gram EQUALITY matters downstream (counts in, counts out),
-      // so shuffle the 8-byte xxhash64 of the gram, not the ~30-byte
-      // 4-word string — all three exchanges (both aggregates and the
-      // doc-frequency join) carry the narrow key; 64-bit collisions
-      // are below the birthday bound even at a 100 TB gram table
-      .select($"doc_id", xxhash64($"gram").as("gh"))
+    // only gram EQUALITY matters downstream (counts in, counts out),
+    // so the scan emits the per-doc (64-bit gram key, within-doc
+    // count) table directly — one pass over the text bytes
+    // (graft.functions.WordGramCounts), no slice arrays or gram
+    // strings materialized per position, and the old
+    // groupBy(doc_id, gh) aggregate (a corpus-scaled Exchange keyed
+    // on (doc, gram)) disappears: within-doc repeat counting is
+    // per-row work. Downstream exchanges carry the narrow 8-byte
+    // key; 64-bit collisions are below the birthday bound even at a
+    // 100 TB gram table. TextStatsExprsSpec pins the gram grouping
+    // (counts per doc, cross-doc equality classes) against the
+    // explode(transform(...)) + xxhash64(gram) reference chain.
+    //
     // build-once checkpoint (r18; the exactGroups idiom): perDocGram
     // feeds BOTH the doc-frequency aggregate and the join side, and
     // the two consumers prune to different column sets ([doc_id, gh]
-    // vs [doc_id, gh, cnt]) so exchange reuse never fires — the plan
-    // re-scanned and re-exploded the corpus twice (plans/r18/
-    // q_text_boilerplate_before.txt, operators 1-8 vs 9-16). The
-    // checkpoint runs the explode + gram hash + combine exactly once
-    // per evaluation (inside the timed region — nothing persists
-    // across runs).
-    val perDocGram = grams.groupBy($"doc_id", $"gh").agg(count(lit(1)).as("cnt"))
+    // vs [doc_id, gh, cnt]) so exchange reuse never fires — without
+    // it the corpus is scanned and gram-hashed twice. The checkpoint
+    // runs the scan + gram counting exactly once per evaluation
+    // (inside the timed region — nothing persists across runs).
+    val perDocGram = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(graft.functions.HashExprs.wordGramCounts($"text", 4)).as("g"))
+      .select($"doc_id", $"g.gh".as("gh"), $"g.cnt".as("cnt"))
       .localCheckpoint()
     // rows of perDocGram are distinct (doc, gram) pairs, so doc
     // frequency is a plain row count — no countDistinct pass; only

@@ -122,6 +122,56 @@ class TextStatsExprsSpec extends AnyFunSuite {
     }
   }
 
+  /** The boilerplate aggregation tail over a per-(doc, gram-key,
+    * count) table: whatever 64-bit key the scan emits, the output
+    * depends only on the key's EQUALITY classes — so equal outputs
+    * here prove the native gram keys (and their in-expression
+    * within-doc counts) group exactly like the gram-string chain's. */
+  private def boilerAgg(perDocGram: DataFrame): DataFrame = {
+    val boilerGrams = perDocGram.groupBy($"gh").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2).select($"gh")
+    perDocGram.join(boilerGrams.withColumn("is_boiler", lit(true)), Seq("gh"), "left")
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_grams"),
+        sum(when($"is_boiler", $"cnt").otherwise(lit(0L))).as("n_boiler"))
+      .select($"doc_id", $"n_grams", $"n_boiler",
+        round($"n_boiler".cast("double") / $"n_grams".cast("double"), 4).as("boiler_frac"))
+  }
+
+  test("word gram counts: grouping equivalence vs the gram-string chain (sf0.001 + edges)") {
+    val corpus = Tables.documents(spark, SparkSpecBase.sf001).select($"doc_id", $"text")
+    val edgeDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox sat still"),
+      (3L, "short one two"), // < 4 words → no grams on either side
+      (4L, ""), (5L, "   "), (6L, "a a a a a a"),
+      (7L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (8L, "héllo wörld 𝄞clef again héllo wörld 𝄞clef again"),
+      (9L, "  padded   spaces make four words  "),
+      (10L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    Seq(corpus, edgeDocs).foreach { docs =>
+      // the pre-r18 chain, verbatim: gram strings, xxhash64, then the
+      // (doc, gram) count aggregate the expression now runs in place
+      val ref = docs.withColumn("words", expr(wordsExpr))
+        .filter(size($"words") >= 4)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(words) - 3), i -> concat_ws(' ', slice(words, i, 4)))"))
+          .as("gram"))
+        .select($"doc_id", xxhash64($"gram").as("gh"))
+        .groupBy($"doc_id", $"gh").agg(count(lit(1)).as("cnt"))
+      val nat = docs.select($"doc_id",
+        explode(graft.functions.HashExprs.wordGramCounts($"text", 4)).as("g"))
+        .select($"doc_id", $"g.gh".as("gh"), $"g.cnt".as("cnt"))
+      assertSameRows(boilerAgg(ref), boilerAgg(nat))
+      // the expression's counts must also BE counts (multiplicities),
+      // not just group consistently: totals per doc match the
+      // position count of the reference chain
+      val refTot = ref.groupBy($"doc_id").agg(sum($"cnt").as("t"))
+      val natTot = nat.groupBy($"doc_id").agg(sum($"cnt").as("t"))
+      assertSameRows(refTot, natTot)
+    }
+  }
+
   test("rewritten queries keep exactly one exchange before the presentation sort") {
     // plan-shape pin for the r18 rewrite: scan → project → sort; the
     // only Exchange left is the orderBy's range partitioning
