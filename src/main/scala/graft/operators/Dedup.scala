@@ -1037,10 +1037,17 @@ object Dedup {
         .as[(String, Long)]
     })
     val rows = shared.map { case (b, id) => (b, id, 0) }
+    // checkpoint the aggregated pairs BEFORE the presentation orderBy
+    // (r18, the q_dedup_jaccard fix): the range exchange SAMPLES its
+    // child to pick split points, so without it the whole pair kernel
+    // + aggregate re-ran once more per evaluation. The survivor table
+    // is output-sized (tens of pairs at sf0.01), so materializing it
+    // costs nothing next to the kernel rerun it spares.
     saltedPairs(rows) { case ((ida, _), (idb, _)) => Some((ida, idb)) }
       .toDF("doc_a", "doc_b")
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_shared"))
+      .localCheckpoint()
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -1125,7 +1132,11 @@ object Dedup {
     val within = saltedPairs(withinRows) { case ((ida, nw), (idb, _)) =>
       Some((ida, idb, nw))
     }.toDF("doc_a", "doc_b", "n_shared")
-    cross.union(within).orderBy($"doc_a", $"doc_b")
+    // output-sized checkpoint before the presentation orderBy — the
+    // range exchange's sampling pass otherwise re-ran the expansion
+    // joins and the within-group kernel once more per evaluation
+    // (r18, the q_dedup_jaccard fix)
+    cross.union(within).localCheckpoint().orderBy($"doc_a", $"doc_b")
   }
 
   /** The batch operator's 60-bit window key, computed JVM-side for
