@@ -1028,6 +1028,23 @@ object Dedup {
     * like the jaccard gram table (build-once/query-many). */
   def qDedupSubstring(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // checkpoint the aggregated pairs BEFORE the presentation orderBy
+    // (r18, the q_dedup_jaccard fix): the range exchange SAMPLES its
+    // child to pick split points, so without it the whole pair kernel
+    // + aggregate re-ran once more per evaluation. The survivor table
+    // is output-sized (tens of pairs at sf0.01), so materializing it
+    // costs nothing next to the kernel rerun it spares.
+    substringPairsPlan(s, dir).localCheckpoint()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[qDedupSubstring]]'s pair chain up to (but excluding) the
+    * output-sized checkpoint + presentation sort — split out so
+    * PlanSpec can keep pinning the chain's shape (pruned scan, salted
+    * kernel, aggregate+join shared-key filter, exchange reuse), which
+    * the checkpoint otherwise truncates out of the public plan. */
+  private[graft] def substringPairsPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val shared = graft.PlanCache.getOrBuild(s, Family, s"substrShared:$dir")({
       val keys = windowKeys(Tables.documents(s, dir))
       val sharedKeys = keys.groupBy($"h").agg(count(lit(1)).as("n"))
@@ -1037,18 +1054,10 @@ object Dedup {
         .as[(String, Long)]
     })
     val rows = shared.map { case (b, id) => (b, id, 0) }
-    // checkpoint the aggregated pairs BEFORE the presentation orderBy
-    // (r18, the q_dedup_jaccard fix): the range exchange SAMPLES its
-    // child to pick split points, so without it the whole pair kernel
-    // + aggregate re-ran once more per evaluation. The survivor table
-    // is output-sized (tens of pairs at sf0.01), so materializing it
-    // costs nothing next to the kernel rerun it spares.
     saltedPairs(rows) { case ((ida, _), (idb, _)) => Some((ida, idb)) }
       .toDF("doc_a", "doc_b")
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_shared"))
-      .localCheckpoint()
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Distinct `(doc_id, h)` 60-bit window keys of every

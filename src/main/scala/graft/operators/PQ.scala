@@ -45,6 +45,7 @@ object PQ {
     graft.PlanCache.release(s, Family)
     trainedCbCache.clear()
     trainedResCbCache.clear()
+    resCbCache.clear()
   }
 
   private[graft] val M = 8       // subspaces
@@ -680,14 +681,23 @@ object PQ {
     * be the zero vector. Seeding from the next Ksub ids keeps the
     * deterministic oracle-replayable rule with non-degenerate
     * entries. */
-  private def resCodebooks(s: SparkSession, dir: String): Array[Float] = {
-    import s.implicits._
-    packCodebooks(residualsDf(s, dir)
-      .filter($"vec_id" >= VectorQueries.NCELLS &&
-        $"vec_id" < VectorQueries.NCELLS + Ksub)
-      .select($"vec_id".cast("int"), $"rv")
-      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2))
-  }
+  private def resCodebooks(s: SparkSession, dir: String): Array[Float] =
+    // memoized (r18): the vec_id range filter cannot push through the
+    // opaque KMeans.assign kernel inside residualsDf, so every call
+    // paid a full-corpus IVF assignment + join to collect Ksub seed
+    // rows — and qKnnIvfPqRes calls this once per evaluation. Same
+    // JVM-lifetime + release rationale as [[trainedResCbCache]].
+    resCbCache.getOrElseUpdate(dir, {
+      import s.implicits._
+      packCodebooks(residualsDf(s, dir)
+        .filter($"vec_id" >= VectorQueries.NCELLS &&
+          $"vec_id" < VectorQueries.NCELLS + Ksub)
+        .select($"vec_id".cast("int"), $"rv")
+        .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2))
+    })
+
+  private val resCbCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Float]]
 
   /** (vec_id, cell, codes) — residual-PQ codes for the whole corpus,
     * memoized like [[codesDf]] (same Broadcast-capture rationale). */

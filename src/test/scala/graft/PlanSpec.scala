@@ -123,7 +123,13 @@ class PlanSpec extends AnyFunSuite {
     // at this SF). The cached shared table is per-session, so clear
     // it first for a cold plan.
     graft.PlanCache.release(spark, "dedup")
-    val p = planOf(operators.Dedup.qDedupSubstring(spark, sf))
+    // the public query checkpoints the output-sized pair table before
+    // the presentation sort (r18), which truncates the chain out of
+    // its plan — pin the chain's shape on the pre-checkpoint frame
+    val p = planOf(operators.Dedup.substringPairsPlan(spark, sf))
+    val pub = planOf(operators.Dedup.qDedupSubstring(spark, sf))
+    assert(pub.contains("Scan ExistingRDD"),
+      s"public query no longer checkpoints before the presentation sort:\n$pub")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("MapGroups"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
