@@ -214,6 +214,71 @@ case class PunctCount(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** struct(n_ws_tokens, n_alpha_tokens, n_num_tokens, n_punct,
+  * n_bpe_est) — the five q_text_tokens statistics in ONE pass over
+  * the text's code points. The projection form evaluated THREE
+  * `regexp_extract_all` calls (each materializing an array of match
+  * UTF8Strings only to size() it), a split+filter words array, and an
+  * `aggregate(transform(...))` pair of boxed lambdas per document.
+  * Semantics reproduced exactly:
+  *
+  * n_ws_tokens    = runs of non-space (split-on-' ' with empties
+  *                  dropped — words)
+  * n_alpha_tokens = maximal runs of [a-z]   (regexp '[a-z]+')
+  * n_num_tokens   = maximal runs of [0-9]   (regexp '[0-9]+')
+  * n_punct        = code points outside [a-z0-9 ] ([[PunctCount]])
+  * n_bpe_est      = Σ_words ceil(len_codepoints(word)/4) as a long
+  *
+  * Java regex character classes match one code point, and Spark's
+  * `length`/`substring` count code points, so the single code-point
+  * walk here is the same character model all five legacy expressions
+  * used. Equality pinned in TextStatsExprsSpec on the corpus +
+  * edges; the DuckDB oracle (unchanged) hash-checks end to end. */
+case class TokenStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_token_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ws_tokens", IntegerType, nullable = false),
+    StructField("n_alpha_tokens", IntegerType, nullable = false),
+    StructField("n_num_tokens", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_bpe_est", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    var nWs = 0; var nAlpha = 0; var nNum = 0; var nPunct = 0
+    var nBpe = 0L
+    var wordLen = 0  // code points of the current word (0 = not in one)
+    var inAlpha = false; var inNum = false
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val isAlpha = cp >= 'a' && cp <= 'z'
+      val isNum = cp >= '0' && cp <= '9'
+      val isSpace = cp == ' '
+      if (!isAlpha && !isNum && !isSpace) nPunct += 1
+      if (isAlpha && !inAlpha) nAlpha += 1
+      if (isNum && !inNum) nNum += 1
+      inAlpha = isAlpha; inNum = isNum
+      if (isSpace) {
+        if (wordLen > 0) { nWs += 1; nBpe += (wordLen + 3L) / 4L; wordLen = 0 }
+      } else wordLen += 1
+      i += Character.charCount(cp)
+    }
+    if (wordLen > 0) { nWs += 1; nBpe += (wordLen + 3L) / 4L }
+    InternalRow(nWs, nAlpha, nNum, nPunct, nBpe)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextStatsExprs {
   def repetitionStats(c: Column): Column =
     bridge.column(RepetitionStats(bridge.expression(c)))
@@ -221,4 +286,6 @@ object TextStatsExprs {
     bridge.column(CharEntropy(bridge.expression(c)))
   def punctCount(c: Column): Column =
     bridge.column(PunctCount(bridge.expression(c)))
+  def tokenStats(c: Column): Column =
+    bridge.column(TokenStats(bridge.expression(c)))
 }

@@ -40,16 +40,21 @@ object TextAnalysis {
     * subword estimate: Σ_words ceil(len/4) (4-char merges). */
   def qTextTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r18: one native pass (graft.functions.TokenStats) replaces three
+    // regexp_extract_all match-array materializations, the words
+    // split, and the boxed aggregate/transform lambdas — equality vs
+    // the projection form pinned in TextStatsExprsSpec, oracle
+    // unchanged and hash-green
     Tables.documents(s, dir)
-      .withColumn("words", expr(WordsExpr))
+      .select($"doc_id",
+        graft.functions.TextStatsExprs.tokenStats($"text").as("st"))
       .select(
         $"doc_id",
-        size($"words").as("n_ws_tokens"),
-        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha_tokens"),
-        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_num_tokens"),
-        size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).as("n_punct"),
-        expr("aggregate(transform(words, w -> cast(ceil(length(w) / 4.0) as bigint)), 0L, (a, x) -> a + x)")
-          .as("n_bpe_est"))
+        $"st.n_ws_tokens".as("n_ws_tokens"),
+        $"st.n_alpha_tokens".as("n_alpha_tokens"),
+        $"st.n_num_tokens".as("n_num_tokens"),
+        $"st.n_punct".as("n_punct"),
+        $"st.n_bpe_est".as("n_bpe_est"))
       .orderBy($"doc_id")
   }
 

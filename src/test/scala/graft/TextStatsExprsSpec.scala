@@ -172,6 +172,39 @@ class TextStatsExprsSpec extends AnyFunSuite {
     }
   }
 
+  private def tokenStatsLegacy(docs: DataFrame): DataFrame =
+    docs.withColumn("words", expr(wordsExpr))
+      .select(
+        $"doc_id",
+        size($"words").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha_tokens"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_num_tokens"),
+        size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).as("n_punct"),
+        expr("aggregate(transform(words, w -> cast(ceil(length(w) / 4.0) as bigint)), 0L, (a, x) -> a + x)")
+          .as("n_bpe_est"))
+
+  private def tokenStatsNative(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", TextStatsExprs.tokenStats($"text").as("st"))
+      .select($"doc_id", $"st.n_ws_tokens".as("n_ws_tokens"),
+        $"st.n_alpha_tokens".as("n_alpha_tokens"),
+        $"st.n_num_tokens".as("n_num_tokens"),
+        $"st.n_punct".as("n_punct"), $"st.n_bpe_est".as("n_bpe_est"))
+
+  test("token stats: native single pass == projection form on sf0.001 + edges") {
+    val corpus = Tables.documents(spark, SparkSpecBase.sf001).select($"doc_id", $"text")
+    val edgeDocs = Seq(
+      (1L, "plain words only here"),
+      (2L, "abc123def 45x 6 7890"), // alpha/num runs inside one word
+      (3L, ""), (4L, "   "), (5L, "a"),
+      (6L, "UPPER Case Is Punct 123"),
+      (7L, "héllo wörld 𝄞clef"), // multi-byte + supplementary planes
+      (8L, "  padded   spaces  and!punct?runs!!"),
+      (9L, "exactly4 len8word0 abcdefghijk")).toDF("doc_id", "text")
+    Seq(corpus, edgeDocs).foreach { docs =>
+      assertSameRows(tokenStatsLegacy(docs), tokenStatsNative(docs))
+    }
+  }
+
   test("rewritten queries keep exactly one exchange before the presentation sort") {
     // plan-shape pin for the r18 rewrite: scan → project → sort; the
     // only Exchange left is the orderBy's range partitioning
