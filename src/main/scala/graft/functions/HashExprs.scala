@@ -282,6 +282,68 @@ case class WordGramCounts(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-position bigram model keys array<struct<h1, h12>> — the
+  * q_text_bigram_ll key stream in one pass over the raw UTF-8 bytes.
+  * Replaces the `transform(sequence(0, size(words)-2), i ->
+  * struct(element_at(...), element_at(...)))` explode feeding
+  * `xxhash64(w1)` / `xxhash64(w1, w2)`: one struct of two string refs
+  * and three boxed lambda dispatches per bigram, with both words
+  * re-hashed at every position they appear in. Here every word is
+  * XXH64-hashed ONCE (byte-level split on 0x20, empties dropped —
+  * identical boundaries to `filter(split(text, ' '), w -> w != '')`),
+  * h1 = hash(w_i), h12 = an XXH64 fold of the two word hashes. The
+  * keys never leave the query (the model aggregates and the scoring
+  * join only need equality), and a count merges across a collision
+  * only if two bigrams collide in h12 AND share h1 — the same ≪ 2^-64
+  * class the old xxhash64 keys lived in. Fewer than 2 words → empty
+  * array (the old chain's `filter(size(words) >= 2)`). */
+case class WordBigramHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_word_bigram_hashes"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h1", LongType, nullable = false),
+      StructField("h12", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val s = v.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    var wh = new Array[Long](16)
+    var nw = 0
+    var i = 0
+    while (i < nb) {
+      while (i < nb && Platform.getByte(base, off + i) == 0x20) i += 1
+      val start = i
+      while (i < nb && Platform.getByte(base, off + i) != 0x20) i += 1
+      if (i > start) {
+        if (nw == wh.length) wh = java.util.Arrays.copyOf(wh, nw * 2)
+        wh(nw) = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+        nw += 1
+      }
+    }
+    if (nw < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](nw - 1)
+    var g = 0
+    while (g + 2 <= nw) {
+      out(g) = org.apache.spark.sql.catalyst.InternalRow(
+        wh(g), XXH64.hashLong(wh(g + 1), wh(g)))
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Distinct character n-grams — n counts CODE POINTS (grams step by
   * code point, matching the oracle's character-based substring; UTF-16
   * unit stepping would split surrogate pairs on non-BMP text) —
@@ -410,6 +472,8 @@ object HashExprs {
     bridge.column(WordShingleHashes(bridge.expression(c), n))
   def wordGramCounts(c: Column, n: Int): Column =
     bridge.column(WordGramCounts(bridge.expression(c), n))
+  def wordBigramHashes(c: Column): Column =
+    bridge.column(WordBigramHashes(bridge.expression(c)))
   def charNGramsSorted(c: Column, n: Int): Column =
     bridge.column(CharNGramsSorted(bridge.expression(c), n))
   def charNGramsPacked(c: Column, n: Int): Column =

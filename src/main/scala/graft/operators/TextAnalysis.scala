@@ -382,22 +382,19 @@ object TextAnalysis {
     * a plain equi-join (broadcastable when the vocabulary is small). */
   def qTextBigramLL(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the model never needs the words back, only equality of the (w1)
+    // and (w1,w2) keys — the scan emits 16 bytes of 64-bit keys per
+    // bigram straight from the text bytes (WordBigramHashes: each
+    // word hashed once, no words array / per-position struct+lambda
+    // chain), so every downstream exchange shuffles narrow keys. A
+    // count merges across a collision only if two bigrams collide in
+    // h12 AND share h1 — ≪ the 64-bit birthday bound even at a 100 TB
+    // vocabulary. Key-equivalence vs the words-array chain pinned in
+    // TextStatsExprsSpec (end-to-end score equality).
     val bg = Tables.documents(s, dir)
-      .withColumn("words", expr(WordsExpr))
-      .filter(size($"words") >= 2)
-      .select($"doc_id", explode(expr(
-        """transform(sequence(0, size(words) - 2),
-          |  i -> struct(element_at(words, i+1) AS w1, element_at(words, i+2) AS w2))""".stripMargin))
-        .as("bg"))
-      // the model never needs the words back, only equality of the
-      // (w1) and (w1,w2) keys — hash both to 64-bit longs so every
-      // downstream exchange (the two model aggregates and the scoring
-      // join) shuffles 16 bytes of key instead of two word strings.
-      // A count merges across a collision only if two bigrams collide
-      // in h12 AND share h1 — ≪ the 64-bit birthday bound, vanishing
-      // even at a 100 TB vocabulary.
-      .select($"doc_id", xxhash64($"bg.w1").as("h1"),
-        xxhash64($"bg.w1", $"bg.w2").as("h12"))
+      .select($"doc_id",
+        explode(graft.functions.HashExprs.wordBigramHashes($"text")).as("bg"))
+      .select($"doc_id", $"bg.h1".as("h1"), $"bg.h12".as("h12"))
     // c12 is vocab-sized — cached, it feeds both consumers; c1 derives
     // from it by summation (identical counts, no extra pass), so the
     // corpus is tokenized twice (the LM build + the per-doc score),

@@ -205,6 +205,42 @@ class TextStatsExprsSpec extends AnyFunSuite {
     }
   }
 
+  /** The bigram-LL tail over a (doc_id, h1, h12) key stream — output
+    * depends only on the keys' equality classes, so equal outputs
+    * prove the native bigram keys group like the words-array chain. */
+  private def bigramLl(bg: DataFrame): DataFrame = {
+    val c12 = bg.groupBy($"h1", $"h12").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy($"h1").agg(sum($"c12").as("c1"))
+    bg.join(c12, Seq("h1", "h12")).join(c1, Seq("h1"))
+      .withColumn("lp", log($"c12".cast("double") / $"c1".cast("double")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg($"lp"), 4).as("avg_logp"))
+  }
+
+  test("word bigram hashes: grouping equivalence vs the words-array chain (sf0.001 + edges)") {
+    val corpus = Tables.documents(spark, SparkSpecBase.sf001).select($"doc_id", $"text")
+    val edgeDocs = Seq(
+      (1L, "the cat sat on the cat mat"),
+      (2L, "the cat"), (3L, "one"), (4L, ""), (5L, "   "),
+      (6L, "a a a a"), (7L, "héllo wörld héllo wörld 𝄞clef"),
+      (8L, "  padded   spaces two words  "),
+      (9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    Seq(corpus, edgeDocs).foreach { docs =>
+      val ref = docs.withColumn("words", expr(wordsExpr))
+        .filter(size($"words") >= 2)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(0, size(words) - 2),
+            |  i -> struct(element_at(words, i+1) AS w1, element_at(words, i+2) AS w2))""".stripMargin))
+          .as("bg"))
+        .select($"doc_id", xxhash64($"bg.w1").as("h1"),
+          xxhash64($"bg.w1", $"bg.w2").as("h12"))
+      val nat = docs.select($"doc_id",
+        explode(graft.functions.HashExprs.wordBigramHashes($"text")).as("bg"))
+        .select($"doc_id", $"bg.h1".as("h1"), $"bg.h12".as("h12"))
+      assertSameRows(bigramLl(ref), bigramLl(nat))
+    }
+  }
+
   test("rewritten queries keep exactly one exchange before the presentation sort") {
     // plan-shape pin for the r18 rewrite: scan → project → sort; the
     // only Exchange left is the orderBy's range partitioning
