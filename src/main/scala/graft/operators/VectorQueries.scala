@@ -30,7 +30,15 @@ object VectorQueries {
   private[graft] val Family = "vector"
 
   /** Drop the family's caches — see [[graft.PlanCache]]. */
-  def release(s: SparkSession): Unit = graft.PlanCache.release(s, Family)
+  def release(s: SparkSession): Unit = {
+    graft.PlanCache.release(s, Family)
+    trainedCentCache.clear()
+  }
+
+  /** Trained-centroid memo for the serving path — JVM-lifetime, same
+    * rationale and release discipline as PQ.trainedCbCache. */
+  private val trainedCentCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Float])]]
 
   private val K = 10
   // shared with the IVF+PQ composition (PQ.qKnnIvfPq): one cell/probe
@@ -543,7 +551,13 @@ object VectorQueries {
     * one unit. */
   def qKnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cents = KMeans.trainedCentroids(s, dir)
+    // trained centroids memoized for the SERVING path only (the same
+    // JVM-lifetime treatment PQ.trainedCodebooks has had since r15;
+    // q_kmeans keeps training fresh — its row IS the training): the
+    // Lloyd loop is index-build work, and re-running its driver-side
+    // collect iterations per evaluation made this row measure
+    // training, not the probed scan
+    val cents = trainedCentCache.getOrElseUpdate(dir, KMeans.trainedCentroids(s, dir))
     val centsDf = cents.toSeq.toDF("cell", "cv")
     // the TRAINED tier, memoized like [[cachedAssignWithVec]]
     val assigned = graft.PlanCache.getOrBuild(s, Family, s"assignvectrained:$dir")({
