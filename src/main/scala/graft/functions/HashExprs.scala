@@ -344,6 +344,126 @@ case class WordBigramHashes(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The 60-bit md5-prefix window key walk shared by the batch
+  * expressions below and the streaming twin
+  * ([[graft.operators.Dedup.substringWindowKeys]] delegates here):
+  * value-identical to the SQL spelling
+  * `cast(conv(substring(md5(substring(text, i, W)), 1, 15), 16, 10)
+  * as bigint)` — Spark's `substring` counts code points and its
+  * `md5` hashes UTF-8 bytes, so the walk is codepoint-offset based
+  * over ONE encoding of the text (UTF-8 concatenates exactly per
+  * code point, so every window is a contiguous byte slice) and the
+  * key is the digest's first 15 hex nibbles as an integer.
+  * StreamingSpec pins the equality against the SQL spelling on real
+  * corpus text. The engines must agree bit-exactly (the DuckDB
+  * oracle computes the same md5 key, so a ~2^-60 collision hits both
+  * sides identically), which is why this is the one gram family that
+  * canNOT swap in a cheaper hash. */
+private[graft] object Md5WindowKeys {
+  /** Per-position keys, multiplicity preserved; empty if the text has
+    * fewer than `w` code points. */
+  def perPosition(text: String, w: Int): Array[Long] = {
+    val nCp = text.codePointCount(0, text.length)
+    if (nCp < w) return Array.empty
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bOff = new Array[Int](nCp + 1)
+    var ci = 0
+    var bi = 0
+    var cp = 0
+    while (cp < nCp) {
+      bOff(cp) = bi
+      val c = text.codePointAt(ci)
+      ci += Character.charCount(c)
+      // lone (unpaired) surrogates encode as the 1-byte '?'
+      // replacement in getBytes — mirror that or the offsets desync
+      bi += (if (c < 0x80) 1 else if (c < 0x800) 2
+             else if (c >= 0xD800 && c <= 0xDFFF) 1
+             else if (c < 0x10000) 3 else 4)
+      cp += 1
+    }
+    bOff(nCp) = bi
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](nCp - w + 1)
+    var i = 0
+    while (i + w <= nCp) {
+      md.reset()
+      md.update(bytes, bOff(i), bOff(i + w) - bOff(i))
+      val d = md.digest()
+      // first 15 hex nibbles = bytes 0-6 plus byte 7's high nibble
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >> 4)
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct keys in first-occurrence order (the streaming twin's
+    * historical contract). */
+  def distinctFirstOccurrence(text: String, w: Int): Array[Long] = {
+    val all = perPosition(text, w)
+    if (all.isEmpty) return all
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < all.length) {
+      if (seen.add(all(i))) out += all(i)
+      i += 1
+    }
+    out.toArray
+  }
+}
+
+/** DISTINCT 60-bit md5-prefix window keys of every `w`-codepoint
+  * sliding window — the batch windowKeys scan of the exact-substring
+  * dedup family in one pass: replaces
+  * `explode(sequence(...))` carrying the text through the Generate,
+  * a per-window `substring` slice, Spark `md5`'s 32-char hex string,
+  * a `substring(hex)` and a `conv` parse per position, AND the
+  * per-doc DISTINCT that followed (dedup happens in the walk). Key
+  * values are bit-identical to the SQL spelling ([[Md5WindowKeys]]),
+  * so oracle parity is untouched. */
+case class SubstrWindowKeys(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w >= 1, s"$prettyName needs w >= 1, got $w")
+  override def prettyName: String = "graft_substr_window_keys"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Md5WindowKeys.distinctFirstOccurrence(v.asInstanceOf[UTF8String].toString, w))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** [[SubstrWindowKeys]]' per-position twin (multiplicity preserved,
+  * position = array index + 1 under `posexplode`) — the cut-list
+  * builder's occurrence stream. */
+case class SubstrWindowKeyArray(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w >= 1, s"$prettyName needs w >= 1, got $w")
+  override def prettyName: String = "graft_substr_window_key_array"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Md5WindowKeys.perPosition(v.asInstanceOf[UTF8String].toString, w))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Distinct character n-grams — n counts CODE POINTS (grams step by
   * code point, matching the oracle's character-based substring; UTF-16
   * unit stepping would split surrogate pairs on non-BMP text) —
@@ -474,6 +594,10 @@ object HashExprs {
     bridge.column(WordGramCounts(bridge.expression(c), n))
   def wordBigramHashes(c: Column): Column =
     bridge.column(WordBigramHashes(bridge.expression(c)))
+  def substrWindowKeys(c: Column, w: Int): Column =
+    bridge.column(SubstrWindowKeys(bridge.expression(c), w))
+  def substrWindowKeyArray(c: Column, w: Int): Column =
+    bridge.column(SubstrWindowKeyArray(bridge.expression(c), w))
   def charNGramsSorted(c: Column, n: Int): Column =
     bridge.column(CharNGramsSorted(bridge.expression(c), n))
   def charNGramsPacked(c: Column, n: Int): Column =

@@ -1062,19 +1062,21 @@ object Dedup {
 
   /** Distinct `(doc_id, h)` 60-bit window keys of every
     * [[SubstrWindow]]-char sliding window — shared by the full-corpus
-    * operator and the exact-collapse-first variant. */
+    * operator and the exact-collapse-first variant. r18: the native
+    * [[graft.functions.SubstrWindowKeys]] walk (one text encoding,
+    * one reused digest, in-walk dedup) replaces the
+    * explode(sequence) chain — which carried the text through the
+    * Generate and paid a substring slice + a 32-char md5 hex string +
+    * a conv parse PER POSITION — and the per-doc DISTINCT exchange
+    * that followed. Keys are bit-identical to the SQL spelling
+    * (StreamingSpec pins it), so the oracle's collision behavior is
+    * untouched. */
   private def windowKeys(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val W = SubstrWindow
     docs
-      .filter(length($"text") >= W)
-      .select($"doc_id", $"text",
-        explode(sequence(lit(1), length($"text") - (W - 1))).as("i"))
-      .select($"doc_id", expr(
-        s"cast(conv(substring(md5(substring(text, i, $W)), 1, 15), 16, 10) as bigint)"
-      ).as("h"))
-      .distinct()
+      .select($"doc_id", explode(graft.functions.HashExprs
+        .substrWindowKeys($"text", SubstrWindow)).as("h"))
   }
 
   /** ExactSubstr pairs via EXACT-COLLAPSE-FIRST — the scale form of
@@ -1157,50 +1159,11 @@ object Dedup {
     * `md5` hashes UTF-8 bytes, so the walk here is codepoint-offset
     * based and the key is the md5's first 15 hex nibbles as an
     * integer (StreamingSpec pins the equality on real corpus text). */
-  private[graft] def substringWindowKeys(text: String): Array[Long] = {
-    val W = SubstrWindow
-    val nCp = text.codePointCount(0, text.length)
-    if (nCp < W) return Array.empty
-    // encode ONCE and digest byte slices: a per-window substring +
-    // getBytes would allocate two objects and re-encode per window in
-    // an ingest-time hot loop. The offset table maps codepoint index →
-    // byte offset into the one encoding (UTF-8 concatenates exactly
-    // per code point, so every window is a contiguous slice).
-    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val bOff = new Array[Int](nCp + 1)
-    var ci = 0
-    var bi = 0
-    var cp = 0
-    while (cp < nCp) {
-      bOff(cp) = bi
-      val c = text.codePointAt(ci)
-      ci += Character.charCount(c)
-      // lone (unpaired) surrogates encode as the 1-byte '?'
-      // replacement in getBytes — mirror that or the offsets desync
-      bi += (if (c < 0x80) 1 else if (c < 0x800) 2
-             else if (c >= 0xD800 && c <= 0xDFFF) 1
-             else if (c < 0x10000) 3 else 4)
-      cp += 1
-    }
-    bOff(nCp) = bi
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val seen = new java.util.HashSet[java.lang.Long]()
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var i = 0
-    while (i + W <= nCp) {
-      md.reset()
-      md.update(bytes, bOff(i), bOff(i + W) - bOff(i))
-      val d = md.digest()
-      // first 15 hex nibbles = bytes 0-6 plus byte 7's high nibble
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      v = (v << 4) | ((d(7) & 0xf0L) >> 4)
-      if (seen.add(v)) out += v
-      i += 1
-    }
-    out.toArray
-  }
+  private[graft] def substringWindowKeys(text: String): Array[Long] =
+    // the walk lives in graft.functions.Md5WindowKeys (r18) so the
+    // batch expressions share it; contract and values unchanged —
+    // StreamingSpec still pins equality against the SQL spelling
+    graft.functions.Md5WindowKeys.distinctFirstOccurrence(text, SubstrWindow)
 
   /** Occurrence-rank encoding for the cut-list keeper rule: (doc_id,
     * pos) packs into one BIGINT so "first occurrence wins" is a plain
@@ -1243,18 +1206,21 @@ object Dedup {
       // and corrupt the first-occurrence-wins min. The check rides the
       // same scan (one codegen'd branch per doc, no extra job) and is
       // mirrored in qDedupCutsSql.
+      // r18: the per-position keys come from the native
+      // SubstrWindowKeyArray walk (posexplode index + 1 == the old
+      // sequence's 1-based i) — same bit-identical md5-prefix keys,
+      // no per-window substring/hex/conv chain, text no longer
+      // carried through the Generate
       val occ = Tables.documents(s, dir)
         .filter(length($"text") >= W)
         .select($"doc_id",
-          when(length($"text") < PosBound.toInt && $"doc_id" < (1L << 43),
-            $"text").otherwise(raise_error(format_string(
-              s"qDedupCuts: doc_id %d (len %d) exceeds the packing bounds " +
-                s"(len < $PosBound, doc_id < 2^43)",
-              $"doc_id", length($"text")))).as("text"),
-          explode(sequence(lit(1), length($"text") - (W - 1))).as("i"))
-        .select($"doc_id", $"i".cast("long").as("pos"), expr(
-          s"cast(conv(substring(md5(substring(text, i, $W)), 1, 15), 16, 10) as bigint)"
-        ).as("h"))
+          posexplode(graft.functions.HashExprs.substrWindowKeyArray(
+            when(length($"text") < PosBound.toInt && $"doc_id" < (1L << 43),
+              $"text").otherwise(raise_error(format_string(
+                s"qDedupCuts: doc_id %d (len %d) exceeds the packing bounds " +
+                  s"(len < $PosBound, doc_id < 2^43)",
+                $"doc_id", length($"text")))), W)))
+        .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("h"))
         .withColumn("k", $"doc_id" * PosBound + $"pos")
         .localCheckpoint()
       val dupMin = occ.groupBy($"h")

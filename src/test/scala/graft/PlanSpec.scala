@@ -134,8 +134,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("MapGroups"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"documents scan not pruned to (doc_id, text):\n$p")
-    assert(p.contains("ReusedExchange"),
-      s"key-count aggregate does not reuse the distinct's exchange:\n$p")
+    // r18: window keys come from the native one-pass walk (in-walk
+    // dedup), so the old per-doc DISTINCT exchange — and the
+    // ReusedExchange that rode it — are gone by design
+    assert(p.contains("graft_substr_window_keys"),
+      s"window keys are not the native walk:\n$p")
     assert(p.contains("HashJoin"), s"shared-key join is not a hash join:\n$p")
     // pair counts partial-aggregate map-side before the exchange
     assert(p.contains("HashAggregate"), p)
