@@ -279,6 +279,87 @@ case class TokenStats(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** struct(n_words, sum_word_len, hits: array<int>) — the word-derived
+  * inputs of the quality/lang scoring chains in ONE pass over the raw
+  * UTF-8 bytes: word count, Σ per-word code-point lengths (the
+  * avg_word_len numerator), and per-stopword-list hit counts (one
+  * array slot per list, in constructor order). Replaces, per
+  * document: the split+filter words ARRAY, an `aggregate(transform(
+  * words, length))` boxed-lambda pair, and ONE `size(filter(words,
+  * w -> w IN (...)))` pass per language (5 such passes across the
+  * quality+lang chain). Word boundaries are byte-level split on 0x20
+  * with empties dropped (== `filter(split(text, ' '), w -> w !=
+  * '')`); word length counts code points (non-continuation UTF-8
+  * bytes — what Spark's `length` counts); stopword match is exact
+  * byte equality (all lists are ASCII). Equality with the legacy
+  * column chain is pinned in TextStatsExprsSpec; the DuckDB oracles
+  * (unchanged) hash-check end to end. */
+case class WordLangStats(child: Expression, langs: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  require(langs.nonEmpty, s"$prettyName needs at least one stopword list")
+  override def prettyName: String = "graft_word_lang_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("sum_word_len", LongType, nullable = false),
+    StructField("hits", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  // (langIdx, bytes) flattened, grouped by word length for a cheap
+  // candidate scan — the lists are tiny (8 ASCII words per language)
+  @transient private lazy val byLen: Map[Int, Array[(Int, Array[Byte])]] =
+    langs.zipWithIndex.flatMap { case (ws, li) =>
+      ws.map(w => (li, w.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    }.groupBy(_._2.length).map { case (l, xs) => l -> xs.toArray }
+
+  override def nullSafeEval(v: Any): Any = {
+    import org.apache.spark.unsafe.Platform
+    val s = v.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    var nWords = 0
+    var sumLen = 0L
+    val hits = new Array[Int](langs.length)
+    var i = 0
+    while (i < nb) {
+      while (i < nb && Platform.getByte(base, off + i) == 0x20) i += 1
+      val start = i
+      var cps = 0
+      while (i < nb && Platform.getByte(base, off + i) != 0x20) {
+        // count code points: every byte that is not a continuation
+        if ((Platform.getByte(base, off + i) & 0xC0) != 0x80) cps += 1
+        i += 1
+      }
+      if (i > start) {
+        nWords += 1
+        sumLen += cps
+        val wlen = i - start
+        byLen.get(wlen) match {
+          case Some(cands) =>
+            var c = 0
+            while (c < cands.length) {
+              val (li, wb) = cands(c)
+              var j = 0
+              while (j < wlen && Platform.getByte(base, off + start + j) == wb(j)) j += 1
+              if (j == wlen) hits(li) += 1
+              c += 1
+            }
+          case None =>
+        }
+      }
+    }
+    InternalRow(nWords, sumLen,
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hits))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextStatsExprs {
   def repetitionStats(c: Column): Column =
     bridge.column(RepetitionStats(bridge.expression(c)))
@@ -288,4 +369,6 @@ object TextStatsExprs {
     bridge.column(PunctCount(bridge.expression(c)))
   def tokenStats(c: Column): Column =
     bridge.column(TokenStats(bridge.expression(c)))
+  def wordLangStats(c: Column, langs: Seq[Seq[String]]): Column =
+    bridge.column(WordLangStats(bridge.expression(c), langs))
 }

@@ -257,24 +257,28 @@ object TextAnalysis {
   private[graft] val NoWordsPredicate =
     s"text IS NULL OR size($WordsExpr) <= 0"
 
-  /** Tokenization shared by quality / lang / the composed pipeline —
-    * one definition so the standalone queries and q_pipeline_select
-    * can never drift. */
-  private def withWords(df: DataFrame): DataFrame =
-    df.withColumn("words", expr(WordsExpr))
+  /** Word/stopword statistics shared by quality / lang / the composed
+    * pipeline — ONE native pass over the text bytes
+    * (graft.functions.WordLangStats: word count, Σ word lengths, one
+    * hit count per [[langWords]] list) replacing the words ARRAY, the
+    * aggregate/transform length fold, and the five per-language
+    * `size(filter(words, IN (...)))` passes the chain used to run.
+    * One definition so the standalone queries and q_pipeline_select
+    * can never drift; equality with the words-array chain is pinned
+    * in TextStatsExprsSpec. */
+  private def withWordStats(df: DataFrame): DataFrame =
+    df.withColumn("wst",
+      graft.functions.TextStatsExprs.wordLangStats(col("text"), langWords.map(_._2)))
 
   /** Quality scoring: length, word stats, stopword/punct ratios and a
     * composite score — the usual pre-training corpus filters.
     * Appends the quality metric columns (incl. `quality_score`) to a
-    * docs frame that already carries `words`; drops empty docs. */
+    * docs frame that already carries `wst`; drops empty docs. */
   private def withQualityCols(df: DataFrame): DataFrame = {
-    val en = langWords.head._2
-    df.filter(size(col("words")) >= 1)
-      .withColumn("n_words", size(col("words")).cast("double"))
-      .withColumn("avg_word_len",
-        expr("aggregate(transform(words, w -> cast(length(w) as bigint)), 0L, (a, x) -> a + x)") / col("n_words"))
-      .withColumn("stop_hits",
-        expr(s"size(filter(words, w -> ${inList("w", en)}))").cast("double"))
+    df.filter(col("wst.n_words") >= 1)
+      .withColumn("n_words", col("wst.n_words").cast("double"))
+      .withColumn("avg_word_len", col("wst.sum_word_len") / col("n_words"))
+      .withColumn("stop_hits", element_at(col("wst.hits"), 1).cast("double"))
       // r18: PunctCount counts the same code points the
       // regexp_extract_all form matched, without materializing a
       // one-char string per hit into an array that only feeds size()
@@ -289,7 +293,7 @@ object TextAnalysis {
 
   def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    withQualityCols(withWords(Tables.documents(s, dir)))
+    withQualityCols(withWordStats(Tables.documents(s, dir)))
       .select($"doc_id", $"n_words".cast("int").as("n_words"),
         round($"avg_word_len", 4).as("avg_word_len"),
         round($"stop_ratio", 4).as("stop_ratio"),
@@ -329,12 +333,11 @@ object TextAnalysis {
     * deterministic tie-break (hit count desc, then language asc;
     * 'und' when nothing matches). */
   /** Appends the language-ID columns (`hits_*`, `pred_lang`) to a
-    * docs frame that already carries `words`. */
+    * docs frame that already carries `wst`. */
   private def withLangCols(df0: DataFrame): DataFrame = {
     var df = df0
-    for ((lang, ws) <- langWords)
-      df = df.withColumn(s"hits_$lang",
-        expr(s"size(filter(words, w -> ${inList("w", ws)}))"))
+    for (((lang, _), i) <- langWords.zipWithIndex)
+      df = df.withColumn(s"hits_$lang", element_at(col("wst.hits"), i + 1))
     val hitCols = langWords.map { case (l, _) => col(s"hits_$l") }
     val structs = langWords.map { case (l, _) =>
       struct((-col(s"hits_$l")).as("neg"), lit(l).as("lang"))
@@ -346,7 +349,7 @@ object TextAnalysis {
 
   def qTextLang(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    withLangCols(withWords(Tables.documents(s, dir)))
+    withLangCols(withWordStats(Tables.documents(s, dir)))
       .select(($"doc_id" +: langWords.map { case (l, _) => col(s"hits_$l") } :+ $"pred_lang"): _*)
       .orderBy($"doc_id")
   }
@@ -887,7 +890,7 @@ object TextAnalysis {
     * the batch and both streaming forms cannot drift. */
   private[graft] def scoreForSelect(docs: DataFrame,
       extra: Seq[String] = Nil): DataFrame =
-    withLangCols(withQualityCols(withWords(docs)))
+    withLangCols(withQualityCols(withWordStats(docs)))
       .select(Seq(col("doc_id"), md5(col("text")).as("h"),
         col("quality_score"), col("pred_lang")) ++ extra.map(col): _*)
 

@@ -241,6 +241,47 @@ class TextStatsExprsSpec extends AnyFunSuite {
     }
   }
 
+  // the operator-side stopword lists, spelled locally so the spec
+  // still detects a drift in the operator's own lists
+  private val specLangs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "nicht", "mit"))
+  private def inList(wordVar: String, ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(s"$wordVar IN (", ", ", ")")
+
+  test("word/lang stats: native single pass == words-array chain (sf0.001 + edges)") {
+    val corpus = Tables.documents(spark, SparkSpecBase.sf001).select($"doc_id", $"text")
+    val edgeDocs = Seq(
+      (1L, "the cat and the dog in la la land"),
+      (2L, "el que la un de"), // words shared across es/fr lists
+      (3L, "der die und das"), (4L, "no stopwords here xyz"),
+      (5L, "a"), (6L, "héllo wörld 𝄞clef the"),
+      (7L, "  the   and  padded  "), (8L, "is it that the of to in and"))
+      .toDF("doc_id", "text")
+    Seq(corpus, edgeDocs).foreach { docs =>
+      val legacy = docs.withColumn("words", expr(wordsExpr))
+        .filter(size($"words") >= 1)
+        .select(Seq($"doc_id",
+          size($"words").as("n_words"),
+          expr("aggregate(transform(words, w -> cast(length(w) as bigint)), 0L, (a, x) -> a + x)")
+            .as("sum_word_len")) ++
+          specLangs.map { case (l, ws) =>
+            expr(s"size(filter(words, w -> ${inList("w", ws)}))").as(s"hits_$l")
+          }: _*)
+      val nat = docs.select($"doc_id",
+        TextStatsExprs.wordLangStats($"text", specLangs.map(_._2)).as("wst"))
+        .filter($"wst.n_words" >= 1)
+        .select(Seq($"doc_id", $"wst.n_words".as("n_words"),
+          $"wst.sum_word_len".as("sum_word_len")) ++
+          specLangs.zipWithIndex.map { case ((l, _), i) =>
+            element_at($"wst.hits", i + 1).as(s"hits_$l")
+          }: _*)
+      assertSameRows(legacy, nat)
+    }
+  }
+
   test("rewritten queries keep exactly one exchange before the presentation sort") {
     // plan-shape pin for the r18 rewrite: scan → project → sort; the
     // only Exchange left is the orderBy's range partitioning
