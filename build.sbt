@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the bench's
+// one-line JSON from stdout. sbt's default output strategy routes the
+// forked JVM's stdout through its logger as "[info] {...}" and appends
+// its own "[success] Total time ..." line — the driver's parser has
+// rejected that in every round (PERF per_query empty since r01).
+// StdoutOutput hands the forked process sbt's raw stdout/stderr
+// descriptors (program stdout passes through verbatim; Spark's log4j
+// output stays on stderr), and showSuccess drops the trailing
+// [success] line, so the bench JSON is the bare FINAL stdout line.
+// Timing in Bench.scala is untouched.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
