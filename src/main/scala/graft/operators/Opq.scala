@@ -778,14 +778,9 @@ object Opq {
     import org.apache.spark.sql.expressions.Window
     val queries = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
-    val cents = Tables.embeddings(s, dir)
-      .filter($"vec_id" < VectorQueries.NCELLS)
-      .select($"vec_id".as("cell"), $"embedding".as("cv"))
-    val probeW = Window.partitionBy($"q_id").orderBy($"cdist", $"cell")
-    val probes = queries.join(broadcast(cents))
-      .select($"q_id", $"cell", l2Dist($"qv", $"cv").as("cdist"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter($"rn" <= VectorQueries.NPROBE)
+    // probe ranking (q_knn_ivf's exact rule), served from the shared
+    // tier ([[VectorQueries.cachedSeedProbes]])
+    val probes = VectorQueries.cachedSeedProbes(s, dir)
       .select($"q_id", $"cell")
     // the query's own sign word rides with its probe rows (tiny set)
     val probeQ = probes.join(

@@ -549,15 +549,9 @@ object PQ {
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
 
     // probe ranking: NPROBE nearest seed cells per query (q_knn_ivf's
-    // exact rule — L2 to the cell centroid, ties to the lower cell)
-    val cents = Tables.embeddings(s, dir)
-      .filter($"vec_id" < VectorQueries.NCELLS)
-      .select($"vec_id".as("cell"), $"embedding".as("cv"))
-    val probeW = Window.partitionBy($"q_id").orderBy($"cdist", $"cell")
-    val probes = queries.join(broadcast(cents))
-      .select($"q_id", $"cell", l2Dist($"qv", $"cv").as("cdist"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter($"rn" <= VectorQueries.NPROBE)
+    // exact rule), served from the shared tier
+    // ([[VectorQueries.cachedSeedProbes]])
+    val probes = VectorQueries.cachedSeedProbes(s, dir)
       .select($"q_id", $"cell")
 
     // per-query ADC LUTs (M·Ksub doubles), carried with the probe rows
@@ -749,18 +743,15 @@ object PQ {
       .filter($"vec_id" < VectorQueries.NCELLS)
       .select($"vec_id".as("cell"), $"embedding".as("cv"))
 
-    // probe ranking: identical rule to qKnnIvfPq / q_knn_ivf
-    val probeW = Window.partitionBy($"q_id").orderBy($"cdist", $"cell")
-    val probes = queries.join(broadcast(cents))
-      .select($"q_id", $"cell", l2Dist($"qv", $"cv").as("cdist"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter($"rn" <= VectorQueries.NPROBE)
-      .select($"q_id", $"cell")
+    // probe ranking: identical rule to qKnnIvfPq / q_knn_ivf, served
+    // from the shared tier ([[VectorQueries.cachedSeedProbes]]); qv
+    // rides with the probe rows, so no join back to the query set
+    val probes = VectorQueries.cachedSeedProbes(s, dir)
 
     // one LUT per (query, probed cell): the query's residual against
     // THAT cell's centroid, tabled against the residual codebooks
     val bcR = s.sparkContext.broadcast(cbArr)
-    val qres = probes.join(queries, "q_id").join(broadcast(cents), "cell")
+    val qres = probes.join(broadcast(cents), "cell")
       .select($"q_id", $"cell".cast("long").as("cell"),
         zip_with($"qv", $"cv", (a, b) => a - b).as("qrv"))
     val probeLuts = qres.as[(Long, Long, Array[Float])]
