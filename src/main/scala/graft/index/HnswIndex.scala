@@ -576,7 +576,12 @@ object HnswIndex {
     val path = graft.TempCleanup.onExit(
       s"/tmp/graft_hnsw_${sf}_${s.sparkContext.applicationId}")
     save(cachedIndex(s, dir), qHp, path)
-    val re = load(s, path)
+    // same treatment as VamanaIndex.qIndexMeta: the integrity stats
+    // need only (shard, layer count), so aggregate the reload scan
+    // directly — no per-shard re-clustering exchange, and column
+    // pruning drops the embedding/adjacency payloads from the read
+    val re = s.read.parquet(s"$path/graph")
+      .select(col("shard"), size(col("layers")).as("nlayers"))
     val meta = loadMeta(path)
     // file tier: export once per JVM+sf, then prove the reloaded
     // files serve row-identically to the in-memory graphs
@@ -600,7 +605,7 @@ object HnswIndex {
     re.agg(
       count(lit(1)).as("num_vectors"),
       countDistinct(col("shard")).as("num_shards"),
-      max(size(col("layers"))).as("max_layers"))
+      max(col("nlayers")).as("max_layers"))
       .withColumn("meta_format",
         lit(if (meta.contains("graft-hnsw-v1")) "graft-hnsw-v1" else "corrupt"))
       .withColumn("files_match", lit(filesMatch))

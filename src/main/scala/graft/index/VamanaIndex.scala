@@ -715,8 +715,15 @@ object VamanaIndex {
     val raw = spark.read.parquet(s"$path/graph")
       .select("vec_id", "embedding", "shard", "neighbors").as[IndexRow]
     // re-cluster so each shard's graph is whole within a task (a shard
-    // written as several files would otherwise arrive fragmented)
-    val nShards = raw.select("shard").distinct().count().toInt
+    // written as several files would otherwise arrive fragmented). The
+    // shard count comes from metadata.json — save() records it, so
+    // open is O(metadata); recomputing it cost a scan + shuffle of the
+    // shard column per open. Fall back to the scan only for a foreign
+    // directory without usable metadata (HnswIndex.load's contract).
+    val nShards = scala.util.Try {
+      MetaJson.parse(loadMeta(path)).get("num_shards").asInt()
+    }.filter(_ > 0)
+      .getOrElse(raw.select("shard").distinct().count().toInt)
     raw.repartition(math.max(1, nShards), $"shard").as[IndexRow]
   }
 
@@ -1764,13 +1771,21 @@ object VamanaIndex {
     val path = graft.TempCleanup.onExit(
       s"/tmp/graft_index_${sf}_${s.sparkContext.applicationId}")
     save(cachedIndex(s, dir), qParams, path)
-    val re = load(s, path)
+    // the integrity row aggregates the RELOADED files; its stats need
+    // only (shard, degree), so aggregate the reload scan directly —
+    // load()'s per-shard re-clustering exchange exists for serving,
+    // not for a 4-scalar aggregate, and column pruning drops the
+    // embedding/adjacency payloads from the read (§6; same values,
+    // rows-only spec pins them). load() itself stays covered by the
+    // handed-over-index serving paths and its spec.
+    val re = s.read.parquet(s"$path/graph")
+      .select($"shard", size($"neighbors").as("deg"))
     val meta = loadMeta(path)
     re.agg(
       count(lit(1)).as("num_vectors"),
       countDistinct($"shard").as("num_shards"),
-      max(size($"neighbors")).as("max_degree"),
-      round(avg(size($"neighbors")), 4).as("avg_degree"))
+      max($"deg").as("max_degree"),
+      round(avg($"deg"), 4).as("avg_degree"))
       .withColumn("meta_format",
         lit(if (meta.contains("graft-vamana-v1")) "graft-vamana-v1" else "corrupt"))
   }
