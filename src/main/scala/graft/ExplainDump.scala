@@ -50,6 +50,13 @@ object ExplainDump {
         val txt = df.queryExecution.explainString(FormattedMode)
         Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),
           txt.getBytes("UTF-8"))
+        // checkpointed queries' public plans truncate to
+        // `Scan ExistingRDD`; dump the pre-checkpoint kernel chain too
+        operators.Dedup.preCheckpointPlans.get(name).foreach { pre =>
+          Files.write(Paths.get(outDir, s"${name}_pre_$suffix.txt"),
+            pre(spark, sfDir).queryExecution.explainString(FormattedMode)
+              .getBytes("UTF-8"))
+        }
         println(f"[explain] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       } catch {
         case e: Throwable =>

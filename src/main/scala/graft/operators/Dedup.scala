@@ -833,6 +833,22 @@ object Dedup {
     * per-pair hash build — the dominant cost at sf0.1 dropped ~10×. */
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // lazy checkpoint before the presentation orderBy (r18; lazy since
+    // r19 so plan-only construction — explain, PlanSpec — stays free):
+    // the range exchange's sampling pass re-ran the two-pointer
+    // gram-merge kernel — see qDedupSimhash for the probe numbers.
+    // First action materializes the output-sized pair table once; the
+    // sampling pass and the final sort both read the persisted blocks.
+    jaccardPairsPlan(s, dir).localCheckpoint(eager = false)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[qDedupJaccard]]'s verified-pair chain up to (but excluding) the
+    * output-sized checkpoint + presentation sort — split out so
+    * PlanSpec and ExplainDump can pin/dump the kernel chain the
+    * checkpoint truncates out of the public plan. */
+  private[graft] def jaccardPairsPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // sorted gram arrays are the dominant projection cost; cached per
     // sf dir (plan-keyed) like the minhash shingle sets so repeated
     // bench reps / composed queries don't re-tokenize the corpus
@@ -890,11 +906,6 @@ object Dedup {
     }
       .toDF("doc_a", "doc_b", "jac")
       .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
-      // checkpoint before the presentation orderBy (r18): the range
-      // exchange's sampling pass re-ran the two-pointer gram-merge
-      // kernel — see qDedupSimhash for the probe numbers
-      .localCheckpoint()
-      .orderBy($"doc_a", $"doc_b")
   }
 
   // Intersections via exploded gram equi-join + count, not per-pair
@@ -1033,8 +1044,10 @@ object Dedup {
     // child to pick split points, so without it the whole pair kernel
     // + aggregate re-ran once more per evaluation. The survivor table
     // is output-sized (tens of pairs at sf0.01), so materializing it
-    // costs nothing next to the kernel rerun it spares.
-    substringPairsPlan(s, dir).localCheckpoint()
+    // costs nothing next to the kernel rerun it spares. Lazy since
+    // r19: plan-only construction (explain, PlanSpec) stays free; the
+    // first action materializes once and both passes read the blocks.
+    substringPairsPlan(s, dir).localCheckpoint(eager = false)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -1101,6 +1114,17 @@ object Dedup {
     * which is the operator's contract. */
   def qDedupSubstringRep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // output-sized lazy checkpoint before the presentation orderBy —
+    // same rationale as [[qDedupSubstring]]
+    substringRepPairsPlan(s, dir).localCheckpoint(eager = false)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[qDedupSubstringRep]]'s pair chain up to (but excluding) the
+    * checkpoint + presentation sort — split out for PlanSpec /
+    * ExplainDump like [[substringPairsPlan]]. */
+  private[graft] def substringRepPairsPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val groups = exactGroups(s, dir)
     val reps = groups.filter($"doc_id" === $"rep_id")
     // rep-only window keys, checkpointed: three consumers (per-rep
@@ -1143,11 +1167,7 @@ object Dedup {
     val within = saltedPairs(withinRows) { case ((ida, nw), (idb, _)) =>
       Some((ida, idb, nw))
     }.toDF("doc_a", "doc_b", "n_shared")
-    // output-sized checkpoint before the presentation orderBy — the
-    // range exchange's sampling pass otherwise re-ran the expansion
-    // joins and the within-group kernel once more per evaluation
-    // (r18, the q_dedup_jaccard fix)
-    cross.union(within).localCheckpoint().orderBy($"doc_a", $"doc_b")
+    cross.union(within)
   }
 
   /** The batch operator's 60-bit window key, computed JVM-side for
@@ -1628,6 +1648,16 @@ object Dedup {
     "q_dedup_cuts" -> (qDedupCuts(_, _)),
     "q_dedup_embed" -> (qDedupEmbed(_, _)),
     "q_dedup_semantic" -> (qDedupSemantic(_, _)))
+
+  /** Pre-checkpoint pair chains, keyed by the public query name —
+    * ExplainDump dumps these next to the public plans so plan reviews
+    * can diff the kernel chain the output-sized checkpoint truncates
+    * to `Scan ExistingRDD` (r18 verdict "what's wrong" 4). */
+  private[graft] val preCheckpointPlans
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_jaccard" -> (jaccardPairsPlan(_, _)),
+    "q_dedup_substring" -> (substringPairsPlan(_, _)),
+    "q_dedup_substring_rep" -> (substringRepPairsPlan(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
