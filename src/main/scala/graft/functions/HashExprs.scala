@@ -360,28 +360,42 @@ case class WordBigramHashes(child: Expression)
   * sides identically), which is why this is the one gram family that
   * canNOT swap in a cheaper hash. */
 private[graft] object Md5WindowKeys {
-  /** Per-position keys, multiplicity preserved; empty if the text has
-    * fewer than `w` code points. */
-  def perPosition(text: String, w: Int): Array[Long] = {
-    val nCp = text.codePointCount(0, text.length)
-    if (nCp < w) return Array.empty
-    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val bOff = new Array[Int](nCp + 1)
-    var ci = 0
+  /** String entry (streaming twin) — round-trips through UTF8String
+    * so both callers hash the identical encoding (lone surrogates
+    * become the 1-byte '?' replacement in both, so the offsets and
+    * digests agree with the batch expression path). */
+  def perPosition(text: String, w: Int): Array[Long] =
+    perPosition(UTF8String.fromString(text), w)
+
+  /** Per-position keys over the STORED UTF-8 bytes, multiplicity
+    * preserved; empty if the text has fewer than `w` code points.
+    * Hashing the raw UTF8String bytes (r19, advice item) does two
+    * things: it drops the UTF-16 decode + re-encode round-trip the
+    * old String path paid per document, and it makes the slices
+    * byte-identical to the SQL spelling `md5(substring(text, i, W))`
+    * even for non-well-formed UTF-8 — Spark's `substring` walks the
+    * stored bytes with the same lead-byte widths used here, so the
+    * oracle-parity claim no longer rests on a well-formed-corpus
+    * assumption. */
+  def perPosition(text: UTF8String, w: Int): Array[Long] = {
+    val bytes = text.getBytes
+    val nBytes = bytes.length
+    // codepoint start offsets via UTF-8 lead-byte widths — the exact
+    // walk UTF8String.substring performs (numBytesForFirstByte maps
+    // invalid lead bytes to width 1, as Spark does)
+    val bOff = new Array[Int](nBytes + 1)
     var bi = 0
-    var cp = 0
-    while (cp < nCp) {
-      bOff(cp) = bi
-      val c = text.codePointAt(ci)
-      ci += Character.charCount(c)
-      // lone (unpaired) surrogates encode as the 1-byte '?'
-      // replacement in getBytes — mirror that or the offsets desync
-      bi += (if (c < 0x80) 1 else if (c < 0x800) 2
-             else if (c >= 0xD800 && c <= 0xDFFF) 1
-             else if (c < 0x10000) 3 else 4)
-      cp += 1
+    var nCp = 0
+    while (bi < nBytes) {
+      bOff(nCp) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      nCp += 1
     }
-    bOff(nCp) = bi
+    if (nCp < w) return Array.empty
+    // a trailing truncated multi-byte sequence can step past the end;
+    // clamp so the last window's slice stays in bounds (Spark's
+    // substring clamps the same way)
+    bOff(nCp) = nBytes
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Long](nCp - w + 1)
     var i = 0
@@ -402,7 +416,10 @@ private[graft] object Md5WindowKeys {
 
   /** Distinct keys in first-occurrence order (the streaming twin's
     * historical contract). */
-  def distinctFirstOccurrence(text: String, w: Int): Array[Long] = {
+  def distinctFirstOccurrence(text: String, w: Int): Array[Long] =
+    distinctFirstOccurrence(UTF8String.fromString(text), w)
+
+  def distinctFirstOccurrence(text: UTF8String, w: Int): Array[Long] = {
     val all = perPosition(text, w)
     if (all.isEmpty) return all
     val seen = new java.util.HashSet[java.lang.Long]()
@@ -438,7 +455,7 @@ case class SubstrWindowKeys(child: Expression, w: Int)
 
   override def nullSafeEval(v: Any): Any =
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-      Md5WindowKeys.distinctFirstOccurrence(v.asInstanceOf[UTF8String].toString, w))
+      Md5WindowKeys.distinctFirstOccurrence(v.asInstanceOf[UTF8String], w))
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -459,7 +476,7 @@ case class SubstrWindowKeyArray(child: Expression, w: Int)
 
   override def nullSafeEval(v: Any): Any =
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-      Md5WindowKeys.perPosition(v.asInstanceOf[UTF8String].toString, w))
+      Md5WindowKeys.perPosition(v.asInstanceOf[UTF8String], w))
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

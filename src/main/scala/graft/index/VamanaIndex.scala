@@ -1400,7 +1400,15 @@ object VamanaIndex {
 
   /** Mean recall of `approx` against `exact` (both (q_id,
     * neighbor_id) result sets) — the evaluation every reference
-    * example runs (examples/diskann_sift.rs:58-98). */
+    * example runs (examples/diskann_sift.rs:58-98).
+    *
+    * INPUT CONTRACT: both sides must be query-batch-bounded
+    * (nQueries·k rows) — the helper broadcast-hints the approx set
+    * and the per-query hit counts, so a caller handing it a
+    * corpus-sized frame would pay driver collection (or OOM) instead
+    * of falling back to a shuffled join. Every in-repo caller passes
+    * search results of a bounded query batch; keep it that way or
+    * drop the hints at the call site. */
   def recallDf(approx: DataFrame, exact: DataFrame): DataFrame = {
     val s = approx.sparkSession
     import s.implicits._

@@ -129,4 +129,32 @@ class HashExprsSpec extends AnyFunSuite {
     assert(!r.isNullAt(0), "native returned NULL for a null-bearing array")
     assert(r.getLong(0) == r.getLong(1), r.toString)
   }
+
+  test("substring window keys hash the STORED bytes — parity with the SQL spelling on malformed UTF-8") {
+    // the native walk hashes raw UTF8String byte slices (r19); the SQL
+    // spelling md5(substring(text, i, W)) slices the same stored bytes,
+    // so the two must agree even when the bytes are NOT well-formed
+    // UTF-8 (a String round-trip would replace the bad byte and
+    // diverge). Construct invalid bytes via binary→string cast, which
+    // wraps without validation.
+    val w = 3
+    val bad: Array[Array[Byte]] = Array(
+      "abcdef".getBytes("UTF-8"),
+      Array('a'.toByte, 0xC3.toByte, 0x28.toByte, 'b'.toByte, 'c'.toByte), // truncated 2-byte seq
+      Array(0xE2.toByte, 0x82.toByte, 'x'.toByte, 'y'.toByte, 'z'.toByte), // truncated 3-byte seq
+      Array('q'.toByte, 0xFF.toByte, 0xFE.toByte, 'r'.toByte, 's'.toByte), // bare invalid lead bytes
+      Array('t'.toByte, 0xF0.toByte, 0x9D.toByte)) // multi-byte cut at end of text
+    val df = bad.toSeq.toDF("b").select($"b".cast("string").as("text"))
+    val rows = df.select(
+      sort_array(HashExprs.substrWindowKeys($"text", w)).as("native"),
+      expr(
+        s"""sort_array(array_distinct(CASE WHEN char_length(text) >= $w
+           |  THEN transform(sequence(1, char_length(text) - ${w - 1}),
+           |    i -> cast(conv(substring(md5(substring(text, i, $w)), 1, 15), 16, 10) as bigint))
+           |  ELSE cast(array() as array<bigint>) END))
+           |""".stripMargin).as("sql")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
 }

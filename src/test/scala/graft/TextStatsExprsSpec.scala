@@ -282,6 +282,27 @@ class TextStatsExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("null text: tokenStats/wordLangStats return NULL; the corpus guarantees non-null text") {
+    // documented divergence (r18 advice item): the legacy
+    // size(regexp_extract_all(...)) projections returned -1 counts
+    // (and pred_lang 'und') for null text under
+    // spark.sql.legacy.sizeOfNull, while the native expressions
+    // propagate NULL. No declared query observes the difference
+    // because the documents corpus never carries a null text — both
+    // facts are pinned here so a corpus change that breaks the
+    // guarantee fails loudly instead of silently shifting semantics.
+    val nullDoc = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = nullDoc.select(
+      TextStatsExprs.tokenStats($"text").as("st"),
+      TextStatsExprs.wordLangStats($"text", specLangs.map(_._2)).as("wst")).head()
+    assert(r.isNullAt(0), "tokenStats(null) must be NULL")
+    assert(r.isNullAt(1), "wordLangStats(null) must be NULL")
+    Seq(SparkSpecBase.sf001, SparkSpecBase.sf01).foreach { sf =>
+      assert(Tables.documents(spark, sf).filter($"text".isNull).count() == 0,
+        s"corpus at $sf carries null text — the non-null guarantee broke")
+    }
+  }
+
   test("rewritten queries keep exactly one exchange before the presentation sort") {
     // plan-shape pin for the r18 rewrite: scan → project → sort; the
     // only Exchange left is the orderBy's range partitioning
