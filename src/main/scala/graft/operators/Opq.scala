@@ -776,8 +776,8 @@ object Opq {
   def qKnnIvfBinary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val queries = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    // query set served from the shared tier (VectorQueries.queriesDf)
+    val queries = VectorQueries.queriesDf(s, dir)
     // probe ranking (q_knn_ivf's exact rule), served from the shared
     // tier ([[VectorQueries.cachedSeedProbes]])
     val probes = VectorQueries.cachedSeedProbes(s, dir)
@@ -898,8 +898,7 @@ object Opq {
     * HiDimSpec (BASELINE "Binary vs ADC file-tier steering"). */
   def qBinServe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val qs = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val qs = VectorQueries.queriesDf(s, dir)
     graft.index.SingleFileIndex.serveBinary(
       qs, PQ.cachedServeFile(s, dir), PQ.K, beamWidth = 64)
   }

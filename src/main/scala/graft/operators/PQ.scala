@@ -545,8 +545,8 @@ object PQ {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val bc = s.sparkContext.broadcast(codebooks(s, dir))
-    val queries = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    // query set served from the shared tier (VectorQueries.queriesDf)
+    val queries = VectorQueries.queriesDf(s, dir)
 
     // probe ranking: NPROBE nearest seed cells per query (q_knn_ivf's
     // exact rule), served from the shared tier
@@ -737,8 +737,8 @@ object PQ {
       cbArr: Array[Float], codes: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val queries = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    // query set served from the shared tier (VectorQueries.queriesDf)
+    val queries = VectorQueries.queriesDf(s, dir)
     val cents = Tables.embeddings(s, dir)
       .filter($"vec_id" < VectorQueries.NCELLS)
       .select($"vec_id".as("cell"), $"embedding".as("cv"))
@@ -1005,8 +1005,7 @@ object PQ {
     * SingleFileIndexSpec. */
   def qPqServe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val qs = Tables.embeddings(s, dir).filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val qs = VectorQueries.queriesDf(s, dir)
     graft.index.SingleFileIndex.servePq(
       qs, cachedServeFile(s, dir), K, beamWidth = 64)
   }
