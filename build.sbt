@@ -23,6 +23,9 @@ run / fork := true
 // Timing in Bench.scala is untouched.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by a task — exclude
+// it from the unused-key lint so the warning doesn't pollute stdout
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

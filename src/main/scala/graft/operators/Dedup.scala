@@ -967,17 +967,27 @@ object Dedup {
     // list_cosine_similarity (the previous 1-(1-c) expression plan
     // could differ from the direct form by an ulp at a round()/tau
     // boundary; this form is the one the oracle replays).
+    // squared norms ride WITH the vectors (r19): nx/ny are per-vector
+    // invariants the pair kernel recomputed O(bucket size) times each
+    // — at ×10 data the quadratic candidate count made that 2/3 of
+    // the kernel's flops (dot+nx+ny fused = 6 flops/elem vs dot's 2).
+    // Each accumulator's additions keep their own left-to-right
+    // order, so the doubles — and the emitted pair set — are
+    // bit-identical to the fused form (all embeddings share one dim;
+    // DedupSemanticsSpec pins the outputs).
     val rows = Tables.embeddings(s, dir)
       .withColumn("bucket", graft.functions.VectorExprs.lshBucket($"embedding", 6))
       .select($"bucket".cast("string").as("block"), $"vec_id", $"embedding")
       .as[(String, Long, Array[Float])]
-    saltedPairs(rows) { case ((ida, va), (idb, vb)) =>
-      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-      val n = math.min(va.length, vb.length)
-      while (i < n) {
-        val xi = va(i).toDouble; val yi = vb(i).toDouble
-        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      .map { case (b, id, v) =>
+        var nx = 0.0; var i = 0
+        while (i < v.length) { val xi = v(i).toDouble; nx += xi * xi; i += 1 }
+        (b, id, (v, nx))
       }
+    saltedPairs(rows) { case ((ida, (va, nx)), (idb, (vb, ny))) =>
+      var dot = 0.0; var i = 0
+      val n = math.min(va.length, vb.length)
+      while (i < n) { dot += va(i).toDouble * vb(i).toDouble; i += 1 }
       val sim = if (nx == 0.0 || ny == 0.0) 0.0
         else dot / (math.sqrt(nx) * math.sqrt(ny))
       if (sim >= CosineTau) Some((ida, idb, sim)) else None
